@@ -1,0 +1,143 @@
+"""PBF blob framing: sequential scan, metadata-only index, random access.
+
+File layout (public spec, fileformat.proto): repeating
+``[4-byte BE length][BlobHeader][Blob]``. Parity targets:
+
+- sequential scan   — reference ``osmpbf/src/blob.rs:164-315`` (S1)
+- seekable access   — reference ``osmpbf/src/blob.rs:317-449`` (S2)
+- metadata-only idx — reference ``osmpbf/src/blob.rs:422-448``  (S3)
+
+The index pass reads only the tiny BlobHeaders (skipping payloads), so a
+single driver-side pass over a planet file touches a few MB; the payload
+reads happen distributed, one byte-range per Spark task.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import BinaryIO, Iterator
+
+from .proto import iter_fields, message_fields
+
+# Spec limits, enforced identically to the reference
+# (``osmpbf/src/blob.rs:22,25``).
+MAX_BLOB_HEADER_SIZE = 64 * 1024
+MAX_BLOB_SIZE = 32 * 1024 * 1024
+
+TYPE_HEADER = "OSMHeader"
+TYPE_DATA = "OSMData"
+
+
+class BlobError(ValueError):
+    """Malformed blob framing (parity: ``osmpbf/src/error.rs:44-82``)."""
+
+
+@dataclass(frozen=True)
+class BlobInfo:
+    """One blob's position in the file: what a scan task needs to fetch it."""
+
+    blob_type: str  # "OSMHeader" | "OSMData" | other (reserved)
+    offset: int  # byte offset of the Blob message payload
+    size: int  # byte length of the Blob message
+    header_offset: int  # offset of the 4-byte length prefix (for debugging)
+
+
+def _read_exact(f: BinaryIO, n: int) -> bytes:
+    data = f.read(n)
+    if len(data) != n:
+        raise BlobError(f"unexpected EOF: wanted {n} bytes, got {len(data)}")
+    return data
+
+
+def _read_blob_header(f: BinaryIO) -> tuple[str, int, int] | None:
+    """Read one [len][BlobHeader]; returns (type, datasize, payload_offset)
+    or None at clean EOF."""
+    start = f.tell()
+    prefix = f.read(4)
+    if len(prefix) == 0:
+        return None
+    if len(prefix) != 4:
+        raise BlobError("truncated length prefix")
+    header_size = struct.unpack(">I", prefix)[0]
+    if header_size >= MAX_BLOB_HEADER_SIZE:
+        raise BlobError(f"blob header too big: {header_size} at offset {start}")
+    fields = message_fields(_read_exact(f, header_size))
+    try:
+        blob_type = bytes(fields[1][0]).decode("utf-8")
+        datasize = fields[3][0]
+    except (KeyError, IndexError) as exc:  # required fields missing
+        raise BlobError(f"invalid BlobHeader at offset {start}") from exc
+    if datasize >= MAX_BLOB_SIZE:
+        raise BlobError(f"blob too big: {datasize} at offset {start}")
+    return blob_type, datasize, f.tell()
+
+
+def index_blobs(path: str) -> list[BlobInfo]:
+    """Metadata-only scan: header reads + payload seeks (S3). Cheap enough
+    to run on the driver for any file size — it reads ~32 bytes per ~16MB
+    blob."""
+    infos: list[BlobInfo] = []
+    with open(path, "rb") as f:
+        while True:
+            start = f.tell()
+            head = _read_blob_header(f)
+            if head is None:
+                return infos
+            blob_type, datasize, payload_offset = head
+            infos.append(BlobInfo(blob_type, payload_offset, datasize, start))
+            f.seek(datasize, 1)
+
+
+def iter_blobs(path: str) -> Iterator[tuple[BlobInfo, bytes]]:
+    """Sequential full scan (S1): yields (info, raw Blob message bytes)."""
+    with open(path, "rb") as f:
+        while True:
+            start = f.tell()
+            head = _read_blob_header(f)
+            if head is None:
+                return
+            blob_type, datasize, payload_offset = head
+            info = BlobInfo(blob_type, payload_offset, datasize, start)
+            yield info, _read_exact(f, datasize)
+
+
+def read_blob_at(f: BinaryIO, offset: int, size: int) -> bytes:
+    """Random access (S2): fetch one Blob message by byte range."""
+    f.seek(offset)
+    return _read_exact(f, size)
+
+
+def decompress_blob(blob_bytes: bytes) -> bytes:
+    """Blob message → uncompressed payload (D1).
+
+    Handles raw (field 1), zlib (3), lzma (4), zstd (7) per the spec; the
+    reference supports raw + zlib and errors otherwise
+    (``osmpbf/src/blob.rs:92-113``). The 32MB uncompressed guard matches
+    ``blob.rs:25``.
+    """
+    raw_size = None
+    for field_no, wire, val in iter_fields(blob_bytes):
+        if field_no == 2 and wire == 0:
+            raw_size = val
+            if raw_size >= MAX_BLOB_SIZE:
+                raise BlobError(f"uncompressed blob too big: {raw_size}")
+        elif field_no == 1 and wire == 2:
+            return bytes(val)
+        elif field_no == 3 and wire == 2:
+            out = zlib.decompress(bytes(val))
+            if raw_size is not None and len(out) != raw_size:
+                raise BlobError("zlib raw_size mismatch")
+            return out
+        elif field_no == 4 and wire == 2:
+            import lzma
+
+            return lzma.decompress(bytes(val))
+        elif field_no == 7 and wire == 2:
+            try:
+                import zstandard  # noqa: F401 — optional, not in base image
+            except ImportError as exc:
+                raise BlobError("zstd-compressed blob but zstandard not installed") from exc
+            return zstandard.ZstdDecompressor().decompress(bytes(val))
+    raise BlobError("blob has no supported data field (raw/zlib/lzma/zstd)")
