@@ -1,0 +1,50 @@
+"""Partitioned zstd Parquet sink — the reference's output contract.
+
+Parity targets:
+- layout ``{out}/type={kind}/*.parquet``  (``osm-pbf-parquet/src/sink.rs:155-179``, W1)
+- zstd compression, level-configurable    (``sink.rs:134-153``, W5)
+- ~500MB target file size                 (``sink.rs:82-105`` + ``util.rs:61-63``, W3)
+
+Spark-native mechanics replace the reference's hand-rolled sink pool
+(``pbf.rs:159-181``): the dynamic-partition writer demuxes rows by kind
+(P2), per-task writers roll files via ``maxRecordsPerFile`` (W3), and the
+job-commit protocol replaces idle/forced flushes (W4).
+
+Ordering note: the reference does not preserve input order (README.md:88).
+``sort_by_id=True`` is our deliberate improvement — clustering by id makes
+Parquet row-group min/max stats act as the zone-map index the reference
+builds by hand (``osmpbf/src/indexed.rs:174-222``), so id-range queries
+prune row groups for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_osm_parquet(
+    df: DataFrame,
+    out_path: str,
+    compression: str = "zstd",
+    zstd_level: int | None = None,
+    max_records_per_file: int | None = 5_000_000,
+    sort_by_id: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    spark = df.sparkSession
+    if zstd_level is not None:
+        # level knob honored by parquet-mr (reference zstd 1-22, sink.rs:139-149)
+        spark.conf.set("spark.hadoop.parquet.compression.codec.zstd.level", str(zstd_level))
+    if sort_by_id:
+        # range-cluster inside each type partition → row-group zone maps
+        df = df.repartitionByRange("type", "id").sortWithinPartitions("type", "id")
+    writer = df.write.mode(mode).partitionBy("type").option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(out_path)
+
+
+def read_osm_parquet(spark, path: str) -> DataFrame:
+    """Read the engine's (or the reference's) partitioned output back as a
+    DataFrame; hive partition discovery restores the ``type`` column."""
+    return spark.read.parquet(path)

@@ -1,0 +1,238 @@
+"""Test-only OSM PBF *encoder* — generates synthetic .osm.pbf files so the
+scan path can be differential-tested on multi-blob inputs without network
+fixtures (the reference uses a downloaded Geofabrik extract,
+``osm-pbf-parquet/test/test.sh:17-31``; we synthesize instead).
+
+Implements the same public wire format the decoder reads: varint/zigzag,
+packed fields, delta coding, stringtable, zlib blobs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _key(field_no: int, wire: int) -> bytes:
+    return _varint((field_no << 3) | wire)
+
+
+def _len_field(field_no: int, payload: bytes) -> bytes:
+    return _key(field_no, 2) + _varint(len(payload)) + payload
+
+
+def _packed_svarints(field_no: int, values, delta: bool = False) -> bytes:
+    out = bytearray()
+    prev = 0
+    for v in values:
+        d = v - prev if delta else v
+        if delta:
+            prev = v
+        out += _varint(_zigzag(d))
+    return _len_field(field_no, bytes(out))
+
+
+def _packed_uvarints(field_no: int, values) -> bytes:
+    out = bytearray()
+    for v in values:
+        out += _varint(v)
+    return _len_field(field_no, bytes(out))
+
+
+class StringTable:
+    def __init__(self) -> None:
+        self.strings: list[bytes] = [b""]  # index 0 reserved
+        self.index: dict[bytes, int] = {}
+
+    def add(self, s: str) -> int:
+        b = s.encode("utf-8")
+        if b not in self.index:
+            self.index[b] = len(self.strings)
+            self.strings.append(b)
+        return self.index[b]
+
+    def encode(self) -> bytes:
+        body = b"".join(_len_field(1, s) for s in self.strings)
+        return body
+
+
+def encode_info(st: StringTable, meta: dict) -> bytes:
+    out = bytearray()
+    if "version" in meta:
+        out += _key(1, 0) + _varint(meta["version"])
+    if "timestamp_s" in meta:
+        out += _key(2, 0) + _varint(meta["timestamp_s"])
+    if "changeset" in meta:
+        out += _key(3, 0) + _varint(meta["changeset"])
+    if "uid" in meta:
+        out += _key(4, 0) + _varint(meta["uid"])
+    if "user" in meta:
+        out += _key(5, 0) + _varint(st.add(meta["user"]))
+    if "visible" in meta:
+        out += _key(6, 0) + _varint(1 if meta["visible"] else 0)
+    return bytes(out)
+
+
+def encode_dense_nodes(st: StringTable, nodes: list[dict]) -> bytes:
+    """nodes: [{id, lat_nano, lon_nano, tags: {k:v}, version, timestamp_s,
+    changeset, uid, user, visible}] — lat/lon in raw granularity units."""
+    ids = [n["id"] for n in nodes]
+    lats = [n["lat_raw"] for n in nodes]
+    lons = [n["lon_raw"] for n in nodes]
+    kv: list[int] = []
+    for n in nodes:
+        for k, v in n.get("tags", {}).items():
+            kv += [st.add(k), st.add(v)]
+        kv.append(0)
+    di = bytearray()
+    di += _packed_uvarints(1, [n["version"] for n in nodes])
+    di += _packed_svarints(2, [n["timestamp_s"] for n in nodes], delta=True)
+    di += _packed_svarints(3, [n["changeset"] for n in nodes], delta=True)
+    di += _packed_svarints(4, [n["uid"] for n in nodes], delta=True)
+    di += _packed_svarints(5, [st.add(n["user"]) for n in nodes], delta=True)
+    di += _packed_uvarints(6, [1 if n.get("visible", True) else 0 for n in nodes])
+    body = bytearray()
+    body += _packed_svarints(1, ids, delta=True)
+    body += _len_field(5, bytes(di))
+    body += _packed_svarints(8, lats, delta=True)
+    body += _packed_svarints(9, lons, delta=True)
+    body += _packed_uvarints(10, kv)
+    return _len_field(2, bytes(body))  # PrimitiveGroup.dense = 2
+
+
+def encode_way(st: StringTable, way: dict) -> bytes:
+    body = bytearray()
+    body += _key(1, 0) + _varint(way["id"])
+    tags = way.get("tags", {})
+    if tags:
+        body += _packed_uvarints(2, [st.add(k) for k in tags])
+        body += _packed_uvarints(3, [st.add(v) for v in tags.values()])
+    body += _len_field(4, encode_info(st, way))
+    body += _packed_svarints(8, way["refs"], delta=True)
+    return _len_field(3, bytes(body))  # PrimitiveGroup.ways = 3
+
+
+def encode_relation(st: StringTable, rel: dict) -> bytes:
+    body = bytearray()
+    body += _key(1, 0) + _varint(rel["id"])
+    tags = rel.get("tags", {})
+    if tags:
+        body += _packed_uvarints(2, [st.add(k) for k in tags])
+        body += _packed_uvarints(3, [st.add(v) for v in tags.values()])
+    body += _len_field(4, encode_info(st, rel))
+    members = rel.get("members", [])
+    type_code = {"node": 0, "way": 1, "relation": 2}
+    body += _packed_uvarints(8, [st.add(m["role"]) for m in members])
+    body += _packed_svarints(9, [m["ref"] for m in members], delta=True)
+    body += _packed_uvarints(10, [type_code[m["type"]] for m in members])
+    return _len_field(4, bytes(body))  # PrimitiveGroup.relations = 4
+
+
+def encode_primitive_block(groups: list[bytes], granularity: int = 100,
+                           lat_offset: int = 0, lon_offset: int = 0,
+                           date_granularity: int = 1000,
+                           st: StringTable | None = None) -> bytes:
+    st = st or StringTable()
+    body = bytearray()
+    body += _len_field(1, st.encode())
+    for g in groups:
+        body += _len_field(2, g)
+    if granularity != 100:
+        body += _key(17, 0) + _varint(granularity)
+    if date_granularity != 1000:
+        body += _key(18, 0) + _varint(date_granularity)
+    if lat_offset:
+        body += _key(19, 0) + _varint(lat_offset)
+    if lon_offset:
+        body += _key(20, 0) + _varint(lon_offset)
+    return bytes(body)
+
+
+def encode_header_block(required=("OsmSchema-V0.6", "DenseNodes"), optional=()) -> bytes:
+    body = bytearray()
+    for s in required:
+        body += _len_field(4, s.encode())
+    for s in optional:
+        body += _len_field(5, s.encode())
+    return bytes(body)
+
+
+def write_blob(f, blob_type: str, payload: bytes, compress: bool = True) -> None:
+    if compress:
+        blob = _key(2, 0) + _varint(len(payload)) + _len_field(3, zlib.compress(payload))
+    else:
+        blob = _len_field(1, payload)
+    header = _len_field(1, blob_type.encode()) + _key(3, 0) + _varint(len(blob))
+    f.write(struct.pack(">I", len(header)))
+    f.write(header)
+    f.write(blob)
+
+
+def write_synthetic_pbf(path: str, n_nodes: int = 5000, n_ways: int = 500,
+                        n_rels: int = 50, nodes_per_block: int = 1000,
+                        seed: int = 42) -> dict:
+    """Deterministic synthetic file; returns expected summary stats."""
+    import random
+
+    rng = random.Random(seed)
+    with open(path, "wb") as f:
+        write_blob(f, "OSMHeader", encode_header_block())
+        node_ids = list(range(1, n_nodes + 1))
+        for start in range(0, n_nodes, nodes_per_block):
+            st = StringTable()
+            chunk = []
+            for nid in node_ids[start : start + nodes_per_block]:
+                chunk.append({
+                    "id": nid,
+                    "lat_raw": rng.randrange(-900_000_000 // 100, 900_000_000 // 100) * 10,
+                    "lon_raw": rng.randrange(-1_800_000_000 // 100, 1_800_000_000 // 100) * 10,
+                    "tags": {"name": f"n{nid}", "amenity": "bench"} if nid % 7 == 0 else {},
+                    "version": rng.randrange(1, 5),
+                    "timestamp_s": 1_500_000_000 + nid,
+                    "changeset": 10_000 + nid % 97,
+                    "uid": nid % 1000,
+                    "user": f"user{nid % 50}",
+                    "visible": nid % 113 != 0,
+                })
+            group = encode_dense_nodes(st, chunk)
+            write_blob(f, "OSMData", encode_primitive_block([group], st=st))
+        # ways + relations in one block each
+        st = StringTable()
+        way_groups = []
+        for wid in range(100_000, 100_000 + n_ways):
+            refs = sorted(rng.sample(node_ids, min(len(node_ids), rng.randrange(2, 12))))
+            way_groups.append(encode_way(st, {
+                "id": wid, "refs": refs,
+                "tags": {"highway": "residential"} if wid % 3 == 0 else {},
+                "version": 1, "timestamp_s": 1_600_000_000 + wid,
+                "changeset": 5, "uid": 1, "user": "mapper", "visible": True,
+            }))
+        write_blob(f, "OSMData", encode_primitive_block(way_groups, st=st))
+        st = StringTable()
+        rel_groups = []
+        for rid in range(500_000, 500_000 + n_rels):
+            rel_groups.append(encode_relation(st, {
+                "id": rid,
+                "members": [{"type": "way", "ref": 100_000 + rng.randrange(n_ways), "role": "outer"}],
+                "tags": {"type": "multipolygon"},
+                "version": 2, "timestamp_s": 1_650_000_000, "changeset": 6,
+                "uid": 2, "user": "relmapper", "visible": True,
+            }))
+        write_blob(f, "OSMData", encode_primitive_block(rel_groups, st=st))
+    return {"nodes": n_nodes, "ways": n_ways, "relations": n_rels}
