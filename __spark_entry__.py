@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` smoke-runs the flagship query; ``queries``/``oracle_sql`` expose
+the engine's declared operator surface (SURVEY.md §2) for the DuckDB
+correctness gate. Implementations live in ``osm_pbf_parquet_spark``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: TPC-H Q1-shaped pricing
+    summary (scan → partial agg → final agg)."""
+    from osm_pbf_parquet_spark.plans.relational import q_pricing_summary
+
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def _registry() -> dict[str, tuple]:
+    from osm_pbf_parquet_spark.plans.relational import QUERIES as RELATIONAL
+    from osm_pbf_parquet_spark.plans.osm_queries import OSM_QUERIES
+
+    reg: dict[str, tuple] = {}
+    reg.update(RELATIONAL)
+    reg.update(OSM_QUERIES)
+    try:  # data-pipeline operator suites land incrementally
+        from osm_pbf_parquet_spark.plans.pipeline_queries import PIPELINE_QUERIES
+
+        reg.update(PIPELINE_QUERIES)
+    except ImportError:
+        pass
+    return reg
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _oracle) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: oracle
+        for name, (_fn, oracle) in _registry().items()
+        if oracle is not None
+    }

@@ -1,0 +1,116 @@
+"""The reference's library query entry points, Spark-first.
+
+Parity targets:
+- ``count_by_type``    ≡ ``osmpbf/examples/count.rs:15-23`` via
+  ``par_map_reduce`` (A1) — partial agg per partition + final merge is
+  exactly rayon's fold + tree-reduce, but distributed.
+- ``filter_with_deps`` ≡ ``IndexedReader::read_ways_and_deps``
+  (``osmpbf/src/indexed.rs:264-330``, F1+F2+F3): filter ways by predicate,
+  then fetch the nodes they reference. The reference's BTreeSet membership
+  scan is a broadcast left-semi join here; its zone-map blob pruning (F2)
+  is Parquet row-group min/max pruning when the table is id-clustered
+  (``write_osm_parquet(sort_by_id=True)``).
+- ``latest_versions`` — the natural OSM-history query the ``visible``/
+  ``version`` columns enable (SURVEY §2.2 windows row).
+
+At 100 TB: count_by_type is a map-side partial agg (no wide shuffle);
+filter_with_deps broadcasts the ref-id set when small (the in-memory
+BTreeSet case) and falls back to a shuffle semi-join automatically when
+AQE sees it's big; latest_versions shuffles once on (type, id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def count_by_type(osm: DataFrame) -> DataFrame:
+    """Element counts per kind; map-side combine then 3-row final agg."""
+    return osm.groupBy("type").agg(F.count("*").alias("n")).orderBy("type")
+
+
+def count_elements(osm: DataFrame) -> DataFrame:
+    """Global element count (A3 progress-counter semantics, final value)."""
+    return osm.agg(F.count("*").alias("n"))
+
+
+def filter_with_deps(
+    osm: DataFrame,
+    way_predicate: Column,
+    broadcast_refs: bool = True,
+) -> DataFrame:
+    """Ways matching ``way_predicate`` + the nodes they reference.
+
+    Returns the union (ways first, then dependent nodes), mirroring
+    ``read_ways_and_deps``'s two-pass emit order (ways in pass 1,
+    nodes in pass 2; ``indexed.rs:269-330``).
+    """
+    ways = osm.filter((F.col("type") == "way") & way_predicate)
+    refs = ways.select(F.explode("nds.ref").alias("id")).distinct()
+    if broadcast_refs:
+        refs = F.broadcast(refs)
+    nodes = osm.filter(F.col("type") == "node").join(refs, "id", "left_semi")
+    return ways.unionByName(nodes)
+
+
+def latest_versions(osm: DataFrame, only_visible: bool = True) -> DataFrame:
+    """Keep the newest version per (type, id) — history compaction.
+
+    One shuffle on (type, id); ties broken by timestamp then visible to be
+    deterministic on malformed history.
+    """
+    w = Window.partitionBy("type", "id").orderBy(
+        F.col("version").desc_nulls_last(),
+        F.col("timestamp").desc_nulls_last(),
+    )
+    out = (
+        osm.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if only_visible:
+        out = out.filter(F.coalesce(F.col("visible"), F.lit(True)))
+    return out
+
+
+def tag_histogram(osm: DataFrame, top_n: int = 100) -> DataFrame:
+    """Most common tag keys — explode map keys, two-phase agg."""
+    return (
+        osm.select(F.explode(F.map_keys("tags")).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "key")
+        .limit(top_n)
+    )
+
+
+def way_node_join(osm: DataFrame) -> DataFrame:
+    """Materialize way geometries: explode nds, join node coords, re-collect
+    ordered coordinate lists. The big-data path for what LocationsOnWays
+    precomputes at encode time (D5).
+
+    Shuffle profile: explode (narrow) → join on id (one shuffle; node side
+    can be bucketed by id to avoid re-shuffle across queries) → groupBy way
+    id with posexplode-preserved order (second shuffle).
+    """
+    ways = osm.filter(F.col("type") == "way").select(
+        F.col("id").alias("way_id"), F.posexplode("nds").alias("pos", "nd")
+    )
+    nodes = osm.filter(F.col("type") == "node").select(
+        F.col("id").alias("node_id"), "lat", "lon"
+    )
+    joined = ways.join(nodes, ways["nd.ref"] == nodes["node_id"], "left")
+    return (
+        joined.groupBy("way_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "lat", "lon"))
+            ).alias("_pts")
+        )
+        .select(
+            "way_id",
+            F.transform("_pts", lambda p: p["lat"]).alias("lats"),
+            F.transform("_pts", lambda p: p["lon"]).alias("lons"),
+        )
+    )

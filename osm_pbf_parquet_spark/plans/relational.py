@@ -1,0 +1,651 @@
+"""Generic relational operator surface over the testdata star schema.
+
+The reference delegates SQL querying of its output to external engines
+(``README.md:44-77`` ships DuckDB + Athena examples); this module IS that
+query surface, native in Spark (SURVEY §2.2 rows: projections/filters,
+joins of every type, aggregations incl. rollup/cube, windows, sorts/top-k,
+set ops, scalar functions).
+
+Every query here:
+- is declarative DataFrame/SQL (Catalyst handles pushdown/pruning/join
+  strategy; broadcast hints only where a dimension is known-small),
+- aliases every computed column identically to its oracle,
+- rounds floating aggregates so cross-engine hashes match despite
+  summation-order differences,
+- orders only where semantics require it (top-k), with unique tiebreaks.
+
+Scale notes are per-query in docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) — illegal for Spark's reader. Read
+        # the raw int64 (set defensively: the grading driver's session may
+        # lack the conf) and expose BOTH the exact nanos (`ts_ns`) and a
+        # µs-truncated timestamp (`ts`). Time queries use ts_us so integer
+        # math matches DuckDB's epoch_ns() exactly.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        e = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(e.dtypes).get("ts") in ("bigint", "long"):
+            # ts_us (floor µs) matches DuckDB, whose parquet reader
+            # truncates ns → µs; exact integer parity for time arithmetic
+            e = (
+                e.withColumnRenamed("ts", "ts_ns")
+                # integer div — float division loses ulps at 1e18 magnitude
+                .withColumn("ts_us", F.expr("ts_ns div 1000"))
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            )
+        else:  # future-proof: already a timestamp
+            e = e.withColumn("ts_us", F.unix_micros("ts"))
+        return e
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A1 analog: map-reduce count ---------------------------------------------
+
+
+def q_count_by_type(spark, sf_dir):
+    """A1 par_map_reduce count (osmpbf/examples/count.rs) over events:
+    map-side partial count per partition, 1-row-per-group final merge —
+    no raw-row shuffle at any scale."""
+    return t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").alias("n")
+    )
+
+
+ORACLE_COUNT_BY_TYPE = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
+# --- F1: predicate filter + projection ---------------------------------------
+
+
+def q_filter_project(spark, sf_dir):
+    """F1 closure filter (indexed.rs:289-295) as a Catalyst-pushed filter:
+    both predicate and 4-column projection reach the Parquet scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_discount")
+
+
+ORACLE_FILTER_PROJECT = """
+SELECT l_orderkey, l_partkey, l_quantity, l_discount FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05 AND l_quantity < 10
+"""
+
+
+# --- F3: dependency semi-join (broadcast) ------------------------------------
+
+
+def q_semi_join(spark, sf_dir):
+    """F3 read_ways_and_deps (indexed.rs:302-330): fetch rows whose key is
+    referenced by a filtered driving set. The reference's in-memory
+    BTreeSet == broadcast hash semi-join; AQE falls back to shuffle when
+    the set outgrows the broadcast threshold."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = t(spark, sf_dir, "lineitem")
+    return li.join(
+        F.broadcast(orders.select(F.col("o_orderkey").alias("l_orderkey"))),
+        "l_orderkey",
+        "left_semi",
+    ).select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+ORACLE_SEMI_JOIN = """
+SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey
+              AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """NOT EXISTS — customers who never ordered. Broadcast-anti when the
+    order-key set fits, shuffle otherwise (AQE decides)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- TPC-H-shaped aggregations ------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical scan→partial-agg→final-agg pipeline.
+    Group cardinality is tiny (RF×LS ≤ 9) so the shuffle moves only
+    partial-agg rows — the 100TB plan is scan-bound, which is correct."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                       AS sum_qty,
+       round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                       AS avg_qty,
+       round(avg(l_extendedprice), 4)                                  AS avg_price,
+       round(avg(l_discount), 6)                                       AS avg_disc,
+       count(*)                                                        AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join → agg → global top-10. The join shuffles
+    on orderkey; the top-10 is a TakeOrdered (no full sort at scale)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_TOP_REVENUE_ORDERS = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake join through two broadcast dims (region,
+    nation) + two fact shuffles. Dimension joins are broadcast — zero
+    shuffle for them at any scale."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+ORACLE_REGION_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_outer_join_agg(spark, sf_dir):
+    """Left outer join keeping empty orders; null-aware count."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count("l_linenumber").alias("n_lines"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias("total_qty"),
+        )
+    )
+
+
+ORACLE_OUTER_JOIN_AGG = """
+SELECT o_orderkey, o_orderstatus, count(l_linenumber) AS n_lines,
+       round(coalesce(sum(l_quantity), 0), 2) AS total_qty
+FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderstatus
+"""
+
+
+# --- windows ------------------------------------------------------------------
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 orders by value per customer — rank window, one shuffle on
+    custkey. The OSM-history 'latest version per id' query is this exact
+    shape (SURVEY §2.2)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+ORACLE_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q_running_total(spark, sf_dir):
+    """Cumulative sum per customer over order history — running frame."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def q_lag_lead_gap(spark, sf_dir):
+    """lag/lead — inter-order gap in days per customer."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate", 1).over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+ORACLE_LAG_LEAD_GAP = """
+SELECT o_custkey, o_orderkey,
+       CAST(datediff('day',
+                CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS DATE),
+                CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+FROM orders
+"""
+
+
+# --- grouping sets ------------------------------------------------------------
+
+
+def q_rollup(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_cube(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- set operations -----------------------------------------------------------
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT/EXCEPT composition: machinery customers with orders minus
+    low-balance ones."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    with_orders = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    low_bal = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return machinery.intersect(with_orders).exceptAll(low_bal)
+
+
+ORACLE_SET_OPS = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+def q_union_distinct(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+ORACLE_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# --- distinct aggregation ------------------------------------------------------
+
+
+def q_distinct_agg(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+ORACLE_DISTINCT_AGG = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- scalar functions -----------------------------------------------------------
+
+
+def q_scalar_functions(spark, sf_dir):
+    """String/date/math scalar surface in one projection (SURVEY §2.2
+    scalar row). All JVM-codegen'd built-ins."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_code"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", F.year("o_orderdate").cast("string")).alias(
+            "status_year"
+        ),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("abs_diff"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+    )
+
+
+ORACLE_SCALAR_FUNCTIONS = """
+SELECT o_orderkey,
+       upper(substring(o_orderpriority, 1, 8)) AS prio_code,
+       CAST(length(o_orderpriority) AS INT)    AS prio_len,
+       concat_ws('-', o_orderstatus, CAST(year(o_orderdate) AS VARCHAR)) AS status_year,
+       CAST(year(o_orderdate) AS INT)  AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(day(o_orderdate) AS INT)   AS dom,
+       round(abs(o_totalprice - 100000.0), 2) AS abs_diff,
+       round(sqrt(o_totalprice), 4)           AS sqrt_price,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 50000  THEN 'mid'
+            ELSE 'small' END AS bucket,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open
+FROM orders
+"""
+
+
+# --- pivot ----------------------------------------------------------------------
+
+
+def q_pivot(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+ORACLE_PIVOT = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- events: JSON + sessionization + as-of -------------------------------------
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured props column — JSON path extraction + agg."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user via lag + running
+    conditional sum — the batch equivalent of session_window. One shuffle
+    on user_id; both window passes reuse the same partitioning."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 1800 * 1_000_000  # 30 min in µs — integer-exact math
+    gapped = e.withColumn(
+        "new_session",
+        (
+            F.col("ts_us") - F.coalesce(F.lag("ts_us", 1).over(w), F.lit(0))
+            > gap_us
+        ).cast("int"),
+    )
+    sessioned = gapped.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH gapped AS (
+  SELECT user_id, ts, event_id, value,
+         CAST((epoch_us(ts) - coalesce(epoch_us(lag(ts) OVER w), 0))
+              > 1800000000::BIGINT AS INT) AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT user_id, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM gapped
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessioned GROUP BY user_id, session_id
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (Spark lacks a native one, SURVEY §2.2): each purchase
+    event matched to the user's most recent prior-or-equal signup/login.
+    Implemented shuffle-once: union both streams, single window pass
+    carries the last reference row forward — no pairwise range join, no
+    applyInPandas. Scales as one sort per user partition."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    # one ref per (user, ts) — deterministic under as-of tie (both sides)
+    refs = (
+        e.filter(F.col("event_type").isin("signup", "login"))
+        .groupBy("user_id", F.col("ts_us").alias("ref_us"))
+        .agg(F.min("event_id").alias("ref_event_id"))
+    )
+    unioned = purchases.withColumn("is_ref", F.lit(0)).withColumn(
+        "ref_us", F.lit(None).cast("long")
+    ).withColumn("ref_event_id", F.lit(None).cast("long")).unionByName(
+        refs.withColumn("is_ref", F.lit(1))
+        .withColumn("ts_us", F.col("ref_us"))
+        .withColumn("event_id", F.col("ref_event_id"))
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", F.desc("is_ref"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "user_id", "ts_us", "event_id", "value", "is_ref",
+        F.last(F.when(F.col("is_ref") == 1, F.col("ref_us")), ignorenulls=True)
+        .over(w)
+        .alias("asof_ref_us"),
+        F.last(F.when(F.col("is_ref") == 1, F.col("ref_event_id")), ignorenulls=True)
+        .over(w)
+        .alias("asof_ref_event_id"),
+    )
+    return carried.filter(F.col("is_ref") == 0).select(
+        "user_id",
+        "event_id",
+        "value",
+        # no-match → -1: keeps the column non-null int64 end-to-end (a
+        # nullable 1e18-magnitude int degrades to float64 in pandas and
+        # loses ulp precision → cross-engine hash mismatch)
+        F.coalesce("asof_ref_us", F.lit(-1)).alias("asof_ref_us"),
+        F.coalesce("asof_ref_event_id", F.lit(-1)).alias("asof_ref_event_id"),
+    )
+
+
+ORACLE_ASOF_JOIN = """
+SELECT p.user_id, p.event_id, p.value,
+       coalesce(r.ref_us, -1) AS asof_ref_us,
+       coalesce(r.ref_event_id, -1) AS asof_ref_event_id
+FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ref_us, min(event_id) AS ref_event_id
+                FROM events WHERE event_type IN ('signup', 'login')
+                GROUP BY user_id, epoch_us(ts)) r
+ON p.user_id = r.user_id AND p.ts_us >= r.ref_us
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "count_by_type": (q_count_by_type, ORACLE_COUNT_BY_TYPE),
+    "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),
+    "semi_join": (q_semi_join, ORACLE_SEMI_JOIN),
+    "anti_join": (q_anti_join, ORACLE_ANTI_JOIN),
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
+    "top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
+    "region_revenue": (q_region_revenue, ORACLE_REGION_REVENUE),
+    "outer_join_agg": (q_outer_join_agg, ORACLE_OUTER_JOIN_AGG),
+    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_PER_GROUP),
+    "running_total": (q_running_total, ORACLE_RUNNING_TOTAL),
+    "lag_lead_gap": (q_lag_lead_gap, ORACLE_LAG_LEAD_GAP),
+    "rollup_agg": (q_rollup, ORACLE_ROLLUP),
+    "cube_agg": (q_cube, ORACLE_CUBE),
+    "set_ops": (q_set_ops, ORACLE_SET_OPS),
+    "union_distinct": (q_union_distinct, ORACLE_UNION_DISTINCT),
+    "distinct_agg": (q_distinct_agg, ORACLE_DISTINCT_AGG),
+    "scalar_functions": (q_scalar_functions, ORACLE_SCALAR_FUNCTIONS),
+    "pivot_counts": (q_pivot, ORACLE_PIVOT),
+    "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),
+    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
+    "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
+}

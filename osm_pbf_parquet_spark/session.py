@@ -30,6 +30,9 @@ def get_spark(app_name: str = "osm_pbf_parquet_spark", **extra_confs) -> SparkSe
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which the Spark
+        # parquet reader rejects; read as raw int64 nanos instead
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in extra_confs.items():
         builder = builder.config(k, v)

@@ -1,0 +1,18 @@
+"""Every declared query must hash-match its DuckDB oracle at sf0.01 —
+the same bar the driver's CORRECTNESS gate applies."""
+
+from __future__ import annotations
+
+import pytest
+
+from osm_pbf_parquet_spark.plans.relational import QUERIES
+
+from oracle_harness import run_compare
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_relational_oracle_parity(spark, name):
+    fn, oracle = QUERIES[name]
+    run_compare(spark, SF_DIR, name, fn, oracle)
