@@ -1,0 +1,101 @@
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>}
+
+The headline set spans the engine's surfaces: PBF scan→parquet transcode
+(the reference's product), the TPC-H-shaped relational core, windows/asof,
+and the training-data operators (LSH dedup, ANN, text). Each query is
+executed once, end-to-end (action = count or write), after a shared
+session warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _bench_transcode(spark, workdir: str) -> None:
+    """PBF → partitioned parquet, the reference's product flow, on a
+    synthetic file large enough to exercise the parallel kernel."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from pbf_encoder import write_synthetic_pbf
+
+    from osm_pbf_parquet_spark.sinks.parquet_sink import write_osm_parquet
+    from osm_pbf_parquet_spark.sources.pbf_source import scan_pbf
+
+    pbf = os.path.join(workdir, "bench.osm.pbf")
+    if not os.path.exists(pbf):
+        write_synthetic_pbf(pbf, n_nodes=200_000, n_ways=20_000, n_rels=2_000,
+                            nodes_per_block=8_000)
+    out = os.path.join(workdir, "parquet_out")
+    df = scan_pbf(spark, pbf)
+    write_osm_parquet(df, out, compression="zstd", max_records_per_file=500_000)
+
+
+def main() -> None:
+    t_start = time.time()
+    from osm_pbf_parquet_spark.session import get_spark
+    from osm_pbf_parquet_spark.plans.relational import QUERIES as REL
+    from osm_pbf_parquet_spark.plans.pipeline_queries import PIPELINE_QUERIES as PIPE
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    headline = [
+        ("pricing_summary", REL["pricing_summary"][0]),
+        ("top_revenue_orders", REL["top_revenue_orders"][0]),
+        ("region_revenue", REL["region_revenue"][0]),
+        ("semi_join", REL["semi_join"][0]),
+        ("outer_join_agg", REL["outer_join_agg"][0]),
+        ("topk_per_group", REL["topk_per_group"][0]),
+        ("sessionize", REL["sessionize"][0]),
+        ("asof_join", REL["asof_join"][0]),
+        ("dedup_exact", PIPE["dedup_exact"][0]),
+        ("dedup_minhash_lsh", PIPE["dedup_minhash_lsh"][0]),
+        ("dedup_simhash", PIPE["dedup_simhash"][0]),
+        ("ann_cosine_topk", PIPE["ann_cosine_topk"][0]),
+        ("text_quality", PIPE["text_quality"][0]),
+        ("text_lang_id", PIPE["text_lang_id"][0]),
+    ]
+
+    timings: dict[str, float] = {}
+    for name, fn in headline:
+        t0 = time.time()
+        # count() forces the full plan without driver-side materialization
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    workdir = tempfile.mkdtemp(prefix="bench_pbf_")
+    try:
+        t0 = time.time()
+        _bench_transcode(spark, workdir)
+        timings["pbf_transcode"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "wall_total": round(time.time() - t_start, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, all expressed as declarative DataFrame plans (no
+Python UDFs — every hash/shingle/signature is a Catalyst expression, so
+whole-stage codegen applies and the same logic is SQL-expressible for the
+DuckDB oracle):
+
+- **exact**        content-hash groupBy; keep-first per group.
+- **MinHash+LSH**  shingle → k minhashes (projection, no shuffle) → banded
+                   bucket join (the only shuffle) → exact-jaccard verify.
+- **SimHash**      bitwise-majority fingerprint (projection) → pigeonhole
+                   band join → exact hamming verify.
+- **n-gram Jaccard** shared-gram pair generation → set-overlap verify
+                   (the exact-but-quadratic baseline the LSH paths bound).
+- **embedding cosine** normalized-dot near-dup pairs (see similarity.py
+                   for the ANN/top-k variants).
+
+Scale posture (100 TB): signature computation is per-row projection work —
+embarrassingly parallel, no shuffle. The only shuffles are the band-bucket
+joins whose keys are (band_idx, signature) — high cardinality, naturally
+balanced; skew appears only when thousands of docs share a band signature,
+which is exactly the degenerate duplicate-cluster case AQE skew-join
+splits. Verification joins are narrow (pair keys + gram arrays).
+
+Determinism: hash seeds are module constants; all hashing is md5-derived
+integer arithmetic mod a Mersenne prime — reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# LCG-style deterministic seed table for minhash permutations
+MERSENNE31 = 2_147_483_647
+N_MINHASH = 32
+LSH_BANDS = 8  # 8 bands × 4 rows
+SHINGLE_K = 3
+
+
+def _seeds(n: int = N_MINHASH) -> list[tuple[int, int]]:
+    out = []
+    for i in range(n):
+        a = (i * 2_654_435_761 + 1) % MERSENNE31
+        b = (i * 40_503 + 7) % MERSENNE31
+        out.append((a or 1, b))
+    return out
+
+
+def shingle_expr(text_col: str, k: int = SHINGLE_K) -> str:
+    """Distinct word k-shingles as a Spark SQL expression. Short docs
+    (< k words) fall back to the whole text as one shingle."""
+    words = f"split({text_col}, ' ')"
+    return (
+        f"CASE WHEN size({words}) < {k} THEN array({text_col}) "
+        f"ELSE array_distinct(transform(sequence(0, size({words}) - {k}), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {k})))) END"
+    )
+
+
+GRAM_HASH = (
+    "transform({grams}, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) "
+    f"AS BIGINT), {MERSENNE31}))"
+)
+
+
+def with_grams(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """Attach `grams` (distinct shingles) and `gram_hashes` (int64 in
+    [0, p)) — pure projection."""
+    df = df.withColumn("grams", F.expr(shingle_expr(text_col, k)))
+    return df.withColumn("gram_hashes", F.expr(GRAM_HASH.format(grams="grams")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content, keeping the
+    lowest key; n_copies records cluster size. One shuffle on the content
+    hash (md5 — no length cap issues, no collision handling needed at
+    training-data scale: 2^-64 per pair)."""
+    w = Window.partitionBy("content_hash").orderBy(key)
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_copies", F.count("*").over(Window.partitionBy("content_hash"))
+        )
+        .filter(F.col("_rn") == 1)
+        .select(F.col(key), "content_hash", "n_copies")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """MinHash signature per doc as a single projection (no shuffle):
+    sig[i] = min over grams of (a_i * h(gram) + b_i) mod p."""
+    seeds = _seeds(n_hashes)
+    seed_arr = ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for a, b in seeds)
+    sig = (
+        f"transform(array({seed_arr}), s -> "
+        f"array_min(transform(gram_hashes, g -> pmod(s.a * g + s.b, {MERSENNE31}))))"
+    )
+    return with_grams(df, text_col, k).withColumn("minhash", F.expr(sig))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, key: str = "doc_id", bands: int = LSH_BANDS,
+    n_hashes: int = N_MINHASH,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become candidate pairs.
+    The band explode is narrow; the self-join shuffles on (band_idx, sig)."""
+    rows = n_hashes // bands
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows})))"
+    )
+    banded = (
+        sigs.withColumn("_bands", F.expr(band_expr))
+        .select(key, F.posexplode("_bands").alias("band_idx", "band_sig"))
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _verified_jaccard(pairs: DataFrame, grams: DataFrame, key: str,
+                      threshold: float) -> DataFrame:
+    ga = grams.select(F.col(key).alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col(key).alias("doc_b"), F.col("grams").alias("grams_b"))
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("grams_a", "grams_b"))
+                / F.size(F.array_union("grams_a", "grams_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+    threshold: float = 0.8, n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates from banded buckets,
+    verified with exact jaccard. At 100 TB the verify join touches only
+    candidate pairs (LSH bounds them), never the quadratic pair space."""
+    sigs = minhash_signatures(df, text_col, n_hashes, k)
+    pairs = lsh_candidate_pairs(sigs, key, bands, n_hashes)
+    return _verified_jaccard(pairs, sigs.select(key, "grams"), key, threshold)
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+    threshold: float = 0.8, k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup: pair generation via shared-gram
+    equi-join (docs with no common gram never pair — already far better
+    than a cross join), then set-overlap verification. The quadratic
+    fallback LSH avoids; kept as the oracle-friendly exact baseline."""
+    grams = with_grams(df, text_col, k).select(key, "grams")
+    exploded = grams.select(key, F.explode("grams").alias("gram"))
+    pairs = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
+        .distinct()
+    )
+    return _verified_jaccard(pairs, grams, key, threshold)
+
+
+# --- SimHash ------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # pigeonhole: hamming <= 3 -> at least one band equal
+
+
+def simhash_expr() -> str:
+    """32-bit simhash over gram_hashes: bit b set iff the majority of gram
+    hashes have bit b set. Single projection, no shuffle."""
+    return (
+        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), b -> "
+        "CASE WHEN aggregate(gram_hashes, 0L, "
+        "(acc, g) -> acc + 2 * ((g >> b) & 1) - 1) >= 0 "
+        "THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x)"
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       k: int = SHINGLE_K) -> DataFrame:
+    return with_grams(df, text_col, k).withColumn("simhash", F.expr(simhash_expr()))
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+    max_hamming: int = 3, k: int = SHINGLE_K,
+) -> DataFrame:
+    """SimHash near-dup: banded candidate join (4 × 8-bit bands — by
+    pigeonhole, any pair within hamming ≤ 3 shares at least one band, so
+    the banded result EQUALS the full pairwise result after the exact
+    hamming filter) + bit_count verification. Scales like LSH: the only
+    shuffle is on (band_idx, band_bits)."""
+    assert max_hamming < SIMHASH_BANDS, "pigeonhole guarantee needs bands > hamming"
+    sigs = simhash_signatures(df, text_col, k).select(key, "simhash")
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    band_expr = (
+        f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> "
+        f"(simhash >> (b * {band_bits})) & {(1 << band_bits) - 1})"
+    )
+    banded = sigs.withColumn("_bands", F.expr(band_expr)).select(
+        key, "simhash", F.posexplode("_bands").alias("band_idx", "band_val")
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(
+            F.col(f"a.{key}").alias("doc_a"),
+            F.col(f"b.{key}").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,387 @@
+"""Training-data pipeline queries + DuckDB oracles.
+
+Each oracle replicates the Spark plan's arithmetic exactly (same md5-based
+gram hashing, same seed tables, same sequential fold order for floating
+point), so the driver's value-hash comparison is meaningful — these are
+not smoke checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from .relational import t
+
+P = dedup.MERSENNE31
+K = dedup.SHINGLE_K
+
+
+def _seed_sql() -> str:
+    return "[" + ", ".join(
+        f"{{'a': {a}, 'b': {b}}}" for a, b in dedup._seeds()
+    ) + "]"
+
+
+# shared oracle CTEs: shingles + gram hashes (mirror dedup.with_grams)
+GRAMS_CTE = f"""
+g AS (
+  SELECT doc_id, text,
+    CASE WHEN len(string_split(text, ' ')) < {K} THEN [text]
+         ELSE list_distinct(list_transform(
+              range(0, len(string_split(text, ' ')) - {K} + 1),
+              i -> array_to_string((string_split(text, ' '))[i+1:i+{K}], ' ')))
+    END AS grams
+  FROM documents
+),
+h AS (
+  SELECT doc_id, grams,
+    list_transform(grams, x ->
+      CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % {P}) AS gram_hashes
+  FROM g
+)"""
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT doc_id, content_hash, n_copies FROM (
+  SELECT doc_id, md5(text) AS content_hash,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# --- n-gram jaccard --------------------------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_dedup(t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {GRAMS_CTE},
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(ga.grams, gb.grams)) * 1.0
+               / len(list_distinct(ga.grams || gb.grams)), 4) AS jaccard
+  FROM pairs JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
+"""
+
+
+# --- minhash LSH -----------------------------------------------------------------
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_dedup(t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _oracle_minhash() -> str:
+    rows = dedup.N_MINHASH // dedup.LSH_BANDS
+    return f"""
+WITH {GRAMS_CTE},
+sig AS (
+  SELECT doc_id,
+    list_transform({_seed_sql()}, s ->
+      list_min(list_transform(gram_hashes, gh -> (s.a * gh + s.b) % {P})))
+      AS minhash
+  FROM h
+),
+bands AS (
+  SELECT doc_id, t.b AS band_idx,
+         array_to_string(minhash[t.b * {rows} + 1 : t.b * {rows} + {rows}], ',')
+           AS band_sig
+  FROM sig CROSS JOIN generate_series(0, {dedup.LSH_BANDS - 1}) AS t(b)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(ga.grams, gb.grams)) * 1.0
+               / len(list_distinct(ga.grams || gb.grams)), 4) AS jaccard
+  FROM pairs JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
+"""
+
+
+# --- simhash ---------------------------------------------------------------------
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_dedup(t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# pairwise oracle == banded Spark plan by the pigeonhole guarantee
+ORACLE_SIMHASH = f"""
+WITH {GRAMS_CTE},
+s AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, {dedup.SIMHASH_BITS}), b ->
+      CASE WHEN list_sum(list_transform(gram_hashes,
+                g -> 2 * ((g >> b) & 1) - 1)) >= 0
+           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM h
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+# --- embedding cosine near-dup -----------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (acc, x) -> acc + x)"
+)
+_NORM = "sqrt(list_reduce(list_transform({v}, x -> x * x), (acc, x) -> acc + x))"
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return similarity.embedding_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_DOT.format(a='a.v', b='b.v')}
+               / ({_NORM.format(v='a.v')} * {_NORM.format(v='b.v')}), 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
+"""
+
+
+# --- ANN top-k ---------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+ORACLE_ANN_TOPK = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT.format(a='q.v', b='c.v')}
+           / ({_NORM.format(v='q.v')} * {_NORM.format(v='c.v')}) AS cosine
+  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+def q_ann_lsh_pairs(spark, sf_dir):
+    """LSH-bucketed ANN (scale path) — bucket join instead of cross join."""
+    return similarity.lsh_ann_pairs(t(spark, sf_dir, "embeddings"), dim=64,
+                                    threshold=0.45)
+
+
+def _oracle_ann_lsh() -> str:
+    L = similarity.N_TABLES
+    m = similarity.PLANES_PER_TABLE
+    n_planes = L * m
+    planes = (
+        f"list_transform(range(0, {n_planes}), p -> list_transform(range(0, 64), j -> "
+        "CAST((CAST(p * 64 + j AS BIGINT) * 2654435761) % 2147483648 AS DOUBLE)"
+        " / 2147483648.0 - 0.5))"
+    )
+    return f"""
+WITH pl AS MATERIALIZED (SELECT {planes} AS planes),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, t.t AS table_idx,
+    CAST(list_sum(list_transform(range(0, {m}), j ->
+      CASE WHEN {_DOT.format(a='v', b=f'pl.planes[t.t * {m} + j + 1]')} >= 0
+           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS bucket
+  FROM v CROSS JOIN pl CROSS JOIN generate_series(0, {L - 1}) AS t(t)
+),
+scored AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+         round({_DOT.format(a='a.v', b='b2.v')}
+               / ({_NORM.format(v='a.v')} * {_NORM.format(v='b2.v')}), 6) AS cosine
+  FROM b a JOIN b b2
+    ON a.table_idx = b2.table_idx AND a.bucket = b2.bucket
+   AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
+"""
+
+
+# --- text analysis --------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    return text.token_stats(t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_measured,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS INT)
+         AS n_re_tokens,
+       round(length(text) * 1.0 /
+             greatest(len(regexp_extract_all(text, '{text.TOKEN_REGEX}')), 1), 4)
+         AS chars_per_token
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return text.quality_score(t(spark, sf_dir, "documents"))
+
+
+def _oracle_quality() -> str:
+    en = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    round(len(list_filter(words, w -> list_contains([{en}], w))) * 1.0
+          / greatest(len(words), 1), 4) AS stopword_ratio,
+    round((length(text) -
+           length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+          / greatest(length(text), 1), 4) AS punct_ratio,
+    round(least(length(text) / 200.0, 1.0), 4) AS length_factor
+  FROM d
+)
+SELECT doc_id, stopword_ratio, punct_ratio, length_factor,
+       round(0.4 * length_factor + 0.4 * least(stopword_ratio * 4, 1.0)
+             + 0.2 * (1 - least(punct_ratio * 5, 1.0)), 4) AS quality
+FROM m
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    return text.language_id(t(spark, sf_dir, "documents"))
+
+
+def _oracle_lang_id() -> str:
+    score_cols = []
+    for lang, words in text.STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"CAST(len(list_filter(words, w -> list_contains([{lst}], w))) AS INT)"
+            f" AS score_{lang}"
+        )
+    langs = list(text.STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'unknown' END"
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+),
+s AS (SELECT doc_id, {', '.join(score_cols)} FROM d)
+SELECT doc_id, {', '.join(f'score_{l}' for l in langs)}, {case} AS lang_pred
+FROM s
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return text.fingerprint(t(spark, sf_dir, "documents"))
+
+
+ORACLE_FINGERPRINT = f"""
+WITH {GRAMS_CTE}
+SELECT h.doc_id, list_min(gram_hashes) AS fingerprint, md5(g.text) AS content_md5
+FROM h JOIN g ON g.doc_id = h.doc_id
+"""
+
+
+# --- multimodal ------------------------------------------------------------------------
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    media = multimodal.attach_binary(t(spark, sf_dir, "documents"))
+    return media.select("doc_id", "media_type", "byte_len", "sha256")
+
+
+ORACLE_MULTIMODAL_METADATA = """
+SELECT doc_id,
+       'application/octet-stream' AS media_type,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction — Python batch plumbing, no SQL
+    oracle (rows-only check; value checks live in pytest)."""
+    media = multimodal.attach_binary(t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    media = multimodal.attach_binary(t(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample(media)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.length("frame_bytes")).alias("sampled_bytes"),
+    )
+
+
+PIPELINE_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _oracle_minhash()),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_SIMHASH),
+    "dedup_embedding": (q_dedup_embedding, ORACLE_EMBEDDING_NEAR_DUP),
+    "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_TOPK),
+    "ann_lsh_pairs": (q_ann_lsh_pairs, _oracle_ann_lsh()),
+    "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
+    "text_quality": (q_text_quality, _oracle_quality()),
+    "text_lang_id": (q_text_lang_id, _oracle_lang_id()),
+    "text_fingerprint": (q_text_fingerprint, ORACLE_FINGERPRINT),
+    "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL_METADATA),
+    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_frames": (q_multimodal_frames, None),
+}

@@ -1,0 +1,105 @@
+"""Streaming extension tests: memory-sink windowed agg, stateful
+sessionization, incremental PBF ingestion with replication cursor."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark.streaming import ops
+
+from pbf_encoder import write_synthetic_pbf
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    # file stream source wants a directory
+    d = tmp_path / "events"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_windowed_counts_memory_sink(spark, events_dir):
+    stream = ops.read_event_stream(spark, events_dir)
+    agg = ops.windowed_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM win_counts")
+        rows = out.collect()
+        assert rows, "windowed agg produced no rows"
+        # cross-check totals against batch
+        stream_total = sum(r["n"] for r in rows)
+        batch_total = spark.read.parquet(events_dir).count()
+        assert stream_total == batch_total
+    finally:
+        q.stop()
+
+
+def test_stateful_sessionize(spark, events_dir):
+    stream = ops.read_event_stream(spark, events_dir)
+    sessions = ops.sessionize_stateful(stream)
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT user_id, max(session_count) AS sessions FROM sessions GROUP BY user_id"
+        )
+        rows = {r["user_id"]: r["sessions"] for r in out.collect()}
+        assert rows
+        # batch oracle: sessionization via window lag (same 30-min gap)
+        from osm_pbf_parquet_spark.plans.relational import q_sessionize
+
+        batch = q_sessionize(spark, SF)
+        expected = {
+            r["user_id"]: r["n_sessions"]
+            for r in batch.groupBy("user_id")
+            .agg(F.countDistinct("session_id").alias("n_sessions"))
+            .collect()
+        }
+        assert rows == expected
+    finally:
+        q.stop()
+
+
+def test_incremental_transcode(spark, tmp_path):
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state.txt")
+
+    write_synthetic_pbf(str(watch / "a.pbf"), n_nodes=500, n_ways=50, n_rels=5)
+    new = ops.incremental_transcode(spark, str(watch), out, state)
+    assert len(new) == 1
+    assert spark.read.parquet(out).count() == 555
+
+    # idempotent: nothing new → no re-ingest
+    assert ops.incremental_transcode(spark, str(watch), out, state) == []
+    assert spark.read.parquet(out).count() == 555
+
+    # second file arrives → appended
+    write_synthetic_pbf(str(watch / "b.pbf"), n_nodes=300, n_ways=30, n_rels=3,
+                        seed=7)
+    new = ops.incremental_transcode(spark, str(watch), out, state)
+    assert len(new) == 1
+    assert spark.read.parquet(out).count() == 555 + 333
+
+
+def test_replication_cursor_fields():
+    cur = ops.replication_cursor("/root/reference/osmpbf/tests/test.osm.pbf")
+    assert set(cur) == {"timestamp", "sequence", "base_url"}
