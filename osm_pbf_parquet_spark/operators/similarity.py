@@ -162,6 +162,99 @@ def lsh_buckets(df: DataFrame, dim: int, vec_col: str = "embedding",
     )
 
 
+# --- IVF (inverted-file) ANN ----------------------------------------------------
+#
+# The other classic ANN scale path (SURVEY §7 item 7): a coarse quantizer
+# partitions the corpus into cells; a query probes only its nprobe nearest
+# cells. Search cost drops from O(n) to O(n * nprobe / n_cells) per query,
+# and the cell column doubles as a physical partitioning key at 100 TB
+# (write the corpus partitioned by cell → probing = partition pruning).
+
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _centroids_row(df: DataFrame, vec_col: str, key: str,
+                   n_centroids: int) -> DataFrame:
+    """Single-row DataFrame holding the sorted centroid array. Centroids
+    are a deterministic sample (the ``n_centroids`` lowest-key vectors) —
+    a deployment would k-means; determinism keeps plans reproducible and
+    oracle-checkable. Broadcast-joined: every task sees the array once."""
+    return (
+        df.orderBy(key).limit(n_centroids)
+        .select(F.col(key).alias("cid"),
+                F.expr(TO_DOUBLE.format(v=vec_col)).alias("cv"))
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("_cents"))
+    )
+
+
+def _with_cell_scores(df: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
+    """Attach per-centroid cosine array (`_cos_arr`) to every vector via a
+    broadcast single-row cross join — one narrow projection, no shuffle."""
+    d = df.withColumn("_vd", F.expr(TO_DOUBLE.format(v=vec_col)))
+    d = d.crossJoin(F.broadcast(cents))
+    cos_arr = (
+        f"transform(_cents, c -> {DOT.format(a='_vd', b='c.cv')} / "
+        f"({NORM.format(v='_vd')} * {NORM.format(v='c.cv')}))"
+    )
+    return d.withColumn("_cos_arr", F.expr(cos_arr))
+
+
+def ivf_assign(df: DataFrame, vec_col: str = "embedding", key: str = "vec_id",
+               n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Corpus side of the IVF index: each vector labeled with its nearest
+    centroid's id (``cell``). Ties break to the lowest centroid id
+    (array_position returns the first maximum)."""
+    cents = _centroids_row(df, vec_col, key, n_centroids)
+    d = _with_cell_scores(df, cents, vec_col)
+    cell = "_cents[array_position(_cos_arr, array_max(_cos_arr)) - 1].cid"
+    return d.withColumn("cell", F.expr(cell)).drop("_cents", "_cos_arr")
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    vec_col: str = "embedding", key: str = "vec_id",
+    n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    ``n_probe`` nearest cells. The probe explode → equi-join on ``cell``
+    is a hash join (broadcast on the small query side); the corpus is
+    scanned once and only candidate rows are scored. Recall is measured
+    against ``cosine_topk`` in pytest."""
+    assigned = ivf_assign(corpus, vec_col, key, n_centroids).select(
+        F.col(key).alias("neighbor_id"), "cell",
+        F.col("_vd").alias("cv"),
+    ).withColumn("cnorm", F.expr(NORM.format(v="cv")))
+    cents = _centroids_row(corpus, vec_col, key, n_centroids)
+    q = _with_cell_scores(queries, cents, vec_col)
+    # nprobe nearest cells: sort (−cos, cid) lexicographically — cosine
+    # desc with lowest-cid tiebreak, same comparator the oracle uses
+    probes = (
+        f"slice(transform(array_sort(zip_with(_cos_arr, _cents, "
+        f"(c, ct) -> struct(-c AS negc, ct.cid AS cid))), s -> s.cid), 1, {n_probe})"
+    )
+    qp = (
+        q.withColumn("probe_cells", F.expr(probes))
+        .select(F.col(key).alias("query_id"), F.col("_vd").alias("qv"),
+                F.explode("probe_cells").alias("cell"))
+        .withColumn("qnorm", F.expr(NORM.format(v="qv")))
+    )
+    scored = (
+        assigned.join(F.broadcast(qp), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.expr(DOT.format(a="qv", b="cv")) / (F.col("qnorm") * F.col("cnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rk")
+    )
+
+
 def lsh_ann_pairs(
     df: DataFrame, dim: int, threshold: float = 0.45,
     vec_col: str = "embedding", key: str = "vec_id",

@@ -223,6 +223,61 @@ FROM ranked WHERE rk <= 5
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the other scale path): coarse-quantize into cells, probe
+    the query's 2 nearest of 8 cells."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _oracle_ann_ivf() -> str:
+    C, nprobe, k = similarity.N_CENTROIDS, similarity.N_PROBE, 5
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent_arr AS MATERIALIZED (
+  SELECT list(struct_pack(cid := vec_id, cv := v) ORDER BY vec_id) AS cents
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {C})
+),
+sc AS (
+  SELECT vec_id, v, cents,
+         list_transform(cents, c -> {_DOT.format(a='v', b='c.cv')}
+           / ({_NORM.format(v='v')} * {_NORM.format(v='c.cv')})) AS cos_arr
+  FROM v CROSS JOIN cent_arr
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, v AS cv,
+         cents[list_position(cos_arr, list_aggregate(cos_arr, 'max'))].cid AS cell
+  FROM sc
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv,
+         list_transform(list_sort(list_transform(range(1, {C} + 1),
+           i -> struct_pack(negc := -cos_arr[i], cid := cents[i].cid))),
+           s -> s.cid)[1:{nprobe}] AS probe_cells
+  FROM sc WHERE vec_id < 10
+),
+qp AS (SELECT query_id, qv, unnest(probe_cells) AS cell FROM probes),
+scored AS (
+  SELECT qp.query_id, a.neighbor_id,
+         {_DOT.format(a='qp.qv', b='a.cv')}
+           / ({_NORM.format(v='qp.qv')} * {_NORM.format(v='a.cv')}) AS cosine
+  FROM qp JOIN assigned a ON a.cell = qp.cell
+  WHERE qp.query_id != a.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rk
+FROM ranked WHERE rk <= {k}
+"""
+
+
 def q_ann_lsh_pairs(spark, sf_dir):
     """LSH-bucketed ANN (scale path) — bucket join instead of cross join."""
     return similarity.lsh_ann_pairs(t(spark, sf_dir, "embeddings"), dim=64,
@@ -390,6 +445,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_embedding": (q_dedup_embedding, ORACLE_EMBEDDING_NEAR_DUP),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_TOPK),
     "ann_lsh_pairs": (q_ann_lsh_pairs, _oracle_ann_lsh()),
+    "ann_ivf_topk": (q_ann_ivf_topk, _oracle_ann_ivf()),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "text_quality": (q_text_quality, _oracle_quality()),
     "text_lang_id": (q_text_lang_id, _oracle_lang_id()),

@@ -365,6 +365,96 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): the two 1-D marginals
+    plus the 2-D cell — the shape rollup can't express. One shuffle; each
+    input row expands to its grouping-set combinations map-side."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], ["o_orderstatus"]],
+        "o_orderpriority", "o_orderstatus",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus))
+"""
+
+
+# --- range join -----------------------------------------------------------------
+
+
+RANGE_EPOCH = "1995-01-01"
+RANGE_DAYS = 7
+
+
+def q_range_join(spark, sf_dir):
+    """Interval/range join with NO equi-key: lineitems shipped within 7
+    days after each March-1995 order's date. Naively this is a
+    nested-loop O(|O|·|L|); the scale plan is the classic **binned range
+    join**: bucket both sides by week, explode each order's ≤2 covered
+    buckets, hash-join on bucket, then apply the exact range predicate.
+    Candidate pairs shrink from |O|·|L| to ~|O|·|L|/n_weeks — and the
+    plan is a shuffle hash join, never a cartesian product."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-03-01")
+            & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .select("o_orderkey", "o_orderdate")
+        # keep the raw timestamp in the output (dates round-trip to
+        # engine-specific Python types and break value hashing)
+        .withColumn("d0", F.datediff(F.to_date("o_orderdate"), F.lit(RANGE_EPOCH)))
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", F.to_date("l_shipdate").alias("s_date"))
+        .withColumn("sd", F.datediff("s_date", F.lit(RANGE_EPOCH)))
+        # prune to the reachable window before the join (partition pruning
+        # at scale when data is date-partitioned)
+        .filter(
+            (F.col("s_date") >= "1995-03-01")
+            & (F.col("s_date") < f"1995-04-0{RANGE_DAYS + 1}")
+        )
+        .withColumn("bucket", F.expr(f"sd div {RANGE_DAYS}"))
+    )
+    # a 7-day interval spans at most 2 week buckets; sequence() emits the
+    # distinct covered buckets for the explode
+    o_binned = o.withColumn(
+        "bucket",
+        F.explode(F.sequence(
+            F.expr(f"d0 div {RANGE_DAYS}"),
+            F.expr(f"(d0 + {RANGE_DAYS}) div {RANGE_DAYS}"),
+        )),
+    )
+    joined = o_binned.join(li, "bucket").filter(
+        (F.col("sd") >= F.col("d0")) & (F.col("sd") <= F.col("d0") + RANGE_DAYS)
+    )
+    return joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.count("*").alias("n_shipped"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_shipped"),
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+SELECT o_orderkey, o_orderdate,
+       count(*) AS n_shipped, round(sum(l_quantity), 2) AS qty_shipped
+FROM orders JOIN lineitem
+  ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+ AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + {RANGE_DAYS}
+WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+GROUP BY o_orderkey, o_orderdate
+"""
+
+
 # --- set operations -----------------------------------------------------------
 
 
@@ -640,6 +730,8 @@ QUERIES: dict[str, tuple] = {
     "lag_lead_gap": (q_lag_lead_gap, ORACLE_LAG_LEAD_GAP),
     "rollup_agg": (q_rollup, ORACLE_ROLLUP),
     "cube_agg": (q_cube, ORACLE_CUBE),
+    "grouping_sets_agg": (q_grouping_sets, ORACLE_GROUPING_SETS),
+    "range_join_binned": (q_range_join, ORACLE_RANGE_JOIN),
     "set_ops": (q_set_ops, ORACLE_SET_OPS),
     "union_distinct": (q_union_distinct, ORACLE_UNION_DISTINCT),
     "distinct_agg": (q_distinct_agg, ORACLE_DISTINCT_AGG),

@@ -54,6 +54,26 @@ def test_lsh_ann_recall_vs_brute_force(spark):
         assert recall >= 0.3, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF probes 2/8 cells — approximate; measure top-k recall against
+    the exact broadcast scan."""
+    from pyspark.sql import functions as F
+
+    emb = t(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, q, k=5).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def test_multimodal_feature_plumbing(spark):
     docs = t(spark, SF_DIR, "documents").limit(50)
     media = multimodal.attach_binary(docs)

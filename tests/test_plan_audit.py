@@ -1,0 +1,85 @@
+"""Physical-plan audits: the properties that make these queries survive a
+100× scale-up are visible in `.explain` output — assert them so a refactor
+that silently degrades a plan (lost pushdown, join strategy regression,
+accidental cartesian product) fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark.plans import relational as rel
+from osm_pbf_parquet_spark.plans import pipeline_queries as pipe
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_project_pushdown(spark):
+    """F1: predicate AND projection must reach the parquet scan."""
+    plan = _plan(rel.q_filter_project(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThan" in plan
+    # column pruning: the 16-col lineitem scan reads only what's needed
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    """Q5 snowflake: region+nation dimension joins must be broadcast —
+    zero shuffle for dims at any scale."""
+    plan = _plan(rel.q_region_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_semi_join_is_broadcast_leftsemi(spark):
+    plan = _plan(rel.q_semi_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_pricing_summary_partial_agg(spark):
+    """Map-side partial aggregation: two HashAggregate stages so the
+    shuffle moves only partial rows, not raw lineitems."""
+    plan = _plan(rel.q_pricing_summary(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_range_join_is_hash_join_not_cartesian(spark):
+    """The binned rewrite must produce an equi-join on bucket — a naive
+    range join would appear as BroadcastNestedLoopJoin/CartesianProduct."""
+    plan = _plan(rel.q_range_join(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_ann_ivf_probe_join_is_hash(spark):
+    """IVF probe→cell join must be a hash/broadcast join; the only
+    nested-loop allowed is the single-row centroid-array attach."""
+    plan = _plan(pipe.q_ann_ivf_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_dedup_no_cartesian(spark):
+    """Banded LSH candidate generation is an equi-join on (band, sig) —
+    never a cross join over documents."""
+    from osm_pbf_parquet_spark.operators import dedup
+
+    docs = rel.t(spark, SF_DIR, "documents")
+    plan = _plan(dedup.minhash_lsh_dedup(docs, threshold=0.8))
+    assert "CartesianProduct" not in plan
+
+
+def test_wholestage_codegen_on_scan_paths(spark):
+    """Scalar surface stays JVM-side: whole-stage codegen spans cover the
+    projection (no Python UDF in the hot path)."""
+    plan = _plan(rel.q_scalar_functions(spark, SF_DIR))
+    # formatted mode marks codegen'd operators with a leading '*'
+    assert "* Project" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
