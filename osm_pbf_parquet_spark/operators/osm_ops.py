@@ -35,6 +35,33 @@ def count_elements(osm: DataFrame) -> DataFrame:
     return osm.agg(F.count("*").alias("n"))
 
 
+def observe_elements(osm: DataFrame, name: str = "osm_progress"):
+    """A3 progress counter, Spark-native: attach an ``observe()`` to the
+    plan so ANY downstream action (write, count, collect) reports element
+    totals as named metrics — zero extra jobs, zero extra scans.
+
+    The reference keeps a global ``ELEMENT_COUNTER`` atomic polled by a
+    monitor task every 60s (``osm-pbf-parquet/src/util.rs:20``,
+    ``pbf.rs:100-126``). Spark's equivalent of the atomic is an
+    accumulator-backed observation; live polling is the Spark UI /
+    listener bus, and the final value lands in ``Observation.get``.
+
+    Returns ``(df, observation)``; read ``observation.get`` after running
+    an action on ``df``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = osm.observe(
+        obs,
+        F.count(F.lit(1)).alias("elements"),
+        F.sum((F.col("type") == "node").cast("long")).alias("nodes"),
+        F.sum((F.col("type") == "way").cast("long")).alias("ways"),
+        F.sum((F.col("type") == "relation").cast("long")).alias("relations"),
+    )
+    return observed, obs
+
+
 def filter_with_deps(
     osm: DataFrame,
     way_predicate: Column,

@@ -30,7 +30,13 @@ def write_osm_parquet(
     max_records_per_file: int | None = 5_000_000,
     sort_by_id: bool = False,
     mode: str = "overwrite",
-) -> None:
+    observe: str | None = None,
+) -> dict | None:
+    """Write the OSM DataFrame; with ``observe`` set, returns the A3
+    progress metrics (element totals per kind) collected by the write job
+    itself — no extra scan. The observation MUST attach downstream of the
+    range-repartition: ``repartitionByRange`` runs a sampling job over its
+    child plan, which would double-count an upstream observe node."""
     spark = df.sparkSession
     if zstd_level is not None:
         # level knob honored by parquet-mr (reference zstd 1-22, sink.rs:139-149)
@@ -38,10 +44,16 @@ def write_osm_parquet(
     if sort_by_id:
         # range-cluster inside each type partition → row-group zone maps
         df = df.repartitionByRange("type", "id").sortWithinPartitions("type", "id")
+    obs = None
+    if observe:
+        from ..operators.osm_ops import observe_elements
+
+        df, obs = observe_elements(df, observe)
     writer = df.write.mode(mode).partitionBy("type").option("compression", compression)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(out_path)
+    return obs.get if obs is not None else None
 
 
 def read_osm_parquet(spark, path: str) -> DataFrame:

@@ -42,8 +42,22 @@ from ..schema import OSM_COLUMNS, pruned_arrow_schema, pruned_schema
 
 # ~16 blobs ≈ 256MB of input per task: large enough to amortize file-open
 # and Python startup, small enough for executor-memory headroom (blobs cap
-# at 32MB uncompressed each, blob.rs:25).
+# at 32MB uncompressed each, blob.rs:25). Used when the caller pins
+# blobs_per_task explicitly; the default auto mode sizes groups off the
+# cluster's parallelism instead (see _n_groups).
 DEFAULT_BLOBS_PER_TASK = 16
+
+
+def _n_groups(n_blobs: int, parallelism: int, blobs_per_task: int | None) -> int:
+    """Task-group count. Explicit ``blobs_per_task`` wins; otherwise use
+    2× the cluster parallelism (so the scan saturates every core with
+    mild dynamic balancing) capped at one group per blob. Contiguous
+    chunking keeps each task's byte ranges adjacent (coalesced reads)."""
+    if n_blobs == 0:
+        return 1
+    if blobs_per_task:
+        return max(1, math.ceil(n_blobs / blobs_per_task))
+    return min(n_blobs, max(1, 2 * parallelism))
 
 
 def read_pbf_header(path: str) -> dict | None:
@@ -56,18 +70,31 @@ def read_pbf_header(path: str) -> dict | None:
     return None
 
 
+def _catalog_rows(path: str, parallelism: int,
+                  blobs_per_task: int | None) -> tuple[list[tuple], int]:
+    """One metadata pass → (catalog rows, group count). Contiguous
+    chunking: blob i of n lands in group i*g//n — adjacent offsets share
+    a task, so each task issues coalesced range reads."""
+    infos = sorted(
+        (i for i in index_blobs(path) if i.blob_type == TYPE_DATA),
+        key=lambda b: b.offset,
+    )
+    n = len(infos)
+    g = _n_groups(n, parallelism, blobs_per_task)
+    rows = [
+        (path, i.offset, i.size, idx * g // n)
+        for idx, i in enumerate(infos)
+    ]
+    return rows, g
+
+
 def pbf_blob_catalog(spark: SparkSession, path: str, blobs_per_task: int | None = None) -> DataFrame:
     """The blob-range catalog as a DataFrame: (path, offset, size, task_group).
 
     This is the engine's analog of a Parquet footer listing — a tiny
     metadata DataFrame that scan tasks fan out over.
     """
-    infos = [i for i in index_blobs(path) if i.blob_type == TYPE_DATA]
-    per_task = blobs_per_task or DEFAULT_BLOBS_PER_TASK
-    rows = [
-        (path, i.offset, i.size, idx // per_task)
-        for idx, i in enumerate(sorted(infos, key=lambda b: b.offset))
-    ]
+    rows, _ = _catalog_rows(path, spark.sparkContext.defaultParallelism, blobs_per_task)
     return spark.createDataFrame(rows, "path string, offset long, size long, task_group int")
 
 
@@ -95,10 +122,15 @@ def scan_pbf(
     arrow_schema = pruned_arrow_schema(columns)
     spark_schema = pruned_schema(columns)
 
-    catalog = pbf_blob_catalog(spark, path, blobs_per_task)
-    n_groups = catalog.agg(F.countDistinct("task_group")).collect()[0][0] or 1
+    # group count is known at index time — no Spark job needed for it
+    rows, n_groups = _catalog_rows(
+        path, spark.sparkContext.defaultParallelism, blobs_per_task
+    )
+    catalog = spark.createDataFrame(
+        rows, "path string, offset long, size long, task_group int"
+    )
     # one partition per task group, co-locating contiguous byte ranges
-    catalog = catalog.repartition(int(n_groups), "task_group").sortWithinPartitions("offset")
+    catalog = catalog.repartition(n_groups, "task_group").sortWithinPartitions("offset")
 
     kinds_list = sorted(kinds)
     columns_list = list(columns) if columns is not None else None
