@@ -46,10 +46,9 @@ def token_stats(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
-    """Heuristic quality score in [0,1]: penalize very short docs, extreme
-    punctuation density, and stopword-free text (word-salad signal).
-    Deterministic arithmetic, rounded."""
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Column-preserving quality metrics (pipeline-composable): adds
+    stopword_ratio, punct_ratio, length_factor, quality."""
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     d = df.withColumn("_words", F.split(F.lower(F.col(text_col)), " "))
     d = d.withColumn(
@@ -75,23 +74,29 @@ def quality_score(df: DataFrame, text_col: str = "text", key: str = "doc_id") ->
         "length_factor",
         F.round(F.least(F.length(text_col) / F.lit(200.0), F.lit(1.0)), 4),
     )
-    return d.select(
-        key,
-        "stopword_ratio",
-        "punct_ratio",
-        "length_factor",
+    return d.withColumn(
+        "quality",
         F.round(
             F.lit(0.4) * F.col("length_factor")
             + F.lit(0.4) * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
             + F.lit(0.2) * (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0))),
             4,
-        ).alias("quality"),
+        ),
+    ).drop("_words")
+
+
+def quality_score(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: penalize very short docs, extreme
+    punctuation density, and stopword-free text (word-salad signal).
+    Deterministic arithmetic, rounded."""
+    return with_quality(df, text_col).select(
+        key, "stopword_ratio", "punct_ratio", "length_factor", "quality"
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
-    """Stopword-voting language ID: score = |tokens ∩ stopwords(lang)|
-    per language, argmax with fixed precedence order on ties."""
+def with_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Column-preserving language ID: adds score_<lang> per language and
+    lang_pred (argmax with fixed precedence order on ties)."""
     d = df.withColumn("_words", F.split(F.lower(F.col(text_col)), " "))
     for lang, words in STOPWORDS.items():
         lst = ", ".join(f"'{w}'" for w in words)
@@ -106,8 +111,45 @@ def language_id(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
         pred = F.when(
             (F.col(f"score_{lang}") == best) & (best > 0), lang
         ).otherwise(pred)
-    return d.select(
-        key, *[F.col(f"score_{l}") for l in langs], pred.alias("lang_pred")
+    return d.withColumn("lang_pred", pred).drop("_words")
+
+
+def language_id(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Stopword-voting language ID: score = |tokens ∩ stopwords(lang)|
+    per language, argmax with fixed precedence order on ties."""
+    langs = list(STOPWORDS)
+    return with_language(df, text_col).select(
+        key, *[F.col(f"score_{l}") for l in langs], "lang_pred"
+    )
+
+
+def clean_corpus(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+    min_quality: float = 0.5, lang: str = "en",
+) -> DataFrame:
+    """Composed training-data curation pipeline: quality gate → language
+    gate → exact dedup (keep lowest key per content hash) → token stats.
+
+    All gating metrics are projections fused into ONE scan by Catalyst;
+    the single shuffle in the whole plan is the dedup window on
+    content_hash. At 100 TB this is the shape that matters: a full
+    curation pass at scan speed plus exactly one exchange."""
+    from pyspark.sql import Window
+
+    d = with_language(with_quality(df, text_col), text_col)
+    d = d.filter((F.col("quality") >= min_quality) & (F.col("lang_pred") == lang))
+    w = Window.partitionBy("content_hash").orderBy(key)
+    d = (
+        d.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return with_tokens(d, text_col).select(
+        key,
+        "quality",
+        "lang_pred",
+        "content_hash",
+        F.size("tokens").alias("n_re_tokens"),
     )
 
 

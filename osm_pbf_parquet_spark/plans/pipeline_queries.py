@@ -393,6 +393,36 @@ FROM s
 """
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Composed curation pipeline: quality gate → lang gate → exact dedup
+    → token stats, fused to one scan + one shuffle."""
+    return text.clean_corpus(t(spark, sf_dir, "documents"),
+                             min_quality=0.5, lang="en")
+
+
+def _oracle_clean_corpus() -> str:
+    return f"""
+WITH qq AS ({_oracle_quality()}),
+ll AS ({_oracle_lang_id()}),
+f AS (
+  SELECT d.doc_id, d.text, qq.quality, ll.lang_pred
+  FROM documents d
+  JOIN qq ON qq.doc_id = d.doc_id
+  JOIN ll ON ll.doc_id = d.doc_id
+  WHERE qq.quality >= 0.5 AND ll.lang_pred = 'en'
+),
+dd AS (
+  SELECT doc_id, quality, lang_pred, text, md5(text) AS content_hash,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM f
+)
+SELECT doc_id, quality, lang_pred, content_hash,
+       CAST(len(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS INT)
+         AS n_re_tokens
+FROM dd WHERE rn = 1
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     return text.fingerprint(t(spark, sf_dir, "documents"))
 
@@ -450,6 +480,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_quality": (q_text_quality, _oracle_quality()),
     "text_lang_id": (q_text_lang_id, _oracle_lang_id()),
     "text_fingerprint": (q_text_fingerprint, ORACLE_FINGERPRINT),
+    "clean_corpus_pipeline": (q_clean_corpus, _oracle_clean_corpus()),
     "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL_METADATA),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_frames": (q_multimodal_frames, None),

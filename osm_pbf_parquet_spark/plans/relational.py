@@ -514,6 +514,22 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_salted_distinct(spark, sf_dir):
+    """Skew-proof exact distinct count: value-space-salted two-phase plan
+    (operators/skew.py) — same answer as count(DISTINCT), but the hot
+    key's distinct set is built by 16 reducers instead of one."""
+    from ..operators.skew import salted_distinct_count
+
+    li = t(spark, sf_dir, "lineitem")
+    return salted_distinct_count(li, ["l_returnflag"], "l_suppkey", "n_supp")
+
+
+ORACLE_SALTED_DISTINCT = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- scalar functions -----------------------------------------------------------
 
 
@@ -735,6 +751,7 @@ QUERIES: dict[str, tuple] = {
     "set_ops": (q_set_ops, ORACLE_SET_OPS),
     "union_distinct": (q_union_distinct, ORACLE_UNION_DISTINCT),
     "distinct_agg": (q_distinct_agg, ORACLE_DISTINCT_AGG),
+    "salted_distinct_count": (q_salted_distinct, ORACLE_SALTED_DISTINCT),
     "scalar_functions": (q_scalar_functions, ORACLE_SCALAR_FUNCTIONS),
     "pivot_counts": (q_pivot, ORACLE_PIVOT),
     "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),
