@@ -34,8 +34,10 @@ import numpy as np
 import pyarrow as pa
 
 from .proto import (
+    PackedBatch,
     ProtoDecodeError,
     message_fields,
+    read_varint,
     repeated_numeric,
     zigzag_i64,
 )
@@ -261,13 +263,39 @@ def _info_scalars(info_payload, date_granularity: int):
     """
     if info_payload is None:
         return (0, False, 0, False, 0, False, -2, 0, False, True, True)
-    f = message_fields(info_payload)
-    version = f.get(1, [None])[0]
-    ts = f.get(2, [None])[0]
-    changeset = f.get(3, [None])[0]
-    uid = f.get(4, [None])[0]
-    user_sid = f.get(5, [None])[0]
-    visible = f.get(6, [None])[0]
+    # lean inline scan — this runs once per way/relation/plain-node, and
+    # the dict-building generic scan was the hot spot after batching
+    version = ts = changeset = uid = user_sid = visible = None
+    view = memoryview(info_payload)
+    pos = 0
+    end = len(view)
+    while pos < end:
+        key, pos = read_varint(view, pos)
+        fno = key >> 3
+        wire = key & 7
+        if wire == 0:
+            val, pos = read_varint(view, pos)
+            if fno == 1:
+                version = val
+            elif fno == 2:
+                ts = val
+            elif fno == 3:
+                changeset = val
+            elif fno == 4:
+                uid = val
+            elif fno == 5:
+                user_sid = val
+            elif fno == 6:
+                visible = val
+        elif wire == 2:
+            ln, pos = read_varint(view, pos)
+            pos += ln
+        elif wire == 1:
+            pos += 8
+        elif wire == 5:
+            pos += 4
+        else:
+            raise ProtoDecodeError(f"unsupported wire type {wire}")
     # two's-complement signed for int32/int64 varints
     def _sig(v, bits=64):
         if v is None:
@@ -463,45 +491,82 @@ def _decode_ways(way_payloads, c: _Columns, granularity, lat_offset, lon_offset,
     """Repeated Way messages (osmformat.proto:222-241). LocationsOnWays
     lat/lon arrays (fields 9/10) are decoded but not emitted in the wide
     schema (parity: the reference sink ignores them too, sink.rs:233-234);
-    they're validated in tests via decode_way_locations()."""
+    they're validated in tests via decode_way_locations().
+
+    Hot path: a lean inline field scan routes every way's packed payloads
+    into PackedBatch accumulators; ALL ways' refs/keys/vals decode in one
+    vectorized pass each (per-way delta reset via segmented cumsum) —
+    thousands of small numpy calls collapse into three."""
     n0 = len(way_payloads)
     ids = np.empty(n0, dtype=np.int64)
     want_nds = _want("nds")
     want_tags = _want("tags")
     want_meta = any(map(_want, ("changeset", "timestamp", "uid", "user", "version", "visible")))
-    nd_counts = np.zeros(n0, dtype=np.int64)
-    nd_refs: list[np.ndarray] = []
-    tag_counts = np.zeros(n0, dtype=np.int64)
-    tag_keys: list[np.ndarray] = []
-    tag_vals: list[np.ndarray] = []
+    refs_b = PackedBatch(n0)
+    keys_b = PackedBatch(n0)
+    vals_b = PackedBatch(n0)
     meta_rows = []
     for i, payload in enumerate(way_payloads):
-        f = message_fields(payload)
-        ids[i] = _i64(f[1][0])  # int64 plain varint
-        if want_nds and 8 in f:
-            refs = repeated_numeric(f[8], signed_zigzag=True, delta=True)
-            nd_counts[i] = refs.size
-            nd_refs.append(refs)
-        if want_tags and 2 in f:
-            keys = repeated_numeric(f[2], signed_zigzag=False)
-            vals = repeated_numeric(f.get(3, []), signed_zigzag=False)
-            tag_counts[i] = keys.size
-            tag_keys.append(keys)
-            tag_vals.append(vals)
+        view = memoryview(payload)
+        pos = 0
+        end = len(view)
+        wid = 0
+        info = None
+        while pos < end:
+            key, pos = read_varint(view, pos)
+            fno = key >> 3
+            wire = key & 7
+            if wire == 2:
+                ln, pos = read_varint(view, pos)
+                nxt = pos + ln
+                if nxt > end:
+                    raise ProtoDecodeError("truncated length-delimited field")
+                if fno == 8:
+                    if want_nds:
+                        refs_b.add(i, view[pos:nxt])
+                elif fno == 2:
+                    if want_tags:
+                        keys_b.add(i, view[pos:nxt])
+                elif fno == 3:
+                    if want_tags:
+                        vals_b.add(i, view[pos:nxt])
+                elif fno == 4:
+                    info = view[pos:nxt]
+                pos = nxt
+            elif wire == 0:
+                val, pos = read_varint(view, pos)
+                if fno == 1:
+                    wid = val
+                elif fno == 8 and want_nds:
+                    refs_b.add_scalar(i, val)
+                elif fno == 2 and want_tags:
+                    keys_b.add_scalar(i, val)
+                elif fno == 3 and want_tags:
+                    vals_b.add_scalar(i, val)
+            elif wire == 1:
+                pos += 8
+            elif wire == 5:
+                pos += 4
+            else:
+                raise ProtoDecodeError(f"unsupported wire type {wire}")
+        ids[i] = _i64(wid)  # int64 plain varint
         if want_meta:
-            meta_rows.append(_info_scalars(f.get(4, [None])[0], date_granularity))
+            meta_rows.append(_info_scalars(info, date_granularity))
+    nd_refs, nd_counts = refs_b.finish(zigzag=True, delta=True)
+    tag_keys, tag_counts = keys_b.finish()
+    tag_vals, _vc = vals_b.finish()
     c.has_nds = True
     c.n += n0
     c.ids.append(ids)
     c.lat.append(np.full(n0, np.nan))
     c.lon.append(np.full(n0, np.nan))
     c.tag_counts.append(tag_counts)
-    if tag_keys:
-        c.tag_keys.append(np.concatenate(tag_keys))
-        c.tag_vals.append(np.concatenate(tag_vals))
+    if tag_keys.size:
+        c.tag_keys.append(tag_keys)
+        c.tag_vals.append(tag_vals)
     c.nd_counts.append(nd_counts)
-    if nd_refs:
-        c.nd_refs.append(np.concatenate(nd_refs))
+    if nd_refs.size:
+        c.nd_refs.append(nd_refs)
     c.mem_counts.append(np.zeros(n0, dtype=np.int64))
     _append_meta_rows(c, meta_rows, n0, want_meta)
 
@@ -518,54 +583,96 @@ def decode_way_locations(way_payload, granularity=100, lat_offset=0, lon_offset=
 
 
 def _decode_relations(rel_payloads, c: _Columns, date_granularity, _want) -> None:
-    """Repeated Relation messages (osmformat.proto:243-262)."""
+    """Repeated Relation messages (osmformat.proto:243-262). Same batched
+    decode strategy as ``_decode_ways``: one vectorized pass per field
+    across the whole group (memids with per-relation delta reset)."""
     n0 = len(rel_payloads)
     ids = np.empty(n0, dtype=np.int64)
     want_members = _want("members")
     want_tags = _want("tags")
     want_meta = any(map(_want, ("changeset", "timestamp", "uid", "user", "version", "visible")))
-    mem_counts = np.zeros(n0, dtype=np.int64)
-    mem_types: list[np.ndarray] = []
-    mem_refs: list[np.ndarray] = []
-    mem_roles: list[np.ndarray] = []
-    tag_counts = np.zeros(n0, dtype=np.int64)
-    tag_keys: list[np.ndarray] = []
-    tag_vals: list[np.ndarray] = []
+    memids_b = PackedBatch(n0)
+    roles_b = PackedBatch(n0)
+    types_b = PackedBatch(n0)
+    keys_b = PackedBatch(n0)
+    vals_b = PackedBatch(n0)
     meta_rows = []
     for i, payload in enumerate(rel_payloads):
-        f = message_fields(payload)
-        ids[i] = _i64(f[1][0])
-        if want_members and 9 in f:
-            memids = repeated_numeric(f[9], signed_zigzag=True, delta=True)
-            roles = repeated_numeric(f.get(8, []), signed_zigzag=False)
-            types = repeated_numeric(f.get(10, []), signed_zigzag=False)
-            mem_counts[i] = memids.size
-            mem_refs.append(memids)
-            mem_roles.append(roles)
-            mem_types.append(types)
-        if want_tags and 2 in f:
-            keys = repeated_numeric(f[2], signed_zigzag=False)
-            vals = repeated_numeric(f.get(3, []), signed_zigzag=False)
-            tag_counts[i] = keys.size
-            tag_keys.append(keys)
-            tag_vals.append(vals)
+        view = memoryview(payload)
+        pos = 0
+        end = len(view)
+        rid = 0
+        info = None
+        while pos < end:
+            key, pos = read_varint(view, pos)
+            fno = key >> 3
+            wire = key & 7
+            if wire == 2:
+                ln, pos = read_varint(view, pos)
+                nxt = pos + ln
+                if nxt > end:
+                    raise ProtoDecodeError("truncated length-delimited field")
+                if fno == 9:
+                    if want_members:
+                        memids_b.add(i, view[pos:nxt])
+                elif fno == 8:
+                    if want_members:
+                        roles_b.add(i, view[pos:nxt])
+                elif fno == 10:
+                    if want_members:
+                        types_b.add(i, view[pos:nxt])
+                elif fno == 2:
+                    if want_tags:
+                        keys_b.add(i, view[pos:nxt])
+                elif fno == 3:
+                    if want_tags:
+                        vals_b.add(i, view[pos:nxt])
+                elif fno == 4:
+                    info = view[pos:nxt]
+                pos = nxt
+            elif wire == 0:
+                val, pos = read_varint(view, pos)
+                if fno == 1:
+                    rid = val
+                elif want_members and fno == 9:
+                    memids_b.add_scalar(i, val)
+                elif want_members and fno == 8:
+                    roles_b.add_scalar(i, val)
+                elif want_members and fno == 10:
+                    types_b.add_scalar(i, val)
+                elif want_tags and fno == 2:
+                    keys_b.add_scalar(i, val)
+                elif want_tags and fno == 3:
+                    vals_b.add_scalar(i, val)
+            elif wire == 1:
+                pos += 8
+            elif wire == 5:
+                pos += 4
+            else:
+                raise ProtoDecodeError(f"unsupported wire type {wire}")
+        ids[i] = _i64(rid)
         if want_meta:
-            meta_rows.append(_info_scalars(f.get(4, [None])[0], date_granularity))
+            meta_rows.append(_info_scalars(info, date_granularity))
+    mem_refs, mem_counts = memids_b.finish(zigzag=True, delta=True)
+    mem_roles, _rc = roles_b.finish()
+    mem_types, _tc = types_b.finish()
+    tag_keys, tag_counts = keys_b.finish()
+    tag_vals, _vc = vals_b.finish()
     c.has_members = True
     c.n += n0
     c.ids.append(ids)
     c.lat.append(np.full(n0, np.nan))
     c.lon.append(np.full(n0, np.nan))
     c.tag_counts.append(tag_counts)
-    if tag_keys:
-        c.tag_keys.append(np.concatenate(tag_keys))
-        c.tag_vals.append(np.concatenate(tag_vals))
+    if tag_keys.size:
+        c.tag_keys.append(tag_keys)
+        c.tag_vals.append(tag_vals)
     c.nd_counts.append(np.zeros(n0, dtype=np.int64))
     c.mem_counts.append(mem_counts)
-    if mem_refs:
-        c.mem_refs.append(np.concatenate(mem_refs))
-        c.mem_roles.append(np.concatenate(mem_roles))
-        c.mem_types.append(np.concatenate(mem_types))
+    if mem_refs.size:
+        c.mem_refs.append(mem_refs)
+        c.mem_roles.append(mem_roles)
+        c.mem_types.append(mem_types)
     _append_meta_rows(c, meta_rows, n0, want_meta)
 
 

@@ -144,6 +144,72 @@ def packed_delta(chunks) -> np.ndarray:
     return np.cumsum(packed_svarints(chunks))
 
 
+def encode_varint(v: int) -> bytes:
+    """Encode a non-negative int as a varint (used to normalize rare
+    unpacked wire-0 values into the batched packed decode path)."""
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class PackedBatch:
+    """Cross-element batcher for ONE packed field of a message group.
+
+    The per-element decode of packed arrays (way refs, relation memids,
+    tag key/val indexes) is the Python hot spot — thousands of small
+    numpy calls. This class instead accumulates every element's payload
+    bytes and decodes the WHOLE group with one vectorized pass, tracking
+    per-element value counts via byte-offset boundaries and applying the
+    per-element delta reset (reference semantics: delta chains restart at
+    each way/relation, ``osmpbf/src/elements.rs:327-350``) with a
+    segmented cumsum.
+    """
+
+    __slots__ = ("parts", "nbytes")
+
+    def __init__(self, n0: int) -> None:
+        self.parts: list = []
+        self.nbytes = np.zeros(n0, dtype=np.int64)
+
+    def add(self, i: int, chunk) -> None:
+        """Append a wire-2 packed payload for element ``i``."""
+        self.parts.append(chunk)
+        self.nbytes[i] += len(chunk)
+
+    def add_scalar(self, i: int, value: int) -> None:
+        """Rare unpacked wire-0 occurrence — normalize by re-encoding."""
+        b = encode_varint(value)
+        self.parts.append(b)
+        self.nbytes[i] += len(b)
+
+    def finish(self, zigzag: bool = False, delta: bool = False):
+        """→ (values int64, per-element counts). One vectorized decode."""
+        n0 = self.nbytes.size
+        if not self.parts:
+            return np.empty(0, dtype=np.int64), np.zeros(n0, dtype=np.int64)
+        blob = b"".join(self.parts)
+        raw = np.frombuffer(blob, dtype=np.uint8)
+        u = decode_packed_uvarints([blob])
+        vals = zigzag_decode(u) if zigzag else u.astype(np.int64)
+        term_cs = np.concatenate([[0], np.cumsum(raw < 0x80)])
+        byte_bounds = np.concatenate([[0], np.cumsum(self.nbytes)])
+        counts = term_cs[byte_bounds[1:]] - term_cs[byte_bounds[:-1]]
+        if delta and vals.size:
+            cs = np.cumsum(vals)
+            elem_starts = np.cumsum(counts) - counts
+            base = np.where(
+                elem_starts > 0, cs[np.maximum(elem_starts - 1, 0)], 0
+            )
+            vals = cs - np.repeat(base, counts)
+        return vals, counts
+
+
 def repeated_numeric(values, signed_zigzag: bool, delta: bool = False) -> np.ndarray:
     """Decode a repeated numeric field that may arrive packed (wire 2 →
     memoryview chunks) or unpacked (wire 0 → ints) — proto2 readers must

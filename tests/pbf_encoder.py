@@ -212,27 +212,34 @@ def write_synthetic_pbf(path: str, n_nodes: int = 5000, n_ways: int = 500,
                 })
             group = encode_dense_nodes(st, chunk)
             write_blob(f, "OSMData", encode_primitive_block([group], st=st))
-        # ways + relations in one block each
-        st = StringTable()
-        way_groups = []
-        for wid in range(100_000, 100_000 + n_ways):
-            refs = sorted(rng.sample(node_ids, min(len(node_ids), rng.randrange(2, 12))))
-            way_groups.append(encode_way(st, {
-                "id": wid, "refs": refs,
-                "tags": {"highway": "residential"} if wid % 3 == 0 else {},
-                "version": 1, "timestamp_s": 1_600_000_000 + wid,
-                "changeset": 5, "uid": 1, "user": "mapper", "visible": True,
-            }))
-        write_blob(f, "OSMData", encode_primitive_block(way_groups, st=st))
-        st = StringTable()
-        rel_groups = []
-        for rid in range(500_000, 500_000 + n_rels):
-            rel_groups.append(encode_relation(st, {
-                "id": rid,
-                "members": [{"type": "way", "ref": 100_000 + rng.randrange(n_ways), "role": "outer"}],
-                "tags": {"type": "multipolygon"},
-                "version": 2, "timestamp_s": 1_650_000_000, "changeset": 6,
-                "uid": 2, "user": "relmapper", "visible": True,
-            }))
-        write_blob(f, "OSMData", encode_primitive_block(rel_groups, st=st))
+        # ways + relations: one PrimitiveGroup per block holding many
+        # elements (each encode_* returns a complete repeated-field entry,
+        # so a multi-element group is their concatenation) — the realistic
+        # planet-file shape, vs. one group per element
+        way_ids = list(range(100_000, 100_000 + n_ways))
+        for start in range(0, n_ways, nodes_per_block):
+            st = StringTable()
+            entries = []
+            for wid in way_ids[start : start + nodes_per_block]:
+                refs = sorted(rng.sample(node_ids, min(len(node_ids), rng.randrange(2, 12))))
+                entries.append(encode_way(st, {
+                    "id": wid, "refs": refs,
+                    "tags": {"highway": "residential"} if wid % 3 == 0 else {},
+                    "version": 1, "timestamp_s": 1_600_000_000 + wid,
+                    "changeset": 5, "uid": 1, "user": "mapper", "visible": True,
+                }))
+            write_blob(f, "OSMData", encode_primitive_block([b"".join(entries)], st=st))
+        rel_ids = list(range(500_000, 500_000 + n_rels))
+        for start in range(0, n_rels, nodes_per_block):
+            st = StringTable()
+            entries = []
+            for rid in rel_ids[start : start + nodes_per_block]:
+                entries.append(encode_relation(st, {
+                    "id": rid,
+                    "members": [{"type": "way", "ref": 100_000 + rng.randrange(n_ways), "role": "outer"}],
+                    "tags": {"type": "multipolygon"},
+                    "version": 2, "timestamp_s": 1_650_000_000, "changeset": 6,
+                    "uid": 2, "user": "relmapper", "visible": True,
+                }))
+            write_blob(f, "OSMData", encode_primitive_block([b"".join(entries)], st=st))
     return {"nodes": n_nodes, "ways": n_ways, "relations": n_rels}
