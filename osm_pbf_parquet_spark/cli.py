@@ -15,7 +15,8 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="osm-pbf-parquet-spark")
-    p.add_argument("--input", required=True, help="path to .osm.pbf (local or any Hadoop-FS URL)")
+    p.add_argument("--input", required=True, nargs="+",
+                   help="one or more .osm.pbf paths (local or any Hadoop-FS URL)")
     p.add_argument("--output", required=True, help="output directory for type=*/ parquet")
     p.add_argument("--compression", default="zstd:3",
                    help="codec[:level], e.g. zstd:3 (reference default, util.rs:39), zstd:9, snappy, none")

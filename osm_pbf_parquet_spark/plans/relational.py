@@ -514,6 +514,22 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_approx_sketches(spark, sf_dir):
+    """Sketch aggregates — HLL++ count-distinct and a quantile sketch.
+    At 100 TB these are the bounded-memory answers where exact
+    distinct/percentile would shuffle the raw column; estimates are
+    engine-specific so the driver check is rows-only, and accuracy is
+    asserted against exact values in pytest (test_approx_sketch_accuracy)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000).alias(
+            "price_quantiles"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q_salted_distinct(spark, sf_dir):
     """Skew-proof exact distinct count: value-space-salted two-phase plan
     (operators/skew.py) — same answer as count(DISTINCT), but the hot
@@ -752,6 +768,7 @@ QUERIES: dict[str, tuple] = {
     "union_distinct": (q_union_distinct, ORACLE_UNION_DISTINCT),
     "distinct_agg": (q_distinct_agg, ORACLE_DISTINCT_AGG),
     "salted_distinct_count": (q_salted_distinct, ORACLE_SALTED_DISTINCT),
+    "approx_sketches": (q_approx_sketches, None),
     "scalar_functions": (q_scalar_functions, ORACLE_SCALAR_FUNCTIONS),
     "pivot_counts": (q_pivot, ORACLE_PIVOT),
     "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),

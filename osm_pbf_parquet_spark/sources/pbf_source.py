@@ -34,9 +34,8 @@ from typing import Iterable, Iterator
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..pbf.blob import TYPE_DATA, TYPE_HEADER, BlobInfo, index_blobs, read_blob_at, decompress_blob
+from ..pbf.blob import TYPE_DATA, TYPE_HEADER, index_blobs, read_blob_at, decompress_blob
 from ..pbf.decode import ALL_KINDS, parse_block_to_batch, parse_header_block
 from ..schema import OSM_COLUMNS, pruned_arrow_schema, pruned_schema
 
@@ -70,20 +69,29 @@ def read_pbf_header(path: str) -> dict | None:
     return None
 
 
-def _catalog_rows(path: str, parallelism: int,
+def _normalize_paths(path) -> list[str]:
+    return [path] if isinstance(path, str) else list(path)
+
+
+def _catalog_rows(path, parallelism: int,
                   blobs_per_task: int | None) -> tuple[list[tuple], int]:
-    """One metadata pass → (catalog rows, group count). Contiguous
-    chunking: blob i of n lands in group i*g//n — adjacent offsets share
-    a task, so each task issues coalesced range reads."""
-    infos = sorted(
-        (i for i in index_blobs(path) if i.blob_type == TYPE_DATA),
-        key=lambda b: b.offset,
-    )
-    n = len(infos)
+    """One metadata pass per file → (catalog rows, group count). Accepts a
+    single path or a list (a 100 TB corpus is many PBF files; the catalog
+    unions their blob ranges). Contiguous chunking: blob i of n lands in
+    group i*g//n — adjacent offsets share a task, so each task issues
+    coalesced range reads and files never interleave mid-group."""
+    entries: list[tuple] = []
+    for p in _normalize_paths(path):
+        infos = sorted(
+            (i for i in index_blobs(p) if i.blob_type == TYPE_DATA),
+            key=lambda b: b.offset,
+        )
+        entries.extend((p, i.offset, i.size) for i in infos)
+    n = len(entries)
     g = _n_groups(n, parallelism, blobs_per_task)
     rows = [
-        (path, i.offset, i.size, idx * g // n)
-        for idx, i in enumerate(infos)
+        (p, off, sz, idx * g // n)
+        for idx, (p, off, sz) in enumerate(entries)
     ]
     return rows, g
 
@@ -100,12 +108,13 @@ def pbf_blob_catalog(spark: SparkSession, path: str, blobs_per_task: int | None 
 
 def scan_pbf(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     kinds: Iterable[str] = ALL_KINDS,
     columns: list[str] | None = None,
     blobs_per_task: int | None = None,
 ) -> DataFrame:
-    """Distributed scan of an OSM PBF file → DataFrame in the OSM schema.
+    """Distributed scan of one or more OSM PBF files → DataFrame in the
+    OSM schema.
 
     ``kinds``/``columns`` are pushdown arguments honored inside the parse
     kernel (unwanted primitive groups are never decoded; unwanted columns
@@ -130,7 +139,9 @@ def scan_pbf(
         rows, "path string, offset long, size long, task_group int"
     )
     # one partition per task group, co-locating contiguous byte ranges
-    catalog = catalog.repartition(n_groups, "task_group").sortWithinPartitions("offset")
+    catalog = catalog.repartition(n_groups, "task_group").sortWithinPartitions(
+        "path", "offset"
+    )
 
     kinds_list = sorted(kinds)
     columns_list = list(columns) if columns is not None else None

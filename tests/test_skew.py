@@ -55,3 +55,24 @@ def test_salted_collect_set_matches_plain(spark):
         ).collect()
     }
     assert salted == plain
+
+
+def test_approx_sketch_accuracy(spark):
+    """HLL++ estimate within 3*rsd of exact; median sketch within 1% of
+    exact percentile."""
+    from osm_pbf_parquet_spark.plans.relational import q_approx_sketches
+
+    li = t(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: (r["n"], r["p50"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for r in q_approx_sketches(spark, SF_DIR).collect():
+        n_exact, p50_exact = exact[r["l_returnflag"]]
+        assert abs(r["approx_parts"] - n_exact) / n_exact < 0.06
+        assert abs(r["price_quantiles"][0] - p50_exact) / p50_exact < 0.01
