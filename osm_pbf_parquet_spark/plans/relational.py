@@ -748,6 +748,66 @@ ON p.user_id = r.user_id AND p.ts_us >= r.ref_us
 """
 
 
+def q_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below half
+    the per-part average quantity. Catalyst decorrelates
+    (RewriteCorrelatedScalarSubquery) into ONE inner aggregate + join, so
+    the inner lineitem scan runs once — not per outer row — and both scans
+    stay pushdown-eligible at 100TB. sum_qty sums whole-number doubles, so
+    the value is summation-order-independent across engines."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("ssq_lineitem")
+    t(spark, sf_dir, "part").createOrReplaceTempView("ssq_part")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_small, sum(l_quantity) AS sum_qty
+        FROM ssq_lineitem JOIN ssq_part ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM ssq_lineitem l2
+                            WHERE l2.l_partkey = ssq_part.p_partkey)
+        GROUP BY p_brand
+        """
+    )
+
+
+ORACLE_SCALAR_SUBQUERY = """
+SELECT p_brand, count(*) AS n_small, sum(l_quantity) AS sum_qty
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+
+def q_exists_agg(spark, sf_dir):
+    """Correlated EXISTS feeding an aggregate (TPC-H Q4 shape): priority
+    counts over orders having at least one deep-discount line. Catalyst
+    rewrites the EXISTS to a left-semi join (RewritePredicateSubquery);
+    the discount filter pushes into the inner scan, and the semi-join
+    deduplicates before the shuffle — no row explosion at scale."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("exa_orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("exa_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM exa_orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND EXISTS (SELECT 1 FROM exa_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+ORACLE_EXISTS_AGG = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "count_by_type": (q_count_by_type, ORACLE_COUNT_BY_TYPE),
     "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),
@@ -774,4 +834,6 @@ QUERIES: dict[str, tuple] = {
     "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
+    "scalar_subquery": (q_scalar_subquery, ORACLE_SCALAR_SUBQUERY),
+    "exists_agg": (q_exists_agg, ORACLE_EXISTS_AGG),
 }
