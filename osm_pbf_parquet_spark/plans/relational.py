@@ -808,6 +808,91 @@ GROUP BY o_orderpriority
 """
 
 
+def q_word_topk(spark, sf_dir):
+    """Lateral/UDTF surface (SURVEY §2.2 scalar/UDTF row): explode a split
+    column into rows — the generator runs inside whole-stage codegen (no
+    Python), and the downstream count aggregates map-side before the word
+    shuffle. At 100TB the explode multiplies rows ~100×, but partial
+    aggregation collapses them within each task before any exchange; the
+    final top-50 is a TakeOrderedAndProject, never a full sort."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+    )
+
+
+ORACLE_WORD_TOPK = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE length(word) > 0
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles per group (no reference analog; Spark built-in
+    `percentile`). Exact percentile is a sort-based agg — fine per-group
+    when groups are few and wide (3 flags here); for high-cardinality
+    groups at 100TB the approx_sketches query (approx_percentile, fixed
+    memory, mergeable) is the scale path — this is the exact counterpart.
+    l_quantity is whole-number doubles and quartile fractions are exact
+    binary fractions, so interpolated results are FP-exact across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25_qty"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25_qty,
+       quantile_cont(l_quantity, 0.5)  AS median_qty,
+       quantile_cont(l_quantity, 0.75) AS q75_qty,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_range_window(spark, sf_dir):
+    """RANGE-frame window (value-based frame, not row-based): events in the
+    trailing hour per user. One shuffle on user_id, then a per-partition
+    sort + sliding frame scan — the frame is evaluated incrementally, so
+    cost is O(rows) not O(rows × frame). Integer count over µs epochs keeps
+    cross-engine parity exact. Skewed users would skew partitions; the
+    sessionize/skew modules show the salting remedy."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_trailing_hr"),
+    )
+
+
+ORACLE_RANGE_WINDOW = """
+SELECT event_id, user_id, ts_us,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS n_trailing_hr
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "count_by_type": (q_count_by_type, ORACLE_COUNT_BY_TYPE),
     "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),
@@ -836,4 +921,7 @@ QUERIES: dict[str, tuple] = {
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "scalar_subquery": (q_scalar_subquery, ORACLE_SCALAR_SUBQUERY),
     "exists_agg": (q_exists_agg, ORACLE_EXISTS_AGG),
+    "word_topk": (q_word_topk, ORACLE_WORD_TOPK),
+    "percentiles": (q_percentiles, ORACLE_PERCENTILES),
+    "range_window": (q_range_window, ORACLE_RANGE_WINDOW),
 }
