@@ -321,6 +321,137 @@ def _info_scalars(info_payload, date_granularity: int):
     )
 
 
+class _InfoBatch:
+    """Cross-element batched decode of non-dense ``Info`` submessages.
+
+    The scalar path (`_info_scalars`) costs one Python call + ~10 scalar
+    varint reads per way/relation — the dominant decode cost in way-heavy
+    blocks. This batcher concatenates every element's Info payload and
+    mass-decodes ALL varints in one numpy pass (same shift-and-or trick as
+    ``decode_packed_uvarints``), then routes values to per-field arrays by
+    scatter. In a valid Info message every field is wire-type 0
+    (osmformat.proto:139-157), so tags and values strictly alternate; if a
+    payload ever violates that (unknown wire-2 extension etc.) we fall
+    back to the scalar decoder for exact skip semantics.
+    """
+
+    __slots__ = ("n0", "parts", "part_elem")
+
+    def __init__(self, n0: int) -> None:
+        self.n0 = n0
+        self.parts: list = []
+        self.part_elem: list[int] = []
+
+    def add(self, i: int, payload) -> None:
+        if payload is not None and len(payload):
+            self.parts.append(payload)
+            self.part_elem.append(i)
+
+    def _scalar_fallback(self, out, date_granularity: int) -> None:
+        (changeset, changeset_valid, ts_ms, ts_valid, uid, uid_valid,
+         user_sid, version, version_valid, visible, visible_valid) = out
+        for i, payload in zip(self.part_elem, self.parts):
+            row = _info_scalars(payload, date_granularity)
+            (changeset[i], changeset_valid[i], ts_ms[i], ts_valid[i],
+             uid[i], uid_valid[i], user_sid[i], version[i],
+             version_valid[i], visible[i], visible_valid[i]) = row
+
+    def finish(self, date_granularity: int):
+        """→ the 11 per-element meta arrays (defaults where Info absent:
+        parity with ``_info_scalars(None)`` — user_sid -2 → \"\",
+        visible true)."""
+        n0 = self.n0
+        out = (
+            np.zeros(n0, np.int64), np.zeros(n0, bool),   # changeset
+            np.zeros(n0, np.int64), np.zeros(n0, bool),   # ts_ms
+            np.zeros(n0, np.int64), np.zeros(n0, bool),   # uid
+            np.full(n0, -2, np.int64),                    # user_sid
+            np.zeros(n0, np.int64), np.zeros(n0, bool),   # version
+            np.ones(n0, bool), np.ones(n0, bool),         # visible
+        )
+        if not self.parts:
+            return out
+        buf = b"".join(self.parts)
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        is_end = arr < 0x80
+        if not is_end[-1]:
+            raise ProtoDecodeError("truncated varint")
+        ends = np.flatnonzero(is_end)
+        starts = np.empty_like(ends)
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+        lens = ends - starts + 1
+        maxlen = int(lens.max(initial=1))
+        if maxlen > 10:
+            raise ProtoDecodeError("varint too long")
+        vals = np.zeros(ends.size, dtype=np.uint64)
+        for k in range(maxlen):
+            m = lens > k
+            vals[m] |= (arr[starts[m] + k].astype(np.uint64)
+                        & np.uint64(0x7F)) << np.uint64(7 * k)
+        plens = np.fromiter((len(p) for p in self.parts), np.int64,
+                            len(self.parts))
+        byte_starts = np.concatenate(([0], np.cumsum(plens)[:-1]))
+        vfirst = np.searchsorted(starts, byte_starts)
+        if vfirst[-1] >= starts.size or not np.array_equal(
+            starts[vfirst], byte_starts
+        ):
+            raise ProtoDecodeError("varint crosses message boundary")
+        mid = np.searchsorted(byte_starts, starts, side="right") - 1
+        counts = np.bincount(mid, minlength=len(self.parts))
+        pos_in_msg = np.arange(starts.size, dtype=np.int64) - vfirst[mid]
+        is_tag = (pos_in_msg & 1) == 0
+        tags = vals[is_tag]
+        if (counts & 1).any() or ((tags & np.uint64(7)) != 0).any():
+            # a non-wire-0 field breaks tag/value alternation — rare;
+            # take the exact scalar skip path
+            self._scalar_fallback(out, date_granularity)
+            return out
+        (changeset, changeset_valid, ts_ms, ts_valid, uid, uid_valid,
+         user_sid, version, version_valid, visible, visible_valid) = out
+        fns = (tags >> np.uint64(3)).astype(np.int64)
+        x = vals[~is_tag].astype(np.int64)  # two's-complement int64
+        elem = np.asarray(self.part_elem, dtype=np.int64)[mid[~is_tag]]
+
+        def _s32(a):
+            # int32 encoded as positive varint < 2^32 with sign bit set
+            return np.where((a >= 1 << 31) & (a < 1 << 32), a - (1 << 32), a)
+
+        for fno in range(1, 7):
+            m = fns == fno
+            if not m.any():
+                continue
+            e, v = elem[m], x[m]
+            if fno == 1:
+                version[e] = _s32(v)
+                version_valid[e] = True
+            elif fno == 2:
+                ts_ms[e] = v * date_granularity
+                ts_valid[e] = True
+            elif fno == 3:
+                changeset[e] = v
+                changeset_valid[e] = True
+            elif fno == 4:
+                uid[e] = _s32(v)
+                uid_valid[e] = True
+            elif fno == 5:
+                user_sid[e] = v
+            elif fno == 6:
+                visible[e] = v != 0
+        return out
+
+
+def _append_meta_arrays(c: _Columns, arrays) -> None:
+    (changeset, changeset_valid, ts_ms, ts_valid, uid, uid_valid,
+     user_sid, version, version_valid, visible, visible_valid) = arrays
+    c.changeset.append(changeset); c.changeset_valid.append(changeset_valid)
+    c.ts_ms.append(ts_ms); c.ts_valid.append(ts_valid)
+    c.uid.append(uid); c.uid_valid.append(uid_valid)
+    c.user_sid.append(user_sid)
+    c.version.append(version); c.version_valid.append(version_valid)
+    c.visible.append(visible); c.visible_valid.append(visible_valid)
+
+
 def _decode_plain_nodes(node_payloads, c: _Columns, st, granularity, lat_offset,
                         lon_offset, date_granularity, _want) -> None:
     """Repeated Node messages (osmformat.proto:184-195)."""
@@ -330,7 +461,7 @@ def _decode_plain_nodes(node_payloads, c: _Columns, st, granularity, lat_offset,
     lons = np.empty(n0, dtype=np.float64)
     want_tags = _want("tags")
     want_meta = any(map(_want, ("changeset", "timestamp", "uid", "user", "version", "visible")))
-    meta_rows = []
+    info_b = _InfoBatch(n0)
     tag_counts = np.zeros(n0, dtype=np.int64)
     tag_keys: list[np.ndarray] = []
     tag_vals: list[np.ndarray] = []
@@ -345,8 +476,8 @@ def _decode_plain_nodes(node_payloads, c: _Columns, st, granularity, lat_offset,
             tag_counts[i] = keys.size
             tag_keys.append(keys)
             tag_vals.append(vals)
-        if want_meta:
-            meta_rows.append(_info_scalars(f.get(4, [None])[0], date_granularity))
+        if want_meta and 4 in f:
+            info_b.add(i, f[4][0])
     c.has_coords = True
     c.n += n0
     c.ids.append(ids)
@@ -358,7 +489,10 @@ def _decode_plain_nodes(node_payloads, c: _Columns, st, granularity, lat_offset,
         c.tag_vals.append(np.concatenate(tag_vals))
     c.nd_counts.append(np.zeros(n0, dtype=np.int64))
     c.mem_counts.append(np.zeros(n0, dtype=np.int64))
-    _append_meta_rows(c, meta_rows, n0, want_meta)
+    if want_meta:
+        _append_meta_arrays(c, info_b.finish(date_granularity))
+    else:
+        _append_meta_rows(c, [], n0, want_meta=False)
 
 
 def _append_meta_rows(c: _Columns, meta_rows, n0: int, want_meta: bool) -> None:
@@ -505,19 +639,34 @@ def _decode_ways(way_payloads, c: _Columns, granularity, lat_offset, lon_offset,
     refs_b = PackedBatch(n0)
     keys_b = PackedBatch(n0)
     vals_b = PackedBatch(n0)
-    meta_rows = []
+    info_b = _InfoBatch(n0)
     for i, payload in enumerate(way_payloads):
         view = memoryview(payload)
         pos = 0
         end = len(view)
         wid = 0
-        info = None
         while pos < end:
-            key, pos = read_varint(view, pos)
+            # inline 1-byte fast path: field keys for fno ≤ 15 are always
+            # a single byte (key = fno<<3 | wire ≤ 0x7F)
+            key = view[pos]
+            if key < 0x80:
+                pos += 1
+            else:
+                key, pos = read_varint(view, pos)
             fno = key >> 3
             wire = key & 7
             if wire == 2:
-                ln, pos = read_varint(view, pos)
+                # lengths < 16KB fit 1-2 bytes — inline both
+                ln = view[pos]
+                if ln < 0x80:
+                    pos += 1
+                else:
+                    b1 = view[pos + 1]
+                    if b1 < 0x80:
+                        ln = (ln & 0x7F) | (b1 << 7)
+                        pos += 2
+                    else:
+                        ln, pos = read_varint(view, pos)
                 nxt = pos + ln
                 if nxt > end:
                     raise ProtoDecodeError("truncated length-delimited field")
@@ -531,7 +680,8 @@ def _decode_ways(way_payloads, c: _Columns, granularity, lat_offset, lon_offset,
                     if want_tags:
                         vals_b.add(i, view[pos:nxt])
                 elif fno == 4:
-                    info = view[pos:nxt]
+                    if want_meta:
+                        info_b.add(i, view[pos:nxt])
                 pos = nxt
             elif wire == 0:
                 val, pos = read_varint(view, pos)
@@ -550,8 +700,6 @@ def _decode_ways(way_payloads, c: _Columns, granularity, lat_offset, lon_offset,
             else:
                 raise ProtoDecodeError(f"unsupported wire type {wire}")
         ids[i] = _i64(wid)  # int64 plain varint
-        if want_meta:
-            meta_rows.append(_info_scalars(info, date_granularity))
     nd_refs, nd_counts = refs_b.finish(zigzag=True, delta=True)
     tag_keys, tag_counts = keys_b.finish()
     tag_vals, _vc = vals_b.finish()
@@ -568,7 +716,10 @@ def _decode_ways(way_payloads, c: _Columns, granularity, lat_offset, lon_offset,
     if nd_refs.size:
         c.nd_refs.append(nd_refs)
     c.mem_counts.append(np.zeros(n0, dtype=np.int64))
-    _append_meta_rows(c, meta_rows, n0, want_meta)
+    if want_meta:
+        _append_meta_arrays(c, info_b.finish(date_granularity))
+    else:
+        _append_meta_rows(c, [], n0, want_meta=False)
 
 
 def decode_way_locations(way_payload, granularity=100, lat_offset=0, lon_offset=0):
@@ -596,19 +747,31 @@ def _decode_relations(rel_payloads, c: _Columns, date_granularity, _want) -> Non
     types_b = PackedBatch(n0)
     keys_b = PackedBatch(n0)
     vals_b = PackedBatch(n0)
-    meta_rows = []
+    info_b = _InfoBatch(n0)
     for i, payload in enumerate(rel_payloads):
         view = memoryview(payload)
         pos = 0
         end = len(view)
         rid = 0
-        info = None
         while pos < end:
-            key, pos = read_varint(view, pos)
+            key = view[pos]
+            if key < 0x80:
+                pos += 1
+            else:
+                key, pos = read_varint(view, pos)
             fno = key >> 3
             wire = key & 7
             if wire == 2:
-                ln, pos = read_varint(view, pos)
+                ln = view[pos]
+                if ln < 0x80:
+                    pos += 1
+                else:
+                    b1 = view[pos + 1]
+                    if b1 < 0x80:
+                        ln = (ln & 0x7F) | (b1 << 7)
+                        pos += 2
+                    else:
+                        ln, pos = read_varint(view, pos)
                 nxt = pos + ln
                 if nxt > end:
                     raise ProtoDecodeError("truncated length-delimited field")
@@ -628,7 +791,8 @@ def _decode_relations(rel_payloads, c: _Columns, date_granularity, _want) -> Non
                     if want_tags:
                         vals_b.add(i, view[pos:nxt])
                 elif fno == 4:
-                    info = view[pos:nxt]
+                    if want_meta:
+                        info_b.add(i, view[pos:nxt])
                 pos = nxt
             elif wire == 0:
                 val, pos = read_varint(view, pos)
@@ -651,8 +815,6 @@ def _decode_relations(rel_payloads, c: _Columns, date_granularity, _want) -> Non
             else:
                 raise ProtoDecodeError(f"unsupported wire type {wire}")
         ids[i] = _i64(rid)
-        if want_meta:
-            meta_rows.append(_info_scalars(info, date_granularity))
     mem_refs, mem_counts = memids_b.finish(zigzag=True, delta=True)
     mem_roles, _rc = roles_b.finish()
     mem_types, _tc = types_b.finish()
@@ -673,7 +835,10 @@ def _decode_relations(rel_payloads, c: _Columns, date_granularity, _want) -> Non
         c.mem_refs.append(mem_refs)
         c.mem_roles.append(mem_roles)
         c.mem_types.append(mem_types)
-    _append_meta_rows(c, meta_rows, n0, want_meta)
+    if want_meta:
+        _append_meta_arrays(c, info_b.finish(date_granularity))
+    else:
+        _append_meta_rows(c, [], n0, want_meta=False)
 
 
 # --- Arrow assembly ----------------------------------------------------------

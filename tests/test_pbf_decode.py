@@ -242,3 +242,57 @@ def test_corrupt_input_raises():
             B.index_blobs(name)
     finally:
         os.unlink(name)
+
+
+def _enc_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def test_info_batch_matches_scalar_decoder():
+    """_InfoBatch's vectorized mass-varint path must agree with
+    _info_scalars field-for-field, including int32 sign handling, missing
+    fields, visible=false, and absent Info defaults."""
+    infos = [
+        # version=3, ts=1000, changeset=77, uid=42, user_sid=5, visible=1
+        b"\x08\x03\x10" + _enc_varint(1000) + b"\x18\x4d\x20\x2a\x28\x05\x30\x01",
+        # minimal: version only
+        b"\x08\x01",
+        None,  # no Info at all
+        # visible=0 (deleted), negative uid as 32-bit two's complement varint
+        b"\x08\x02\x20" + _enc_varint((1 << 32) - 7) + b"\x30\x00",
+        b"",  # empty Info payload
+    ]
+    batch = D._InfoBatch(len(infos))
+    for i, p in enumerate(infos):
+        batch.add(i, p)
+    got = batch.finish(1000)
+    for i, p in enumerate(infos):
+        expected = D._info_scalars(p if p else None, 1000)
+        actual = tuple(int(a[i]) if a.dtype != bool else bool(a[i]) for a in got)
+        assert actual == tuple(
+            int(x) if not isinstance(x, bool) else x for x in expected
+        ), f"row {i}: {actual} != {expected}"
+
+
+def test_info_batch_fallback_on_non_varint_field():
+    """An unknown wire-2 field inside Info breaks tag/value alternation;
+    the batch decoder must detect it and fall back to the scalar skip
+    path rather than mis-route values."""
+    # version=9 then an unknown length-delimited field no. 7, then uid=13
+    weird = b"\x08\x09\x3a\x03abc\x20\x0d"
+    batch = D._InfoBatch(2)
+    batch.add(0, weird)
+    batch.add(1, b"\x08\x04")
+    got = batch.finish(1000)
+    exp0 = D._info_scalars(weird, 1000)
+    actual0 = tuple(int(a[0]) if a.dtype != bool else bool(a[0]) for a in got)
+    assert actual0 == tuple(int(x) if not isinstance(x, bool) else x for x in exp0)
+    assert int(got[7][1]) == 4 and bool(got[8][1])  # row 1 version intact
