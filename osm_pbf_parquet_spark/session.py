@@ -33,6 +33,9 @@ def get_spark(app_name: str = "osm_pbf_parquet_spark", **extra_confs) -> SparkSe
         # testdata events.parquet stores TIMESTAMP(NANOS) which the Spark
         # parquet reader rejects; read as raw int64 nanos instead
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # lets the osmpbf Python data source accept type=... predicates as
+        # kind pushdown (sources/pbf_datasource.py::pushFilters)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in extra_confs.items():
         builder = builder.config(k, v)
