@@ -71,6 +71,19 @@ def with_grams(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> Dat
     return df.withColumn("gram_hashes", F.expr(GRAM_HASH.format(grams="grams")))
 
 
+def _spread_compute(df: DataFrame) -> DataFrame:
+    """Signature computation is per-row compute-bound (md5 per gram + hash
+    folds), so its parallelism must match the cluster, not the input file
+    count. A small corpus in one parquet file would otherwise run the
+    whole chain on ONE core. No-op when the scan already has enough
+    partitions (any real-scale input); the repartition cost on small
+    inputs is trivially repaid."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content, keeping the
     lowest key; n_copies records cluster size. One shuffle on the content
@@ -170,9 +183,14 @@ def minhash_lsh_dedup(
     # the signature table feeds both candidate generation and the verify
     # join — materialize it once (at warehouse scale this is the persisted
     # signature table every incremental dedup run reuses)
-    sigs = minhash_signatures(df, text_col, n_hashes, k).select(
+    sigs = minhash_signatures(_spread_compute(df), text_col, n_hashes, k).select(
         key, "grams", "minhash"
     ).persist()
+    # materialize the cache BEFORE the self-join fans out: otherwise both
+    # join branches race the unpopulated cache and each recomputes the
+    # full md5+fold signature chain (visible as "Block already exists"
+    # warnings and ~2x signature cost)
+    sigs.count()
     pairs = lsh_candidate_pairs(sigs, key, bands, n_hashes)
     return _verified_jaccard(pairs, sigs.select(key, "grams"), key, threshold)
 
@@ -260,7 +278,8 @@ def simhash_dedup(
     assert max_hamming < SIMHASH_BANDS, "pigeonhole guarantee needs bands > hamming"
     # persist: both sides of the banded self-join would otherwise re-run
     # the full gram-hash + majority-fold chain
-    sigs = simhash_signatures(df, text_col, k).select(key, "simhash").persist()
+    sigs = simhash_signatures(_spread_compute(df), text_col, k).select(key, "simhash").persist()
+    sigs.count()  # populate the cache before the self-join branches race it
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     band_expr = (
         f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> "
