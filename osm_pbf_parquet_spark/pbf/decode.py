@@ -36,9 +36,12 @@ import pyarrow as pa
 from .proto import (
     PackedBatch,
     ProtoDecodeError,
+    extract_ranges,
+    finish_packed,
     message_fields,
     read_varint,
     repeated_numeric,
+    scan_message_batch,
     zigzag_i64,
 )
 
@@ -99,28 +102,80 @@ class _StringTable:
     (osmformat.proto:129-137). Strings decode lazily into a pyarrow array
     so tag/user columns are built with vectorized ``take``."""
 
+    __slots__ = ("_n", "_payload", "_starts", "_lens", "_pa", "_py")
+
     def __init__(self, payload) -> None:
-        self._raw: list = message_fields(payload).get(1, []) if payload is not None else []
         self._pa: pa.Array | None = None
         self._py: list[str] | None = None
+        self._payload = payload
+        starts: list[int] = []
+        lens: list[int] = []
+        if payload is not None:
+            view = memoryview(payload)
+            pos = 0
+            n = len(view)
+            # lean split: a StringTable is strictly repeated field 1 wire 2
+            # (key byte 0x0A); anything else falls back to the generic scan
+            while pos < n:
+                if view[pos] != 0x0A:
+                    raw = message_fields(payload).get(1, [])
+                    self._pa = pa.array(
+                        (bytes(v) for v in raw), type=pa.binary()
+                    ).cast(pa.string())
+                    self._n = len(raw)
+                    return
+                pos += 1
+                ln = view[pos]
+                if ln < 0x80:
+                    pos += 1
+                else:
+                    b1 = view[pos + 1]
+                    if b1 < 0x80:
+                        ln = (ln & 0x7F) | (b1 << 7)
+                        pos += 2
+                    else:
+                        ln, pos = read_varint(view, pos)
+                if pos + ln > n:
+                    raise ProtoDecodeError("truncated length-delimited field")
+                starts.append(pos)
+                lens.append(ln)
+                pos += ln
+        self._starts = np.asarray(starts, dtype=np.int64)
+        self._lens = np.asarray(lens, dtype=np.int64)
+        self._n = len(starts)
 
     def __len__(self) -> int:
-        return len(self._raw)
+        return self._n
 
     def arrow(self) -> pa.Array:
         if self._pa is None:
-            self._pa = pa.array(
-                (bytes(v) for v in self._raw), type=pa.binary()
-            ).cast(pa.string())  # cast validates UTF-8 (StringtableUtf8 parity)
+            if self._n == 0:
+                self._pa = pa.array([], type=pa.string())
+                return self._pa
+            # zero-copy-ish assembly: extract all string bytes with one
+            # boundary-delta mask, then wrap buffer + offsets as a binary
+            # array; the cast validates UTF-8 (StringtableUtf8 parity)
+            arr = np.frombuffer(self._payload, dtype=np.uint8)
+            blob, _ = extract_ranges(
+                arr, self._starts, self._lens,
+                np.zeros(self._n, dtype=np.int64), 1,
+            )
+            offsets = np.zeros(self._n + 1, dtype=np.int32)
+            np.cumsum(self._lens, out=offsets[1:])
+            binarr = pa.Array.from_buffers(
+                pa.binary(), self._n,
+                [None, pa.py_buffer(offsets), pa.py_buffer(blob)],
+            )
+            self._pa = binarr.cast(pa.string())
         return self._pa
 
     def py(self) -> list[str]:
         if self._py is None:
-            self._py = [bytes(v).decode("utf-8") for v in self._raw]
+            self._py = self.arrow().to_pylist()
         return self._py
 
     def take(self, indices: np.ndarray) -> pa.Array:
-        if indices.size and (indices.min() < 0 or indices.max() >= len(self._raw)):
+        if indices.size and (indices.min() < 0 or indices.max() >= self._n):
             raise ProtoDecodeError("stringtable index out of bounds")
         return self.arrow().take(pa.array(indices, type=pa.int64()))
 
@@ -335,23 +390,62 @@ class _InfoBatch:
     back to the scalar decoder for exact skip semantics.
     """
 
-    __slots__ = ("n0", "parts", "part_elem")
+    __slots__ = ("n0", "parts", "part_elem", "_arr", "_plens", "_elems")
 
     def __init__(self, n0: int) -> None:
         self.n0 = n0
         self.parts: list = []
         self.part_elem: list[int] = []
+        self._arr = None
+        self._plens = None
+        self._elems = None
 
     def add(self, i: int, payload) -> None:
         if payload is not None and len(payload):
             self.parts.append(payload)
             self.part_elem.append(i)
 
-    def _scalar_fallback(self, out, date_granularity: int) -> None:
+    @classmethod
+    def from_ranges(cls, arr: np.ndarray, starts: np.ndarray,
+                    lens: np.ndarray, lanes: np.ndarray, n0: int) -> "_InfoBatch":
+        """Build directly from byte ranges of a scanned message buffer
+        (``proto.scan_message_batch`` output) — no per-element slicing.
+        Ranges are sorted by start so the extracted blob layout matches
+        the per-part length/elem arrays."""
+        self = cls(n0)
+        nz = lens > 0
+        if nz.any():
+            order = np.argsort(starts[nz], kind="stable")
+            s = starts[nz][order]
+            ln = lens[nz][order]
+            la = lanes[nz][order]
+            blob, _ = extract_ranges(arr, s, ln, la, n0)
+            self._arr = blob
+            self._plens = ln
+            self._elems = la
+        return self
+
+    def _assemble(self):
+        """→ (uint8 buffer, per-part byte lengths, per-part element ids)
+        or None when no Info payloads exist."""
+        if self._arr is not None:
+            return self._arr, self._plens, self._elems
+        if not self.parts:
+            return None
+        return (
+            np.frombuffer(b"".join(self.parts), dtype=np.uint8),
+            np.fromiter((len(p) for p in self.parts), np.int64, len(self.parts)),
+            np.asarray(self.part_elem, dtype=np.int64),
+        )
+
+    def _scalar_fallback(self, out, date_granularity, arr, plens, elems) -> None:
         (changeset, changeset_valid, ts_ms, ts_valid, uid, uid_valid,
          user_sid, version, version_valid, visible, visible_valid) = out
-        for i, payload in zip(self.part_elem, self.parts):
-            row = _info_scalars(payload, date_granularity)
+        buf = arr.tobytes()
+        offs = np.concatenate(([0], np.cumsum(plens)))
+        for j in range(elems.size):
+            i = int(elems[j])
+            row = _info_scalars(buf[offs[j]:offs[j + 1]], date_granularity)
             (changeset[i], changeset_valid[i], ts_ms[i], ts_valid[i],
              uid[i], uid_valid[i], user_sid[i], version[i],
              version_valid[i], visible[i], visible_valid[i]) = row
@@ -369,10 +463,10 @@ class _InfoBatch:
             np.zeros(n0, np.int64), np.zeros(n0, bool),   # version
             np.ones(n0, bool), np.ones(n0, bool),         # visible
         )
-        if not self.parts:
+        asm = self._assemble()
+        if asm is None:
             return out
-        buf = b"".join(self.parts)
-        arr = np.frombuffer(buf, dtype=np.uint8)
+        arr, plens, elems = asm
         is_end = arr < 0x80
         if not is_end[-1]:
             raise ProtoDecodeError("truncated varint")
@@ -389,8 +483,6 @@ class _InfoBatch:
             m = lens > k
             vals[m] |= (arr[starts[m] + k].astype(np.uint64)
                         & np.uint64(0x7F)) << np.uint64(7 * k)
-        plens = np.fromiter((len(p) for p in self.parts), np.int64,
-                            len(self.parts))
         byte_starts = np.concatenate(([0], np.cumsum(plens)[:-1]))
         vfirst = np.searchsorted(starts, byte_starts)
         if vfirst[-1] >= starts.size or not np.array_equal(
@@ -398,20 +490,20 @@ class _InfoBatch:
         ):
             raise ProtoDecodeError("varint crosses message boundary")
         mid = np.searchsorted(byte_starts, starts, side="right") - 1
-        counts = np.bincount(mid, minlength=len(self.parts))
+        counts = np.bincount(mid, minlength=plens.size)
         pos_in_msg = np.arange(starts.size, dtype=np.int64) - vfirst[mid]
         is_tag = (pos_in_msg & 1) == 0
         tags = vals[is_tag]
         if (counts & 1).any() or ((tags & np.uint64(7)) != 0).any():
             # a non-wire-0 field breaks tag/value alternation — rare;
             # take the exact scalar skip path
-            self._scalar_fallback(out, date_granularity)
+            self._scalar_fallback(out, date_granularity, arr, plens, elems)
             return out
         (changeset, changeset_valid, ts_ms, ts_valid, uid, uid_valid,
          user_sid, version, version_valid, visible, visible_valid) = out
         fns = (tags >> np.uint64(3)).astype(np.int64)
         x = vals[~is_tag].astype(np.int64)  # two's-complement int64
-        elem = np.asarray(self.part_elem, dtype=np.int64)[mid[~is_tag]]
+        elem = elems[mid[~is_tag]]
 
         def _s32(a):
             # int32 encoded as positive varint < 2^32 with sign bit set
@@ -622,15 +714,74 @@ def _dense_tags(kv: np.ndarray, n0: int, c: _Columns) -> None:
 
 def _decode_ways(way_payloads, c: _Columns, granularity, lat_offset, lon_offset,
                  date_granularity, _want) -> None:
-    """Repeated Way messages (osmformat.proto:222-241). LocationsOnWays
-    lat/lon arrays (fields 9/10) are decoded but not emitted in the wide
-    schema (parity: the reference sink ignores them too, sink.rs:233-234);
-    they're validated in tests via decode_way_locations().
+    """Repeated Way messages (osmformat.proto:222-241), fully vectorized:
+    ``scan_message_batch`` lane-frontier-parses ALL ways' top-level fields
+    in ~6 numpy passes, then each packed field (refs/keys/vals) and the
+    Info metadata decode in one vectorized pass across the whole group
+    (per-way delta reset via segmented cumsum). LocationsOnWays lat/lon
+    arrays (fields 9/10) are not emitted in the wide schema (parity: the
+    reference sink ignores them too, sink.rs:233-234); they're validated
+    in tests via decode_way_locations().
 
-    Hot path: a lean inline field scan routes every way's packed payloads
-    into PackedBatch accumulators; ALL ways' refs/keys/vals decode in one
-    vectorized pass each (per-way delta reset via segmented cumsum) —
-    thousands of small numpy calls collapse into three."""
+    The rare legal-but-unpacked encoding (repeated fields as individual
+    wire-0 varints) drops to the scalar row scan below for exact parity.
+    """
+    n0 = len(way_payloads)
+    want_nds = _want("nds")
+    want_tags = _want("tags")
+    want_meta = any(map(_want, ("changeset", "timestamp", "uid", "user",
+                                "version", "visible")))
+    arr, (sf, sl, sv), (rf, rl, rs, rn) = scan_message_batch(way_payloads)
+    if sf.size and bool(np.isin(sf, (2, 3, 8)).any()):
+        return _decode_ways_scalar(
+            way_payloads, c, granularity, lat_offset, lon_offset,
+            date_granularity, _want,
+        )
+    ids = np.zeros(n0, dtype=np.int64)
+    m_id = sf == 1
+    ids[sl[m_id]] = sv[m_id].astype(np.int64)
+
+    def _packed(fno: int, zigzag: bool = False, delta: bool = False):
+        m = rf == fno
+        blob, nbytes = extract_ranges(arr, rs[m], rn[m], rl[m], n0)
+        return finish_packed(blob, nbytes, zigzag=zigzag, delta=delta)
+
+    if want_nds:
+        nd_refs, nd_counts = _packed(8, zigzag=True, delta=True)
+    else:
+        nd_refs, nd_counts = _EMPTY_I64, np.zeros(n0, dtype=np.int64)
+    if want_tags:
+        tag_keys, tag_counts = _packed(2)
+        tag_vals, _vc = _packed(3)
+    else:
+        tag_keys = tag_vals = _EMPTY_I64
+        tag_counts = np.zeros(n0, dtype=np.int64)
+    c.has_nds = True
+    c.n += n0
+    c.ids.append(ids)
+    c.lat.append(np.full(n0, np.nan))
+    c.lon.append(np.full(n0, np.nan))
+    c.tag_counts.append(tag_counts)
+    if tag_keys.size:
+        c.tag_keys.append(tag_keys)
+        c.tag_vals.append(tag_vals)
+    c.nd_counts.append(nd_counts)
+    if nd_refs.size:
+        c.nd_refs.append(nd_refs)
+    c.mem_counts.append(np.zeros(n0, dtype=np.int64))
+    if want_meta:
+        m = rf == 4
+        info_b = _InfoBatch.from_ranges(arr, rs[m], rn[m], rl[m], n0)
+        _append_meta_arrays(c, info_b.finish(date_granularity))
+    else:
+        _append_meta_rows(c, [], n0, want_meta=False)
+
+
+def _decode_ways_scalar(way_payloads, c: _Columns, granularity, lat_offset,
+                        lon_offset, date_granularity, _want) -> None:
+    """Row-at-a-time fallback for groups using unpacked repeated-field
+    encoding (proto2 readers must accept both; planet files never emit
+    it). Inline 1-2 byte varint fast paths keep it tolerable."""
     n0 = len(way_payloads)
     ids = np.empty(n0, dtype=np.int64)
     want_nds = _want("nds")
@@ -734,9 +885,65 @@ def decode_way_locations(way_payload, granularity=100, lat_offset=0, lon_offset=
 
 
 def _decode_relations(rel_payloads, c: _Columns, date_granularity, _want) -> None:
-    """Repeated Relation messages (osmformat.proto:243-262). Same batched
-    decode strategy as ``_decode_ways``: one vectorized pass per field
-    across the whole group (memids with per-relation delta reset)."""
+    """Repeated Relation messages (osmformat.proto:243-262). Same
+    lane-frontier vectorized strategy as ``_decode_ways`` (memids with
+    per-relation delta reset; roles/types zipped parallel arrays)."""
+    n0 = len(rel_payloads)
+    want_members = _want("members")
+    want_tags = _want("tags")
+    want_meta = any(map(_want, ("changeset", "timestamp", "uid", "user",
+                                "version", "visible")))
+    arr, (sf, sl, sv), (rf, rl, rs, rn) = scan_message_batch(rel_payloads)
+    if sf.size and bool(np.isin(sf, (2, 3, 8, 9, 10)).any()):
+        return _decode_relations_scalar(rel_payloads, c, date_granularity, _want)
+    ids = np.zeros(n0, dtype=np.int64)
+    m_id = sf == 1
+    ids[sl[m_id]] = sv[m_id].astype(np.int64)
+
+    def _packed(fno: int, zigzag: bool = False, delta: bool = False):
+        m = rf == fno
+        blob, nbytes = extract_ranges(arr, rs[m], rn[m], rl[m], n0)
+        return finish_packed(blob, nbytes, zigzag=zigzag, delta=delta)
+
+    if want_members:
+        mem_refs, mem_counts = _packed(9, zigzag=True, delta=True)
+        mem_roles, _rc = _packed(8)
+        mem_types, _tc = _packed(10)
+    else:
+        mem_refs = mem_roles = mem_types = _EMPTY_I64
+        mem_counts = np.zeros(n0, dtype=np.int64)
+    if want_tags:
+        tag_keys, tag_counts = _packed(2)
+        tag_vals, _vc = _packed(3)
+    else:
+        tag_keys = tag_vals = _EMPTY_I64
+        tag_counts = np.zeros(n0, dtype=np.int64)
+    c.has_members = True
+    c.n += n0
+    c.ids.append(ids)
+    c.lat.append(np.full(n0, np.nan))
+    c.lon.append(np.full(n0, np.nan))
+    c.tag_counts.append(tag_counts)
+    if tag_keys.size:
+        c.tag_keys.append(tag_keys)
+        c.tag_vals.append(tag_vals)
+    c.nd_counts.append(np.zeros(n0, dtype=np.int64))
+    c.mem_counts.append(mem_counts)
+    if mem_refs.size:
+        c.mem_refs.append(mem_refs)
+        c.mem_roles.append(mem_roles)
+        c.mem_types.append(mem_types)
+    if want_meta:
+        m = rf == 4
+        info_b = _InfoBatch.from_ranges(arr, rs[m], rn[m], rl[m], n0)
+        _append_meta_arrays(c, info_b.finish(date_granularity))
+    else:
+        _append_meta_rows(c, [], n0, want_meta=False)
+
+
+def _decode_relations_scalar(rel_payloads, c: _Columns, date_granularity, _want) -> None:
+    """Row-at-a-time fallback for unpacked repeated-field encodings (see
+    ``_decode_ways_scalar``)."""
     n0 = len(rel_payloads)
     ids = np.empty(n0, dtype=np.int64)
     want_members = _want("members")

@@ -82,30 +82,72 @@ def iter_fields(buf):
 
 
 def message_fields(buf) -> dict[int, list]:
-    """Scan a message into ``{field_no: [values...]}`` preserving order."""
+    """Scan a message into ``{field_no: [values...]}`` preserving order.
+
+    Tight non-generator loop with inline 1-2 byte varint fast paths:
+    this runs once per StringTable entry and once per group element
+    payload, so generator/yield overhead was a measured hot spot."""
+    view = memoryview(buf)
+    pos = 0
+    n = len(view)
     out: dict[int, list] = {}
-    for field_no, _wire, val in iter_fields(buf):
-        out.setdefault(field_no, []).append(val)
+    while pos < n:
+        key = view[pos]
+        if key < 0x80:
+            pos += 1
+        else:
+            key, pos = read_varint(view, pos)
+        field_no = key >> 3
+        wire = key & 7
+        if wire == 2:
+            ln = view[pos]
+            if ln < 0x80:
+                pos += 1
+            else:
+                b1 = view[pos + 1]
+                if b1 < 0x80:
+                    ln = (ln & 0x7F) | (b1 << 7)
+                    pos += 2
+                else:
+                    ln, pos = read_varint(view, pos)
+            nxt = pos + ln
+            if nxt > n:
+                raise ProtoDecodeError("truncated length-delimited field")
+            val = view[pos:nxt]
+            pos = nxt
+        elif wire == 0:
+            val = view[pos]
+            if val < 0x80:
+                pos += 1
+            else:
+                val, pos = read_varint(view, pos)
+        elif wire == 1:
+            val = view[pos : pos + 8]
+            pos += 8
+        elif wire == 5:
+            val = view[pos : pos + 4]
+            pos += 4
+        else:
+            raise ProtoDecodeError(f"unsupported wire type {wire}")
+        lst = out.get(field_no)
+        if lst is None:
+            out[field_no] = [val]
+        else:
+            lst.append(val)
     return out
 
 
 # --- packed repeated decoding (the hot path) --------------------------------
 
 
-def decode_packed_uvarints(chunks) -> np.ndarray:
-    """Decode one or more packed-varint payloads into a uint64 array.
+def uvarints_from_raw(raw: np.ndarray) -> np.ndarray:
+    """Decode a uint8 array of back-to-back varints into uint64 values.
 
     Fully vectorized: classify terminator bytes (high bit clear), group
     bytes by value, shift-and-sum with ``np.add.reduceat``. This replaces
     per-value scalar decoding and is the foundation of the cumsum delta
     decode (reference scalar equivalent ``osmpbf/src/dense.rs:148-152``).
     """
-    if not chunks:
-        return np.empty(0, dtype=np.uint64)
-    if len(chunks) == 1:
-        raw = np.frombuffer(chunks[0], dtype=np.uint8)
-    else:
-        raw = np.frombuffer(b"".join(bytes(c) for c in chunks), dtype=np.uint8)
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_term = raw < 0x80
@@ -122,6 +164,17 @@ def decode_packed_uvarints(chunks) -> np.ndarray:
         raise ProtoDecodeError("varint too long")
     contrib = (raw & 0x7F).astype(np.uint64) << (offsets.astype(np.uint64) * _U64_7)
     return np.add.reduceat(contrib, starts)
+
+
+def decode_packed_uvarints(chunks) -> np.ndarray:
+    """Decode one or more packed-varint payloads into a uint64 array."""
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    if len(chunks) == 1:
+        raw = np.frombuffer(chunks[0], dtype=np.uint8)
+    else:
+        raw = np.frombuffer(b"".join(bytes(c) for c in chunks), dtype=np.uint8)
+    return uvarints_from_raw(raw)
 
 
 def zigzag_decode(values: np.ndarray) -> np.ndarray:
@@ -144,6 +197,34 @@ def packed_delta(chunks) -> np.ndarray:
     return np.cumsum(packed_svarints(chunks))
 
 
+def vec_varints_at(arr: np.ndarray, positions: np.ndarray):
+    """Decode one varint per lane at arbitrary byte ``positions`` of
+    ``arr`` (uint8 view of a buffer). Returns ``(values uint64, next_pos
+    int64)``. Vectorized lane-stepping: iteration k reads byte k of every
+    lane still inside its varint — most varints are 1-2 bytes, so lanes
+    drain after a couple of passes and total work is O(total varint
+    bytes) in a handful of numpy ops."""
+    cur = positions.astype(np.int64, copy=True)
+    val = np.zeros(cur.size, dtype=np.uint64)
+    lane_active = np.ones(cur.size, dtype=bool)
+    n = arr.size
+    k = 0
+    while True:
+        idxs = cur[lane_active]
+        if idxs.size == 0:
+            break
+        if k > 9:
+            raise ProtoDecodeError("varint too long")
+        if idxs.size and int(idxs.max()) >= n:
+            raise ProtoDecodeError("truncated varint")
+        b = arr[idxs]
+        val[lane_active] |= (b & 0x7F).astype(np.uint64) << np.uint64(7 * k)
+        cur[lane_active] += 1
+        lane_active[lane_active] = (b & 0x80) != 0
+        k += 1
+    return val, cur
+
+
 def encode_varint(v: int) -> bytes:
     """Encode a non-negative int as a varint (used to normalize rare
     unpacked wire-0 values into the batched packed decode path)."""
@@ -156,6 +237,128 @@ def encode_varint(v: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+def scan_message_batch(payloads: list):
+    """Vectorized top-level field scan over N concatenated same-type
+    messages (the repeated Way/Relation entries of a PrimitiveGroup).
+
+    Lane-frontier parsing: every message is a lane; one loop iteration
+    advances EVERY active lane past its next field (key varint, then the
+    wire-type-specific payload), so total iterations = max field count of
+    any message (~6-8 for OSM) and each iteration is a handful of numpy
+    ops over all lanes at once. This replaces the per-message Python scan
+    loop — the dominant decode cost for way-heavy blocks.
+
+    Returns ``(arr, (sc_fno, sc_lane, sc_val), (rg_fno, rg_lane,
+    rg_start, rg_len))`` where ``arr`` is the uint8 view of the
+    concatenated buffer, the ``sc_*`` arrays hold every wire-0 occurrence
+    (value as uint64) and the ``rg_*`` arrays every wire-2 occurrence
+    (byte range into ``arr``). Occurrence order is iteration-major;
+    per-lane order is recovered by sorting on ``rg_start`` (lanes occupy
+    disjoint ascending spans). Wire 1/5 fields are skipped structurally.
+    """
+    n = len(payloads)
+    buf = b"".join(payloads)
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    lens = np.fromiter((len(p) for p in payloads), np.int64, n)
+    w_end = np.cumsum(lens)
+    w_start = w_end - lens
+    pos = w_start.copy()
+    lanes_all = np.arange(n, dtype=np.int64)
+    sc_f: list = []; sc_l: list = []; sc_v: list = []
+    rg_f: list = []; rg_l: list = []; rg_s: list = []; rg_n: list = []
+    while True:
+        act = pos < w_end
+        if not act.any():
+            break
+        lanes = lanes_all[act]
+        key, nxt = vec_varints_at(arr, pos[act])
+        if (nxt > w_end[lanes]).any():
+            raise ProtoDecodeError("truncated field key")
+        fno = (key >> np.uint64(3)).astype(np.int64)
+        wire = (key & np.uint64(7)).astype(np.int64)
+        new_pos = nxt.copy()
+        m0 = wire == 0
+        if m0.any():
+            v, nv = vec_varints_at(arr, nxt[m0])
+            if (nv > w_end[lanes[m0]]).any():
+                raise ProtoDecodeError("truncated varint field")
+            sc_f.append(fno[m0]); sc_l.append(lanes[m0]); sc_v.append(v)
+            new_pos[m0] = nv
+        m2 = wire == 2
+        if m2.any():
+            ln, nv = vec_varints_at(arr, nxt[m2])
+            ln = ln.astype(np.int64)
+            ends = nv + ln
+            if (ends > w_end[lanes[m2]]).any():
+                raise ProtoDecodeError("truncated length-delimited field")
+            rg_f.append(fno[m2]); rg_l.append(lanes[m2])
+            rg_s.append(nv); rg_n.append(ln)
+            new_pos[m2] = ends
+        m1 = wire == 1
+        if m1.any():
+            new_pos[m1] = nxt[m1] + 8
+        m5 = wire == 5
+        if m5.any():
+            new_pos[m5] = nxt[m5] + 4
+        bad = ~(m0 | m2 | m1 | m5)
+        if bad.any():
+            raise ProtoDecodeError(
+                f"unsupported wire type {int(wire[bad][0])}"
+            )
+        if ((m1 | m5) & (new_pos > w_end[lanes])).any():
+            raise ProtoDecodeError("truncated fixed-width field")
+        pos[act] = new_pos
+
+    def _cat(parts, dtype):
+        return (np.concatenate(parts) if parts
+                else np.empty(0, dtype=dtype))
+
+    return (
+        arr,
+        (_cat(sc_f, np.int64), _cat(sc_l, np.int64), _cat(sc_v, np.uint64)),
+        (_cat(rg_f, np.int64), _cat(rg_l, np.int64),
+         _cat(rg_s, np.int64), _cat(rg_n, np.int64)),
+    )
+
+
+def extract_ranges(arr: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                   lanes: np.ndarray, n0: int):
+    """Concatenate the byte ranges (in lane order) and count bytes per
+    lane. Extraction uses a +1/-1 boundary-delta mask over the buffer —
+    buffer order equals lane order because lanes occupy disjoint
+    ascending spans. Returns ``(blob uint8 array, nbytes per lane)``."""
+    nbytes = np.zeros(n0, dtype=np.int64)
+    if starts.size == 0:
+        return np.empty(0, dtype=np.uint8), nbytes
+    delta = np.zeros(arr.size + 1, dtype=np.int32)
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, starts + lens, -1)
+    blob = arr[np.cumsum(delta[:-1]) > 0]
+    np.add.at(nbytes, lanes, lens)
+    return blob, nbytes
+
+
+def finish_packed(raw: np.ndarray, nbytes: np.ndarray,
+                  zigzag: bool = False, delta: bool = False):
+    """Decode a concatenated packed-varint byte blob into values + per-lane
+    counts, with optional zigzag and per-lane delta-reset cumsum (shared
+    core of PackedBatch.finish and the vectorized range path)."""
+    n0 = nbytes.size
+    if raw.size == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(n0, dtype=np.int64)
+    u = uvarints_from_raw(raw)
+    vals = zigzag_decode(u) if zigzag else u.astype(np.int64)
+    term_cs = np.concatenate([[0], np.cumsum(raw < 0x80)])
+    byte_bounds = np.concatenate([[0], np.cumsum(nbytes)])
+    counts = term_cs[byte_bounds[1:]] - term_cs[byte_bounds[:-1]]
+    if delta and vals.size:
+        cs = np.cumsum(vals)
+        elem_starts = np.cumsum(counts) - counts
+        base = np.where(elem_starts > 0, cs[np.maximum(elem_starts - 1, 0)], 0)
+        vals = cs - np.repeat(base, counts)
+    return vals, counts
 
 
 class PackedBatch:
@@ -190,24 +393,11 @@ class PackedBatch:
 
     def finish(self, zigzag: bool = False, delta: bool = False):
         """→ (values int64, per-element counts). One vectorized decode."""
-        n0 = self.nbytes.size
         if not self.parts:
-            return np.empty(0, dtype=np.int64), np.zeros(n0, dtype=np.int64)
-        blob = b"".join(self.parts)
-        raw = np.frombuffer(blob, dtype=np.uint8)
-        u = decode_packed_uvarints([blob])
-        vals = zigzag_decode(u) if zigzag else u.astype(np.int64)
-        term_cs = np.concatenate([[0], np.cumsum(raw < 0x80)])
-        byte_bounds = np.concatenate([[0], np.cumsum(self.nbytes)])
-        counts = term_cs[byte_bounds[1:]] - term_cs[byte_bounds[:-1]]
-        if delta and vals.size:
-            cs = np.cumsum(vals)
-            elem_starts = np.cumsum(counts) - counts
-            base = np.where(
-                elem_starts > 0, cs[np.maximum(elem_starts - 1, 0)], 0
-            )
-            vals = cs - np.repeat(base, counts)
-        return vals, counts
+            return (np.empty(0, dtype=np.int64),
+                    np.zeros(self.nbytes.size, dtype=np.int64))
+        raw = np.frombuffer(b"".join(self.parts), dtype=np.uint8)
+        return finish_packed(raw, self.nbytes, zigzag=zigzag, delta=delta)
 
 
 def repeated_numeric(values, signed_zigzag: bool, delta: bool = False) -> np.ndarray:

@@ -296,3 +296,86 @@ def test_info_batch_fallback_on_non_varint_field():
     actual0 = tuple(int(a[0]) if a.dtype != bool else bool(a[0]) for a in got)
     assert actual0 == tuple(int(x) if not isinstance(x, bool) else x for x in exp0)
     assert int(got[7][1]) == 4 and bool(got[8][1])  # row 1 version intact
+
+
+def _data_group_payloads(path, field_no):
+    """Collect (payload_list, date_granularity) for each group carrying
+    repeated field ``field_no`` (3=ways, 4=relations) in a file."""
+    out = []
+    for info, raw in B.iter_blobs(path):
+        if info.blob_type != B.TYPE_DATA:
+            continue
+        fields = P.message_fields(B.decompress_blob(raw))
+        dg = fields.get(18, [1000])[0] or 1000
+        for group_payload in fields.get(2, []):
+            group = P.message_fields(group_payload)
+            if field_no in group:
+                out.append((group[field_no], dg))
+    return out
+
+
+def _cols_snapshot(c):
+    cat = lambda chunks: np.concatenate([np.asarray(x) for x in chunks]) if chunks else np.empty(0)
+    return {
+        name: cat(getattr(c, name))
+        for name in ("ids", "tag_counts", "tag_keys", "tag_vals", "nd_counts",
+                     "nd_refs", "mem_counts", "mem_refs", "mem_roles",
+                     "mem_types", "changeset", "ts_ms", "uid", "user_sid",
+                     "version", "visible")
+    }
+
+
+def test_vectorized_way_decode_matches_scalar():
+    """The lane-frontier way decoder must agree field-for-field with the
+    row-at-a-time fallback on real multi-way groups."""
+    import sys, os, tempfile
+    sys.path.insert(0, os.path.dirname(__file__))
+    from pbf_encoder import write_synthetic_pbf
+
+    path = tempfile.mktemp(suffix=".osm.pbf")
+    write_synthetic_pbf(path, n_nodes=300, n_ways=200, n_rels=40,
+                        nodes_per_block=64)
+    try:
+        groups = _data_group_payloads(path, 3)
+        assert groups, "synthetic file must contain way groups"
+        want = lambda col: True
+        for payloads, dg in groups:
+            cv, cs = D._Columns(), D._Columns()
+            D._decode_ways(payloads, cv, 100, 0, 0, dg, want)
+            D._decode_ways_scalar(payloads, cs, 100, 0, 0, dg, want)
+            a, b = _cols_snapshot(cv), _cols_snapshot(cs)
+            for name in a:
+                assert np.array_equal(a[name], b[name]), f"way field {name}"
+        for payloads, dg in _data_group_payloads(path, 4):
+            cv, cs = D._Columns(), D._Columns()
+            D._decode_relations(payloads, cv, dg, want)
+            D._decode_relations_scalar(payloads, cs, dg, want)
+            a, b = _cols_snapshot(cv), _cols_snapshot(cs)
+            for name in a:
+                assert np.array_equal(a[name], b[name]), f"rel field {name}"
+    finally:
+        import os as _os
+        _os.unlink(path)
+
+
+def test_unpacked_repeated_fields_fall_back():
+    """proto2 allows repeated numeric fields to arrive unpacked (one
+    wire-0 entry per value); the vectorized scan must detect this and
+    route the group to the scalar decoder, producing identical refs."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from pbf_encoder import _key, _varint, _zigzag, _len_field, encode_info, StringTable
+
+    st = StringTable()
+    refs = [105, 106, 108, 105]
+    deltas = [refs[0]] + [b - a for a, b in zip(refs, refs[1:])]
+    body = _key(1, 0) + _varint(7)
+    for d in deltas:  # unpacked: each ref its own wire-0 field
+        body += _key(8, 0) + _varint(_zigzag(d))
+    body += _len_field(4, encode_info(st, {"version": 2, "uid": 9, "user": "u"}))
+    c = D._Columns()
+    c._stringtable = D._StringTable(st.encode())
+    D._decode_ways([body], c, 100, 0, 0, 1000, lambda col: True)
+    assert np.concatenate(c.nd_refs).tolist() == refs
+    assert np.concatenate(c.ids).tolist() == [7]
+    assert np.concatenate(c.version).tolist() == [2]
