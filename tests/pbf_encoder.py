@@ -243,3 +243,162 @@ def write_synthetic_pbf(path: str, n_nodes: int = 5000, n_ways: int = 500,
                 }))
             write_blob(f, "OSMData", encode_primitive_block([b"".join(entries)], st=st))
     return {"nodes": n_nodes, "ways": n_ways, "relations": n_rels}
+
+
+# --- vectorized generator (bench-scale inputs) -------------------------------
+
+
+def _np_uvarint_buf(values) -> tuple[bytes, "np.ndarray"]:
+    """Encode a uint64 array as back-to-back varints. Returns (buffer,
+    per-value byte lengths). Vectorized mirror of the decoder's
+    mass-varint pass: lengths by threshold comparison, bytes scattered
+    per position with continuation bits."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.uint64)
+    lens = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 10):
+        lens += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    out = np.zeros(int(ends[-1]) if v.size else 0, dtype=np.uint8)
+    for k in range(int(lens.max(initial=0))):
+        m = lens > k
+        byte = ((v[m] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (lens[m] > k + 1)
+        out[starts[m] + k] = byte | (cont.astype(np.uint8) << 7)
+    return out.tobytes(), lens
+
+
+def _np_zigzag(v) -> "np.ndarray":
+    import numpy as np
+
+    x = np.asarray(v, dtype=np.int64)
+    return ((x << 1) ^ (x >> 63)).astype(np.uint64)
+
+
+def _np_packed_field(field_no: int, values, zigzag: bool, delta: bool) -> bytes:
+    import numpy as np
+
+    x = np.asarray(values, dtype=np.int64)
+    if delta:
+        x = np.diff(x, prepend=np.int64(0))
+    u = _np_zigzag(x) if zigzag else x.astype(np.uint64)
+    buf, _ = _np_uvarint_buf(u)
+    return _len_field(field_no, buf)
+
+
+def write_synthetic_pbf_fast(path: str, n_nodes: int, n_ways: int = 0,
+                             n_rels: int = 0, nodes_per_block: int = 8000,
+                             seed: int = 42) -> dict:
+    """Numpy-vectorized synthetic PBF writer for bench-scale inputs
+    (~10-20x faster than write_synthetic_pbf; same wire format, similar
+    content distributions, not byte-identical)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    with open(path, "wb") as f:
+        write_blob(f, "OSMHeader", encode_header_block())
+        # --- dense node blocks ---
+        for start in range(0, n_nodes, nodes_per_block):
+            ids = np.arange(start + 1, min(start + nodes_per_block, n_nodes) + 1,
+                            dtype=np.int64)
+            B = ids.size
+            lat = rng.integers(-9_000_000, 9_000_000, B) * 10
+            lon = rng.integers(-18_000_000, 18_000_000, B) * 10
+            tagged = ids % 7 == 0
+            tag_ids = ids[tagged]
+            # stringtable: [""] + per-tagged names + fixed + users
+            names = [f"n{i}" for i in tag_ids]
+            fixed = ["name", "amenity", "bench"]
+            users = [f"user{u}" for u in range(50)]
+            strings = [""] + names + fixed + users
+            st_payload = b"".join(
+                b"\x0a" + _varint(len(s)) + s
+                for s in (x.encode() for x in strings)
+            )
+            name_idx = np.arange(1, 1 + len(names), dtype=np.int64)
+            k_name, k_amen, v_bench = (len(names) + 1, len(names) + 2,
+                                       len(names) + 3)
+            user0 = len(names) + 4
+            # keys_vals: tagged -> [k_name, name_i, k_amen, v_bench, 0]
+            kv_len = np.where(tagged, 5, 1)
+            kv_end = np.cumsum(kv_len)
+            kv = np.zeros(int(kv_end[-1]), dtype=np.int64)
+            t_start = kv_end[tagged] - 5
+            kv[t_start] = k_name
+            kv[t_start + 1] = name_idx
+            kv[t_start + 2] = k_amen
+            kv[t_start + 3] = v_bench
+            di = (
+                _np_packed_field(1, rng.integers(1, 5, B), False, False)  # version
+                + _np_packed_field(2, 1_500_000_000 + ids, True, True)    # ts
+                + _np_packed_field(3, 10_000 + ids % 97, True, True)      # changeset
+                + _np_packed_field(4, ids % 1000, True, True)             # uid
+                + _np_packed_field(5, user0 + ids % 50, True, True)       # user_sid
+                + _np_packed_field(6, (ids % 113 != 0).astype(np.int64), False, False)
+            )
+            body = (
+                _np_packed_field(1, ids, True, True)
+                + _len_field(5, di)
+                + _np_packed_field(8, lat, True, True)
+                + _np_packed_field(9, lon, True, True)
+                + _np_packed_field(10, kv, False, False)
+            )
+            group = _len_field(2, body)
+            block = _len_field(1, st_payload) + _len_field(2, group)
+            write_blob(f, "OSMData", block)
+        # --- way blocks (vectorized refs; per-way assembly) ---
+        refs_per_way = 10
+        for wstart in range(0, n_ways, nodes_per_block):
+            wids = np.arange(100_000 + wstart,
+                             100_000 + min(wstart + nodes_per_block, n_ways),
+                             dtype=np.int64)
+            W = wids.size
+            strings = ["", "highway", "residential", "mapper"]
+            st_payload = b"".join(
+                b"\x0a" + _varint(len(s)) + s
+                for s in (x.encode() for x in strings)
+            )
+            refs = np.sort(rng.integers(1, max(n_nodes, 2), (W, refs_per_way)), axis=1)
+            deltas = np.diff(refs, axis=1, prepend=np.zeros((W, 1), dtype=np.int64))
+            flat, vlens = _np_uvarint_buf(_np_zigzag(deltas.ravel()))
+            per_way_bytes = np.add.reduceat(vlens, np.arange(0, W * refs_per_way,
+                                                             refs_per_way))
+            offs = np.concatenate(([0], np.cumsum(per_way_bytes)))
+            id_buf, id_lens = _np_uvarint_buf(wids.astype(np.uint64))
+            id_offs = np.concatenate(([0], np.cumsum(id_lens)))
+            info = _key(1, 0) + _varint(1) + _key(4, 0) + _varint(1) + \
+                _key(5, 0) + _varint(3)
+            info_field = _len_field(4, info)
+            tag_field = (_packed_uvarints(2, [1]) + _packed_uvarints(3, [2]))
+            k1, k8 = _key(1, 0), _key(8, 2)
+            entries = []
+            for i in range(W):
+                body = (
+                    k1 + id_buf[id_offs[i]:id_offs[i + 1]]
+                    + (tag_field if wids[i] % 3 == 0 else b"")
+                    + info_field
+                    + k8 + _varint(int(per_way_bytes[i]))
+                    + flat[offs[i]:offs[i + 1]]
+                )
+                entries.append(_len_field(3, body))
+            block = _len_field(1, st_payload) + _len_field(2, b"".join(entries))
+            write_blob(f, "OSMData", block)
+        # --- relation blocks (small; reuse scalar encoder) ---
+        if n_rels:
+            st = StringTable()
+            entries = []
+            for j in range(n_rels):
+                entries.append(encode_relation(st, {
+                    "id": 500_000 + j,
+                    "members": [{"type": "way",
+                                 "ref": 100_000 + int(rng.integers(0, max(n_ways, 1))),
+                                 "role": "outer"}],
+                    "tags": {"type": "multipolygon"},
+                    "version": 2, "timestamp_s": 1_650_000_000, "changeset": 6,
+                    "uid": 2, "user": "relmapper", "visible": True,
+                }))
+            write_blob(f, "OSMData",
+                       encode_primitive_block([b"".join(entries)], st=st))
+    return {"nodes": n_nodes, "ways": n_ways, "relations": n_rels}
