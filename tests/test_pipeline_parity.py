@@ -97,3 +97,17 @@ def test_frame_sample_shapes(spark):
     agg = frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
     assert len(agg) == 20
     assert all(1 <= r["n"] <= 4 for r in agg)  # ceil(n_frames/2), n_frames<=8
+
+
+def test_signature_impls_bit_identical(spark):
+    """The Arrow (numpy) and SQL (Catalyst fold) signature paths must
+    produce bit-identical minhash/simhash values — the DuckDB oracle
+    mirrors the SQL form, so this equality is what keeps the default
+    Arrow path oracle-checkable."""
+    docs = t(spark, SF_DIR, "documents")
+    a = dedup.minhash_signatures(docs, impl="arrow").select("doc_id", "minhash")
+    b = dedup.minhash_signatures(docs, impl="sql").select("doc_id", "minhash")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    sa = dedup.simhash_signatures(docs, impl="arrow").select("doc_id", "simhash")
+    sb = dedup.simhash_signatures(docs, impl="sql").select("doc_id", "simhash")
+    assert sa.exceptAll(sb).count() == 0 and sb.exceptAll(sa).count() == 0
