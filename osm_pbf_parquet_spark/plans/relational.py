@@ -893,6 +893,48 @@ FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
 """
 
 
+def q_geo_distance(spark, sf_dir):
+    """Engine scalar-function surface (functions.haversine_m — the
+    coordinate-math helper family the reference delegates to external
+    engines, SURVEY §2.2 scalar row): great-circle distance from each
+    customer's pseudo-location (derived deterministically from integer
+    keys, so both engines compute identical doubles) to its nation's
+    anchor point. Pure projection — codegen'd trig, no shuffle, and the
+    3-column read schema prunes at the scan. Rounded to whole meters so
+    cross-engine libm ulp differences (≤1e-7 m at this magnitude) can't
+    flip the hash."""
+    c = t(spark, sf_dir, "customer")
+    lat1 = (F.col("c_custkey") % 178) - 89 + F.lit(0.5)
+    lon1 = ((F.col("c_custkey") * 7) % 356) - 178 + F.lit(0.5)
+    lat2 = (F.col("c_nationkey") * 7) - 84 + F.lit(0.25)
+    lon2 = (F.col("c_nationkey") * 14) - 168 + F.lit(0.25)
+    from ..functions import haversine_m
+
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(haversine_m(lat1, lon1, lat2, lon2), 0).alias("dist_m"),
+    )
+
+
+ORACLE_GEO_DISTANCE = """
+WITH pts AS (
+  SELECT c_custkey, c_nationkey,
+         (c_custkey % 178) - 89 + 0.5 AS lat1,
+         ((c_custkey * 7) % 356) - 178 + 0.5 AS lon1,
+         (c_nationkey * 7) - 84 + 0.25 AS lat2,
+         (c_nationkey * 14) - 168 + 0.25 AS lon2
+  FROM customer
+)
+SELECT c_custkey, c_nationkey,
+       round(2 * 6371008.8 * asin(sqrt(
+         pow(sin(radians(lat2 - lat1) / 2), 2)
+         + cos(radians(lat1)) * cos(radians(lat2))
+           * pow(sin(radians(lon2 - lon1) / 2), 2))), 0) AS dist_m
+FROM pts
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "count_by_type": (q_count_by_type, ORACLE_COUNT_BY_TYPE),
     "filter_project": (q_filter_project, ORACLE_FILTER_PROJECT),
@@ -924,4 +966,5 @@ QUERIES: dict[str, tuple] = {
     "word_topk": (q_word_topk, ORACLE_WORD_TOPK),
     "percentiles": (q_percentiles, ORACLE_PERCENTILES),
     "range_window": (q_range_window, ORACLE_RANGE_WINDOW),
+    "geo_distance": (q_geo_distance, ORACLE_GEO_DISTANCE),
 }
