@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import spread_compute as _spread_compute
+
 # LCG-style deterministic seed table for minhash permutations
 MERSENNE31 = 2_147_483_647
 N_MINHASH = 32
@@ -73,19 +75,6 @@ def with_grams(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> Dat
     [0, p)) — pure projection."""
     df = df.withColumn("grams", F.expr(shingle_expr(text_col, k)))
     return df.withColumn("gram_hashes", F.expr(GRAM_HASH.format(grams="grams")))
-
-
-def _spread_compute(df: DataFrame) -> DataFrame:
-    """Signature computation is per-row compute-bound (md5 per gram + hash
-    folds), so its parallelism must match the cluster, not the input file
-    count. A small corpus in one parquet file would otherwise run the
-    whole chain on ONE core. No-op when the scan already has enough
-    partitions (any real-scale input); the repartition cost on small
-    inputs is trivially repaid."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._util import spread_compute as _spread
+
 DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 AS DOUBLE), "
     "(acc, v) -> acc + v)"
@@ -59,7 +61,7 @@ def cosine_topk(
         F.col(key).alias("query_id"),
         F.expr(TO_DOUBLE.format(v=vec_col)).alias("qv"),
     ).withColumn("qnorm", F.expr(NORM.format(v="qv")))
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(key).alias("neighbor_id"),
         F.expr(TO_DOUBLE.format(v=vec_col)).alias("cv"),
     ).withColumn("cnorm", F.expr(NORM.format(v="cv")))
@@ -87,7 +89,7 @@ def embedding_near_dup_pairs(
     (n folds, not n²); the pair side does a single dot fold. Quadratic:
     correct baseline at verification scale; use ``lsh_ann_pairs`` as the
     corpus-scale path."""
-    v = df.select(
+    v = _spread(df).select(
         key,
         F.expr(TO_DOUBLE.format(v=vec_col)).alias("v"),
     ).withColumn("norm", F.expr(NORM.format(v="v")))
@@ -139,7 +141,7 @@ def lsh_buckets(df: DataFrame, dim: int, vec_col: str = "embedding",
     plane signs. Plane index = table*m + j into the shared deterministic
     plane family. Narrow explode — no shuffle."""
     n_planes = n_tables * planes_per_table
-    d = df.withColumn("_vd", F.expr(TO_DOUBLE.format(v=vec_col)))
+    d = _spread(df).withColumn("_vd", F.expr(TO_DOUBLE.format(v=vec_col)))
     # materialize the plane family ONCE via a broadcast single-row cross
     # join (the Spark analog of a materialized CTE) — as a projected
     # column the literal would be rebuilt per lambda evaluation, and
@@ -221,7 +223,7 @@ def ivf_topk(
     is a hash join (broadcast on the small query side); the corpus is
     scanned once and only candidate rows are scored. Recall is measured
     against ``cosine_topk`` in pytest."""
-    assigned = ivf_assign(corpus, vec_col, key, n_centroids).select(
+    assigned = ivf_assign(_spread(corpus), vec_col, key, n_centroids).select(
         F.col(key).alias("neighbor_id"), "cell",
         F.col("_vd").alias("cv"),
     ).withColumn("cnorm", F.expr(NORM.format(v="cv")))

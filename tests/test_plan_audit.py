@@ -83,3 +83,20 @@ def test_wholestage_codegen_on_scan_paths(spark):
     # formatted mode marks codegen'd operators with a leading '*'
     assert "* Project" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_osmpbf_datasource_filter_pushdown(spark):
+    """The osmpbf Python DataSource must surface type predicates as
+    PushedFilters on its BatchScan (kind pushdown into the parse kernel
+    — unwanted element kinds never decode)."""
+    from osm_pbf_parquet_spark.sources.pbf_datasource import register_osm_pbf
+
+    register_osm_pbf(spark)
+    df = (
+        spark.read.format("osmpbf")
+        .load("/root/reference/osmpbf/tests/test.osm.pbf")
+        .filter("type = 'node'")
+    )
+    plan = _plan(df)
+    assert "BatchScan osmpbf" in plan
+    assert "PushedFilters: [EqualTo(type,node)]" in plan
