@@ -47,8 +47,25 @@ def q_osm_way_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return osm_ops.way_node_join(scan_pbf(spark, FIXTURE))
 
 
+def q_osm_datasource_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 via the Python DataSource API: ``format("osmpbf")`` with type
+    pushdown — the plan shows ``PushedFilters: [EqualTo(type,node)]`` on
+    the BatchScan and way/relation groups never decode
+    (tests/test_plan_audit.py asserts the plan property)."""
+    from ..sources.pbf_datasource import register_osm_pbf
+
+    register_osm_pbf(spark)
+    return (
+        spark.read.format("osmpbf")
+        .load(FIXTURE)
+        .filter("type = 'node'")
+        .select("id", "lat", "lon", "user", "version")
+    )
+
+
 OSM_QUERIES: dict[str, tuple] = {
     "osm_count_by_type": (q_osm_count_by_type, None),
+    "osm_datasource_nodes": (q_osm_datasource_nodes, None),
     "osm_filter_with_deps": (q_osm_filter_with_deps, None),
     "osm_latest_versions": (q_osm_latest_versions, None),
     "osm_tag_histogram": (q_osm_tag_histogram, None),

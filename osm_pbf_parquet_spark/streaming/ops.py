@@ -121,6 +121,18 @@ def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     )
 
 
+def dedupe_stream(events: DataFrame, key: str = "event_id",
+                  watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drop duplicate keys within the watermark
+    horizon (``dropDuplicatesWithinWatermark`` keeps per-key state only
+    until the watermark passes, so state is bounded — the streaming
+    analog of ``operators.dedup.exact_dedup``). At-least-once upstream
+    delivery becomes exactly-once rows downstream for any key that
+    repeats within the horizon."""
+    return events.withWatermark("event_time", watermark) \
+        .dropDuplicatesWithinWatermark([key])
+
+
 # --- incremental OSM ingestion -----------------------------------------------
 
 

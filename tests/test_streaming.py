@@ -103,3 +103,33 @@ def test_incremental_transcode(spark, tmp_path):
 def test_replication_cursor_fields():
     cur = ops.replication_cursor("/root/reference/osmpbf/tests/test.osm.pbf")
     assert set(cur) == {"timestamp", "sequence", "base_url"}
+
+
+def test_dedupe_stream_drops_repeats(spark, tmp_path):
+    """A duplicated input file must yield each event_id once — state
+    bounded by the watermark horizon."""
+    import shutil as _sh
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    _sh.copy(f"{SF}/events.parquet", d / "a.parquet")
+    _sh.copy(f"{SF}/events.parquet", d / "b.parquet")  # exact duplicates
+    stream = ops.read_event_stream(spark, str(d))
+    deduped = ops.dedupe_stream(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT event_id, count(*) AS n FROM dedup_stream GROUP BY event_id")
+        n_total = out.count()
+        n_dupes = out.filter(F.col("n") > 1).count()
+        assert n_total > 0
+        assert n_dupes == 0, "duplicate event_ids leaked through"
+        base = spark.read.parquet(f"{SF}/events.parquet").count()
+        assert n_total == base
+    finally:
+        q.stop()
