@@ -117,27 +117,48 @@ def decompress_blob(blob_bytes: bytes) -> bytes:
     (``osmpbf/src/blob.rs:92-113``). The 32MB uncompressed guard matches
     ``blob.rs:25``.
     """
+    # Parse the full message FIRST: proto2 field order is arbitrary, so
+    # raw_size (field 2) may be serialized after the data field — deciding
+    # per-field in stream order would skip the guard for that layout.
     raw_size = None
+    data: tuple[int, memoryview] | None = None
     for field_no, wire, val in iter_fields(blob_bytes):
         if field_no == 2 and wire == 0:
             raw_size = val
-            if raw_size >= MAX_BLOB_SIZE:
-                raise BlobError(f"uncompressed blob too big: {raw_size}")
-        elif field_no == 1 and wire == 2:
-            return bytes(val)
-        elif field_no == 3 and wire == 2:
-            out = zlib.decompress(bytes(val))
-            if raw_size is not None and len(out) != raw_size:
-                raise BlobError("zlib raw_size mismatch")
-            return out
-        elif field_no == 4 and wire == 2:
-            import lzma
+        elif field_no in (1, 3, 4, 7) and wire == 2:
+            data = (field_no, val)
+    if raw_size is not None and raw_size >= MAX_BLOB_SIZE:
+        raise BlobError(f"uncompressed blob too big: {raw_size}")
+    if data is None:
+        raise BlobError("blob has no supported data field (raw/zlib/lzma/zstd)")
+    field_no, val = data
+    if field_no == 1:
+        out = bytes(val)
+        if len(out) >= MAX_BLOB_SIZE:
+            raise BlobError(f"uncompressed blob too big: {len(out)}")
+        return out
+    if field_no == 3:
+        # max_length caps expansion even when raw_size is absent or lies —
+        # a ~1000:1 zlib bomb would otherwise expand 32MB → 32GB
+        d = zlib.decompressobj()
+        out = d.decompress(bytes(val), MAX_BLOB_SIZE)
+        if d.unconsumed_tail:
+            raise BlobError(f"uncompressed blob too big: > {MAX_BLOB_SIZE}")
+        if raw_size is not None and len(out) != raw_size:
+            raise BlobError("zlib raw_size mismatch")
+        return out
+    if field_no == 4:
+        import lzma
 
-            return lzma.decompress(bytes(val))
-        elif field_no == 7 and wire == 2:
-            try:
-                import zstandard  # noqa: F401 — optional, not in base image
-            except ImportError as exc:
-                raise BlobError("zstd-compressed blob but zstandard not installed") from exc
-            return zstandard.ZstdDecompressor().decompress(bytes(val))
-    raise BlobError("blob has no supported data field (raw/zlib/lzma/zstd)")
+        out = lzma.decompress(bytes(val))
+    else:  # field_no == 7
+        try:
+            import zstandard  # noqa: F401 — optional, not in base image
+        except ImportError as exc:
+            raise BlobError("zstd-compressed blob but zstandard not installed") from exc
+        out = zstandard.ZstdDecompressor().decompress(
+            bytes(val), max_output_size=MAX_BLOB_SIZE
+        )
+    if len(out) >= MAX_BLOB_SIZE or (raw_size is not None and len(out) != raw_size):
+        raise BlobError("uncompressed blob size violates raw_size/32MB guard")
+    return out

@@ -60,6 +60,14 @@ def _i64(raw: int) -> int:
     return raw - (1 << 64) if raw >= (1 << 63) else raw
 
 
+def _i32(raw: int) -> int:
+    """Unsigned varint payload → two's-complement int32 (plain int32
+    fields; negative values may arrive as 32-bit-wrapped OR full 64-bit
+    two's complement depending on the encoder)."""
+    v = _i64(raw)
+    return v - (1 << 32) if (1 << 31) <= v < (1 << 32) else v
+
+
 def parse_header_block(payload: bytes) -> dict:
     """HeaderBlock → plain dict (bbox in degrees ×1e-9, features,
     replication metadata). Reference: ``osmpbf/src/block.rs:9-100``."""
@@ -116,30 +124,31 @@ class _StringTable:
             n = len(view)
             # lean split: a StringTable is strictly repeated field 1 wire 2
             # (key byte 0x0A); anything else falls back to the generic scan
-            while pos < n:
-                if view[pos] != 0x0A:
-                    raw = message_fields(payload).get(1, [])
-                    self._pa = pa.array(
-                        (bytes(v) for v in raw), type=pa.binary()
-                    ).cast(pa.string())
-                    self._n = len(raw)
-                    return
-                pos += 1
-                ln = view[pos]
-                if ln < 0x80:
+            try:
+                while pos < n:
+                    if view[pos] != 0x0A:
+                        raw = message_fields(payload).get(1, [])
+                        self._pa = pa.array(
+                            (bytes(v) for v in raw), type=pa.binary()
+                        ).cast(pa.string())
+                        self._n = len(raw)
+                        return
                     pos += 1
-                else:
-                    b1 = view[pos + 1]
-                    if b1 < 0x80:
-                        ln = (ln & 0x7F) | (b1 << 7)
+                    ln = view[pos]
+                    if ln < 0x80:
+                        pos += 1
+                    elif pos + 1 < n and view[pos + 1] < 0x80:
+                        ln = (ln & 0x7F) | (view[pos + 1] << 7)
                         pos += 2
                     else:
                         ln, pos = read_varint(view, pos)
-                if pos + ln > n:
-                    raise ProtoDecodeError("truncated length-delimited field")
-                starts.append(pos)
-                lens.append(ln)
-                pos += ln
+                    if pos + ln > n:
+                        raise ProtoDecodeError("truncated length-delimited field")
+                    starts.append(pos)
+                    lens.append(ln)
+                    pos += ln
+            except IndexError as exc:
+                raise ProtoDecodeError("truncated stringtable") from exc
         self._starts = np.asarray(starts, dtype=np.int64)
         self._lens = np.asarray(lens, dtype=np.int64)
         self._n = len(starts)
@@ -267,10 +276,12 @@ def decode_primitive_block(
         return want is None or col in want
 
     fields = message_fields(payload)
-    granularity = fields.get(17, [100])[0] or 100
-    lat_offset = fields.get(19, [0])[0]
-    lon_offset = fields.get(20, [0])[0]
-    date_granularity = fields.get(18, [1000])[0] or 1000
+    # granularity/date_granularity are int32, offsets int64 — negative
+    # values are legal and arrive as unsigned varint bit patterns
+    granularity = _i32(fields.get(17, [100])[0]) or 100
+    lat_offset = _i64(fields.get(19, [0])[0])
+    lon_offset = _i64(fields.get(20, [0])[0])
+    date_granularity = _i32(fields.get(18, [1000])[0]) or 1000
     st = _StringTable(fields.get(1, [None])[0])
 
     out: dict[str, _Columns] = {}
@@ -280,6 +291,20 @@ def decode_primitive_block(
             out[kind] = _Columns()
         return out[kind]
 
+    try:
+        _decode_groups(fields, kinds, cols_for, st, granularity, lat_offset,
+                       lon_offset, date_granularity, _want)
+    except IndexError as exc:
+        # inline varint fast paths index 1-2 bytes past a truncated
+        # payload — surface as the module's decode error, not IndexError
+        raise ProtoDecodeError("truncated message") from exc
+    for kind_cols in out.values():
+        kind_cols._stringtable = st  # type: ignore[attr-defined]
+    return out
+
+
+def _decode_groups(fields, kinds, cols_for, st, granularity, lat_offset,
+                   lon_offset, date_granularity, _want) -> None:
     for group_payload in fields.get(2, []):
         group = message_fields(group_payload)
         if 1 in group and _KIND_NODE in kinds:  # plain nodes
@@ -301,9 +326,6 @@ def decode_primitive_block(
             _decode_relations(group[4], cols_for(_KIND_RELATION), date_granularity, _want)
         # field 5 (changesets) is legacy/unused — ignored, as in the
         # reference (osmpbf/src/block.rs groups only nodes/dense/ways/rels).
-    for kind_cols in out.values():
-        kind_cols._stringtable = st  # type: ignore[attr-defined]
-    return out
 
 
 # --- per-kind decoders -------------------------------------------------------
@@ -443,9 +465,14 @@ class _InfoBatch:
          user_sid, version, version_valid, visible, visible_valid) = out
         buf = arr.tobytes()
         offs = np.concatenate(([0], np.cumsum(plens)))
+        # proto2 merge semantics: repeated submessage occurrences merge by
+        # payload concatenation — one _info_scalars call per ELEMENT over
+        # the joined payloads, matching the vectorized path's merge
+        merged: dict[int, list[bytes]] = {}
         for j in range(elems.size):
-            i = int(elems[j])
-            row = _info_scalars(buf[offs[j]:offs[j + 1]], date_granularity)
+            merged.setdefault(int(elems[j]), []).append(buf[offs[j]:offs[j + 1]])
+        for i, payloads in merged.items():
+            row = _info_scalars(b"".join(payloads), date_granularity)
             (changeset[i], changeset_valid[i], ts_ms[i], ts_valid[i],
              uid[i], uid_valid[i], user_sid[i], version[i],
              version_valid[i], visible[i], visible_valid[i]) = row
@@ -657,26 +684,37 @@ def _decode_dense_nodes(payload, c: _Columns, granularity, lat_offset, lon_offse
     user_sids = repeated_numeric(fi.get(5, []), signed_zigzag=True, delta=True)
     visible_raw = repeated_numeric(fi.get(6, []), signed_zigzag=False)
 
-    def _full(arr, fill, dtype=np.int64):
-        if arr.size == n0:
-            return arr.astype(dtype, copy=False)
-        padded = np.full(n0, fill, dtype=dtype)
-        padded[: arr.size] = arr[:n0]
-        return padded
+    # DenseInfo parallel arrays must match the node count exactly (or be
+    # absent) — zero-padding a short array would fabricate version=0/ts=0
+    # values presented as real metadata
+    for name, arr in (("version", versions), ("timestamp", ts),
+                      ("changeset", changesets), ("uid", uids),
+                      ("user_sid", user_sids), ("visible", visible_raw)):
+        if arr.size not in (0, n0):
+            raise ProtoDecodeError(
+                f"DenseInfo {name} array length {arr.size} != node count {n0}"
+            )
 
-    c.version.append(_full(versions, 0))
-    c.version_valid.append(np.ones(n0, dtype=bool) if versions.size else np.zeros(n0, dtype=bool))
-    c.ts_ms.append(_full(ts, 0))
-    c.ts_valid.append(np.ones(n0, dtype=bool) if ts.size else np.zeros(n0, dtype=bool))
-    c.changeset.append(_full(changesets, 0))
-    c.changeset_valid.append(np.ones(n0, dtype=bool) if changesets.size else np.zeros(n0, dtype=bool))
-    c.uid.append(_full(uids, 0))
-    c.uid_valid.append(np.ones(n0, dtype=bool) if uids.size else np.zeros(n0, dtype=bool))
+    def _present(arr, absent_fill):
+        if arr.size:
+            return arr.astype(np.int64, copy=False), np.ones(n0, dtype=bool)
+        return (np.full(n0, absent_fill, dtype=np.int64),
+                np.zeros(n0, dtype=bool))
+
+    v, vv = _present(versions, 0)
+    c.version.append(v); c.version_valid.append(vv)
+    v, vv = _present(ts, 0)
+    c.ts_ms.append(v); c.ts_valid.append(vv)
+    v, vv = _present(changesets, 0)
+    c.changeset.append(v); c.changeset_valid.append(vv)
+    v, vv = _present(uids, 0)
+    c.uid.append(v); c.uid_valid.append(vv)
     # user present whenever DenseInfo has user_sids; missing → "" parity
     # (dense.rs DenseNodeInfo::user over parallel arrays)
-    c.user_sid.append(_full(user_sids, -2) if user_sids.size else np.full(n0, -2, dtype=np.int64))
+    c.user_sid.append(user_sids.astype(np.int64, copy=False)
+                      if user_sids.size else np.full(n0, -2, dtype=np.int64))
     if visible_raw.size:
-        c.visible.append(_full(visible_raw, 1).astype(bool))
+        c.visible.append(visible_raw.astype(bool))
     else:
         c.visible.append(np.ones(n0, dtype=bool))  # default true (dense.rs:310)
     c.visible_valid.append(np.ones(n0, dtype=bool))
@@ -1165,10 +1203,10 @@ def _user_array(c: _Columns, st: _StringTable, n: int) -> pa.Array:
     sids = _concat(c.user_sid, np.int64)
     if sids.size == 0:
         return pa.nulls(n, pa.string())
-    # -1 → null, -2 → "" (missing user on an element that HAS metadata)
-    strings = st.py()
-    empty_idx = len(strings)
-    table = pa.array(strings + [""], type=pa.string())
+    # -1 → null, -2 → "" (missing user on an element that HAS metadata);
+    # append the "" sentinel without materializing the table as Python
+    table = pa.concat_arrays([st.arrow(), pa.array([""], type=pa.string())])
+    empty_idx = len(st)
     idx = sids.copy()
     idx[idx == -2] = empty_idx
     null_mask = idx == -1

@@ -28,7 +28,9 @@ class ProtoDecodeError(ValueError):
 
 
 def read_varint(buf, pos: int) -> tuple[int, int]:
-    """Read one varint starting at ``pos``; returns (value, next_pos)."""
+    """Read one varint starting at ``pos``; returns (value, next_pos).
+    The result is masked to 64 bits so over-long 10th-byte encodings
+    agree with the vectorized decoder (which wraps mod 2^64)."""
     result = 0
     shift = 0
     n = len(buf)
@@ -39,7 +41,7 @@ def read_varint(buf, pos: int) -> tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
-            return result, pos
+            return result & 0xFFFFFFFFFFFFFFFF, pos
         shift += 7
         if shift > 63:
             raise ProtoDecodeError("varint too long")
@@ -91,49 +93,58 @@ def message_fields(buf) -> dict[int, list]:
     pos = 0
     n = len(view)
     out: dict[int, list] = {}
-    while pos < n:
-        key = view[pos]
-        if key < 0x80:
-            pos += 1
-        else:
-            key, pos = read_varint(view, pos)
-        field_no = key >> 3
-        wire = key & 7
-        if wire == 2:
-            ln = view[pos]
-            if ln < 0x80:
+    try:
+        while pos < n:
+            key = view[pos]
+            if key < 0x80:
                 pos += 1
             else:
-                b1 = view[pos + 1]
-                if b1 < 0x80:
-                    ln = (ln & 0x7F) | (b1 << 7)
+                key, pos = read_varint(view, pos)
+            field_no = key >> 3
+            wire = key & 7
+            if wire == 2:
+                if pos >= n:
+                    raise ProtoDecodeError("truncated varint")
+                ln = view[pos]
+                if ln < 0x80:
+                    pos += 1
+                elif pos + 1 < n and view[pos + 1] < 0x80:
+                    ln = (ln & 0x7F) | (view[pos + 1] << 7)
                     pos += 2
                 else:
                     ln, pos = read_varint(view, pos)
-            nxt = pos + ln
-            if nxt > n:
-                raise ProtoDecodeError("truncated length-delimited field")
-            val = view[pos:nxt]
-            pos = nxt
-        elif wire == 0:
-            val = view[pos]
-            if val < 0x80:
-                pos += 1
+                nxt = pos + ln
+                if nxt > n:
+                    raise ProtoDecodeError("truncated length-delimited field")
+                val = view[pos:nxt]
+                pos = nxt
+            elif wire == 0:
+                if pos >= n:
+                    raise ProtoDecodeError("truncated varint")
+                val = view[pos]
+                if val < 0x80:
+                    pos += 1
+                else:
+                    val, pos = read_varint(view, pos)
+            elif wire == 1:
+                if pos + 8 > n:
+                    raise ProtoDecodeError("truncated fixed64 field")
+                val = view[pos : pos + 8]
+                pos += 8
+            elif wire == 5:
+                if pos + 4 > n:
+                    raise ProtoDecodeError("truncated fixed32 field")
+                val = view[pos : pos + 4]
+                pos += 4
             else:
-                val, pos = read_varint(view, pos)
-        elif wire == 1:
-            val = view[pos : pos + 8]
-            pos += 8
-        elif wire == 5:
-            val = view[pos : pos + 4]
-            pos += 4
-        else:
-            raise ProtoDecodeError(f"unsupported wire type {wire}")
-        lst = out.get(field_no)
-        if lst is None:
-            out[field_no] = [val]
-        else:
-            lst.append(val)
+                raise ProtoDecodeError(f"unsupported wire type {wire}")
+            lst = out.get(field_no)
+            if lst is None:
+                out[field_no] = [val]
+            else:
+                lst.append(val)
+    except IndexError as exc:  # any stray fast-path overrun
+        raise ProtoDecodeError("truncated message") from exc
     return out
 
 
@@ -290,6 +301,10 @@ def scan_message_batch(payloads: list):
         if m2.any():
             ln, nv = vec_varints_at(arr, nxt[m2])
             ln = ln.astype(np.int64)
+            # lengths ≥ 2^63 wrap negative in the cast and would slip past
+            # the end check as negative indices — reject explicitly
+            if (ln < 0).any():
+                raise ProtoDecodeError("length-delimited field too long")
             ends = nv + ln
             if (ends > w_end[lanes[m2]]).any():
                 raise ProtoDecodeError("truncated length-delimited field")
@@ -352,6 +367,12 @@ def finish_packed(raw: np.ndarray, nbytes: np.ndarray,
     vals = zigzag_decode(u) if zigzag else u.astype(np.int64)
     term_cs = np.concatenate([[0], np.cumsum(raw < 0x80)])
     byte_bounds = np.concatenate([[0], np.cumsum(nbytes)])
+    # every non-empty element's last byte must terminate a varint —
+    # otherwise a truncated payload silently bleeds values into the next
+    # element (a per-element decode would raise on the dangling bytes)
+    last = byte_bounds[1:][nbytes > 0] - 1
+    if last.size and (raw[last] >= 0x80).any():
+        raise ProtoDecodeError("packed varint run crosses element boundary")
     counts = term_cs[byte_bounds[1:]] - term_cs[byte_bounds[:-1]]
     if delta and vals.size:
         cs = np.cumsum(vals)
@@ -403,14 +424,21 @@ class PackedBatch:
 def repeated_numeric(values, signed_zigzag: bool, delta: bool = False) -> np.ndarray:
     """Decode a repeated numeric field that may arrive packed (wire 2 →
     memoryview chunks) or unpacked (wire 0 → ints) — proto2 readers must
-    accept both encodings."""
-    chunks = [v for v in values if isinstance(v, memoryview)]
-    scalars = [v for v in values if not isinstance(v, memoryview)]
-    if chunks:
-        arr = decode_packed_uvarints(chunks)
-        if scalars:
-            arr = np.concatenate([arr, np.array(scalars, dtype=np.uint64)])
-    else:
-        arr = np.array(scalars, dtype=np.uint64)
+    accept both encodings, in any interleaving, and delta decoding
+    depends on preserving the original occurrence order."""
+    segments = []
+    pending_scalars: list[int] = []
+    for v in values:
+        if isinstance(v, memoryview):
+            if pending_scalars:
+                segments.append(np.array(pending_scalars, dtype=np.uint64))
+                pending_scalars = []
+            segments.append(decode_packed_uvarints([v]))
+        else:
+            pending_scalars.append(v)
+    if pending_scalars:
+        segments.append(np.array(pending_scalars, dtype=np.uint64))
+    arr = (np.concatenate(segments) if segments
+           else np.empty(0, dtype=np.uint64))
     out = zigzag_decode(arr) if signed_zigzag else arr.astype(np.int64)
     return np.cumsum(out) if delta else out

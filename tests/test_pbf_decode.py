@@ -379,3 +379,114 @@ def test_unpacked_repeated_fields_fall_back():
     assert np.concatenate(c.nd_refs).tolist() == refs
     assert np.concatenate(c.ids).tolist() == [7]
     assert np.concatenate(c.version).tolist() == [2]
+
+
+# --- regression tests for review findings ------------------------------------
+
+
+def test_negative_lat_lon_offset_decodes_signed():
+    """lat/lon_offset are int64 and may be negative; granularity is int32.
+    A raw-unsigned read would turn lat_offset=-1e9 into +1.8e10 degrees."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from pbf_encoder import (_key, _varint, _len_field, _packed_svarints,
+                             StringTable)
+
+    st = StringTable()
+    # one dense node: raw lat/lon = 2e9 with offset -1e9, gran 100
+    # → degrees = (-1e9 + 100 * 2e7) * 1e-9 = 1.0
+    body = bytearray()
+    body += _len_field(1, st.encode())
+    dense = _packed_svarints(1, [7], delta=True)  # id
+    dense += _packed_svarints(8, [20_000_000], delta=True)
+    dense += _packed_svarints(9, [20_000_000], delta=True)
+    group = _len_field(2, bytes(dense))
+    body += _len_field(2, group)
+    neg = (1 << 64) - 1_000_000_000  # -1e9 as unsigned varint bits
+    body += _key(19, 0) + _varint(neg)
+    body += _key(20, 0) + _varint(neg)
+    batch = D.parse_block_to_batch(bytes(body))
+    row = batch.to_pylist()[0]
+    assert row["lat"] == pytest.approx(1.0, abs=1e-9)
+    assert row["lon"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_decompress_guard_orders_and_bombs():
+    """The 32MB guard must hold regardless of raw_size field position or
+    absence (zlib bombs expand ~1000:1)."""
+    import zlib as _z
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from pbf_encoder import _key, _varint, _len_field
+
+    big = b"\x00" * (B.MAX_BLOB_SIZE + 100)
+    comp = _z.compress(big)
+    # raw_size AFTER the data field
+    blob1 = _len_field(3, comp) + _key(2, 0) + _varint(len(big))
+    with pytest.raises(B.BlobError):
+        B.decompress_blob(blob1)
+    # raw_size absent entirely
+    blob2 = _len_field(3, comp)
+    with pytest.raises(B.BlobError):
+        B.decompress_blob(blob2)
+    # well-formed small blob still works with raw_size after data
+    ok = _len_field(3, _z.compress(b"hi")) + _key(2, 0) + _varint(2)
+    assert B.decompress_blob(ok) == b"hi"
+
+
+def test_packed_run_must_end_on_element_boundary():
+    """A packed payload ending mid-varint must error, not bleed its bytes
+    into the next element's values."""
+    pb = P.PackedBatch(2)
+    pb.add(0, memoryview(b"\x80"))  # dangling continuation byte
+    pb.add(1, memoryview(b"\x01\x02"))
+    with pytest.raises(P.ProtoDecodeError):
+        pb.finish()
+
+
+def test_dense_info_length_mismatch_errors():
+    """DenseInfo parallel arrays shorter than the node count must raise,
+    not fabricate version=0 rows marked valid."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from pbf_encoder import (_len_field, _packed_svarints, _packed_uvarints,
+                             StringTable)
+
+    st = StringTable()
+    dense = _packed_svarints(1, [1, 2, 3], delta=True)
+    di = _packed_uvarints(1, [5])  # 1 version for 3 nodes
+    dense += _len_field(5, bytes(di))
+    dense += _packed_svarints(8, [0, 0, 0], delta=True)
+    dense += _packed_svarints(9, [0, 0, 0], delta=True)
+    block = _len_field(1, st.encode()) + _len_field(2, _len_field(2, bytes(dense)))
+    with pytest.raises(P.ProtoDecodeError):
+        D.parse_block_to_batch(bytes(block))
+
+
+def test_overlong_varint_consistent_mask():
+    """Scalar and vectorized varint decoders must agree (mod 2^64) on
+    over-long 10-byte encodings."""
+    buf = bytes([0xFF] * 9 + [0x7F])
+    scalar, _ = P.read_varint(buf, 0)
+    vec = int(P.uvarints_from_raw(np.frombuffer(buf, dtype=np.uint8))[0])
+    assert scalar == vec == (1 << 64) - 1
+
+
+def test_repeated_numeric_preserves_interleaved_order():
+    """Unpacked scalars interleaved with packed chunks must decode in
+    occurrence order (delta decoding depends on it)."""
+    packed = memoryview(bytes([0x04, 0x06]))  # zigzag 2, 3
+    vals = P.repeated_numeric([2, packed, 8], signed_zigzag=True, delta=True)
+    # zigzag: 2→1, then 2,3 ; 8→4 — cumsum: 1, 3, 6, 10
+    assert vals.tolist() == [1, 3, 6, 10]
+
+
+def test_truncated_messages_raise_decode_error():
+    """Truncated fast-path reads surface as ProtoDecodeError, never bare
+    IndexError."""
+    with pytest.raises(P.ProtoDecodeError):
+        P.message_fields(b"\x08")  # wire-0 key, no value
+    with pytest.raises(P.ProtoDecodeError):
+        P.message_fields(b"\x0a\x80")  # 2-byte length fast path at EOF
+    with pytest.raises(P.ProtoDecodeError):
+        P.message_fields(b"\x09\x01")  # fixed64 with 1 byte left
