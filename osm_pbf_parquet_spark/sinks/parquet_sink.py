@@ -37,10 +37,6 @@ def write_osm_parquet(
     itself — no extra scan. The observation MUST attach downstream of the
     range-repartition: ``repartitionByRange`` runs a sampling job over its
     child plan, which would double-count an upstream observe node."""
-    spark = df.sparkSession
-    if zstd_level is not None:
-        # level knob honored by parquet-mr (reference zstd 1-22, sink.rs:139-149)
-        spark.conf.set("spark.hadoop.parquet.compression.codec.zstd.level", str(zstd_level))
     if sort_by_id:
         # range-cluster inside each type partition → row-group zone maps
         df = df.repartitionByRange("type", "id").sortWithinPartitions("type", "id")
@@ -50,6 +46,13 @@ def write_osm_parquet(
 
         df, obs = observe_elements(df, observe)
     writer = df.write.mode(mode).partitionBy("type").option("compression", compression)
+    if zstd_level is not None:
+        # level knob honored by parquet-mr (reference zstd 1-22,
+        # sink.rs:139-149). Writer options merge into THIS write's Hadoop
+        # conf — scoped per write, unlike a session-global conf.set (and a
+        # 'spark.hadoop.'-prefixed runtime conf never reaches parquet-mr:
+        # the prefix is only stripped at SparkContext creation).
+        writer = writer.option("parquet.compression.codec.zstd.level", str(zstd_level))
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(out_path)

@@ -75,6 +75,8 @@ class OsmPbfDataSource(DataSource):
         return "osmpbf"
 
     def _columns(self) -> list | None:
+        from .pbf_source import normalize_kinds_columns
+
         cols = self.options.get("columns")
         if not cols:
             return None
@@ -82,7 +84,8 @@ class OsmPbfDataSource(DataSource):
         bad = wanted - set(OSM_COLUMNS) - {"type"}
         if bad:
             raise ValueError(f"unknown columns: {sorted(bad)}")
-        return [c for c in OSM_COLUMNS if c in wanted | {"id", "type"}]
+        _, columns = normalize_kinds_columns((), list(wanted))
+        return columns
 
     def schema(self):
         return pruned_schema(self._columns())
@@ -96,16 +99,16 @@ class OsmPbfReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("osmpbf: .load(path) is required")
+        from .pbf_source import normalize_kinds_columns
+
         self.paths = _expand_paths(path)
         self.columns = columns
-        self.kinds = set(
+        kinds = {
             k.strip()
             for k in options.get("kinds", ",".join(sorted(ALL_KINDS))).split(",")
             if k.strip()
-        )
-        bad = self.kinds - ALL_KINDS
-        if bad:
-            raise ValueError(f"unknown kinds: {sorted(bad)}")
+        }
+        self.kinds = set(normalize_kinds_columns(kinds, None)[0])
         bpt = options.get("blobs_per_task")
         self.blobs_per_task = int(bpt) if bpt else None
 
@@ -149,26 +152,11 @@ class OsmPbfReader(DataSourceReader):
         return parts or [_BlobRangePartition([])]
 
     def read(self, partition: _BlobRangePartition) -> Iterator:
-        from ..pbf.blob import read_blob_at, decompress_blob
-        from ..pbf.decode import parse_block_to_batch
+        from .pbf_source import parse_blob_entries
 
-        kinds = sorted(self.kinds)
-        handles: dict[str, object] = {}
-        try:
-            for path, off, size in partition.entries:
-                f = handles.get(path)
-                if f is None:
-                    f = handles[path] = open(path, "rb")
-                out = parse_block_to_batch(
-                    decompress_blob(read_blob_at(f, off, size)),
-                    kinds=kinds,
-                    columns=self.columns,
-                )
-                if out is not None and out.num_rows:
-                    yield out
-        finally:
-            for f in handles.values():
-                f.close()  # type: ignore[union-attr]
+        yield from parse_blob_entries(
+            partition.entries, sorted(self.kinds), self.columns
+        )
 
 
 def register_osm_pbf(spark) -> None:

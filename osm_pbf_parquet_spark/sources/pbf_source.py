@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..pbf.blob import TYPE_DATA, TYPE_HEADER, index_blobs, read_blob_at, decompress_blob
 from ..pbf.decode import ALL_KINDS, parse_block_to_batch, parse_header_block
-from ..schema import OSM_COLUMNS, pruned_arrow_schema, pruned_schema
+from ..schema import OSM_COLUMNS, pruned_schema
 
 # ~16 blobs ≈ 256MB of input per task: large enough to amortize file-open
 # and Python startup, small enough for executor-memory headroom (blobs cap
@@ -61,12 +61,22 @@ def _n_groups(n_blobs: int, parallelism: int, blobs_per_task: int | None) -> int
 
 def read_pbf_header(path: str) -> dict | None:
     """Decode the OSMHeader blob (bbox, features, replication cursor).
-    Reference parity: ``osmpbf/src/block.rs:9-100`` (D10)."""
+    Reference parity: ``osmpbf/src/block.rs:9-100`` (D10). Stops at the
+    first OSMHeader (the first blob by spec) — no full-file index pass,
+    which matters when this runs per incremental-ingest tick."""
+    from ..pbf.blob import _read_blob_header
+
     with open(path, "rb") as f:
-        for info in index_blobs(path):
-            if info.blob_type == TYPE_HEADER:
-                return parse_header_block(decompress_blob(read_blob_at(f, info.offset, info.size)))
-    return None
+        while True:
+            head = _read_blob_header(f)
+            if head is None:
+                return None
+            blob_type, datasize, payload_offset = head
+            if blob_type == TYPE_HEADER:
+                return parse_header_block(
+                    decompress_blob(read_blob_at(f, payload_offset, datasize))
+                )
+            f.seek(payload_offset + datasize)
 
 
 def _normalize_paths(path) -> list[str]:
@@ -77,9 +87,9 @@ def _catalog_rows(path, parallelism: int,
                   blobs_per_task: int | None) -> tuple[list[tuple], int]:
     """One metadata pass per file → (catalog rows, group count). Accepts a
     single path or a list (a 100 TB corpus is many PBF files; the catalog
-    unions their blob ranges). Contiguous chunking: blob i of n lands in
-    group i*g//n — adjacent offsets share a task, so each task issues
-    coalesced range reads and files never interleave mid-group."""
+    unions their blob ranges). Contiguous chunking: group k holds blobs
+    [k*n//g, (k+1)*n//g) — adjacent offsets share a task, so each task
+    issues coalesced range reads and files never interleave mid-group."""
     entries: list[tuple] = []
     for p in _normalize_paths(path):
         infos = sorted(
@@ -89,8 +99,12 @@ def _catalog_rows(path, parallelism: int,
         entries.extend((p, i.offset, i.size) for i in infos)
     n = len(entries)
     g = _n_groups(n, parallelism, blobs_per_task)
+    # gid is the inverse of the slice formula both consumers use
+    # (parallelize slice k = rows[k*n//g : (k+1)*n//g]; same in the
+    # DataSource's partitions()) — so the task_group column reports the
+    # EXACT partition each blob lands in
     rows = [
-        (p, off, sz, idx * g // n)
+        (p, off, sz, ((idx + 1) * g - 1) // n)
         for idx, (p, off, sz) in enumerate(entries)
     ]
     return rows, g
@@ -104,6 +118,42 @@ def pbf_blob_catalog(spark: SparkSession, path: str, blobs_per_task: int | None 
     """
     rows, _ = _catalog_rows(path, spark.sparkContext.defaultParallelism, blobs_per_task)
     return spark.createDataFrame(rows, "path string, offset long, size long, task_group int")
+
+
+def normalize_kinds_columns(kinds, columns):
+    """Validate kinds and project the column list onto the canonical
+    order with id/type always included (shared by ``scan_pbf`` and the
+    ``osmpbf`` DataSource so their pushdown semantics cannot drift)."""
+    kinds = frozenset(kinds)
+    bad = kinds - ALL_KINDS
+    if bad:
+        raise ValueError(f"unknown kinds: {sorted(bad)}")
+    if columns is not None:
+        # id/type always needed downstream of a typed union
+        columns = [c for c in OSM_COLUMNS if c in set(columns) | {"id", "type"}]
+    return sorted(kinds), columns
+
+
+def parse_blob_entries(entries, kinds: list[str], columns: list[str] | None):
+    """The executor parse kernel, shared by ``scan_pbf``'s ``mapInArrow``
+    closure and the ``osmpbf`` DataSource's ``read()``: iterate
+    (path, offset, size) triples, keeping one open handle per distinct
+    path, and yield non-empty Arrow batches."""
+    handles: dict[str, object] = {}
+    try:
+        for p, off, size in entries:
+            f = handles.get(p)
+            if f is None:
+                f = handles[p] = open(p, "rb")
+            out = parse_block_to_batch(
+                decompress_blob(read_blob_at(f, off, size)),
+                kinds=kinds, columns=columns,
+            )
+            if out is not None and out.num_rows:
+                yield out
+    finally:
+        for f in handles.values():
+            f.close()  # type: ignore[union-attr]
 
 
 def scan_pbf(
@@ -121,14 +171,7 @@ def scan_pbf(
     never built) — the engine-side equivalent of Catalyst's
     PushDownPredicates/ColumnPruning for this non-Parquet source.
     """
-    kinds = frozenset(kinds)
-    bad = kinds - ALL_KINDS
-    if bad:
-        raise ValueError(f"unknown kinds: {sorted(bad)}")
-    if columns is not None:
-        # id/type always needed downstream of a typed union
-        columns = [c for c in OSM_COLUMNS if c in set(columns) | {"id", "type"}]
-    arrow_schema = pruned_arrow_schema(columns)
+    kinds_list, columns = normalize_kinds_columns(kinds, columns)
     spark_schema = pruned_schema(columns)
 
     # group count is known at index time — no Spark job needed for it
@@ -148,27 +191,18 @@ def scan_pbf(
         "path string, offset long, size long",
     )
 
-    kinds_list = sorted(kinds)
     columns_list = list(columns) if columns is not None else None
 
     def _parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        handles: dict[str, object] = {}
-        try:
+        def entries():
             for batch in batches:
-                paths = batch.column("path").to_pylist()
-                offsets = batch.column("offset").to_pylist()
-                sizes = batch.column("size").to_pylist()
-                for p, off, size in zip(paths, offsets, sizes):
-                    f = handles.get(p)
-                    if f is None:
-                        f = handles[p] = open(p, "rb")
-                    payload = decompress_blob(read_blob_at(f, off, size))
-                    out = parse_block_to_batch(payload, kinds=kinds_list, columns=columns_list)
-                    if out is not None and out.num_rows:
-                        yield out
-        finally:
-            for f in handles.values():
-                f.close()  # type: ignore[union-attr]
+                yield from zip(
+                    batch.column("path").to_pylist(),
+                    batch.column("offset").to_pylist(),
+                    batch.column("size").to_pylist(),
+                )
+
+        yield from parse_blob_entries(entries(), kinds_list, columns_list)
 
     return catalog.mapInArrow(_parse, schema=spark_schema)
 

@@ -98,14 +98,20 @@ def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         else:
             last_us, session_count, in_session = -1, 0, 0
         gap_us = gap_s * 1_000_000
+        # collect EVERY chunk before sorting: a group arrives as multiple
+        # Arrow chunks with no cross-chunk ordering guarantee — sorting
+        # per chunk would let an earlier-timestamped later chunk regress
+        # last_us and merge genuinely separate sessions
+        all_us: list[int] = []
         for pdf in pdfs:
-            for us in sorted(int(t) // 1000 for t in pdf["ts"]):
-                if last_us < 0 or us - last_us > gap_us:
-                    session_count += 1
-                    in_session = 1
-                else:
-                    in_session += 1
-                last_us = us
+            all_us.extend(int(t) // 1000 for t in pdf["ts"])
+        for us in sorted(all_us):
+            if last_us < 0 or us - last_us > gap_us:
+                session_count += 1
+                in_session = 1
+            else:
+                in_session += 1
+            last_us = us
         state.update((last_us, session_count, in_session))
         yield pd.DataFrame(
             {"user_id": [user_id], "session_count": [session_count],
@@ -157,8 +163,14 @@ def incremental_transcode(
     file. Batch-driven (call per trigger); returns newly ingested paths.
 
     This is the honest Spark shape for a non-native streaming source:
-    file-listing + idempotent append, the same contract as
-    ``foreachBatch`` with exactly-once via the processed-set."""
+    file-listing + append, the same contract as ``foreachBatch``. The
+    whole batch runs as ONE scan+write job (the multi-file catalog
+    parallelizes across files), and the processed-set advances only
+    after that job commits. Spark's commit protocol stages the write, so
+    a mid-job failure leaves no committed files and the next tick
+    retries the batch — at-least-once across crash windows (a crash
+    BETWEEN commit and the state write re-appends the batch), exactly
+    once otherwise."""
     from ..sinks.parquet_sink import write_osm_parquet
     from ..sources.pbf_source import scan_pbf
 
@@ -171,10 +183,8 @@ def incremental_transcode(
         for f in os.listdir(watch_dir)
         if f.endswith(".pbf") and os.path.join(watch_dir, f) not in seen
     )
-    for path in new:
-        df = scan_pbf(spark, path)
-        write_osm_parquet(df, out_dir, mode="append")
     if new:
+        write_osm_parquet(scan_pbf(spark, new), out_dir, mode="append")
         with open(state_path, "a") as f:
             f.write("\n".join(new) + "\n")
     return new
