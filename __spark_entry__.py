@@ -33,8 +33,10 @@ def _registry() -> dict[str, tuple]:
     reg.update(OSM_QUERIES)
     try:  # data-pipeline operator suites land incrementally
         from osm_pbf_parquet_spark.plans.pipeline_queries import PIPELINE_QUERIES
+        from osm_pbf_parquet_spark.plans.sampling_queries import SAMPLING_QUERIES
 
         reg.update(PIPELINE_QUERIES)
+        reg.update(SAMPLING_QUERIES)
     except ImportError:
         pass
     return reg

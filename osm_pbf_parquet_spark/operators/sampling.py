@@ -1,0 +1,157 @@
+"""Sampling / splitting operators for training-data pipelines.
+
+A large-scale curation pipeline needs reproducible selection: the same
+corpus must yield the same train/val/test membership on any cluster, any
+partition count, any run. Every operator here is therefore driven by
+md5-hash arithmetic over the row key plus a caller-supplied salt — no
+RNG, no ``rand()``, no partition-order dependence — which also makes each
+one expressible in ANSI SQL for the DuckDB oracle.
+
+Scale posture (100 TB):
+
+- ``hash_split`` / ``weighted_mixture`` are pure projections/filters —
+  no shuffle; the filter sits directly above the scan so Parquet column
+  pruning still applies (only the key column feeds the hash).
+- ``stratified_cap`` shuffles once on the group key (the same shape as
+  any per-group top-k); group-count skew is the pathological case and is
+  exactly what AQE skew-join/agg splitting handles.
+- ``uniform_sample_n`` compiles to TakeOrderedAndProject — a per-partition
+  top-N heap merged on the driver, never a full global sort.
+- ``length_buckets`` is a map-side-combinable aggregation over a
+  projection (histogram: ~60 groups max for int64 lengths).
+
+No analog in the reference (a batch transcoder); these extend the engine
+toward its training-data north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BUCKETS = 10_000
+
+
+def hash_bucket_expr(key_col: str, salt: str, buckets: int = HASH_BUCKETS) -> str:
+    """Deterministic bucket in [0, buckets): top 60 bits of
+    md5(key ':' salt) mod buckets. Same arithmetic as the DuckDB form
+    ``CAST(('0x' || substring(md5(...), 1, 15)) AS BIGINT) % buckets``."""
+    keyed = f"concat(cast({key_col} AS string), ':', '{salt}')"
+    return (
+        f"pmod(cast(conv(substring(md5({keyed}), 1, 15), 16, 10) AS BIGINT), "
+        f"{buckets})"
+    )
+
+
+def _normalize_weights(weights) -> list[tuple[str, float]]:
+    items = list(weights.items()) if isinstance(weights, dict) else list(weights)
+    total = float(sum(w for _, w in items))
+    if total <= 0 or any(w < 0 for _, w in items):
+        raise ValueError("split weights must be non-negative and sum > 0")
+    return [(name, w / total) for name, w in items]
+
+
+def hash_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket. Weights are
+    normalized; boundaries are cumulative bucket thresholds, so membership
+    is stable under re-runs AND under adding later splits (a row's bucket
+    never changes — the reproducibility contract training pipelines need).
+    Pure projection: no shuffle, no action."""
+    norm = _normalize_weights(weights)
+    df = df.withColumn("bucket", F.expr(hash_bucket_expr(key, salt)))
+    cum = 0.0
+    branches = []
+    for name, frac in norm[:-1]:
+        cum += frac
+        branches.append(f"WHEN bucket < {int(round(cum * HASH_BUCKETS))} THEN '{name}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{norm[-1][0]}' END"
+    return df.withColumn("split", F.expr(case))
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    n_per_group: int = 20,
+    key: str = "doc_id",
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Cap each group at ``n_per_group`` rows, chosen uniformly (hash
+    order, not input order — input order encodes crawl/storage bias).
+    One shuffle on the group key; the per-group heap is bounded so a
+    billion-row group costs memory O(n_per_group) after partial top-k."""
+    keyed = f"concat(cast({key} AS string), ':', '{salt}')"
+    df = df.withColumn("_h", F.expr(f"md5({keyed})"))
+    w = Window.partitionBy(group_col).orderBy("_h", key)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= n_per_group)
+        .drop("_h")
+    )
+
+
+def weighted_mixture(
+    df: DataFrame,
+    group_col: str = "lang",
+    weights: dict[str, float] | None = None,
+    key: str = "doc_id",
+    salt: str = "mix-v1",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Downsample each group to its mixture fraction (keep-probability per
+    group), the standard way to rebalance domain/language mixtures before
+    training. Row kept iff bucket < weight[group] × buckets. Deterministic
+    per row — re-runs keep the SAME rows. Pure filter: no shuffle."""
+    weights = weights or {}
+    for g, frac in weights.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"mixture weight for {g!r} must be in [0,1]")
+    branches = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {int(round(frac * HASH_BUCKETS))}"
+        for g, frac in weights.items()
+    )
+    thresh = f"CASE {branches} ELSE {int(round(default_weight * HASH_BUCKETS))} END"
+    df = df.withColumn("bucket", F.expr(hash_bucket_expr(key, salt)))
+    return df.filter(F.expr(f"bucket < {thresh}"))
+
+
+def length_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Power-of-two token-length histogram (bucket b holds docs with
+    2^b ≤ tokens < 2^(b+1)) — the distribution curation jobs use to plan
+    sequence packing and truncation budgets. Bucket index via the length
+    of the binary representation (integer-exact in every engine, unlike
+    floor(log2(x)) whose libm rounding can differ at powers of two)."""
+    tokens = f"size(split({text_col}, ' '))"
+    return (
+        df.select(
+            F.expr(f"cast(length(bin({tokens})) AS INT) - 1").alias("len_bucket"),
+            F.expr(f"cast({tokens} AS BIGINT)").alias("_n"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.min("_n").alias("min_tokens"),
+            F.max("_n").alias("max_tokens"),
+        )
+    )
+
+
+def uniform_sample_n(
+    df: DataFrame, n: int, key: str = "doc_id", salt: str = "sample-v1"
+) -> DataFrame:
+    """Exact-size uniform sample without replacement: global top-n by hash
+    order. Catalyst compiles orderBy+limit to TakeOrderedAndProject (per-
+    partition heaps, driver merge of n×partitions rows) — no full sort,
+    no second pass, unlike reservoir schemes that need driver state."""
+    keyed = f"concat(cast({key} AS string), ':', '{salt}')"
+    return (
+        df.withColumn("_h", F.expr(f"md5({keyed})"))
+        .orderBy("_h", key)
+        .limit(n)
+        .drop("_h")
+    )

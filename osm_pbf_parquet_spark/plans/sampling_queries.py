@@ -1,0 +1,127 @@
+"""Sampling/splitting queries + DuckDB oracles.
+
+Every oracle replicates the Spark plan's md5-bucket arithmetic exactly
+(same 60-bit prefix, same salt, same thresholds), so the driver's
+value-hash comparison checks real selection membership, not just shapes.
+"""
+
+from __future__ import annotations
+
+from ..operators import sampling
+from .pipeline_queries import t
+
+B = sampling.HASH_BUCKETS
+
+
+def _duck_bucket(key: str, salt: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({key} AS VARCHAR) || ':' || '{salt}'),"
+        f" 1, 15)) AS BIGINT) % {B}"
+    )
+
+
+# --- deterministic train/val/test split ---------------------------------------
+
+
+def q_sample_hash_split(spark, sf_dir):
+    out = sampling.hash_split(t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "bucket", "split")
+
+
+ORACLE_HASH_SPLIT = f"""
+SELECT doc_id,
+       {_duck_bucket('doc_id', 'split-v1')} AS bucket,
+       CASE WHEN {_duck_bucket('doc_id', 'split-v1')} < 8000 THEN 'train'
+            WHEN {_duck_bucket('doc_id', 'split-v1')} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# --- per-group cap (stratified downsample) ------------------------------------
+
+
+def q_sample_stratified_cap(spark, sf_dir):
+    out = sampling.stratified_cap(t(spark, sf_dir, "documents"),
+                                  group_col="source", n_per_group=20)
+    return out.select("doc_id", "source", "rank_in_group")
+
+
+ORACLE_STRATIFIED_CAP = """
+SELECT doc_id, source, rank_in_group FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || 'cap-v1'), doc_id
+         ) AS INT) AS rank_in_group
+  FROM documents
+) WHERE rank_in_group <= 20
+"""
+
+
+# --- weighted mixture rebalance -----------------------------------------------
+
+MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
+
+
+def q_sample_weighted_mixture(spark, sf_dir):
+    out = sampling.weighted_mixture(
+        t(spark, sf_dir, "documents"), group_col="lang", weights=MIX_WEIGHTS
+    )
+    return out.select("doc_id", "lang", "bucket")
+
+
+def _oracle_mixture() -> str:
+    case = " ".join(
+        f"WHEN lang = '{g}' THEN {int(round(w * B))}"
+        for g, w in MIX_WEIGHTS.items()
+    )
+    return f"""
+SELECT doc_id, lang, bucket FROM (
+  SELECT doc_id, lang, {_duck_bucket('doc_id', 'mix-v1')} AS bucket
+  FROM documents
+) WHERE bucket < CASE {case} ELSE 0 END
+"""
+
+
+# --- token-length histogram ---------------------------------------------------
+
+
+def q_sample_length_buckets(spark, sf_dir):
+    return sampling.length_buckets(t(spark, sf_dir, "documents"))
+
+
+ORACLE_LENGTH_BUCKETS = """
+SELECT CAST(length(bin(len(string_split(text, ' ')))) AS INT) - 1 AS len_bucket,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- exact-n uniform sample ---------------------------------------------------
+
+
+def q_sample_uniform_n(spark, sf_dir):
+    out = sampling.uniform_sample_n(t(spark, sf_dir, "documents"), n=50)
+    return out.select("doc_id", "lang", "source")
+
+
+ORACLE_UNIFORM_N = """
+SELECT doc_id, lang, source
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || 'sample-v1'), doc_id
+LIMIT 50
+"""
+
+
+SAMPLING_QUERIES: dict[str, tuple] = {
+    "sample_hash_split": (q_sample_hash_split, ORACLE_HASH_SPLIT),
+    "sample_stratified_cap": (q_sample_stratified_cap, ORACLE_STRATIFIED_CAP),
+    "sample_weighted_mixture": (q_sample_weighted_mixture, _oracle_mixture()),
+    "sample_length_buckets": (q_sample_length_buckets, ORACLE_LENGTH_BUCKETS),
+    "sample_uniform_n": (q_sample_uniform_n, ORACLE_UNIFORM_N),
+}

@@ -1,0 +1,112 @@
+"""Sampling/splitting operators: DuckDB oracle parity at sf0.01 plus
+semantic invariants (determinism, cap bounds, mixture monotonicity) the
+value-hash comparison alone doesn't articulate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark.operators import sampling
+from osm_pbf_parquet_spark.plans.relational import t
+from osm_pbf_parquet_spark.plans.sampling_queries import SAMPLING_QUERIES
+
+from oracle_harness import run_compare
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("name", sorted(SAMPLING_QUERIES))
+def test_sampling_oracle_parity(spark, name):
+    fn, oracle = SAMPLING_QUERIES[name]
+    run_compare(spark, SF_DIR, name, fn, oracle)
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    docs = t(spark, SF_DIR, "documents")
+    out = sampling.hash_split(docs).select("doc_id", "split")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    # 500 docs: binomial(500, .8) within ±5 sigma of 400
+    assert abs(counts.get("train", 0) - 0.8 * total) < 5 * (total * 0.16) ** 0.5
+    # identical assignment on re-run (no RNG anywhere)
+    again = sampling.hash_split(docs).select("doc_id", "split")
+    assert out.exceptAll(again).count() == 0
+
+
+def test_hash_split_membership_stable_under_resplit(spark):
+    """Renaming/adding later splits must not move earlier rows: a row's
+    bucket is salt-keyed, so train membership under (.8/.1/.1) is a
+    superset-consistent refinement of (.8/.2)."""
+    docs = t(spark, SF_DIR, "documents")
+    two = sampling.hash_split(docs, weights=(("train", 0.8), ("rest", 0.2)))
+    three = sampling.hash_split(docs)
+    a = {r["doc_id"] for r in two.filter("split = 'train'").collect()}
+    b = {r["doc_id"] for r in three.filter("split = 'train'").collect()}
+    assert a == b
+
+
+def test_stratified_cap_bounds(spark):
+    docs = t(spark, SF_DIR, "documents")
+    out = sampling.stratified_cap(docs, group_col="lang", n_per_group=10)
+    per = out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    assert per and all(r["n"] <= 10 for r in per)
+    # groups smaller than the cap keep every row
+    small = docs.groupBy("lang").agg(F.count("*").alias("total")).collect()
+    totals = {r["lang"]: r["total"] for r in small}
+    kept = {r["lang"]: r["n"] for r in per}
+    for lang, n_total in totals.items():
+        assert kept[lang] == min(n_total, 10)
+
+
+def test_weighted_mixture_monotone_in_weight(spark):
+    """Raising a group's weight only ADDS rows (nested samples) — the
+    property that lets mixture ratios be tuned without reshuffling data."""
+    docs = t(spark, SF_DIR, "documents")
+    lo = sampling.weighted_mixture(docs, weights={"en": 0.3})
+    hi = sampling.weighted_mixture(docs, weights={"en": 0.7})
+    lo_ids = {r["doc_id"] for r in lo.select("doc_id").collect()}
+    hi_ids = {r["doc_id"] for r in hi.select("doc_id").collect()}
+    assert lo_ids <= hi_ids
+    assert len(lo_ids) < len(hi_ids)
+    # unlisted groups drop entirely at default weight 0
+    assert lo.filter(F.col("lang") != "en").count() == 0
+
+
+def test_uniform_sample_exact_n_and_stable(spark):
+    docs = t(spark, SF_DIR, "documents")
+    s1 = sampling.uniform_sample_n(docs, n=25).select("doc_id")
+    s2 = sampling.uniform_sample_n(docs, n=25).select("doc_id")
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert len(ids1) == 25 and ids1 == ids2
+    # n=25 sample is a prefix of the n=50 sample (same hash order)
+    ids50 = {r["doc_id"]
+             for r in sampling.uniform_sample_n(docs, n=50).select("doc_id").collect()}
+    assert set(ids1) <= ids50
+
+
+def test_length_buckets_cover_all_docs(spark):
+    docs = t(spark, SF_DIR, "documents")
+    out = sampling.length_buckets(docs).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    for r in out:
+        # bucket b holds token counts in [2^b, 2^(b+1))
+        assert 2 ** r["len_bucket"] <= r["min_tokens"]
+        assert r["max_tokens"] < 2 ** (r["len_bucket"] + 1)
+
+
+def test_sampling_plans_shuffle_free(spark):
+    """hash_split and weighted_mixture must stay pure projections/filters
+    (no Exchange in the physical plan); uniform_sample_n must compile to
+    TakeOrderedAndProject, not a global Sort."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (sampling.hash_split(docs),
+               sampling.weighted_mixture(docs, weights={"en": 0.5})):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    plan = (sampling.uniform_sample_n(docs, n=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan, plan
