@@ -139,6 +139,63 @@ def dedupe_stream(events: DataFrame, key: str = "event_id",
         .dropDuplicatesWithinWatermark([key])
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id",
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension; the broadcast hint keeps it a map-side hash join
+    (no shuffle of the stream, no state store — the static side is
+    re-resolved per batch, so slowly-changing dims can be swapped by
+    replacing the underlying table)."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+def attribute_purchases(events: DataFrame, horizon: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each purchase
+    to every click by the same user within the preceding ``horizon``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions, so the state store provably expires rows (Spark
+    derives the state retention from watermark + interval — without the
+    time bound the join state would grow unboundedly)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", watermark)
+    )
+    # explicit aliases: both sides derive from the same parent stream
+    # (self-join), where bare attribute references are ambiguous
+    return (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            F.expr(
+                f"p.user_id = c.user_id AND "
+                f"purchase_time >= click_time AND "
+                f"purchase_time <= click_time + INTERVAL {horizon}"
+            ),
+        )
+        .select(
+            F.col("p.user_id").alias("user_id"), "purchase_id",
+            "purchase_value", "purchase_time", "click_id", "click_time",
+        )
+    )
+
+
 # --- incremental OSM ingestion -----------------------------------------------
 
 

@@ -105,6 +105,54 @@ def test_replication_cursor_fields():
     assert set(cur) == {"timestamp", "sequence", "base_url"}
 
 
+def test_enrich_stream_static_broadcast_join(spark, events_dir):
+    """Stream-static enrichment: every event row keeps flowing, joined
+    rows gain the dimension column, and totals match the batch join."""
+    batch = spark.read.parquet(events_dir)
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("user_tier", F.expr("CASE WHEN user_id % 2 = 0 THEN 'pro' ELSE 'free' END"))
+    )
+    stream = ops.read_event_stream(spark, events_dir)
+    q = (
+        ops.enrich_stream(stream, dim)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("enriched").start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM enriched")
+        assert out.count() == batch.count()  # left join keeps every event
+        assert out.filter(F.col("user_tier").isNull()).count() == 0
+        tiers = {r["user_tier"] for r in out.select("user_tier").distinct().collect()}
+        assert tiers == {"pro", "free"}
+    finally:
+        q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream purchase←click attribution must produce
+    exactly the batch interval-join result on the same data."""
+    stream = ops.read_event_stream(spark, events_dir)
+    q = (
+        ops.attribute_purchases(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("attributed").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT purchase_id, click_id FROM attributed")
+        batch = spark.read.parquet(events_dir).withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        expected = ops.attribute_purchases(batch).select("purchase_id", "click_id")
+        assert got.count() > 0
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+    finally:
+        q.stop()
+
+
 def test_dedupe_stream_drops_repeats(spark, tmp_path):
     """A duplicated input file must yield each event_id once — state
     bounded by the watermark horizon."""
