@@ -1,0 +1,59 @@
+"""User-defined extension surface: Python UDTF and pandas UDAF.
+
+The reference's only extension points are Rust closures handed to
+``for_each`` / ``par_map_reduce`` / ``read_ways_and_deps``
+(``osmpbf/src/reader.rs:67,119``, ``osmpbf/src/indexed.rs:264``). The
+Spark engine's equivalents are typed, optimizer-visible extension
+points; this module exercises the two not already covered elsewhere
+(scalar pandas UDFs and mapInArrow/mapInPandas kernels are used
+throughout operators/):
+
+- **UDTF** (``top_words_udtf``): a Python table function consumed via
+  SQL ``LATERAL`` — one input row fans out to N output rows with
+  schema declared up front. Arrow-batched (``useArrow``): rows move in
+  columnar batches, not pickled one by one.
+- **UDAF** (``median_udaf``): a grouped-aggregate pandas UDF — the
+  whole group's column arrives as one pandas Series per group. Spark
+  plans it as a full-shuffle aggregate (no partial aggregation — the
+  semantics of a median don't decompose), which is exactly the
+  documented trade-off vs built-in ``percentile_approx`` at scale.
+
+Scale note: a grouped-agg UDAF materializes each group in one executor.
+Fine for bounded groups (per-language stats); for unbounded groups
+prefer the sketch/exact-percentile operators in plans/relational.py.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf, udtf
+
+TOP_WORDS_K = 3
+
+
+@udtf(returnType="word: string, n: int", useArrow=True)
+class TopWordsUdtf:
+    """Top-k most frequent whitespace words per document; deterministic
+    tie-break by (count desc, word asc)."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        counts = Counter(text.split(" "))
+        for word, n in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_WORDS_K]:
+            yield word, n
+
+
+def register_udtfs(spark) -> None:
+    spark.udtf.register("top_words", TopWordsUdtf)
+
+
+@pandas_udf("double")
+def median_udaf(v: pd.Series) -> float:
+    """Exact median as a grouped-agg pandas UDF. On whole-number inputs
+    the midpoint average is FP-exact, so the DuckDB ``quantile_cont``
+    oracle matches bit-for-bit."""
+    return float(np.median(v.to_numpy(dtype=np.float64)))

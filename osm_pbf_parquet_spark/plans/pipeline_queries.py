@@ -434,6 +434,51 @@ FROM h JOIN g ON g.doc_id = h.doc_id
 """
 
 
+# --- UDTF / UDAF extension surface ------------------------------------------------
+
+
+def q_udtf_top_words(spark, sf_dir):
+    """Python UDTF via SQL LATERAL: per-doc top-3 words (Arrow-batched)."""
+    from ..functions import udx
+
+    udx.register_udtfs(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_udx_docs")
+    return spark.sql(
+        "SELECT doc_id, word, n FROM _udx_docs, LATERAL top_words(text)"
+    )
+
+
+ORACLE_UDTF_TOP_WORDS = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word),
+r AS (
+  SELECT doc_id, word, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word) AS rk
+  FROM c
+)
+SELECT doc_id, word, CAST(n AS INT) AS n FROM r WHERE rk <= 3
+"""
+
+
+def q_udaf_median_chars(spark, sf_dir):
+    """Grouped-agg pandas UDAF: exact per-language median doc length."""
+    from ..functions import udx
+
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(udx.median_udaf("n_chars").alias("median_chars"))
+    )
+
+
+ORACLE_UDAF_MEDIAN = """
+SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars
+FROM documents GROUP BY lang
+"""
+
+
 # --- multimodal ------------------------------------------------------------------------
 
 
@@ -481,6 +526,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_lang_id": (q_text_lang_id, _oracle_lang_id()),
     "text_fingerprint": (q_text_fingerprint, ORACLE_FINGERPRINT),
     "clean_corpus_pipeline": (q_clean_corpus, _oracle_clean_corpus()),
+    "udtf_top_words": (q_udtf_top_words, ORACLE_UDTF_TOP_WORDS),
+    "udaf_median_chars": (q_udaf_median_chars, ORACLE_UDAF_MEDIAN),
     "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL_METADATA),
     "multimodal_features": (q_multimodal_features, None),
     "multimodal_frames": (q_multimodal_frames, None),
