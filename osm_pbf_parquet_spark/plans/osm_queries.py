@@ -2,9 +2,15 @@
 
 The testdata sf dirs carry no OSM table, so these run the real PBF path on
 the reference's golden fixture (tiny, read-only, content pinned by
-``osmpbf/tests/read.rs``). No SQL oracle is possible (DuckDB can't read
-PBF) → the driver records the weaker rows-only check; full value-level
-verification lives in tests/test_pbf_decode.py and tests/test_transcode.py.
+``osmpbf/tests/read.rs``). DuckDB can't read PBF, but the fixture content
+is a published golden constant — so the oracles are literal ``VALUES``
+tables carrying the exact expected rows (the SQL analog of the
+reference's hard-coded asserts, ``read.rs:109-208``), which upgrades
+these from rows-only checks to full value-hash checks. Coordinates are
+full-precision doubles from the granularity math (1e-9 × (offset + 100 ×
+raw)); both engines parse the 17-digit literals to the identical double.
+``osm_way_geometry`` stays rows-only: its array<double> columns don't
+canonicalize under the driver's sort-then-hash comparison.
 """
 
 from __future__ import annotations
@@ -63,11 +69,57 @@ def q_osm_datasource_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# golden-fixture node coordinates (granularity math, full double
+# precision). The e0 suffix forces DuckDB to parse as DOUBLE — a plain
+# decimal literal becomes DECIMAL and the cast loses the last ulp.
+_N105 = "52.12240310000001e0, 11.628401700000001e0"
+_N106 = "52.119923500000006e0, 11.625644600000001e0"
+_N108 = "52.119899100000005e0, 11.6310192e0"
+
+ORACLE_COUNT_BY_TYPE = """
+SELECT type, n FROM (VALUES
+  ('node', CAST(3 AS BIGINT)), ('way', CAST(1 AS BIGINT)),
+  ('relation', CAST(1 AS BIGINT))) AS t(type, n)
+"""
+
+ORACLE_DATASOURCE_NODES = f"""
+SELECT id, lat, lon, "user", version FROM (VALUES
+  (CAST(105 AS BIGINT), {_N105}, 'testuser', CAST(1 AS INT)),
+  (CAST(106 AS BIGINT), {_N106}, 'testuser', CAST(1 AS INT)),
+  (CAST(108 AS BIGINT), {_N108}, 'testuser', CAST(1 AS INT))
+) AS t(id, lat, lon, "user", version)
+"""
+
+ORACLE_FILTER_WITH_DEPS = f"""
+SELECT id, type, lat, lon FROM (VALUES
+  (CAST(107 AS BIGINT), 'way', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+  (CAST(105 AS BIGINT), 'node', {_N105}),
+  (CAST(106 AS BIGINT), 'node', {_N106}),
+  (CAST(108 AS BIGINT), 'node', {_N108})
+) AS t(id, type, lat, lon)
+"""
+
+ORACLE_LATEST_VERSIONS = """
+SELECT id, type, version, visible FROM (VALUES
+  (CAST(105 AS BIGINT), 'node', CAST(1 AS INT), true),
+  (CAST(106 AS BIGINT), 'node', CAST(1 AS INT), true),
+  (CAST(108 AS BIGINT), 'node', CAST(1 AS INT), true),
+  (CAST(107 AS BIGINT), 'way', CAST(1 AS INT), true),
+  (CAST(120 AS BIGINT), 'relation', CAST(1 AS INT), true)
+) AS t(id, type, version, visible)
+"""
+
+ORACLE_TAG_HISTOGRAM = """
+SELECT key, n FROM (VALUES
+  ('building', CAST(1 AS BIGINT)), ('name', CAST(1 AS BIGINT)),
+  ('rel_key', CAST(1 AS BIGINT))) AS t(key, n)
+"""
+
 OSM_QUERIES: dict[str, tuple] = {
-    "osm_count_by_type": (q_osm_count_by_type, None),
-    "osm_datasource_nodes": (q_osm_datasource_nodes, None),
-    "osm_filter_with_deps": (q_osm_filter_with_deps, None),
-    "osm_latest_versions": (q_osm_latest_versions, None),
-    "osm_tag_histogram": (q_osm_tag_histogram, None),
+    "osm_count_by_type": (q_osm_count_by_type, ORACLE_COUNT_BY_TYPE),
+    "osm_datasource_nodes": (q_osm_datasource_nodes, ORACLE_DATASOURCE_NODES),
+    "osm_filter_with_deps": (q_osm_filter_with_deps, ORACLE_FILTER_WITH_DEPS),
+    "osm_latest_versions": (q_osm_latest_versions, ORACLE_LATEST_VERSIONS),
+    "osm_tag_histogram": (q_osm_tag_histogram, ORACLE_TAG_HISTOGRAM),
     "osm_way_geometry": (q_osm_way_geometry, None),
 }

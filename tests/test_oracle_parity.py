@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+from osm_pbf_parquet_spark.plans.osm_queries import OSM_QUERIES
 from osm_pbf_parquet_spark.plans.relational import QUERIES
 
 from oracle_harness import run_compare
@@ -15,4 +16,12 @@ SF_DIR = "/root/testdata/sf0.01"
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_relational_oracle_parity(spark, name):
     fn, oracle = QUERIES[name]
+    run_compare(spark, SF_DIR, name, fn, oracle)
+
+
+@pytest.mark.parametrize("name", sorted(OSM_QUERIES))
+def test_osm_oracle_parity(spark, name):
+    """Golden-fixture VALUES oracles: full value-hash checks against the
+    reference's pinned test.osm.pbf content (read.rs:109-208)."""
+    fn, oracle = OSM_QUERIES[name]
     run_compare(spark, SF_DIR, name, fn, oracle)
