@@ -14,6 +14,11 @@ import zlib
 
 
 def _varint(v: int) -> bytes:
+    if v < 0:
+        # plain (non-zigzag) int32/int64 fields carry negatives as 64-bit
+        # two's complement (proto2 wire rule) — unmasked, the shift loop
+        # below would never terminate
+        v &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = v & 0x7F
