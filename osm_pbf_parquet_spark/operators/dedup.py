@@ -356,3 +356,70 @@ def simhash_dedup(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- duplicate clustering (connected components) ------------------------------
+
+
+def duplicate_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iters: int = 25
+) -> DataFrame:
+    """Group near-dup PAIRS into duplicate clusters: ``(doc_id,
+    canonical_id, component_size)`` with canonical = MIN doc id in the
+    connected component.
+
+    The pipeline use: the near-dup detectors (minhash/simhash/ngram/
+    embedding) emit pairs, but keep-one-per-cluster needs the transitive
+    closure — a chain a~b~c must collapse to ONE canonical even when
+    (a,c) itself is below threshold. Iterative min-label propagation
+    (the DataFrame form of map-reduce hash-to-min): each round every node
+    takes the min label among itself and its neighbors; converges in
+    O(log diameter) rounds, and near-dup clusters are shallow (diameter
+    ≲ 4), so 2-3 rounds are typical.
+
+    Scale design: each round is one equi-join on ``node`` plus one
+    groupBy-min — both shuffle on the same key, so AQE reuses/coalesces
+    the exchange. ``localCheckpoint`` truncates lineage every round:
+    without it round N's plan embeds rounds 1..N-1 (the classic
+    iterative-DataFrame plan blowup; on a multi-node cluster prefer
+    ``setCheckpointDir`` + reliable ``checkpoint`` for executor-loss
+    resilience). Convergence is a LIMIT-1 existence probe on strictly
+    decreased labels, not a full count. Beyond-reference operator (no
+    reference analog).
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint()  # reused every round — materialize once
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nxt = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))  # labels only decrease
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        F.count("*").over(Window.partitionBy("label")).alias("component_size"),
+    )

@@ -96,6 +96,48 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
 """
 
 
+# --- duplicate clustering (connected components over near-dup pairs) -------------
+
+
+def q_dedup_components(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_dedup(t(spark, sf_dir, "documents"), threshold=0.8)
+    return dedup.duplicate_components(pairs)
+
+
+# Same pair generation as ORACLE_NGRAM_JACCARD, then the transitive
+# closure as a recursive CTE: reach = all labels reachable from each node
+# over undirected edges (UNION dedups rows → fixpoint terminates);
+# min(label) per node = the component's min doc id — exactly what
+# min-label propagation converges to on the Spark side.
+ORACLE_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {GRAMS_CTE},
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+common AS (SELECT gram FROM e GROUP BY gram HAVING count(*) > 50),
+p AS (SELECT * FROM e WHERE gram NOT IN (SELECT gram FROM common)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+dups AS (
+  SELECT doc_a, doc_b
+  FROM pairs JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
+  WHERE round(len(list_intersect(ga.grams, gb.grams)) * 1.0
+              / len(list_distinct(ga.grams || gb.grams)), 4) >= 0.8
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM dups
+          UNION SELECT doc_b AS src, doc_a AS dst FROM dups),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT ed.src AS node, r.label FROM reach r JOIN edges ed ON ed.dst = r.node
+),
+comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+SELECT node AS doc_id, label AS canonical_id,
+       count(*) OVER (PARTITION BY label) AS component_size
+FROM comp
+"""
+
+
 # --- minhash LSH -----------------------------------------------------------------
 
 
@@ -515,6 +557,7 @@ def q_multimodal_frames(spark, sf_dir):
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _oracle_minhash()),
     "dedup_simhash": (q_dedup_simhash, ORACLE_SIMHASH),
     "dedup_embedding": (q_dedup_embedding, ORACLE_EMBEDDING_NEAR_DUP),

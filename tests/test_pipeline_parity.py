@@ -111,3 +111,19 @@ def test_signature_impls_bit_identical(spark):
     sa = dedup.simhash_signatures(docs, impl="arrow").select("doc_id", "simhash")
     sb = dedup.simhash_signatures(docs, impl="sql").select("doc_id", "simhash")
     assert sa.exceptAll(sb).count() == 0 and sb.exceptAll(sa).count() == 0
+
+
+def test_duplicate_components_transitive_closure(spark):
+    """A chain a~b~c must collapse to one component with canonical=min,
+    even though (a,c) itself is not a pair; disjoint pair stays separate."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 8), (30, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["canonical_id"], r["component_size"])
+        for r in dedup.duplicate_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1, 4), (2, 1, 4), (3, 1, 4), (30, 1, 4),
+        (8, 8, 2), (9, 8, 2),
+    }
