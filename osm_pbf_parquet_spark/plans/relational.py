@@ -41,8 +41,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 .withColumn("ts_us", F.expr("ts_ns div 1000"))
                 .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
             )
-        else:  # future-proof: already a timestamp
-            e = e.withColumn("ts_us", F.unix_micros("ts"))
+        else:  # already a timestamp (TIMESTAMP or TIMESTAMP_NTZ)
+            # unix_micros only takes TIMESTAMP; pin the session tz to UTC so
+            # an NTZ→TS cast reads the wall-clock as UTC epoch micros —
+            # matching DuckDB's naive-timestamp epoch semantics
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            e = e.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
         return e
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -29,7 +29,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (see plans.relational.t)
+        T.StructField("ts", T.TimestampNTZType()),  # µs, tz-naive (testdata)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -39,17 +39,18 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over events parquet; converts raw-nano ts to a
-    proper event-time column for watermarking."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over events parquet; exposes ``ts_us`` (epoch µs,
+    long) and ``event_time`` (TIMESTAMP) for watermarking. The session tz
+    is UTC (session.py), so the NTZ→TS cast reads wall-clock as UTC and
+    epoch math matches the batch path (plans.relational.t)."""
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
     return stream.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",
@@ -104,7 +105,7 @@ def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         # last_us and merge genuinely separate sessions
         all_us: list[int] = []
         for pdf in pdfs:
-            all_us.extend(int(t) // 1000 for t in pdf["ts"])
+            all_us.extend(int(t) for t in pdf["ts_us"])
         for us in sorted(all_us):
             if last_us < 0 or us - last_us > gap_us:
                 session_count += 1

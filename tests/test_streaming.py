@@ -143,7 +143,7 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
         q.processAllAvailable()
         got = spark.sql("SELECT purchase_id, click_id FROM attributed")
         batch = spark.read.parquet(events_dir).withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+            "event_time", F.col("ts").cast("timestamp")
         )
         expected = ops.attribute_purchases(batch).select("purchase_id", "click_id")
         assert got.count() > 0
