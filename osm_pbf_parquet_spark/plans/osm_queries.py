@@ -9,8 +9,9 @@ reference's hard-coded asserts, ``read.rs:109-208``), which upgrades
 these from rows-only checks to full value-hash checks. Coordinates are
 full-precision doubles from the granularity math (1e-9 × (offset + 100 ×
 raw)); both engines parse the 17-digit literals to the identical double.
-``osm_way_geometry`` stays rows-only: its array<double> columns don't
-canonicalize under the driver's sort-then-hash comparison.
+``osm_way_geometry`` emits one scalar row per way vertex (way_id, seq,
+lat, lon) — array cells don't canonicalize under the driver's
+sort-then-hash comparison, and the exploded form oracles exactly.
 """
 
 from __future__ import annotations
@@ -49,8 +50,22 @@ def q_osm_tag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_osm_way_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Way geometry materialization (explode→join→collect ordered)."""
-    return osm_ops.way_node_join(scan_pbf(spark, FIXTURE))
+    """Way geometry materialization (explode→join→collect ordered), then
+    re-exploded to one scalar row per vertex: the driver's sort-then-hash
+    compare rejects array cells, and the exploded form is fully
+    VALUES-oracle-able against the golden fixture (way 107's refs are
+    [105,106,108,105], read.rs:192)."""
+    geo = osm_ops.way_node_join(scan_pbf(spark, FIXTURE))
+    pts = geo.select(
+        "way_id",
+        F.posexplode(F.arrays_zip("lats", "lons")).alias("seq", "pt"),
+    )
+    return pts.select(
+        "way_id",
+        "seq",
+        F.col("pt.lats").alias("lat"),
+        F.col("pt.lons").alias("lon"),
+    )
 
 
 def q_osm_datasource_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,11 +130,20 @@ SELECT key, n FROM (VALUES
   ('rel_key', CAST(1 AS BIGINT))) AS t(key, n)
 """
 
+ORACLE_WAY_GEOMETRY = f"""
+SELECT way_id, seq, lat, lon FROM (VALUES
+  (CAST(107 AS BIGINT), CAST(0 AS INT), {_N105}),
+  (CAST(107 AS BIGINT), CAST(1 AS INT), {_N106}),
+  (CAST(107 AS BIGINT), CAST(2 AS INT), {_N108}),
+  (CAST(107 AS BIGINT), CAST(3 AS INT), {_N105})
+) AS t(way_id, seq, lat, lon)
+"""
+
 OSM_QUERIES: dict[str, tuple] = {
     "osm_count_by_type": (q_osm_count_by_type, ORACLE_COUNT_BY_TYPE),
     "osm_datasource_nodes": (q_osm_datasource_nodes, ORACLE_DATASOURCE_NODES),
     "osm_filter_with_deps": (q_osm_filter_with_deps, ORACLE_FILTER_WITH_DEPS),
     "osm_latest_versions": (q_osm_latest_versions, ORACLE_LATEST_VERSIONS),
     "osm_tag_histogram": (q_osm_tag_histogram, ORACLE_TAG_HISTOGRAM),
-    "osm_way_geometry": (q_osm_way_geometry, None),
+    "osm_way_geometry": (q_osm_way_geometry, ORACLE_WAY_GEOMETRY),
 }

@@ -525,12 +525,24 @@ def q_approx_sketches(spark, sf_dir):
     engine-specific so the driver check is rows-only, and accuracy is
     asserted against exact values in pytest (test_approx_sketch_accuracy)."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000).alias(
-            "price_quantiles"
-        ),
-        F.count("*").alias("n_rows"),
+    # scalar output columns only: the driver's sort-then-hash compare (and
+    # even its rows-only fallback) canonicalizes via pandas hashing, which
+    # rejects array cells — so the quantile sketch is indexed into named
+    # scalar columns instead of returned as array<double>
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000).alias("_pq"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.element_at("_pq", 1).alias("p50_price"),
+            F.element_at("_pq", 2).alias("p95_price"),
+            "n_rows",
+        )
     )
 
 

@@ -57,7 +57,7 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str,
             exact = (both_nan | (av.fillna(0) == bv.fillna(0))).all()
             assert ok, f"{name}.{c}: float mismatch\n{a[~close][c].head()}\n{b[~close][c].head()}"
             if not exact:
-                # surfacing近-misses that a strict hash would reject
+                # surfacing near-misses that a strict hash would reject
                 diffs = (~(both_nan | (av.fillna(0) == bv.fillna(0)))).sum()
                 raise AssertionError(
                     f"{name}.{c}: {diffs} values differ in last ulp — tighten rounding"

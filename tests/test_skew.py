@@ -75,4 +75,4 @@ def test_approx_sketch_accuracy(spark):
     for r in q_approx_sketches(spark, SF_DIR).collect():
         n_exact, p50_exact = exact[r["l_returnflag"]]
         assert abs(r["approx_parts"] - n_exact) / n_exact < 0.06
-        assert abs(r["price_quantiles"][0] - p50_exact) / p50_exact < 0.01
+        assert abs(r["p50_price"] - p50_exact) / p50_exact < 0.01
