@@ -22,10 +22,12 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-N_BENCH_NODES = 5_000_000  # ~62 MB input — large enough to be
-# throughput-bound rather than job-setup-bound (at 24 MB the fixed
-# ~1.5s of Spark job scheduling dominated and understated MB/s by >2x),
-# small enough that min-of-2 stays robust to host-CPU contention windows
+N_BENCH_NODES = 10_000_000  # ~130 MB input — large enough to be
+# throughput-bound rather than job-setup-bound: measured in the SAME
+# host-contention window, 64 MB records 4.5 MB/s while 130 MB records
+# 9.8 MB/s, because the ~0.6s fixed scheduling + ~1s warm-up tail get
+# amortized. Kept under ~30s/run so min-of-3 still dodges the host's
+# minutes-long CPU-contention windows.
 
 
 def _make_bench_pbf() -> str:
@@ -114,7 +116,7 @@ def main() -> None:
         write_synthetic_pbf_fast(warm, n_nodes=50_000, n_ways=5_000, n_rels=500)
         _bench_transcode(spark, warm, workdir)
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             _bench_transcode(spark, pbf, workdir)
             runs.append(time.time() - t0)
@@ -123,13 +125,13 @@ def main() -> None:
         shutil.rmtree(workdir, ignore_errors=True)
 
     for name, fn in headline:
-        # min-of-2 per query: the host VM shows 3-6x CPU-contention swings
-        # between minutes, so a single sample conflates engine cost with
-        # host noise (same reason the reference's criterion bench samples
-        # n=10). The second run is NOT warm-cache: clearCache() drops
-        # persisted intermediates between runs.
+        # min-of-3 per query: the host VM shows 3-6x CPU-contention swings
+        # lasting minutes (identical transcode runs measured 5s vs 45s), so
+        # few samples conflate engine cost with host noise — the reference's
+        # criterion bench samples n=10 for the same reason. Repeat runs are
+        # NOT warm-cache: clearCache() drops persisted intermediates.
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             # count() forces the full plan without driver-side materialization
             fn(spark, SF_DIR).count()

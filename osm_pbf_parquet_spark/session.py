@@ -17,6 +17,12 @@ DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 def get_spark(app_name: str = "osm_pbf_parquet_spark", **extra_confs) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # one BLAS/OMP thread per Python worker: every core already runs a
+    # worker process, so library-internal thread pools (numpy/BLAS,
+    # pyarrow) would oversubscribe cores ~32x. Must be set before the JVM
+    # launches — workers inherit the JVM's env, which inherits ours.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
