@@ -27,10 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def _registry() -> dict[str, tuple]:
     from osm_pbf_parquet_spark.plans.relational import QUERIES as RELATIONAL
     from osm_pbf_parquet_spark.plans.osm_queries import OSM_QUERIES
+    from osm_pbf_parquet_spark.plans.analytic_queries import ANALYTIC_QUERIES
 
     reg: dict[str, tuple] = {}
     reg.update(RELATIONAL)
     reg.update(OSM_QUERIES)
+    reg.update(ANALYTIC_QUERIES)
     try:  # data-pipeline operator suites land incrementally
         from osm_pbf_parquet_spark.plans.pipeline_queries import PIPELINE_QUERIES
         from osm_pbf_parquet_spark.plans.sampling_queries import SAMPLING_QUERIES

@@ -1,0 +1,387 @@
+"""Advanced analytic query shapes — subquery decorrelation, OR-predicate
+joins, higher-order array lambdas, calendar gap-filling, distribution
+windows, and a Structured Streaming entry.
+
+These extend the SURVEY §2.2 built-in surface (the reference delegates
+all SQL querying to external engines, README.md:44-77) with the classical
+shapes Catalyst optimizes specially: correlated NOT EXISTS → anti-join,
+scalar subquery → broadcast cross-join, OR-of-ANDs predicates → partial
+pushdown (the common-conjunct extraction Q19 exercises), and lambda
+expressions evaluated without exploding (no shuffle amplification).
+
+Scale posture: every query keeps aggregation partial/final (map-side
+combine), joins carry equi-keys so AQE can pick broadcast vs shuffle at
+runtime, and array lambdas stay inside a projection — at 100 TB the only
+shuffles are the groupBy keys themselves. The gap-fill calendar explode
+is bounded by (users × days), not events.
+
+Oracle parity notes: double aggregates are rounded to 2-4 decimals on
+BOTH sides (engine-order-dependent FP summation otherwise flips the last
+ulp); window/ntile tie-breaks always carry a unique key in ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import t
+
+
+# --- argmin per group (TPC-H Q2 shape: min-cost supplier per part) -----------
+
+
+def q_argmin_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part: the cheapest lineitem price and the lowest supplier key
+    among the ties. One struct-min aggregation — a single shuffle on
+    l_partkey, no join, no window sort: min(struct(price, supp)) is the
+    lexicographic argmin, computed partial+final like any agg. The
+    classic window-rank formulation would sort every group; this is the
+    plan you want at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    best = li.groupBy("l_partkey").agg(
+        F.min(F.struct("l_extendedprice", "l_suppkey")).alias("_b")
+    )
+    return best.select(
+        "l_partkey",
+        F.col("_b.l_extendedprice").alias("min_price"),
+        F.col("_b.l_suppkey").alias("best_supp"),
+    )
+
+
+ORACLE_ARGMIN = """
+WITH m AS (
+  SELECT l_partkey, min(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY 1
+)
+SELECT m.l_partkey, m.min_price, min(l.l_suppkey) AS best_supp
+FROM m JOIN lineitem l
+  ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+GROUP BY 1, 2
+"""
+
+
+# --- multi-condition EXISTS (TPC-H Q21 shape) --------------------------------
+
+
+def q_multi_supplier_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders supplied by ≥2 distinct suppliers where at least one line
+    shipped >60 days after the order date — the Q21 double-EXISTS shape
+    collapsed into one pass: both conditions are aggregates of the same
+    lineitem⋈orders join, so one shuffle computes them together instead
+    of two correlated-subquery scans."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    per_order = j.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.sum(
+            (F.datediff("l_shipdate", "o_orderdate") > 60).cast("long")
+        ).alias("n_late"),
+    )
+    return (
+        per_order.filter((F.col("n_suppliers") >= 2) & (F.col("n_late") >= 1))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("n_late").alias("total_late_lines"),
+        )
+    )
+
+
+ORACLE_MULTI_SUPPLIER = """
+WITH per_order AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         count(DISTINCT l.l_suppkey) AS n_suppliers,
+         sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+                  THEN 1 ELSE 0 END) AS n_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority, count(*) AS n_orders, sum(n_late) AS total_late_lines
+FROM per_order WHERE n_suppliers >= 2 AND n_late >= 1
+GROUP BY 1
+"""
+
+
+# --- NOT EXISTS + scalar subquery (TPC-H Q22 shape) --------------------------
+
+
+def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average balance (scalar subquery over the
+    positive-balance population) and no orders (NOT EXISTS → left-anti
+    join). The scalar aggregate is one row — broadcast cross-join, no
+    shuffle of the big side; the anti-join shuffles once on custkey
+    (AQE broadcasts the distinct-orders side when it is small)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+ORACLE_RICH_INACTIVE = """
+SELECT c_mktsegment, count(*) AS n_custs,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+
+# --- OR-of-ANDs predicate join (TPC-H Q19 shape) -----------------------------
+
+
+def q_or_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive join predicate over both sides: Catalyst extracts the
+    common conjunct (the p_partkey equi-key) so the join stays a hash
+    join with the OR evaluated as a post-join filter — and pushes the
+    per-side conjunct unions (brand IN, quantity range) down to the
+    scans. The naive reading is a theta-join / cartesian; the optimized
+    plan is one shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+ORACLE_OR_PREDICATE = """
+SELECT count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 35)
+"""
+
+
+# --- higher-order array lambdas ----------------------------------------------
+
+
+def q_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-of-quantities per order processed with higher-order lambdas:
+    fold (aggregate), filter, and size — all inside one projection, no
+    explode. At 100 TB the alternative explode→re-aggregate doubles the
+    shuffle volume; the lambda form touches each array exactly once."""
+    li = t(spark, sf_dir, "lineitem")
+    arr = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
+    )
+    return arr.select(
+        "o_orderkey",
+        F.aggregate(
+            "qtys", F.lit(0.0), lambda acc, q: acc + q
+        ).alias("total_qty"),
+        F.size(F.filter("qtys", lambda q: q > 25)).alias("n_big"),
+    )
+
+
+ORACLE_HIGHER_ORDER = """
+SELECT o_orderkey,
+       list_aggregate(qtys, 'sum') AS total_qty,
+       len(list_filter(qtys, q -> q > 25)) AS n_big
+FROM (
+  SELECT l_orderkey AS o_orderkey, list_sort(list(l_quantity)) AS qtys
+  FROM lineitem GROUP BY 1
+)
+"""
+
+
+# --- calendar gap-fill (sequence + explode) ----------------------------------
+
+
+def q_date_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity with calendar gap-fill: generate each
+    user's [first_day, last_day] calendar via sequence()+explode, left
+    join daily counts, report coverage. The explode is bounded by
+    users × span-days (dimension-sized), never by the event count — the
+    safe gap-fill shape for a 100 TB event table."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").alias("n"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    cal = spans.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d"),
+    )
+    return (
+        cal.join(daily, ["user_id", "d"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.count("n").alias("n_active"),
+            (F.count("*") - F.count("n")).alias("n_gaps"),
+        )
+    )
+
+
+ORACLE_GAPFILL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+cal AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM spans
+)
+SELECT cal.user_id, count(*) AS n_days, count(daily.n) AS n_active,
+       count(*) - count(daily.n) AS n_gaps
+FROM cal LEFT JOIN daily USING (user_id, d)
+GROUP BY 1
+"""
+
+
+# --- distribution windows (ntile / quartiles) --------------------------------
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile(4) over account balance (tie-broken by the unique
+    custkey so the assignment is deterministic across engines), rolled up
+    to per-quartile stats. A single-partition window sort is the one
+    shape that does NOT scale horizontally — at 100 TB the right plan
+    replaces it with approx quantile boundaries + a range join; this
+    entry pins the exact semantics the approximate path must converge
+    to."""
+    c = t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("q", F.ntile(4).over(w))
+        .groupBy("q")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("lo_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("hi_bal"),
+        )
+    )
+
+
+ORACLE_NTILE = """
+SELECT q, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal,
+       round(min(c_acctbal), 2) AS lo_bal, round(max(c_acctbal), 2) AS hi_bal
+FROM (
+  SELECT c_acctbal, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+  FROM customer
+)
+GROUP BY 1
+"""
+
+
+# --- Structured Streaming entry ----------------------------------------------
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation executed AS A STREAM
+    (readStream → window agg → memory sink, availableNow trigger), then
+    returned as the materialized result table. Complete output mode so
+    every window — including ones newer than the final watermark —
+    reaches the sink; on static input the answer is exactly the batch
+    GROUP BY, which is what the oracle pins (the streaming/batch
+    unification guarantee)."""
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) → long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        # the file stream source lists a DIRECTORY; pathGlobFilter pins it
+        # to the events table within the sf_dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    from ..streaming.ops import windowed_counts
+
+    agg = windowed_counts(stream).select(
+        "window_start",
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+    )
+    name = "stream_wc_result"
+    for q in spark.streams.active:  # rerun-safe: drop a stale sink query
+        if q.name == name:
+            q.stop()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+ORACLE_STREAM_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+ANALYTIC_QUERIES: dict[str, tuple] = {
+    "argmin_per_group": (q_argmin_per_group, ORACLE_ARGMIN),
+    "multi_supplier_late_orders": (
+        q_multi_supplier_late_orders,
+        ORACLE_MULTI_SUPPLIER,
+    ),
+    "rich_inactive_customers": (q_rich_inactive_customers, ORACLE_RICH_INACTIVE),
+    "or_predicate_join": (q_or_predicate_join, ORACLE_OR_PREDICATE),
+    "higher_order_arrays": (q_higher_order_arrays, ORACLE_HIGHER_ORDER),
+    "date_gapfill": (q_date_gapfill, ORACLE_GAPFILL),
+    "ntile_quartiles": (q_ntile_quartiles, ORACLE_NTILE),
+    "stream_windowed_counts": (q_stream_windowed_counts, ORACLE_STREAM_WINDOWED),
+}

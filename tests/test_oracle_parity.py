@@ -5,12 +5,19 @@ from __future__ import annotations
 
 import pytest
 
+from osm_pbf_parquet_spark.plans.analytic_queries import ANALYTIC_QUERIES
 from osm_pbf_parquet_spark.plans.osm_queries import OSM_QUERIES
 from osm_pbf_parquet_spark.plans.relational import QUERIES
 
 from oracle_harness import run_compare
 
 SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("name", sorted(ANALYTIC_QUERIES))
+def test_analytic_oracle_parity(spark, name):
+    fn, oracle = ANALYTIC_QUERIES[name]
+    run_compare(spark, SF_DIR, name, fn, oracle)
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
