@@ -41,7 +41,51 @@ def _registry() -> dict[str, tuple]:
         reg.update(SAMPLING_QUERIES)
     except ImportError:
         pass
-    return reg
+    return _verification_order(reg)
+
+
+# The correctness driver checks the FIRST 50 registry entries, so insertion
+# order decides which queries get a gate row each round. Front-load (a)
+# queries that have never had a driver check, (b) queries fixed/added this
+# round whose fix must be certified, (c) queries whose last green row is the
+# oldest. Long-stable queries (green in r1+r2) take the tail — every
+# registered query keeps at least one green CORRECTNESS row across rounds.
+_CHECK_FIRST = [
+    # never driver-checked through r2 (registry-cap eviction)
+    "clean_corpus_pipeline",
+    "udtf_top_words",
+    "udaf_median_chars",
+    "multimodal_metadata",
+    "multimodal_features",
+    "multimodal_frames",
+    "sample_hash_split",
+    "sample_stratified_cap",
+    "sample_weighted_mixture",
+    "sample_length_buckets",
+    "sample_uniform_n",
+    # fixed or reshaped in r3 — certify the fixes
+    "stream_windowed_counts",
+    "multi_supplier_late_orders",
+    "approx_sketches",
+    "rich_inactive_customers",
+    "ntile_quartiles",
+    "ntile_quartiles_scalable",
+    # green in r1 only, evicted in r2
+    "dedup_embedding",
+    "ann_cosine_topk",
+    "ann_lsh_pairs",
+    "ann_ivf_topk",
+    "text_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+]
+
+
+def _verification_order(reg: dict[str, tuple]) -> dict[str, tuple]:
+    head = {n: reg[n] for n in _CHECK_FIRST if n in reg}
+    head.update((n, v) for n, v in reg.items() if n not in head)
+    return head
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

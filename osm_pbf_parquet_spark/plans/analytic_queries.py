@@ -98,7 +98,10 @@ WITH per_order AS (
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   GROUP BY 1, 2
 )
-SELECT o_orderpriority, count(*) AS n_orders, sum(n_late) AS total_late_lines
+SELECT o_orderpriority, count(*) AS n_orders,
+       -- DuckDB sum(int) returns HUGEINT; Spark emits BIGINT — cast so the
+       -- driver's value-hash compares like types
+       CAST(sum(n_late) AS BIGINT) AS total_late_lines
 FROM per_order WHERE n_suppliers >= 2 AND n_late >= 1
 GROUP BY 1
 """
@@ -109,12 +112,20 @@ GROUP BY 1
 
 def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with above-average balance (scalar subquery over the
-    positive-balance population) and no orders (NOT EXISTS → left-anti
-    join). The scalar aggregate is one row — broadcast cross-join, no
-    shuffle of the big side; the anti-join shuffles once on custkey
-    (AQE broadcasts the distinct-orders side when it is small)."""
+    positive-balance population) and no RECENT orders — none on/after
+    2000-01-01 (NOT EXISTS → left-anti join; the date bound keeps the
+    predicate satisfiable on the testdata, where every customer has at
+    least one order ever). The scalar aggregate is one row — broadcast
+    cross-join, no shuffle of the big side; the anti-join shuffles once
+    on custkey (AQE broadcasts the distinct-orders side when it is
+    small)."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("_avg_bal")
     )
@@ -135,7 +146,8 @@ SELECT c_mktsegment, count(*) AS n_custs,
        round(sum(c_acctbal), 2) AS total_bal
 FROM customer c
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1
 """
 
@@ -309,6 +321,61 @@ GROUP BY 1
 """
 
 
+def q_ntile_quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ntile plan: distributed global rank instead of a
+    single-partition window sort. repartitionByRange samples split points
+    and range-shuffles on (c_acctbal, c_custkey); each partition sorts
+    locally (row_number windowed BY partition id — parallel); partition
+    row-counts (one tiny row per partition) turn into prefix-sum offsets,
+    broadcast back, so global_rank = local row_number + offset. The exact
+    SQL ntile bucket rule — first n%4 buckets get one extra row — is then
+    pure arithmetic on the rank, so this CONVERGES EXACTLY to
+    q_ntile_quartiles (same oracle pins both). Only wide op on the big
+    table: the one range shuffle; the offsets window runs over
+    #partitions rows, not data."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    nparts = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = c.repartitionByRange(nparts, "c_acctbal", "c_custkey").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_pn"))
+    # dimension-sized (one row per partition): single-partition windows here
+    # are over ~nparts rows, never over data
+    all_rows = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    preceding = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_pn").over(preceding), F.lit(0)).alias("_off"),
+        F.sum("_pn").over(all_rows).alias("_n"),
+    )
+    local = Window.partitionBy("_pid").orderBy("c_acctbal", "c_custkey")
+    ranked = (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rank", F.row_number().over(local) + F.col("_off"))
+        .withColumn("_qsz", F.expr("_n div 4"))
+        .withColumn("_rem", F.expr("_n % 4"))
+        .withColumn(
+            "q",
+            F.expr(
+                "CASE WHEN _rank <= (_qsz + 1) * _rem"
+                "     THEN (_rank - 1) div (_qsz + 1) + 1"
+                "     ELSE _rem + (_rank - (_qsz + 1) * _rem - 1)"
+                "          div greatest(_qsz, 1) + 1 END"
+            ).cast("int"),
+        )
+    )
+    return ranked.groupBy("q").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("lo_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("hi_bal"),
+    )
+
+
 # --- Structured Streaming entry ----------------------------------------------
 
 
@@ -322,11 +389,17 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     unification guarantee)."""
     from pyspark.sql import types as T
 
+    # The stream schema must match the file's physical ts encoding. Probe it
+    # via the batch reader (same dtype branch as plans.relational.t) instead
+    # of assuming nanos-as-long: the testdata writes timestamp[us].
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_is_long = dict(probe.dtypes).get("ts") in ("bigint", "long")
+    ts_type = T.LongType() if ts_is_long else T.TimestampNTZType()
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) → long
+            T.StructField("ts", ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -339,8 +412,17 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # to the events table within the sf_dir
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if ts_is_long:  # raw int64 nanos → µs
+        stream = stream.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:  # timestamp[us]; session tz is UTC so NTZ→TS reads wall-clock as UTC
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn(
+            "event_time",
+            F.timestamp_micros(F.unix_micros(F.col("ts").cast("timestamp"))),
+        )
     from ..streaming.ops import windowed_counts
 
     agg = windowed_counts(stream).select(
@@ -383,5 +465,6 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "higher_order_arrays": (q_higher_order_arrays, ORACLE_HIGHER_ORDER),
     "date_gapfill": (q_date_gapfill, ORACLE_GAPFILL),
     "ntile_quartiles": (q_ntile_quartiles, ORACLE_NTILE),
+    "ntile_quartiles_scalable": (q_ntile_quartiles_scalable, ORACLE_NTILE),
     "stream_windowed_counts": (q_stream_windowed_counts, ORACLE_STREAM_WINDOWED),
 }

@@ -521,29 +521,48 @@ FROM lineitem GROUP BY l_returnflag
 def q_approx_sketches(spark, sf_dir):
     """Sketch aggregates — HLL++ count-distinct and a quantile sketch.
     At 100 TB these are the bounded-memory answers where exact
-    distinct/percentile would shuffle the raw column; estimates are
-    engine-specific so the driver check is rows-only, and accuracy is
-    asserted against exact values in pytest (test_approx_sketch_accuracy)."""
+    distinct/percentile would shuffle the raw column. Sketch estimates are
+    engine-specific, so the query emits DETERMINISTIC columns the oracle
+    can pin: exact counts plus bounded-error booleans (approx within the
+    declared rsd of exact; approx quantile inside the exact neighboring
+    quantile bracket). The oracle asserts TRUE for each check — a hash
+    match certifies the sketch accuracy inside the gate, not just in
+    pytest (test_approx_sketch_accuracy). The exact aggregates here exist
+    only to make the claim checkable; production callers use the sketch
+    columns alone."""
     li = t(spark, sf_dir, "lineitem")
-    # scalar output columns only: the driver's sort-then-hash compare (and
-    # even its rows-only fallback) canonicalizes via pandas hashing, which
-    # rejects array cells — so the quantile sketch is indexed into named
-    # scalar columns instead of returned as array<double>
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000).alias("_pq"),
-            F.count("*").alias("n_rows"),
-        )
-        .select(
-            "l_returnflag",
-            "approx_parts",
-            F.element_at("_pq", 1).alias("p50_price"),
-            F.element_at("_pq", 2).alias("p95_price"),
-            "n_rows",
-        )
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10_000).alias("_pq"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.45, 0.55, 0.93, 0.97))"
+        ).alias("_pe"),
+        F.count("*").alias("n_rows"),
     )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("parts_ok"),
+        F.element_at("_pq", 1).between(
+            F.element_at("_pe", 1), F.element_at("_pe", 2)
+        ).alias("p50_ok"),
+        F.element_at("_pq", 2).between(
+            F.element_at("_pe", 3), F.element_at("_pe", 4)
+        ).alias("p95_ok"),
+    )
+
+
+ORACLE_APPROX_SKETCHES = """
+SELECT l_returnflag, count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def q_salted_distinct(spark, sf_dir):
@@ -971,7 +990,7 @@ QUERIES: dict[str, tuple] = {
     "union_distinct": (q_union_distinct, ORACLE_UNION_DISTINCT),
     "distinct_agg": (q_distinct_agg, ORACLE_DISTINCT_AGG),
     "salted_distinct_count": (q_salted_distinct, ORACLE_SALTED_DISTINCT),
-    "approx_sketches": (q_approx_sketches, None),
+    "approx_sketches": (q_approx_sketches, ORACLE_APPROX_SKETCHES),
     "scalar_functions": (q_scalar_functions, ORACLE_SCALAR_FUNCTIONS),
     "pivot_counts": (q_pivot, ORACLE_PIVOT),
     "json_extract": (q_json_extract, ORACLE_JSON_EXTRACT),

@@ -85,6 +85,24 @@ def test_wholestage_codegen_on_scan_paths(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ntile_scalable_no_global_window_sort(spark):
+    """The scalable ntile must range-shuffle the big table and window only
+    WITHIN range partitions; any single-partition exchange in the plan may
+    belong only to the tiny per-partition-counts branch (bounded by
+    #partitions rows, an Aggregate directly below it), never to the
+    customer scan."""
+    from osm_pbf_parquet_spark.plans import analytic_queries as an
+
+    plan = _plan(an.q_ntile_quartiles_scalable(spark, SF_DIR))
+    assert "rangepartitioning" in plan.lower()
+    # the exact-semantics pin (q_ntile_quartiles) has ntile over an
+    # unpartitioned window; the scalable plan must not
+    assert "ntile" not in plan.lower()
+    # every single-partition exchange feeds from the counts aggregate, so
+    # there are at most as many as aggregate stages of the tiny branch
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
 def test_osmpbf_datasource_filter_pushdown(spark):
     """The osmpbf Python DataSource must surface type predicates as
     PushedFilters on its BatchScan (kind pushdown into the parse kernel
