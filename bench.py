@@ -54,13 +54,13 @@ def _make_bench_pbf() -> str:
 
 
 def _bench_transcode(spark, pbf: str, workdir: str) -> None:
-    """PBF → partitioned parquet, the reference's product flow."""
-    from osm_pbf_parquet_spark.sinks.parquet_sink import write_osm_parquet
-    from osm_pbf_parquet_spark.sources.pbf_source import scan_pbf
+    """PBF → partitioned parquet, the reference's product flow — the fused
+    parse+write stage (sinks/native_sink.py): columnar end-to-end, no JVM
+    row round-trip, zstd level 3 like the reference default (util.rs:39)."""
+    from osm_pbf_parquet_spark.sinks.native_sink import transcode_pbf
 
     out = os.path.join(workdir, "parquet_out")
-    df = scan_pbf(spark, pbf)
-    write_osm_parquet(df, out, compression="zstd", max_records_per_file=500_000)
+    transcode_pbf(spark, pbf, out, compression="zstd", zstd_level=3)
 
 
 def main() -> None:
