@@ -19,6 +19,7 @@ import zlib
 from dataclasses import dataclass
 from typing import BinaryIO, Iterator
 
+from .io import open_binary
 from .proto import iter_fields, message_fields
 
 # Spec limits, enforced identically to the reference
@@ -77,9 +78,9 @@ def _read_blob_header(f: BinaryIO) -> tuple[str, int, int] | None:
 def index_blobs(path: str) -> list[BlobInfo]:
     """Metadata-only scan: header reads + payload seeks (S3). Cheap enough
     to run on the driver for any file size — it reads ~32 bytes per ~16MB
-    blob."""
+    blob. Accepts plain paths or URLs (S5: ``pbf/io.py``)."""
     infos: list[BlobInfo] = []
-    with open(path, "rb") as f:
+    with open_binary(path) as f:
         while True:
             start = f.tell()
             head = _read_blob_header(f)
@@ -92,7 +93,7 @@ def index_blobs(path: str) -> list[BlobInfo]:
 
 def iter_blobs(path: str) -> Iterator[tuple[BlobInfo, bytes]]:
     """Sequential full scan (S1): yields (info, raw Blob message bytes)."""
-    with open(path, "rb") as f:
+    with open_binary(path) as f:
         while True:
             start = f.tell()
             head = _read_blob_header(f)

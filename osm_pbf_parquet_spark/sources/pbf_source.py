@@ -65,8 +65,9 @@ def read_pbf_header(path: str) -> dict | None:
     first OSMHeader (the first blob by spec) — no full-file index pass,
     which matters when this runs per incremental-ingest tick."""
     from ..pbf.blob import _read_blob_header
+    from ..pbf.io import open_binary
 
-    with open(path, "rb") as f:
+    with open_binary(path) as f:
         while True:
             head = _read_blob_header(f)
             if head is None:
@@ -139,12 +140,14 @@ def parse_blob_entries(entries, kinds: list[str], columns: list[str] | None):
     closure and the ``osmpbf`` DataSource's ``read()``: iterate
     (path, offset, size) triples, keeping one open handle per distinct
     path, and yield non-empty Arrow batches."""
+    from ..pbf.io import open_binary
+
     handles: dict[str, object] = {}
     try:
         for p, off, size in entries:
             f = handles.get(p)
             if f is None:
-                f = handles[p] = open(p, "rb")
+                f = handles[p] = open_binary(p)
             out = parse_block_to_batch(
                 decompress_blob(read_blob_at(f, off, size)),
                 kinds=kinds, columns=columns,
