@@ -341,16 +341,24 @@ def scan_message_batch(payloads: list):
 def extract_ranges(arr: np.ndarray, starts: np.ndarray, lens: np.ndarray,
                    lanes: np.ndarray, n0: int):
     """Concatenate the byte ranges (in lane order) and count bytes per
-    lane. Extraction uses a +1/-1 boundary-delta mask over the buffer —
-    buffer order equals lane order because lanes occupy disjoint
-    ascending spans. Returns ``(blob uint8 array, nbytes per lane)``."""
+    lane. Gather indices are built directly from the range bounds —
+    O(extracted bytes), independent of the buffer size (the previous
+    boundary-delta mask cost a full-buffer cumsum PER FIELD, the dominant
+    way-blob decode cost). Output is in buffer order == lane order
+    (lanes occupy disjoint ascending spans); scan_message_batch emits
+    occurrences iteration-major, NOT position-sorted, so sort when
+    needed (the mask-based predecessor was order-insensitive)."""
     nbytes = np.zeros(n0, dtype=np.int64)
     if starts.size == 0:
         return np.empty(0, dtype=np.uint8), nbytes
-    delta = np.zeros(arr.size + 1, dtype=np.int32)
-    np.add.at(delta, starts, 1)
-    np.add.at(delta, starts + lens, -1)
-    blob = arr[np.cumsum(delta[:-1]) > 0]
+    if starts.size > 1 and (np.diff(starts) < 0).any():
+        order = np.argsort(starts, kind="stable")
+        starts, lens, lanes = starts[order], lens[order], lanes[order]
+    total = int(lens.sum())
+    out_offs = np.cumsum(lens) - lens  # each range's position in the output
+    idx = (np.arange(total, dtype=np.int64)
+           + np.repeat(starts - out_offs, lens))
+    blob = arr[idx]
     np.add.at(nbytes, lanes, lens)
     return blob, nbytes
 

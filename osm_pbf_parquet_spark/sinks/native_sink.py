@@ -144,7 +144,11 @@ def transcode_pbf(
     output reads back with ``spark.read.parquet(out_path)`` identically to
     the generic sink's (``tests/test_transcode.py`` pins the equivalence).
     """
-    from ..sources.pbf_source import _catalog_rows, normalize_kinds_columns
+    from ..sources.pbf_source import (
+        _catalog_rows,
+        _partitioned_catalog,
+        normalize_kinds_columns,
+    )
 
     kinds_list, _ = normalize_kinds_columns(kinds, None)
     if os.path.exists(out_path):
@@ -157,12 +161,7 @@ def transcode_pbf(
     rows, n_groups = _catalog_rows(
         path, spark.sparkContext.defaultParallelism, blobs_per_task
     )
-    catalog = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(p, off, sz) for (p, off, sz, _g) in rows], max(n_groups, 1)
-        ),
-        "path string, offset long, size long",
-    )
+    catalog = _partitioned_catalog(spark, rows, n_groups)
     target_bytes = target_file_mb * 1024 * 1024
     codec = compression
     level = zstd_level if compression == "zstd" else None

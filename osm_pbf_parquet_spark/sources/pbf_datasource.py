@@ -139,16 +139,12 @@ class OsmPbfReader(DataSourceReader):
         except Exception:
             pass
         rows, n_groups = _catalog_rows(self.paths, parallelism, self.blobs_per_task)
-        n = len(rows)
-        if n == 0:
+        if not rows:
             return [_BlobRangePartition([])]
-        parts = []
-        for g in range(n_groups):
-            entries = [
-                (p, off, sz) for (p, off, sz, _gid) in rows[g * n // n_groups : (g + 1) * n // n_groups]
-            ]
-            if entries:
-                parts.append(_BlobRangePartition(entries))
+        groups: dict[int, list] = {}
+        for p, off, sz, gid in rows:  # gid = size-weighted contiguous chunks
+            groups.setdefault(gid, []).append((p, off, sz))
+        parts = [_BlobRangePartition(groups[g]) for g in sorted(groups)]
         return parts or [_BlobRangePartition([])]
 
     def read(self, partition: _BlobRangePartition) -> Iterator:

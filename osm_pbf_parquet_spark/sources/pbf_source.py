@@ -84,13 +84,37 @@ def _normalize_paths(path) -> list[str]:
     return [path] if isinstance(path, str) else list(path)
 
 
+def _group_boundaries(sizes: list[int], g: int) -> list[int]:
+    """Split ``sizes`` into ``g`` contiguous chunks of ~equal total BYTES
+    (not equal count): blob decode cost tracks payload size, and way/
+    relation blobs run ~3× a dense-node blob's bytes — count-balanced
+    chunks made the tail tasks (where ways/relations cluster in a planet
+    file) the stragglers of every scan. Returns per-blob group ids."""
+    total = sum(sizes)
+    if total == 0 or g <= 1:
+        return [0] * len(sizes)
+    target = total / g
+    gids: list[int] = []
+    acc = 0.0
+    gid = 0
+    for s in sizes:
+        # close the group when adding this blob crosses its byte budget,
+        # never exceeding g-1 (remaining blobs pile into the last group)
+        if acc + s > target * (gid + 1) and gid < g - 1 and acc > 0:
+            gid += 1
+        gids.append(gid)
+        acc += s
+    return gids
+
+
 def _catalog_rows(path, parallelism: int,
                   blobs_per_task: int | None) -> tuple[list[tuple], int]:
     """One metadata pass per file → (catalog rows, group count). Accepts a
     single path or a list (a 100 TB corpus is many PBF files; the catalog
-    unions their blob ranges). Contiguous chunking: group k holds blobs
-    [k*n//g, (k+1)*n//g) — adjacent offsets share a task, so each task
-    issues coalesced range reads and files never interleave mid-group."""
+    unions their blob ranges). Contiguous size-weighted chunking: each
+    group holds adjacent blobs totalling ~equal bytes, so every task
+    issues coalesced range reads (files never interleave mid-group) AND
+    gets ~equal decode work."""
     entries: list[tuple] = []
     for p in _normalize_paths(path):
         infos = sorted(
@@ -100,15 +124,27 @@ def _catalog_rows(path, parallelism: int,
         entries.extend((p, i.offset, i.size) for i in infos)
     n = len(entries)
     g = _n_groups(n, parallelism, blobs_per_task)
-    # gid is the inverse of the slice formula both consumers use
-    # (parallelize slice k = rows[k*n//g : (k+1)*n//g]; same in the
-    # DataSource's partitions()) — so the task_group column reports the
-    # EXACT partition each blob lands in
+    gids = _group_boundaries([sz for (_p, _off, sz) in entries], g)
     rows = [
-        (p, off, sz, ((idx + 1) * g - 1) // n)
-        for idx, (p, off, sz) in enumerate(entries)
+        (p, off, sz, gid) for (p, off, sz), gid in zip(entries, gids)
     ]
     return rows, g
+
+
+def _partitioned_catalog(spark: SparkSession, rows: list[tuple],
+                         n_groups: int) -> DataFrame:
+    """Ship the catalog pre-partitioned along the size-weighted gid
+    boundaries: one group-list per parallelize slice, flattened in place —
+    each task gets its contiguous byte-balanced blob run with NO
+    repartition shuffle and no extra stage (a shuffle roundtrip cost
+    ~1.8s of dead time per scan on a 123 MB input)."""
+    groups: list[list[tuple]] = [[] for _ in range(max(n_groups, 1))]
+    for p, off, sz, gid in rows:
+        groups[gid].append((p, off, sz))
+    rdd = spark.sparkContext.parallelize(
+        groups, max(n_groups, 1)
+    ).flatMap(lambda grp: grp)
+    return spark.createDataFrame(rdd, "path string, offset long, size long")
 
 
 def pbf_blob_catalog(spark: SparkSession, path: str, blobs_per_task: int | None = None) -> DataFrame:
@@ -181,18 +217,7 @@ def scan_pbf(
     rows, n_groups = _catalog_rows(
         path, spark.sparkContext.defaultParallelism, blobs_per_task
     )
-    # Ship the offset-sorted catalog pre-partitioned: parallelize slices a
-    # list of n rows into g contiguous runs with the SAME boundaries as the
-    # task_group formula (slice k = rows[k*n//g : (k+1)*n//g]), so each
-    # task still gets adjacent byte ranges — but with NO repartition
-    # shuffle and no extra stage. On a 123MB input this removes ~1.8s of
-    # pre-task dead time (two-stage shuffle roundtrip) from every scan.
-    catalog = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(p, off, sz) for (p, off, sz, _g) in rows], max(n_groups, 1)
-        ),
-        "path string, offset long, size long",
-    )
+    catalog = _partitioned_catalog(spark, rows, n_groups)
 
     columns_list = list(columns) if columns is not None else None
 
