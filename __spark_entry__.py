@@ -70,6 +70,7 @@ _CHECK_FIRST = [
     "rich_inactive_customers",
     "ntile_quartiles",
     "ntile_quartiles_scalable",
+    "decontaminate",
     # green in r1 only, evicted in r2
     "dedup_embedding",
     "ann_cosine_topk",

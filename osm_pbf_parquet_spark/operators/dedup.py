@@ -256,6 +256,36 @@ def ngram_jaccard_dedup(
     return _verified_jaccard(pairs, grams, key, threshold)
 
 
+def contamination_check(
+    train: DataFrame, eval_df: DataFrame, text_col: str = "text",
+    key: str = "doc_id", k: int = SHINGLE_K, min_overlap: int = 2,
+) -> DataFrame:
+    """Train/eval contamination sweep (benchmark decontamination): flag
+    training docs sharing ≥``min_overlap`` distinct k-word shingles with
+    any eval doc — the standard pretraining hygiene step that removes
+    eval-set leakage before training.
+
+    Scale shape: eval benchmarks are dimension-sized by construction, so
+    the exploded eval gram table is BROADCAST; the train side explodes
+    grams in its map stage and hash-joins on the int64 gram hash without
+    ever shuffling raw documents. The only shuffle is the partial-count
+    merge on (train_id, eval_id) — safe at 100 TB of training text.
+    Matching is on the md5-derived gram hash (same arithmetic as
+    ``with_grams``), which a SQL oracle replicates bit-exactly."""
+    tg = with_grams(train, text_col, k).select(
+        F.col(key).alias("train_id"), F.explode("gram_hashes").alias("gh")
+    )
+    eg = with_grams(eval_df, text_col, k).select(
+        F.col(key).alias("eval_id"), F.explode("gram_hashes").alias("gh")
+    )
+    return (
+        tg.join(F.broadcast(eg), "gh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
 # --- SimHash ------------------------------------------------------------------
 
 SIMHASH_BITS = 32

@@ -96,6 +96,59 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
 """
 
 
+# --- train/eval decontamination ---------------------------------------------------
+
+
+DECON_K = 5  # longer shingles than dedup: contamination wants rare n-grams
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the eval slice (doc_id % 20 == 0) is the
+    dimension side; report each contaminated training doc with its eval
+    hit count and overlap depth. See dedup.contamination_check for the
+    100 TB shape (broadcast eval grams, no raw-doc shuffle)."""
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    pairs = dedup.contamination_check(train, ev, k=DECON_K, min_overlap=2)
+    return pairs.groupBy(F.col("train_id").alias("doc_id")).agg(
+        F.countDistinct("eval_id").alias("n_eval_hits"),
+        F.max("n_shared").alias("max_overlap"),
+        F.sum("n_shared").cast("long").alias("total_shared"),
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH g5 AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(text, ' ')) < {DECON_K} THEN [text]
+         ELSE list_distinct(list_transform(
+              range(0, len(string_split(text, ' ')) - {DECON_K} + 1),
+              i -> array_to_string((string_split(text, ' '))[i+1:i+{DECON_K}], ' ')))
+    END AS grams
+  FROM documents
+),
+h5 AS (
+  SELECT doc_id, list_transform(grams, x ->
+      CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % {P}) AS gram_hashes
+  FROM g5
+),
+tg AS (SELECT doc_id AS train_id, unnest(gram_hashes) AS gh FROM h5
+       WHERE doc_id % 20 != 0),
+eg AS (SELECT doc_id AS eval_id, unnest(gram_hashes) AS gh FROM h5
+       WHERE doc_id % 20 = 0),
+pairs AS (
+  SELECT train_id, eval_id, count(*) AS n_shared
+  FROM tg JOIN eg USING (gh) GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT train_id AS doc_id,
+       count(DISTINCT eval_id) AS n_eval_hits,
+       CAST(max(n_shared) AS BIGINT) AS max_overlap,
+       CAST(sum(n_shared) AS BIGINT) AS total_shared
+FROM pairs GROUP BY 1
+"""
+
+
 # --- duplicate clustering (connected components over near-dup pairs) -------------
 
 
@@ -557,6 +610,7 @@ def q_multimodal_frames(spark, sf_dir):
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _oracle_minhash()),
     "dedup_simhash": (q_dedup_simhash, ORACLE_SIMHASH),
