@@ -126,6 +126,22 @@ class _KindWriter:
         self._roll()
 
 
+def _finalize_output(out_path: str, committed: set[str]) -> None:
+    """Job-commit step: delete partition-dir files NOT committed by a
+    winning attempt (``.inprogress`` partials from failed tasks, complete
+    files from losing speculative attempts), then write ``_SUCCESS``."""
+    for kind_dir in os.listdir(out_path):
+        full = os.path.join(out_path, kind_dir)
+        if not os.path.isdir(full):
+            continue
+        for fname in os.listdir(full):
+            fpath = os.path.join(full, fname)
+            if fname.endswith(".inprogress") or fpath not in committed:
+                os.remove(fpath)
+    with open(os.path.join(out_path, "_SUCCESS"), "w"):
+        pass
+
+
 def transcode_pbf(
     spark: SparkSession,
     path: str | list[str],
@@ -232,18 +248,7 @@ def transcode_pbf(
     ).collect()
 
     committed = {r["file"] for r in stat_rows}
-    # finalize: remove files not committed by a winning attempt (failed /
-    # speculative-duplicate attempts), then mark success
-    for kind_dir in os.listdir(out_path):
-        full = os.path.join(out_path, kind_dir)
-        if not os.path.isdir(full):
-            continue
-        for fname in os.listdir(full):
-            fpath = os.path.join(full, fname)
-            if fname.endswith(".inprogress") or fpath not in committed:
-                os.remove(fpath)
-    with open(os.path.join(out_path, "_SUCCESS"), "w"):
-        pass
+    _finalize_output(out_path, committed)
 
     per_kind: dict[str, int] = {}
     for r in stat_rows:
