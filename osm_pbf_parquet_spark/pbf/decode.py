@@ -36,12 +36,14 @@ import pyarrow as pa
 from .proto import (
     PackedBatch,
     ProtoDecodeError,
+    Wire2Ranges,
     extract_ranges,
     finish_packed,
     message_fields,
     read_varint,
     repeated_numeric,
     scan_message_batch,
+    scan_wire2_fields,
     zigzag_i64,
 )
 
@@ -306,6 +308,42 @@ def decode_primitive_block(
 def _decode_groups(fields, kinds, cols_for, st, granularity, lat_offset,
                    lon_offset, date_granularity, _want) -> None:
     for group_payload in fields.get(2, []):
+        # fast path: every PrimitiveGroup field is a wire-2 submessage, so
+        # the tight range scan applies — and hands the way/relation
+        # decoders zero-copy spans (no per-entry memoryview, no re-join)
+        fast = scan_wire2_fields(group_payload)
+        if fast is not None:
+            fnos, ranges = fast
+
+            def sub(fno):
+                m = fnos == fno
+                return Wire2Ranges(ranges.buf, ranges.arr,
+                                   ranges.starts[m], ranges.ends[m])
+
+            if bool((fnos == 1).any()) and _KIND_NODE in kinds:  # plain nodes
+                _decode_plain_nodes(
+                    sub(1), cols_for(_KIND_NODE), st, granularity, lat_offset,
+                    lon_offset, date_granularity, _want,
+                )
+            if bool((fnos == 2).any()) and _KIND_NODE in kinds:  # dense nodes
+                i = int(np.flatnonzero(fnos == 2)[0])  # first occurrence,
+                # matching the general path's group[2][0]
+                dense = memoryview(ranges.buf)[
+                    int(ranges.starts[i]):int(ranges.ends[i])
+                ]
+                _decode_dense_nodes(
+                    dense, cols_for(_KIND_NODE), granularity, lat_offset,
+                    lon_offset, date_granularity, _want,
+                )
+            if bool((fnos == 3).any()) and _KIND_WAY in kinds:
+                _decode_ways(
+                    sub(3), cols_for(_KIND_WAY), granularity, lat_offset,
+                    lon_offset, date_granularity, _want,
+                )
+            if bool((fnos == 4).any()) and _KIND_RELATION in kinds:
+                _decode_relations(sub(4), cols_for(_KIND_RELATION),
+                                  date_granularity, _want)
+            continue
         group = message_fields(group_payload)
         if 1 in group and _KIND_NODE in kinds:  # plain nodes
             _decode_plain_nodes(

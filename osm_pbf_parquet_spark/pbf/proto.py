@@ -250,9 +250,81 @@ def encode_varint(v: int) -> bytes:
             return bytes(out)
 
 
-def scan_message_batch(payloads: list):
-    """Vectorized top-level field scan over N concatenated same-type
-    messages (the repeated Way/Relation entries of a PrimitiveGroup).
+class Wire2Ranges:
+    """Top-level wire-2 field ranges of ONE message buffer — the zero-copy
+    alternative to a list of per-field memoryview payloads. Produced by
+    ``scan_wire2_fields``; consumed directly by ``scan_message_batch``
+    (skipping its ``b"".join`` re-concatenation, which costs ~25% of a
+    100k-entry group's decode) and iterable as memoryviews for the rare
+    scalar fallback paths."""
+
+    __slots__ = ("buf", "arr", "starts", "ends")
+
+    def __init__(self, buf, arr: np.ndarray, starts: np.ndarray,
+                 ends: np.ndarray) -> None:
+        self.buf = buf
+        self.arr = arr
+        self.starts = starts
+        self.ends = ends
+
+    def __len__(self) -> int:
+        return self.starts.size
+
+    def __iter__(self):
+        mv = memoryview(self.buf)
+        for s, e in zip(self.starts.tolist(), self.ends.tolist()):
+            yield mv[s:e]
+
+
+def scan_wire2_fields(payload):
+    """Tight scan of a message's top-level fields when EVERY field is
+    wire-2 with a 1-byte key (the shape of every PrimitiveGroup: repeated
+    Node/DenseNodes/Way/Relation submessages). Returns ``(fnos int64,
+    Wire2Ranges)`` or ``None`` when the message doesn't fit the shape
+    (multi-byte key, non-wire-2 field, truncation) — callers fall back to
+    the general ``message_fields`` scan. No per-field memoryview slicing
+    and no dict: ~40% less Python work per field, and the range form
+    feeds ``scan_message_batch`` without re-joining."""
+    view = memoryview(payload)
+    n = len(view)
+    pos = 0
+    fnos: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    try:
+        while pos < n:
+            key = view[pos]
+            if key >= 0x80 or (key & 7) != 2:
+                return None
+            pos += 1
+            ln = view[pos]
+            if ln < 0x80:
+                pos += 1
+            else:
+                ln, pos = read_varint(view, pos)
+            nxt = pos + ln
+            if nxt > n:
+                raise ProtoDecodeError("truncated length-delimited field")
+            fnos.append(key >> 3)
+            starts.append(pos)
+            ends.append(nxt)
+            pos = nxt
+    except IndexError as exc:
+        raise ProtoDecodeError("truncated message") from exc
+    arr = np.frombuffer(view, dtype=np.uint8)
+    return (
+        np.array(fnos, dtype=np.int64),
+        Wire2Ranges(payload, arr,
+                    np.array(starts, dtype=np.int64),
+                    np.array(ends, dtype=np.int64)),
+    )
+
+
+def scan_message_batch(payloads):
+    """Vectorized top-level field scan over N same-type messages (the
+    repeated Way/Relation entries of a PrimitiveGroup). Accepts a list of
+    payload buffers (concatenated here) or a ``Wire2Ranges`` (zero-copy,
+    spans of one buffer).
 
     Lane-frontier parsing: every message is a lane; one loop iteration
     advances EVERY active lane past its next field (key varint, then the
@@ -263,18 +335,27 @@ def scan_message_batch(payloads: list):
 
     Returns ``(arr, (sc_fno, sc_lane, sc_val), (rg_fno, rg_lane,
     rg_start, rg_len))`` where ``arr`` is the uint8 view of the
-    concatenated buffer, the ``sc_*`` arrays hold every wire-0 occurrence
+    underlying buffer, the ``sc_*`` arrays hold every wire-0 occurrence
     (value as uint64) and the ``rg_*`` arrays every wire-2 occurrence
     (byte range into ``arr``). Occurrence order is iteration-major;
     per-lane order is recovered by sorting on ``rg_start`` (lanes occupy
     disjoint ascending spans). Wire 1/5 fields are skipped structurally.
     """
+    if isinstance(payloads, Wire2Ranges):
+        return _scan_message_ranges(payloads.arr, payloads.starts,
+                                    payloads.ends)
     n = len(payloads)
     buf = b"".join(payloads)
     arr = np.frombuffer(buf, dtype=np.uint8)
     lens = np.fromiter((len(p) for p in payloads), np.int64, n)
     w_end = np.cumsum(lens)
     w_start = w_end - lens
+    return _scan_message_ranges(arr, w_start, w_end)
+
+
+def _scan_message_ranges(arr: np.ndarray, w_start: np.ndarray,
+                         w_end: np.ndarray):
+    n = w_start.size
     pos = w_start.copy()
     lanes_all = np.arange(n, dtype=np.int64)
     sc_f: list = []; sc_l: list = []; sc_v: list = []
