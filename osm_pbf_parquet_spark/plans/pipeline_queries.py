@@ -592,10 +592,29 @@ FROM documents
 
 
 def q_multimodal_features(spark, sf_dir):
-    """mapInPandas feature extraction — Python batch plumbing, no SQL
-    oracle (rows-only check; value checks live in pytest)."""
+    """mapInPandas feature extraction. The decoder stub derives features
+    from the payload's sha256 digest deterministically, so the oracle
+    replicates the exact arithmetic in SQL — the Python batch plumbing
+    (Arrow transfer, batch iteration, schema) gets a full value-hash
+    check, not a rows-only count."""
     media = multimodal.attach_binary(t(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
+
+
+# byte k (0-based) of the hex sha256 digest as an integer
+def _sha_byte(k: int) -> str:
+    return f"CAST(('0x' || substring(sha256(text), {2 * k + 1}, 2)) AS INT)"
+
+
+ORACLE_MULTIMODAL_FEATURES = f"""
+SELECT doc_id,
+       CAST(64 + {_sha_byte(0)} % 192 AS INT) AS width,
+       CAST(64 + {_sha_byte(1)} % 192 AS INT) AS height,
+       CAST(1 + {_sha_byte(2)} % 8 AS INT)    AS n_frames,
+       round(CAST(('0x' || substring(sha256(text), 7, 8)) AS BIGINT)
+             / 4294967296.0, 6) AS feature_norm
+FROM documents
+"""
 
 
 def q_multimodal_frames(spark, sf_dir):
@@ -605,6 +624,30 @@ def q_multimodal_frames(spark, sf_dir):
         F.count("*").alias("n_sampled"),
         F.sum(F.length("frame_bytes")).alias("sampled_bytes"),
     )
+
+
+# Replicates frame_sample's slicing: step = max(len/n_frames, 1); frame i
+# covers payload[i*step:(i+1)*step] with Python clamp semantics
+# len = max(0, min(hi, L) - min(lo, L)); frames sampled every 2nd index.
+ORACLE_MULTIMODAL_FRAMES = f"""
+WITH meta AS (
+  SELECT doc_id, octet_length(encode(text)) AS L,
+         1 + {_sha_byte(2)} % 8 AS n_frames
+  FROM documents
+),
+calc AS (
+  SELECT doc_id, L, n_frames,
+         greatest(L // n_frames, 1) AS step,
+         range(0, n_frames, 2) AS idxs
+  FROM meta
+)
+SELECT doc_id,
+       CAST(len(idxs) AS BIGINT) AS n_sampled,
+       CAST(list_sum(list_transform(idxs, i ->
+            greatest(least((i + 1) * step, L) - least(i * step, L), 0)
+       )) AS BIGINT) AS sampled_bytes
+FROM calc
+"""
 
 
 PIPELINE_QUERIES: dict[str, tuple] = {
@@ -626,6 +669,6 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "udtf_top_words": (q_udtf_top_words, ORACLE_UDTF_TOP_WORDS),
     "udaf_median_chars": (q_udaf_median_chars, ORACLE_UDAF_MEDIAN),
     "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL_METADATA),
-    "multimodal_features": (q_multimodal_features, None),
-    "multimodal_frames": (q_multimodal_frames, None),
+    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL_FEATURES),
+    "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
 }
