@@ -71,6 +71,7 @@ _CHECK_FIRST = [
     "ntile_quartiles",
     "ntile_quartiles_scalable",
     "decontaminate",
+    "sample_pack_sequences",
     # green in r1 only, evicted in r2
     "dedup_embedding",
     "ann_cosine_topk",

@@ -141,6 +141,59 @@ def length_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pack_sequences(
+    df: DataFrame, budget: int, text_col: str = "text", key: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing with document spanning (GPT-style pretraining
+    batches): documents are laid end-to-end in ``key`` order into
+    fixed-size context windows of ``budget`` tokens; a document may span
+    a window boundary. Because spanning is allowed, the assignment is a
+    PURE PREFIX SUM — no sequential bin-reset state — and the prefix sum
+    is computed DISTRIBUTED: range-partition on the key (sampled split
+    points), per-partition running sum (window BY partition id —
+    parallel), then broadcast per-partition totals as prefix offsets.
+    No single-partition window anywhere; the only wide op on the data is
+    the one range shuffle. Same two-phase global-rank scheme as
+    ``plans.analytic_queries.q_ntile_quartiles_scalable``.
+
+    Emits each document's (start_window, start_offset, end_window) plus
+    its token count — the index a packing loader needs to materialize
+    batches."""
+    spark = df.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 8)
+    tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    ranged = (
+        df.select(F.col(key), tokens.alias("n_tokens"))
+        .repartitionByRange(nparts, key)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_pt"))
+    # dimension-sized window: one row per partition, never over data
+    preceding = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_pt").over(preceding), F.lit(0)).alias("_off")
+    )
+    local = Window.partitionBy("_pid").orderBy(key).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_end", F.sum("n_tokens").over(local) + F.col("_off"))
+        .withColumn("cum_start", F.col("cum_end") - F.col("n_tokens"))
+    )
+    return out.select(
+        key,
+        "n_tokens",
+        # integer div throughout: double division drifts past 2^53 tokens
+        F.expr(f"cum_start div {budget}").alias("start_window"),
+        F.expr(f"cum_start % {budget}").alias("start_offset"),
+        # inclusive last window this doc touches (empty docs stay put)
+        F.expr(f"greatest(cum_end - 1, cum_start) div {budget}").alias(
+            "end_window"
+        ),
+    )
+
+
 def uniform_sample_n(
     df: DataFrame, n: int, key: str = "doc_id", salt: str = "sample-v1"
 ) -> DataFrame:

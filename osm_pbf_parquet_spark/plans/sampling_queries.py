@@ -118,7 +118,35 @@ LIMIT 50
 """
 
 
+# --- sequence packing ---------------------------------------------------------
+
+
+def q_sample_pack_sequences(spark, sf_dir):
+    return sampling.pack_sequences(t(spark, sf_dir, "documents"), budget=2048)
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST((cum_end - n_tokens) // 2048 AS BIGINT) AS start_window,
+       CAST((cum_end - n_tokens) % 2048 AS BIGINT)  AS start_offset,
+       CAST(greatest(cum_end - 1, cum_end - n_tokens) // 2048 AS BIGINT)
+           AS end_window
+FROM cum
+"""
+
+
 SAMPLING_QUERIES: dict[str, tuple] = {
+    "sample_pack_sequences": (q_sample_pack_sequences, ORACLE_PACK_SEQUENCES),
     "sample_hash_split": (q_sample_hash_split, ORACLE_HASH_SPLIT),
     "sample_stratified_cap": (q_sample_stratified_cap, ORACLE_STRATIFIED_CAP),
     "sample_weighted_mixture": (q_sample_weighted_mixture, _oracle_mixture()),

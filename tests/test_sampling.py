@@ -110,3 +110,35 @@ def test_sampling_plans_shuffle_free(spark):
     plan = (sampling.uniform_sample_n(docs, n=10)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pack_sequences_semantics(spark):
+    """Windows tile the token stream exactly: consecutive docs in key
+    order are laid end-to-end; offsets advance by token count; a doc
+    whose span crosses a 2048 boundary reports end_window > start_window."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           sampling.pack_sequences(docs, budget=2048).collect()}
+    ids = sorted(out)
+    cum = 0
+    crossings = 0
+    for i in ids:
+        r = out[i]
+        assert r["start_window"] == cum // 2048
+        assert r["start_offset"] == cum % 2048
+        end = max(cum + r["n_tokens"] - 1, cum)
+        assert r["end_window"] == end // 2048
+        crossings += int(r["end_window"] > r["start_window"])
+        cum += r["n_tokens"]
+    assert crossings > 0  # non-vacuous: some docs span windows
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The prefix sum must be distributed: range shuffle + per-partition
+    windows only — no unpartitioned window over the data."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = sampling.pack_sequences(docs, budget=2048)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "rangepartitioning" in plan.lower()
+    assert plan.count("Exchange SinglePartition") == 0
