@@ -266,3 +266,52 @@ def test_kind_pushdown_consistent(nodes, kinds):
         keep = [i for i, t in enumerate(full_d["type"]) if t in kinds]
         for col in full.schema.names:
             assert sub_d[col] == [full_d[col][i] for i in keep], col
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def test_group_scan_fallback_on_stray_scalar_field():
+    """A group payload with a stray wire-0 field (unknown extension) must
+    take the general message_fields path and decode identically to the
+    clean encoding — the wire-2 fast scan may only ever change SPEED."""
+    st_ = StringTable()
+    way = {"id": 9, "refs": [3, 5, 5], "tags": {"k": "v"}, "version": 2,
+           "timestamp_s": 7, "changeset": 1, "uid": 4, "user": "u",
+           "visible": True}
+    clean_group = encode_way(st_, way)
+    dirty_group = _key(15, 0) + _varint(99) + clean_group  # unknown field 15
+    st2 = StringTable()
+    _ = encode_way(st2, way)  # same stringtable contents
+    a = parse_block_to_batch(encode_primitive_block([clean_group], st=st_))
+    b = parse_block_to_batch(encode_primitive_block([dirty_group], st=st_))
+    assert _as_dict(a) == _as_dict(b)
+
+
+def test_way_unpacked_refs_scalar_fallback():
+    """Proto2 readers must accept UNPACKED repeated encodings: a way whose
+    refs arrive as individual wire-0 varints (zigzag deltas) decodes to
+    the same refs as the packed form (exercises _decode_ways_scalar)."""
+    st_ = StringTable()
+    refs = [10, 4, 4, -6]
+    packed_way = encode_way(st_, {"id": 1, "refs": refs, "tags": {},
+                                  "version": 1, "timestamp_s": 0,
+                                  "changeset": 0, "uid": 0, "user": "x",
+                                  "visible": True})
+    # unpacked: field 8, wire 0, one zigzag delta per ref
+    body = bytearray()
+    body += _key(1, 0) + _varint(1)
+    prev = 0
+    deltas = []
+    for r in refs:
+        deltas.append(r - prev)
+        prev = r
+    for d in deltas:
+        body += _key(8, 0) + _varint(_zigzag(d))
+    unpacked_way = _len_field(3, bytes(body))
+    a = parse_block_to_batch(encode_primitive_block([packed_way], st=st_))
+    b = parse_block_to_batch(encode_primitive_block([unpacked_way], st=st_))
+    got_a = [r["ref"] for r in _as_dict(a)["nds"][0]]
+    got_b = [r["ref"] for r in _as_dict(b)["nds"][0]]
+    assert got_a == refs and got_b == refs
