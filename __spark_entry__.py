@@ -65,6 +65,8 @@ _CHECK_FIRST = [
     "sample_uniform_n",
     # fixed or reshaped in r3 — certify the fixes
     "stream_windowed_counts",
+    "stream_dedup_user_types",
+    "stream_sessionize_stateful",
     "multi_supplier_late_orders",
     "approx_sketches",
     "rich_inactive_customers",

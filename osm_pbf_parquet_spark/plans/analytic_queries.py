@@ -379,19 +379,14 @@ def q_ntile_quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Structured Streaming entry ----------------------------------------------
 
 
-def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window aggregation executed AS A STREAM
-    (readStream → window agg → memory sink, availableNow trigger), then
-    returned as the materialized result table. Complete output mode so
-    every window — including ones newer than the final watermark —
-    reaches the sink; on static input the answer is exactly the batch
-    GROUP BY, which is what the oracle pins (the streaming/batch
-    unification guarantee)."""
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with ``event_time``
+    attached. The stream schema must match the file's physical ts
+    encoding, so probe it via the batch reader (same dtype branch as
+    ``plans.relational.t``) instead of assuming nanos-as-long — the
+    testdata writes timestamp[us]."""
     from pyspark.sql import types as T
 
-    # The stream schema must match the file's physical ts encoding. Probe it
-    # via the batch reader (same dtype branch as plans.relational.t) instead
-    # of assuming nanos-as-long: the testdata writes timestamp[us].
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_is_long = dict(probe.dtypes).get("ts") in ("bigint", "long")
@@ -414,31 +409,27 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if ts_is_long:  # raw int64 nanos → µs
-        stream = stream.withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        stream = stream.withColumn("ts_us", F.expr("ts div 1000"))
     else:  # timestamp[us]; session tz is UTC so NTZ→TS reads wall-clock as UTC
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         stream = stream.withColumn(
-            "event_time",
-            F.timestamp_micros(F.unix_micros(F.col("ts").cast("timestamp"))),
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
         )
-    from ..streaming.ops import windowed_counts
+    return stream.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
 
-    agg = windowed_counts(stream).select(
-        "window_start",
-        "event_type",
-        "n",
-        F.round("total_value", 2).alias("total_value"),
-    )
-    name = "stream_wc_result"
-    for q in spark.streams.active:  # rerun-safe: drop a stale sink query
+
+def _run_stream_to_table(spark: SparkSession, df: DataFrame, name: str,
+                         mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to a memory sink (availableNow) and
+    return the materialized table. Rerun-safe: stops a stale query of the
+    same name first."""
+    for q in spark.streams.active:
         if q.name == name:
             q.stop()
     q = (
-        agg.writeStream.format("memory")
+        df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -446,11 +437,85 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation executed AS A STREAM
+    (readStream → window agg → memory sink, availableNow trigger), then
+    returned as the materialized result table. Complete output mode so
+    every window — including ones newer than the final watermark —
+    reaches the sink; on static input the answer is exactly the batch
+    GROUP BY, which is what the oracle pins (the streaming/batch
+    unification guarantee)."""
+    from ..streaming.ops import windowed_counts
+
+    agg = windowed_counts(_event_stream(spark, sf_dir)).select(
+        "window_start",
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+    )
+    return _run_stream_to_table(spark, agg, "stream_wc_result", "complete")
+
+
+def q_stream_dedup_user_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the gate: one row survives per
+    (user_id, event_type) within the watermark horizon
+    (dropDuplicatesWithinWatermark — bounded state), then a batch count
+    of the sink per type. On static input this is exactly
+    count(DISTINCT user_id) per event_type, which the oracle pins."""
+    from ..streaming.ops import dedupe_stream
+
+    stream = _event_stream(spark, sf_dir)
+    unique = dedupe_stream(stream, key=["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    sink = _run_stream_to_table(spark, unique, "stream_dedup_result", "append")
+    return sink.groupBy("event_type").agg(
+        F.count("*").alias("n_unique_users")
+    )
+
+
+def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the gate: per-user session
+    counting via applyInPandasWithState (semantics no built-in operator
+    expresses). On static input the final per-user state equals the batch
+    gap-based sessionization, which the oracle computes with window
+    functions. session_count is monotone across micro-batches, so the
+    max() per user is the final state regardless of batch count."""
+    from ..streaming.ops import sessionize_stateful
+
+    stream = _event_stream(spark, sf_dir)
+    sess = sessionize_stateful(stream, gap_s=1800)
+    sink = _run_stream_to_table(
+        spark, sess, "stream_sessionize_result", "update"
+    )
+    return sink.groupBy("user_id").agg(
+        F.max("session_count").alias("n_sessions")
+    )
+
+
 ORACLE_STREAM_WINDOWED = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n, round(sum(value), 2) AS total_value
 FROM events
 GROUP BY 1, 2
+"""
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+FROM events GROUP BY 1
+"""
+
+
+ORACLE_STREAM_SESSIONIZE = """
+WITH gapped AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) - coalesce(epoch_us(lag(ts) OVER w), 0))
+              > 1800000000::BIGINT AS INT) AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_session) AS INT) AS n_sessions
+FROM gapped GROUP BY 1
 """
 
 
@@ -467,4 +532,9 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "ntile_quartiles": (q_ntile_quartiles, ORACLE_NTILE),
     "ntile_quartiles_scalable": (q_ntile_quartiles_scalable, ORACLE_NTILE),
     "stream_windowed_counts": (q_stream_windowed_counts, ORACLE_STREAM_WINDOWED),
+    "stream_dedup_user_types": (q_stream_dedup_user_types, ORACLE_STREAM_DEDUP),
+    "stream_sessionize_stateful": (
+        q_stream_sessionize_stateful,
+        ORACLE_STREAM_SESSIONIZE,
+    ),
 }

@@ -128,16 +128,18 @@ def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     )
 
 
-def dedupe_stream(events: DataFrame, key: str = "event_id",
+def dedupe_stream(events: DataFrame, key="event_id",
                   watermark: str = "2 hours") -> DataFrame:
-    """Streaming exact dedup: drop duplicate keys within the watermark
-    horizon (``dropDuplicatesWithinWatermark`` keeps per-key state only
-    until the watermark passes, so state is bounded — the streaming
-    analog of ``operators.dedup.exact_dedup``). At-least-once upstream
-    delivery becomes exactly-once rows downstream for any key that
-    repeats within the horizon."""
+    """Streaming exact dedup: drop duplicate keys (a column name or a
+    list of them) within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes, so state is bounded — the streaming analog of
+    ``operators.dedup.exact_dedup``). At-least-once upstream delivery
+    becomes exactly-once rows downstream for any key that repeats within
+    the horizon."""
+    keys = [key] if isinstance(key, str) else list(key)
     return events.withWatermark("event_time", watermark) \
-        .dropDuplicatesWithinWatermark([key])
+        .dropDuplicatesWithinWatermark(keys)
 
 
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id",
