@@ -47,6 +47,16 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str,
     assert list(a.columns) == list(b.columns), (
         f"{name}: column mismatch {list(a.columns)} vs {list(b.columns)}"
     )
+    # the driver's value-hash is dtype-sensitive: an int column on one side
+    # vs float on the other (e.g. DuckDB HUGEINT → pandas float64) hashes
+    # differently even when values compare equal — r2's
+    # multi_supplier_late_orders failure passed this harness before this
+    # check existed. Require identical canonical dtypes.
+    for c in a.columns:
+        assert str(a[c].dtype) == str(b[c].dtype), (
+            f"{name}.{c}: dtype mismatch spark={a[c].dtype} duck={b[c].dtype} "
+            "— cast the oracle (HUGEINT sums → CAST AS BIGINT) or the query"
+        )
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
