@@ -83,6 +83,7 @@ _CHECK_FIRST = [
     "text_quality",
     "text_lang_id",
     "text_fingerprint",
+    "osm_loc_on_ways",
 ]
 
 

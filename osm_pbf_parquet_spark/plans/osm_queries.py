@@ -68,6 +68,80 @@ def q_osm_way_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOC_FIXTURE = "/root/reference/osmpbf/tests/loc_on_ways.osm.pbf"
+
+
+def q_osm_loc_on_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: the ``LocationsOnWays`` optional feature — per-way inline
+    lat/lon arrays (osmformat.proto:233-240; reference decoder
+    ``osmpbf/src/elements.rs:352-423``) — decoded DISTRIBUTED: the blob
+    catalog fans out and each task runs ``decode_way_locations`` over its
+    blobs inside ``mapInArrow``, one scalar row per way vertex (the
+    geometry shortcut that skips the node join entirely when the writer
+    declared the feature)."""
+    import pyarrow as pa
+
+    from ..sources.pbf_source import pbf_blob_catalog
+
+    catalog = pbf_blob_catalog(spark, LOC_FIXTURE)
+
+    def _kern(batches):
+        from ..pbf.blob import decompress_blob, read_blob_at
+        from ..pbf.decode import decode_way_locations
+        from ..pbf.io import open_binary
+        from ..pbf.proto import message_fields
+
+        for b in batches:
+            rows = {"way_id": [], "seq": [], "ref": [], "lat": [], "lon": []}
+            for p, off, sz in zip(
+                b.column("path").to_pylist(),
+                b.column("offset").to_pylist(),
+                b.column("size").to_pylist(),
+            ):
+                with open_binary(p) as f:
+                    payload = decompress_blob(read_blob_at(f, off, sz))
+                fields = message_fields(payload)
+                gran = fields.get(17, [100])[0]
+                lat_off = fields.get(19, [0])[0]
+                lon_off = fields.get(20, [0])[0]
+                for group in fields.get(2, []):
+                    for wp in message_fields(group).get(3, []):
+                        wid = message_fields(wp)[1][0]
+                        refs, lat, lon = decode_way_locations(
+                            wp, gran, lat_off, lon_off
+                        )
+                        for i, (r, la, lo) in enumerate(zip(refs, lat, lon)):
+                            rows["way_id"].append(wid)
+                            rows["seq"].append(i)
+                            rows["ref"].append(int(r))
+                            rows["lat"].append(float(la))
+                            rows["lon"].append(float(lo))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows["way_id"], pa.int64()),
+                    pa.array(rows["seq"], pa.int32()),
+                    pa.array(rows["ref"], pa.int64()),
+                    pa.array(rows["lat"], pa.float64()),
+                    pa.array(rows["lon"], pa.float64()),
+                ],
+                names=["way_id", "seq", "ref", "lat", "lon"],
+            )
+
+    return catalog.mapInArrow(
+        _kern, schema="way_id long, seq int, ref long, lat double, lon double"
+    )
+
+
+ORACLE_LOC_ON_WAYS_TEMPLATE = """
+SELECT way_id, seq, ref, lat, lon FROM (VALUES
+  (CAST(107 AS BIGINT), CAST(0 AS INT), CAST(105 AS BIGINT), {n105}),
+  (CAST(107 AS BIGINT), CAST(1 AS INT), CAST(106 AS BIGINT), {n106}),
+  (CAST(107 AS BIGINT), CAST(2 AS INT), CAST(108 AS BIGINT), {n108}),
+  (CAST(107 AS BIGINT), CAST(3 AS INT), CAST(105 AS BIGINT), {n105})
+) AS t(way_id, seq, ref, lat, lon)
+"""
+
+
 def q_osm_datasource_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 via the Python DataSource API: ``format("osmpbf")`` with type
     pushdown — the plan shows ``PushedFilters: [EqualTo(type,node)]`` on
@@ -139,8 +213,13 @@ SELECT way_id, seq, lat, lon FROM (VALUES
 ) AS t(way_id, seq, lat, lon)
 """
 
+ORACLE_LOC_ON_WAYS = ORACLE_LOC_ON_WAYS_TEMPLATE.format(
+    n105=_N105, n106=_N106, n108=_N108
+)
+
 OSM_QUERIES: dict[str, tuple] = {
     "osm_count_by_type": (q_osm_count_by_type, ORACLE_COUNT_BY_TYPE),
+    "osm_loc_on_ways": (q_osm_loc_on_ways, ORACLE_LOC_ON_WAYS),
     "osm_datasource_nodes": (q_osm_datasource_nodes, ORACLE_DATASOURCE_NODES),
     "osm_filter_with_deps": (q_osm_filter_with_deps, ORACLE_FILTER_WITH_DEPS),
     "osm_latest_versions": (q_osm_latest_versions, ORACLE_LATEST_VERSIONS),
