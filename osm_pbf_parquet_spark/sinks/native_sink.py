@@ -59,12 +59,13 @@ class _KindWriter:
     """Rolling parquet writer for one element kind inside one task."""
 
     __slots__ = ("kind", "kind_dir", "prefix", "codec", "level", "target_bytes",
-                 "rows_per_group", "writer", "path", "file_no", "rows",
-                 "pending", "pending_rows", "stats")
+                 "rows_per_group", "sort_by_id", "writer", "path", "file_no",
+                 "rows", "pending", "pending_rows", "stats")
 
     def __init__(self, kind: str, kind_dir: str, prefix: str, codec: str,
                  level: int | None, target_bytes: int, stats: list,
-                 rows_per_group: int = _ROWS_PER_GROUP) -> None:
+                 rows_per_group: int = _ROWS_PER_GROUP,
+                 sort_by_id: bool = False) -> None:
         os.makedirs(kind_dir, exist_ok=True)
         self.kind = kind
         self.kind_dir = kind_dir
@@ -73,6 +74,7 @@ class _KindWriter:
         self.level = level
         self.target_bytes = target_bytes
         self.rows_per_group = rows_per_group
+        self.sort_by_id = sort_by_id
         self.writer: pq.ParquetWriter | None = None
         self.path = ""
         self.file_no = 0
@@ -102,6 +104,12 @@ class _KindWriter:
             return
         table = pa.concat_tables(self.pending).combine_chunks()
         self.pending, self.pending_rows = [], 0
+        if self.sort_by_id:
+            # row-group stats are the zone-map granularity (F2 parity):
+            # sorting each group makes its id min/max exact. Blobs are
+            # id-ordered in real planet files, so this is a near-no-op
+            # local touch-up, not a shuffle.
+            table = table.sort_by("id")
         if self.writer is None:
             self._open(table.schema)
         self.writer.write_table(table, row_group_size=self.rows_per_group)
@@ -153,6 +161,7 @@ def transcode_pbf(
     kinds=ALL_KINDS,
     mode: str = "overwrite",
     rows_per_group: int = _ROWS_PER_GROUP,
+    sort_by_id: bool = False,
 ) -> dict:
     """PBF → hive-partitioned parquet in one fused map stage.
 
@@ -214,7 +223,7 @@ def transcode_pbf(
                         w = writers[kind] = _KindWriter(
                             kind, os.path.join(out_path, f"type={kind}"),
                             prefix, codec, level, target_bytes, stats,
-                            rows_per_group,
+                            rows_per_group, sort_by_id,
                         )
                     # the hive dir carries `type`; drop the column like the
                     # partitioned JVM writer does
