@@ -68,6 +68,7 @@ def main() -> None:
     from osm_pbf_parquet_spark.session import get_spark
     from osm_pbf_parquet_spark.plans.relational import QUERIES as REL
     from osm_pbf_parquet_spark.plans.pipeline_queries import PIPELINE_QUERIES as PIPE
+    from osm_pbf_parquet_spark.plans.sampling_queries import SAMPLING_QUERIES as SAMP
 
     spark = get_spark("bench")
     # warm the JVM + parquet footers with a trivial action
@@ -96,6 +97,8 @@ def main() -> None:
         ("ann_cosine_topk", PIPE["ann_cosine_topk"][0]),
         ("text_quality", PIPE["text_quality"][0]),
         ("text_lang_id", PIPE["text_lang_id"][0]),
+        ("decontaminate", PIPE["decontaminate"][0]),
+        ("sample_pack_sequences", SAMP["sample_pack_sequences"][0]),
     ]
 
     timings: dict[str, float] = {}
