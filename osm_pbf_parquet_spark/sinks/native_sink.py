@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 from typing import Iterator
 
 import pyarrow as pa
@@ -134,15 +135,21 @@ class _KindWriter:
         self._roll()
 
 
-def _finalize_output(out_path: str, committed: set[str]) -> None:
-    """Job-commit step: delete partition-dir files NOT committed by a
-    winning attempt (``.inprogress`` partials from failed tasks, complete
-    files from losing speculative attempts), then write ``_SUCCESS``."""
+def _finalize_output(out_path: str, committed: set[str],
+                     run_token: str | None = None) -> None:
+    """Job-commit step: delete THIS JOB's partition-dir files that were
+    NOT committed by a winning attempt (``.inprogress`` partials from
+    failed tasks, complete files from losing speculative attempts), then
+    write ``_SUCCESS``. ``run_token`` scopes the cleanup to files this
+    job wrote — append-mode jobs must never touch earlier jobs' output
+    (None = legacy unscoped behavior, only safe for overwrite mode)."""
     for kind_dir in os.listdir(out_path):
         full = os.path.join(out_path, kind_dir)
         if not os.path.isdir(full):
             continue
         for fname in os.listdir(full):
+            if run_token is not None and run_token not in fname:
+                continue  # another job's file — not ours to judge
             fpath = os.path.join(full, fname)
             if fname.endswith(".inprogress") or fpath not in committed:
                 os.remove(fpath)
@@ -176,12 +183,17 @@ def transcode_pbf(
     )
 
     kinds_list, _ = normalize_kinds_columns(kinds, None)
+    if mode not in ("overwrite", "error", "append"):
+        raise ValueError(f"unsupported mode: {mode}")
     if os.path.exists(out_path):
         if mode == "overwrite":
             shutil.rmtree(out_path)
         elif mode == "error":
             raise ValueError(f"output path exists: {out_path}")
     os.makedirs(out_path, exist_ok=True)
+    # per-job token in every file name: append-mode finalize cleans up ONLY
+    # this job's losing/partial files, never earlier jobs' committed output
+    run_token = f"j{uuid.uuid4().hex[:12]}"
 
     rows, n_groups = _catalog_rows(
         path, spark.sparkContext.defaultParallelism, blobs_per_task
@@ -197,7 +209,7 @@ def transcode_pbf(
         from ..sources.pbf_source import parse_blob_entries
 
         ctx = TaskContext.get()
-        prefix = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
+        prefix = f"part-{run_token}-{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
         stats: list[tuple] = []
         writers: dict[str, _KindWriter] = {}
         try:
@@ -257,7 +269,7 @@ def transcode_pbf(
     ).collect()
 
     committed = {r["file"] for r in stat_rows}
-    _finalize_output(out_path, committed)
+    _finalize_output(out_path, committed, run_token)
 
     per_kind: dict[str, int] = {}
     for r in stat_rows:

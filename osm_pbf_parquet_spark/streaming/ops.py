@@ -224,15 +224,15 @@ def incremental_transcode(
 
     This is the honest Spark shape for a non-native streaming source:
     file-listing + append, the same contract as ``foreachBatch``. The
-    whole batch runs as ONE scan+write job (the multi-file catalog
-    parallelizes across files), and the processed-set advances only
-    after that job commits. Spark's commit protocol stages the write, so
-    a mid-job failure leaves no committed files and the next tick
-    retries the batch — at-least-once across crash windows (a crash
-    BETWEEN commit and the state write re-appends the batch), exactly
-    once otherwise."""
-    from ..sinks.parquet_sink import write_osm_parquet
-    from ..sources.pbf_source import scan_pbf
+    whole batch runs as ONE fused parse+write job (the multi-file
+    catalog parallelizes across files; ``sinks.native_sink`` — run-token
+    scoped commit, so append jobs can never disturb earlier ticks'
+    files), and the processed-set advances only after that job commits.
+    A mid-job failure leaves no committed files of this tick and the
+    next tick retries the batch — at-least-once across crash windows (a
+    crash BETWEEN commit and the state write re-appends the batch),
+    exactly once otherwise."""
+    from ..sinks.native_sink import transcode_pbf
 
     seen: set[str] = set()
     if os.path.exists(state_path):
@@ -244,7 +244,7 @@ def incremental_transcode(
         if f.endswith(".pbf") and os.path.join(watch_dir, f) not in seen
     )
     if new:
-        write_osm_parquet(scan_pbf(spark, new), out_dir, mode="append")
+        transcode_pbf(spark, new, out_dir, mode="append")
         with open(state_path, "a") as f:
             f.write("\n".join(new) + "\n")
     return new
