@@ -103,6 +103,16 @@ def test_ntile_scalable_no_global_window_sort(spark):
     assert plan.count("Exchange SinglePartition") <= 2
 
 
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """Contamination sweep: the eval gram table must broadcast (train
+    side never shuffles raw docs) and no cartesian product may appear."""
+    from osm_pbf_parquet_spark.plans import pipeline_queries as pq
+
+    plan = _plan(pq.q_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_osmpbf_datasource_filter_pushdown(spark):
     """The osmpbf Python DataSource must surface type predicates as
     PushedFilters on its BatchScan (kind pushdown into the parse kernel
