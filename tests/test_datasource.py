@@ -82,3 +82,44 @@ def test_bad_options_raise(spark):
         spark.read.format("osmpbf").option("columns", "nope").load(FIXTURE).count()
     with pytest.raises(Exception):
         spark.read.format("osmpbf").option("kinds", "mammal").load(FIXTURE).count()
+
+
+def test_osmparquet_writer_roundtrip(spark, tmp_path):
+    """df.write.format("osmparquet"): Spark-managed commit over the same
+    pyarrow kind-writer machinery — output reads back identical to the
+    generic JVM sink."""
+    from osm_pbf_parquet_spark.sinks.osm_writer_datasource import register_osm_parquet
+    from osm_pbf_parquet_spark.sinks.parquet_sink import write_osm_parquet
+    from osm_pbf_parquet_spark.sources.pbf_source import scan_pbf
+    from pyspark.sql import functions as F
+    import os
+
+    register_osm_parquet(spark)
+    df = scan_pbf(spark, "/root/reference/osmpbf/tests/test.osm.pbf")
+    a_out = str(tmp_path / "viads")
+    b_out = str(tmp_path / "generic")
+    df.write.format("osmparquet").mode("overwrite").save(a_out)
+    write_osm_parquet(df, b_out)
+    assert os.path.exists(os.path.join(a_out, "_SUCCESS"))
+    a = spark.read.parquet(a_out)
+    b = spark.read.parquet(b_out)
+    assert dict(a.dtypes) == dict(b.dtypes)
+    cols = [c for c in a.columns]
+    ax = a.select(*cols).withColumn("tags", F.map_entries("tags"))
+    bx = b.select(*cols).withColumn("tags", F.map_entries("tags"))
+    assert ax.exceptAll(bx).count() == 0
+    assert bx.exceptAll(ax).count() == 0
+
+
+def test_osmparquet_writer_append(spark, tmp_path):
+    from osm_pbf_parquet_spark.sinks.osm_writer_datasource import register_osm_parquet
+    from osm_pbf_parquet_spark.sources.pbf_source import scan_pbf
+
+    register_osm_parquet(spark)
+    df = scan_pbf(spark, "/root/reference/osmpbf/tests/test.osm.pbf")
+    out = str(tmp_path / "appended")
+    df.write.format("osmparquet").mode("overwrite").save(out)
+    df.write.format("osmparquet").mode("append").save(out)
+    back = spark.read.parquet(out)
+    counts = {r["type"]: r["count"] for r in back.groupBy("type").count().collect()}
+    assert counts == {"node": 6, "way": 2, "relation": 2}
