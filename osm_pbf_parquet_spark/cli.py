@@ -76,11 +76,14 @@ def main(argv: list[str] | None = None) -> int:
         # row round-trip, ~4× the generic path's throughput
         from .sinks.native_sink import transcode_pbf
 
+        # bare "zstd" keeps the sink's level-3 default (reference default,
+        # util.rs:39) — passing None would drop to pyarrow's own default
+        kw = {"zstd_level": int(level)} if level else {}
         stats = transcode_pbf(
             spark, args.input, args.output, compression=codec,
-            zstd_level=int(level) if level else None,
             target_file_mb=args.target_file_mb,
             blobs_per_task=args.blobs_per_task, kinds=args.kinds.split(","),
+            **kw,
         )
         nodes = stats["rows"].get("node", 0)
         ways = stats["rows"].get("way", 0)

@@ -167,6 +167,13 @@ def pack_sequences(
         .repartitionByRange(nparts, key)
         .withColumn("_pid", F.spark_partition_id())
     )
+    # persist + materialize BEFORE branching: the counts branch and the
+    # join branch must observe the SAME physical partitioning — two
+    # independent executions of the range exchange could sample different
+    # split points (spark_partition_id is plan-dependent), silently
+    # desynchronizing the broadcast offsets from the data
+    ranged = ranged.persist()
+    ranged.count()
     counts = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_pt"))
     # dimension-sized window: one row per partition, never over data
     preceding = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -39,8 +39,16 @@ def split_scheme(path: str) -> tuple[str, str]:
     if len(parsed.scheme) <= 1:
         return "", path
     if parsed.scheme == "file":
-        # file:///abs/path → /abs/path (netloc empty for local URLs)
-        return "file", (parsed.netloc or "") + parsed.path
+        # file:///abs/path → /abs/path; RFC 8089 allows an authority of
+        # "" or "localhost" for local files — any other host is remote
+        # and unsupported (silently joining it into the path would
+        # resolve a bogus relative path)
+        if parsed.netloc not in ("", "localhost"):
+            raise OSError(
+                f"file:// URL with non-local authority {parsed.netloc!r} "
+                "is not supported"
+            )
+        return "file", parsed.path
     return parsed.scheme, path
 
 

@@ -340,6 +340,12 @@ def q_ntile_quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = c.repartitionByRange(nparts, "c_acctbal", "c_custkey").withColumn(
         "_pid", F.spark_partition_id()
     )
+    # persist + materialize BEFORE branching: both the counts branch and
+    # the join branch must observe the SAME physical range partitioning
+    # (independent executions could sample different split points and
+    # desynchronize the broadcast offsets from the data)
+    ranged = ranged.persist()
+    ranged.count()
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_pn"))
     # dimension-sized (one row per partition): single-partition windows here
     # are over ~nparts rows, never over data

@@ -135,6 +135,62 @@ class _KindWriter:
         self._roll()
 
 
+def write_kind_tables(tables: Iterator, out_path: str, prefix: str,
+                      codec: str, level: int | None, target_bytes: int,
+                      rows_per_group: int, sort_by_id: bool,
+                      kinds=None) -> list[tuple]:
+    """Shared task-side write loop (the fused transcode kernel and the
+    ``osmparquet`` DataSource writer both route through here): split each
+    incoming Arrow table by ``type``, drop the column (the hive dir
+    carries it), append to rolling per-kind writers, and return the
+    committed-file stats. On ANY failure every file this task produced is
+    removed — the open ``.inprogress`` partial AND files already rolled
+    to final names (a rolled file from a failed attempt would otherwise
+    survive a job-level failure in append mode and duplicate rows on the
+    next tick's retry)."""
+    stats: list[tuple] = []
+    writers: dict[str, _KindWriter] = {}
+    try:
+        for table in tables:
+            if "type" not in table.column_names:
+                raise ValueError("OSM writer requires a 'type' column")
+            types = table.column("type")
+            for kind in OSM_TYPES:
+                if kinds is not None and kind not in kinds:
+                    continue
+                part = table.filter(pc.equal(types, kind))
+                if part.num_rows == 0:
+                    continue
+                w = writers.get(kind)
+                if w is None:
+                    w = writers[kind] = _KindWriter(
+                        kind, os.path.join(out_path, f"type={kind}"),
+                        prefix, codec, level, target_bytes, stats,
+                        rows_per_group, sort_by_id,
+                    )
+                w.add(part.drop_columns(["type"]))
+        for w in writers.values():
+            w.close()
+    except BaseException:
+        for w in writers.values():
+            if w.writer is not None:
+                try:
+                    w.writer.close()
+                except Exception:
+                    pass
+                try:
+                    os.remove(w.path + ".inprogress")
+                except OSError:
+                    pass
+        for _kind, fpath, _rows, _bytes in stats:  # rolled final-named files
+            try:
+                os.remove(fpath)
+            except OSError:
+                pass
+        raise
+    return stats
+
+
 def _finalize_output(out_path: str, committed: set[str],
                      run_token: str | None = None) -> None:
     """Job-commit step: delete THIS JOB's partition-dir files that were
@@ -210,50 +266,23 @@ def transcode_pbf(
 
         ctx = TaskContext.get()
         prefix = f"part-{run_token}-{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
-        stats: list[tuple] = []
-        writers: dict[str, _KindWriter] = {}
-        try:
-            def entries():
-                for b in batches:
-                    yield from zip(
-                        b.column("path").to_pylist(),
-                        b.column("offset").to_pylist(),
-                        b.column("size").to_pylist(),
-                    )
 
-            for batch in parse_blob_entries(entries(), kinds_list, None):
-                table = pa.Table.from_batches([batch])
-                types = table.column("type")
-                for kind in OSM_TYPES:
-                    if kind not in kinds_list:
-                        continue
-                    part = table.filter(pc.equal(types, kind))
-                    if part.num_rows == 0:
-                        continue
-                    w = writers.get(kind)
-                    if w is None:
-                        w = writers[kind] = _KindWriter(
-                            kind, os.path.join(out_path, f"type={kind}"),
-                            prefix, codec, level, target_bytes, stats,
-                            rows_per_group, sort_by_id,
-                        )
-                    # the hive dir carries `type`; drop the column like the
-                    # partitioned JVM writer does
-                    w.add(part.drop_columns(["type"]))
-            for w in writers.values():
-                w.close()
-        except BaseException:
-            for w in writers.values():  # drop partial output of this attempt
-                if w.writer is not None:
-                    try:
-                        w.writer.close()
-                    except Exception:
-                        pass
-                    try:
-                        os.remove(w.path + ".inprogress")
-                    except OSError:
-                        pass
-            raise
+        def entries():
+            for b in batches:
+                yield from zip(
+                    b.column("path").to_pylist(),
+                    b.column("offset").to_pylist(),
+                    b.column("size").to_pylist(),
+                )
+
+        tables = (
+            pa.Table.from_batches([batch])
+            for batch in parse_blob_entries(entries(), kinds_list, None)
+        )
+        stats = write_kind_tables(
+            tables, out_path, prefix, codec, level, target_bytes,
+            rows_per_group, sort_by_id, kinds=kinds_list,
+        )
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([s[0] for s in stats], pa.string()),

@@ -42,8 +42,6 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from ..schema import OSM_TYPES
-
 
 class _Committed(WriterCommitMessage):
     """Files one task committed (picklable payload back to the driver)."""
@@ -72,51 +70,19 @@ class OsmParquetWriter(DataSourceArrowWriter):
 
     def write(self, iterator: Iterator) -> _Committed:  # executor side
         import pyarrow as pa
-        import pyarrow.compute as pc
         from pyspark import TaskContext
 
-        from .native_sink import _KindWriter
+        from .native_sink import write_kind_tables
 
         ctx = TaskContext.get()
         prefix = (
             f"part-{self.run_token}-{ctx.partitionId():05d}-{ctx.taskAttemptId()}"
         )
-        stats: list[tuple] = []
-        writers: dict[str, _KindWriter] = {}
-        try:
-            for batch in iterator:
-                table = pa.Table.from_batches([batch])
-                if "type" not in table.column_names:
-                    raise ValueError(
-                        "osmparquet writer requires a 'type' column"
-                    )
-                types = table.column("type")
-                for kind in OSM_TYPES:
-                    part = table.filter(pc.equal(types, kind))
-                    if part.num_rows == 0:
-                        continue
-                    w = writers.get(kind)
-                    if w is None:
-                        w = writers[kind] = _KindWriter(
-                            kind, os.path.join(self.path, f"type={kind}"),
-                            prefix, self.codec, self.level, self.target_bytes,
-                            stats, self.rows_per_group, self.sort_by_id,
-                        )
-                    w.add(part.drop_columns(["type"]))
-            for w in writers.values():
-                w.close()
-        except BaseException:
-            for w in writers.values():
-                if w.writer is not None:
-                    try:
-                        w.writer.close()
-                    except Exception:
-                        pass
-                    try:
-                        os.remove(w.path + ".inprogress")
-                    except OSError:
-                        pass
-            raise
+        tables = (pa.Table.from_batches([b]) for b in iterator)
+        stats = write_kind_tables(
+            tables, self.path, prefix, self.codec, self.level,
+            self.target_bytes, self.rows_per_group, self.sort_by_id,
+        )
         return _Committed([s[1] for s in stats])
 
     def commit(self, messages) -> None:  # driver side, all tasks succeeded

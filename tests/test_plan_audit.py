@@ -98,9 +98,11 @@ def test_ntile_scalable_no_global_window_sort(spark):
     # the exact-semantics pin (q_ntile_quartiles) has ntile over an
     # unpartitioned window; the scalable plan must not
     assert "ntile" not in plan.lower()
-    # every single-partition exchange feeds from the counts aggregate, so
-    # there are at most as many as aggregate stages of the tiny branch
-    assert plan.count("Exchange SinglePartition") <= 2
+    # formatted explain prints the exchange's distribution on its
+    # Arguments line; EXACTLY ONE SinglePartition exchange is allowed —
+    # the per-partition-counts offsets branch (one row per partition). A
+    # global window over the data would add another and fail this pin.
+    assert plan.count("SinglePartition") == 1
 
 
 def test_decontaminate_broadcasts_eval_grams(spark):

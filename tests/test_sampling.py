@@ -141,4 +141,7 @@ def test_pack_sequences_no_global_window(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted")
     assert "rangepartitioning" in plan.lower()
-    assert plan.count("Exchange SinglePartition") == 0
+    # formatted explain lists the distribution on the Arguments line;
+    # exactly one SinglePartition exchange is allowed — the tiny
+    # per-partition-counts offsets branch. A global data window adds more.
+    assert plan.count("SinglePartition") == 1
