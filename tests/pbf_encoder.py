@@ -178,8 +178,14 @@ def encode_header_block(required=("OsmSchema-V0.6", "DenseNodes"), optional=()) 
     return bytes(body)
 
 
-def write_blob(f, blob_type: str, payload: bytes, compress: bool = True) -> None:
-    if compress:
+def write_blob(f, blob_type: str, payload: bytes, compress=True) -> None:
+    """``compress``: True/'zlib' (field 3), 'lzma' (field 4), False (raw
+    field 1) — matches the Blob message's compression alternatives."""
+    if compress == "lzma":
+        import lzma
+
+        blob = _key(2, 0) + _varint(len(payload)) + _len_field(4, lzma.compress(payload))
+    elif compress:
         blob = _key(2, 0) + _varint(len(payload)) + _len_field(3, zlib.compress(payload))
     else:
         blob = _len_field(1, payload)

@@ -490,3 +490,31 @@ def test_truncated_messages_raise_decode_error():
         P.message_fields(b"\x0a\x80")  # 2-byte length fast path at EOF
     with pytest.raises(P.ProtoDecodeError):
         P.message_fields(b"\x09\x01")  # fixed64 with 1 byte left
+
+
+def test_lzma_blob_decode(tmp_path):
+    """D1: lzma-compressed blobs (Blob field 4) decode identically to
+    zlib — the spec alternative the golden fixtures don't exercise."""
+    import pbf_encoder as E
+    from osm_pbf_parquet_spark.pbf import blob as B
+    from osm_pbf_parquet_spark.pbf.decode import parse_block_to_batch
+
+    st = E.StringTable()
+    nodes = [{"id": i, "lat_raw": i * 10, "lon_raw": -i * 10,
+              "tags": {"k": f"v{i}"}, "version": 1, "timestamp_s": i,
+              "changeset": i, "uid": 1, "user": "u", "visible": True}
+             for i in range(1, 8)]
+    payload = E.encode_primitive_block([E.encode_dense_nodes(st, nodes)], st=st)
+    p = str(tmp_path / "lzma.osm.pbf")
+    with open(p, "wb") as f:
+        E.write_blob(f, "OSMHeader", E.encode_header_block(), compress="lzma")
+        E.write_blob(f, "OSMData", payload, compress="lzma")
+    batches = []
+    for info, raw in B.iter_blobs(p):
+        out = B.decompress_blob(raw)
+        if info.blob_type == B.TYPE_DATA:
+            batches.append(parse_block_to_batch(out))
+    [batch] = batches
+    got = batch.to_pydict()
+    assert got["id"] == [n["id"] for n in nodes]
+    assert got["lat"][2] == nodes[2]["lat_raw"] * 100 * 1e-9
