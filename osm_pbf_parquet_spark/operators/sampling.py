@@ -141,6 +141,31 @@ def length_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def range_bucket_column(df: DataFrame, col: str, nparts: int):
+    """Deterministic range-bucket id for distributed global-order
+    operators: boundaries come from one tiny ``approxQuantile`` action
+    (deterministic Greenwald-Khanna sketch) and are embedded as plan
+    LITERALS, so the bucket is a PURE FUNCTION of the row — unlike
+    ``spark_partition_id`` after ``repartitionByRange``, which depends on
+    which physical exchange a branch happens to execute (two branches of
+    the same query could sample different split points). No caching, no
+    cross-branch coupling; equal key values always share a bucket."""
+    probs = [i / nparts for i in range(1, nparts)]
+    bounds = df.stat.approxQuantile(col, probs, 0.001)
+    # strictly increasing boundaries (duplicates collapse into one bucket)
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    if not uniq:
+        return F.lit(0)
+    arr = "array(" + ", ".join(f"CAST({b!r} AS DOUBLE)" for b in uniq) + ")"
+    return F.expr(
+        f"CAST(aggregate({arr}, 0, (acc, b) -> acc + "
+        f"CASE WHEN CAST({col} AS DOUBLE) > b THEN 1 ELSE 0 END) AS INT)"
+    )
+
+
 def pack_sequences(
     df: DataFrame, budget: int, text_col: str = "text", key: str = "doc_id",
 ) -> DataFrame:
@@ -149,12 +174,12 @@ def pack_sequences(
     fixed-size context windows of ``budget`` tokens; a document may span
     a window boundary. Because spanning is allowed, the assignment is a
     PURE PREFIX SUM — no sequential bin-reset state — and the prefix sum
-    is computed DISTRIBUTED: range-partition on the key (sampled split
-    points), per-partition running sum (window BY partition id —
-    parallel), then broadcast per-partition totals as prefix offsets.
-    No single-partition window anywhere; the only wide op on the data is
-    the one range shuffle. Same two-phase global-rank scheme as
-    ``plans.analytic_queries.q_ntile_quartiles_scalable``.
+    is computed DISTRIBUTED: deterministic range buckets (quantile
+    boundaries embedded as literals), per-bucket running sum (window BY
+    bucket — parallel), then broadcast per-bucket totals as prefix
+    offsets. No single-partition window anywhere; the only wide ops on
+    the data are the bucket shuffles. Same two-phase global-rank scheme
+    as ``plans.analytic_queries.q_ntile_quartiles_scalable``.
 
     Emits each document's (start_window, start_offset, end_window) plus
     its token count — the index a packing loader needs to materialize
@@ -162,18 +187,10 @@ def pack_sequences(
     spark = df.sparkSession
     nparts = max(spark.sparkContext.defaultParallelism, 8)
     tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
-    ranged = (
-        df.select(F.col(key), tokens.alias("n_tokens"))
-        .repartitionByRange(nparts, key)
-        .withColumn("_pid", F.spark_partition_id())
+    base = df.select(F.col(key), tokens.alias("n_tokens"))
+    ranged = base.withColumn(
+        "_pid", range_bucket_column(base, key, nparts)
     )
-    # persist + materialize BEFORE branching: the counts branch and the
-    # join branch must observe the SAME physical partitioning — two
-    # independent executions of the range exchange could sample different
-    # split points (spark_partition_id is plan-dependent), silently
-    # desynchronizing the broadcast offsets from the data
-    ranged = ranged.persist()
-    ranged.count()
     counts = ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_pt"))
     # dimension-sized window: one row per partition, never over data
     preceding = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -151,7 +151,13 @@ def decompress_blob(blob_bytes: bytes) -> bytes:
     if field_no == 4:
         import lzma
 
-        out = lzma.decompress(bytes(val))
+        # max_length caps expansion like the zlib branch — a crafted
+        # few-KB lzma payload could otherwise expand unbounded before the
+        # post-hoc size check runs
+        d = lzma.LZMADecompressor()
+        out = d.decompress(bytes(val), max_length=MAX_BLOB_SIZE)
+        if not d.eof and not d.needs_input:
+            raise BlobError(f"uncompressed blob too big: > {MAX_BLOB_SIZE}")
     else:  # field_no == 7
         try:
             import zstandard  # noqa: F401 — optional, not in base image

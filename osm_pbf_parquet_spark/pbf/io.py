@@ -40,12 +40,17 @@ def split_scheme(path: str) -> tuple[str, str]:
         return "", path
     if parsed.scheme == "file":
         # file:///abs/path → /abs/path; RFC 8089 allows an authority of
-        # "" or "localhost" for local files — any other host is remote
+        # "" or "localhost" (hosts compare case-insensitively) for local
+        # files. A Windows drive letter parses as the netloc of
+        # file://C:/x — rejoin it into the path. Any other host is remote
         # and unsupported (silently joining it into the path would
-        # resolve a bogus relative path)
-        if parsed.netloc not in ("", "localhost"):
+        # resolve a bogus relative path).
+        netloc = parsed.netloc
+        if len(netloc) == 2 and netloc[1] == ":" and netloc[0].isalpha():
+            return "file", netloc + parsed.path
+        if netloc.lower() not in ("", "localhost"):
             raise OSError(
-                f"file:// URL with non-local authority {parsed.netloc!r} "
+                f"file:// URL with non-local authority {netloc!r} "
                 "is not supported"
             )
         return "file", parsed.path

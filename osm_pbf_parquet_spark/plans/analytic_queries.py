@@ -323,29 +323,26 @@ GROUP BY 1
 
 def q_ntile_quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB ntile plan: distributed global rank instead of a
-    single-partition window sort. repartitionByRange samples split points
-    and range-shuffles on (c_acctbal, c_custkey); each partition sorts
-    locally (row_number windowed BY partition id — parallel); partition
-    row-counts (one tiny row per partition) turn into prefix-sum offsets,
+    single-partition window sort. Rows get a DETERMINISTIC range bucket
+    (quantile boundaries embedded as plan literals — a pure function of
+    the row, immune to cross-branch exchange nondeterminism); each bucket
+    sorts locally (row_number windowed BY bucket — parallel); bucket
+    row-counts (one tiny row per bucket) turn into prefix-sum offsets,
     broadcast back, so global_rank = local row_number + offset. The exact
     SQL ntile bucket rule — first n%4 buckets get one extra row — is then
     pure arithmetic on the rank, so this CONVERGES EXACTLY to
-    q_ntile_quartiles (same oracle pins both). Only wide op on the big
-    table: the one range shuffle; the offsets window runs over
-    #partitions rows, not data."""
+    q_ntile_quartiles (same oracle pins both). Only wide ops on the big
+    table: the bucket shuffles; the offsets window runs over #buckets
+    rows, not data."""
     from pyspark.sql import Window
+
+    from ..operators.sampling import range_bucket_column
 
     c = t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
     nparts = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = c.repartitionByRange(nparts, "c_acctbal", "c_custkey").withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = c.withColumn(
+        "_pid", range_bucket_column(c, "c_acctbal", nparts)
     )
-    # persist + materialize BEFORE branching: both the counts branch and
-    # the join branch must observe the SAME physical range partitioning
-    # (independent executions could sample different split points and
-    # desynchronize the broadcast offsets from the data)
-    ranged = ranged.persist()
-    ranged.count()
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_pn"))
     # dimension-sized (one row per partition): single-partition windows here
     # are over ~nparts rows, never over data

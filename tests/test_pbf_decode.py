@@ -518,3 +518,19 @@ def test_lzma_blob_decode(tmp_path):
     got = batch.to_pydict()
     assert got["id"] == [n["id"] for n in nodes]
     assert got["lat"][2] == nodes[2]["lat_raw"] * 100 * 1e-9
+
+
+def test_lzma_bomb_capped(tmp_path):
+    """A small lzma payload expanding past 32MB must raise BlobError
+    without materializing the full expansion (bomb guard, D1 parity with
+    the zlib branch)."""
+    import lzma as L
+    import struct
+    import pbf_encoder as E
+    from osm_pbf_parquet_spark.pbf import blob as B
+
+    bomb_payload = L.compress(b"\x00" * (64 * 1024 * 1024))  # 64MB zeros
+    blob_msg = E._key(3, 0)  # raw_size omitted deliberately
+    blob_msg = E._len_field(4, bomb_payload)
+    with pytest.raises(B.BlobError, match="too big"):
+        B.decompress_blob(blob_msg)

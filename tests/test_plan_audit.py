@@ -94,7 +94,8 @@ def test_ntile_scalable_no_global_window_sort(spark):
     from osm_pbf_parquet_spark.plans import analytic_queries as an
 
     plan = _plan(an.q_ntile_quartiles_scalable(spark, SF_DIR))
-    assert "rangepartitioning" in plan.lower()
+    # deterministic bucket column shuffles on hashpartitioning(_pid)
+    assert "hashpartitioning(_pid" in plan
     # the exact-semantics pin (q_ntile_quartiles) has ntile over an
     # unpartitioned window; the scalable plan must not
     assert "ntile" not in plan.lower()

@@ -82,7 +82,9 @@ def test_scan_message_batch_matches_message_fields(msgs):
     in message order."""
     payloads = [_encode(m) for m in msgs]
     arr, (sf, sl, sv), (rf, rl, rs, rn) = scan_message_batch(payloads)
+    # every reported range must sit inside its lane's byte window
     base = np.cumsum([0] + [len(p) for p in payloads])
+    assert ((rs >= base[rl]) & (rs + rn <= base[rl + 1])).all()
     for lane, (payload, fields) in enumerate(zip(payloads, msgs)):
         scalar = message_fields(payload)
         # wire-0 values per field_no, in occurrence order

@@ -134,13 +134,13 @@ def test_pack_sequences_semantics(spark):
 
 
 def test_pack_sequences_no_global_window(spark):
-    """The prefix sum must be distributed: range shuffle + per-partition
-    windows only — no unpartitioned window over the data."""
+    """The prefix sum must be distributed: deterministic-bucket shuffle +
+    per-bucket windows only — no unpartitioned window over the data."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     df = sampling.pack_sequences(docs, budget=2048)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted")
-    assert "rangepartitioning" in plan.lower()
+    assert "hashpartitioning(_pid" in plan
     # formatted explain lists the distribution on the Arguments line;
     # exactly one SinglePartition exchange is allowed — the tiny
     # per-partition-counts offsets branch. A global data window adds more.
