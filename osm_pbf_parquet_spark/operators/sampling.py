@@ -150,6 +150,12 @@ def range_bucket_column(df: DataFrame, col: str, nparts: int):
     which physical exchange a branch happens to execute (two branches of
     the same query could sample different split points). No caching, no
     cross-branch coupling; equal key values always share a bucket."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype not in ("tinyint", "smallint", "int", "bigint", "float",
+                     "double", "decimal"):
+        raise ValueError(
+            f"range_bucket_column needs a numeric column; {col!r} is {dtype}"
+        )
     probs = [i / nparts for i in range(1, nparts)]
     bounds = df.stat.approxQuantile(col, probs, 0.001)
     # strictly increasing boundaries (duplicates collapse into one bucket)
