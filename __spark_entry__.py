@@ -67,6 +67,8 @@ _CHECK_FIRST = [
     "stream_windowed_counts",
     "stream_dedup_user_types",
     "stream_sessionize_stateful",
+    "stream_click_attribution",
+    "stream_enriched_counts",
     "multi_supplier_late_orders",
     "approx_sketches",
     "rich_inactive_customers",

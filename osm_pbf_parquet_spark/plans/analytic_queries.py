@@ -510,6 +510,73 @@ FROM events GROUP BY 1
 """
 
 
+def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join under the gate: every
+    purchase attributed to same-user clicks in the preceding hour
+    (streaming.ops.attribute_purchases — state provably bounded by
+    watermark + interval). Inner interval joins emit on match arrival, so
+    the single-batch availableNow run equals the batch interval join the
+    oracle computes. Rolled up per user to keep the result bounded."""
+    from ..streaming.ops import attribute_purchases
+
+    stream = _event_stream(spark, sf_dir)
+    joined = attribute_purchases(stream).select(
+        "user_id", "purchase_id", "click_id", "purchase_value"
+    )
+    sink = _run_stream_to_table(spark, joined, "stream_attr_result", "append")
+    return sink.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.round(F.sum("purchase_value"), 2).alias("attributed_value"),
+    )
+
+
+ORACLE_STREAM_ATTRIBUTION = """
+SELECT p.user_id,
+       count(*) AS n_pairs,
+       count(DISTINCT p.event_id) AS n_purchases,
+       count(DISTINCT c.event_id) AS n_clicks,
+       round(sum(p.value), 2) AS attributed_value
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
+def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join under the gate: each micro-batch of
+    events joins a static customer dimension (broadcast — no stream
+    shuffle, no state store), then per-segment counts. The oracle is the
+    equivalent batch join; user_id maps onto the customer key space via
+    mod to keep the join selective."""
+    from ..streaming.ops import enrich_stream
+
+    dim = (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = _event_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    enriched = enrich_stream(stream, dim, on="user_id", how="inner")
+    sink = _run_stream_to_table(
+        spark, enriched, "stream_enrich_result", "append"
+    )
+    return sink.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+ORACLE_STREAM_ENRICHED = """
+SELECT c_mktsegment, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 ORACLE_STREAM_SESSIONIZE = """
 WITH gapped AS (
   SELECT user_id,
@@ -540,4 +607,9 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
         q_stream_sessionize_stateful,
         ORACLE_STREAM_SESSIONIZE,
     ),
+    "stream_click_attribution": (
+        q_stream_click_attribution,
+        ORACLE_STREAM_ATTRIBUTION,
+    ),
+    "stream_enriched_counts": (q_stream_enriched_counts, ORACLE_STREAM_ENRICHED),
 }
