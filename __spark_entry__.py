@@ -76,6 +76,8 @@ _CHECK_FIRST = [
     "ntile_quartiles_scalable",
     "decontaminate",
     "sample_pack_sequences",
+    "nation_trade_volume",
+    "parts_supplier_diversity",
     # green in r1 only, evicted in r2
     "dedup_embedding",
     "ann_cosine_topk",

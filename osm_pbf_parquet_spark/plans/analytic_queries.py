@@ -379,6 +379,106 @@ def q_ntile_quartiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- nation-pair trade volume (TPC-H Q7 shape) --------------------------------
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: revenue flowing between two nations in either direction,
+    by year. Five-way join where BOTH nation dims broadcast (tiny) and the
+    OR-of-two-pairs predicate evaluates post-join; the fact tables shuffle
+    only on their join keys. The disjunctive nation filter cannot reach
+    either scan alone — the classic case where join-order freedom matters
+    and Catalyst reorders around the broadcasts."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), "s_nationkey")
+        .join(F.broadcast(n2), "c_nationkey")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        j.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_NATION_TRADE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+# --- supplier-part diversity (TPC-H Q16 shape) --------------------------------
+
+
+def q_parts_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: how many distinct suppliers serve each (brand, size)
+    bucket, excluding one brand and excluding flagged suppliers (NOT IN →
+    broadcast anti-join; the testdata carries no comments, so the flag is
+    a negative account balance). lineitem is the part↔supplier bridge
+    (the testdata ships no partsupp table). One shuffle on partkey for
+    the join; the distinct-count aggregates on (brand, size)."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#1")
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    flagged = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(flagged, "l_suppkey", "left_anti")
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_PARTS_SUPPLIER_DIVERSITY = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
 # --- Structured Streaming entry ----------------------------------------------
 
 
@@ -599,6 +699,11 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "or_predicate_join": (q_or_predicate_join, ORACLE_OR_PREDICATE),
     "higher_order_arrays": (q_higher_order_arrays, ORACLE_HIGHER_ORDER),
     "date_gapfill": (q_date_gapfill, ORACLE_GAPFILL),
+    "nation_trade_volume": (q_nation_trade_volume, ORACLE_NATION_TRADE),
+    "parts_supplier_diversity": (
+        q_parts_supplier_diversity,
+        ORACLE_PARTS_SUPPLIER_DIVERSITY,
+    ),
     "ntile_quartiles": (q_ntile_quartiles, ORACLE_NTILE),
     "ntile_quartiles_scalable": (q_ntile_quartiles_scalable, ORACLE_NTILE),
     "stream_windowed_counts": (q_stream_windowed_counts, ORACLE_STREAM_WINDOWED),
