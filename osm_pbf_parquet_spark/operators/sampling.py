@@ -151,8 +151,11 @@ def range_bucket_column(df: DataFrame, col: str, nparts: int):
     the same query could sample different split points). No caching, no
     cross-branch coupling; equal key values always share a bucket."""
     dtype = dict(df.dtypes).get(col)
-    if dtype not in ("tinyint", "smallint", "int", "bigint", "float",
-                     "double", "decimal"):
+    # df.dtypes spells decimals as "decimal(p,s)", so prefix-match them
+    if dtype is None or (
+        dtype not in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        and not dtype.startswith("decimal")
+    ):
         raise ValueError(
             f"range_bucket_column needs a numeric column; {col!r} is {dtype}"
         )
@@ -165,11 +168,25 @@ def range_bucket_column(df: DataFrame, col: str, nparts: int):
             uniq.append(b)
     if not uniq:
         return F.lit(0)
-    arr = "array(" + ", ".join(f"CAST({b!r} AS DOUBLE)" for b in uniq) + ")"
-    return F.expr(
-        f"CAST(aggregate({arr}, 0, (acc, b) -> acc + "
-        f"CASE WHEN CAST({col} AS DOUBLE) > b THEN 1 ELSE 0 END) AS INT)"
-    )
+    # bucket = |{b : value > b}| (equal values share the lower bucket).
+    # Evaluated as a BALANCED CASE tree — binary search, O(log B)
+    # comparisons per row — instead of a linear aggregate() fold over the
+    # boundary array, which is O(B) per row and dominates at thousands of
+    # buckets. NULL takes every `otherwise` branch → bucket 0; NaN (> any
+    # double in Spark's ordering) takes every `when` branch → bucket B —
+    # both identical to the linear fold's behavior.
+    value = F.col(col).cast("double")
+
+    def _search(lo: int, hi: int):
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (
+            F.when(value > F.lit(uniq[mid]), _search(mid + 1, hi))
+            .otherwise(_search(lo, mid))
+        )
+
+    return _search(0, len(uniq)).cast("int")
 
 
 def pack_sequences(

@@ -156,8 +156,15 @@ def decompress_blob(blob_bytes: bytes) -> bytes:
         # post-hoc size check runs
         d = lzma.LZMADecompressor()
         out = d.decompress(bytes(val), max_length=MAX_BLOB_SIZE)
-        if not d.eof and not d.needs_input:
-            raise BlobError(f"uncompressed blob too big: > {MAX_BLOB_SIZE}")
+        if not d.eof:
+            # two distinct failures hide behind "not eof": the stream hit
+            # the size cap with input left over (bomb), or all input was
+            # consumed without reaching end-of-stream (truncation) — the
+            # latter would otherwise be silently accepted as partial output
+            # when raw_size is absent
+            if not d.needs_input:
+                raise BlobError(f"uncompressed blob too big: > {MAX_BLOB_SIZE}")
+            raise BlobError("truncated lzma stream in blob")
     else:  # field_no == 7
         try:
             import zstandard  # noqa: F401 — optional, not in base image

@@ -241,6 +241,19 @@ def transcode_pbf(
     kinds_list, _ = normalize_kinds_columns(kinds, None)
     if mode not in ("overwrite", "error", "append"):
         raise ValueError(f"unsupported mode: {mode}")
+    # The commit protocol (task-side renames + driver finalize over
+    # os.listdir) requires driver and executors to share ONE POSIX
+    # filesystem. That holds on local[*] masters; on a multi-node cluster
+    # the driver would finalize against paths it cannot see and silently
+    # produce empty/inconsistent output — fail fast instead.
+    master = spark.sparkContext.master or ""
+    if not master.startswith("local"):
+        raise ValueError(
+            "transcode_pbf's fused sink assumes a shared POSIX filesystem "
+            f"(task renames + driver finalize); master {master!r} is not "
+            "local. Use sinks.parquet_sink.write_osm_parquet (Spark-managed "
+            "commit) or the 'osmparquet' DataSource writer on a cluster."
+        )
     if os.path.exists(out_path):
         if mode == "overwrite":
             shutil.rmtree(out_path)

@@ -530,7 +530,21 @@ def test_lzma_bomb_capped(tmp_path):
     from osm_pbf_parquet_spark.pbf import blob as B
 
     bomb_payload = L.compress(b"\x00" * (64 * 1024 * 1024))  # 64MB zeros
-    blob_msg = E._key(3, 0)  # raw_size omitted deliberately
-    blob_msg = E._len_field(4, bomb_payload)
+    blob_msg = E._len_field(4, bomb_payload)  # raw_size omitted deliberately
     with pytest.raises(B.BlobError, match="too big"):
+        B.decompress_blob(blob_msg)
+
+
+def test_lzma_truncated_raises(tmp_path):
+    """A truncated lzma stream must raise even when raw_size is absent —
+    the incremental decompressor returns partial output with eof=False and
+    needs_input=True, which a size-only guard would silently accept."""
+    import lzma as L
+    import pbf_encoder as E
+    from osm_pbf_parquet_spark.pbf import blob as B
+
+    full = L.compress(b"payload bytes " * 4096)
+    truncated = full[: len(full) // 2]
+    blob_msg = E._len_field(4, truncated)  # no raw_size field
+    with pytest.raises(B.BlobError, match="truncated"):
         B.decompress_blob(blob_msg)
