@@ -5,17 +5,23 @@ Pattern for image/audio/video at 100 TB: the payload is an opaque
 (dims, codec, duration) is a typed struct; decode/feature steps are
 Arrow-batched ``mapInPandas`` stages so bytes move executor-side only.
 
-The container ships no image/audio libraries, so the actual decoders are
-STUBBED (``NotImplementedError`` or a deterministic fake) — the Spark-side
-plumbing (schemas, batch iteration, partitioning, UDF signatures) is real
-and tested, and a real decoder drops into ``_decode_payload`` unchanged.
+Decoders: the container ships no imaging/audio libraries, so the formats
+whose specs need none are decoded FOR REAL with dependency-free parsers —
+PPM (P6) and uncompressed 24-bit BMP for images, PCM WAV for audio
+(:func:`decode_image` / :func:`decode_audio`). Compressed formats
+(JPEG/PNG/MP3/H.264) still route to the deterministic sha256 stub
+(``_fake_decode``) with a clear error from :func:`decode_image` when
+called directly — a Pillow/libvips-backed decoder drops into the same
+slot unchanged.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,12 +61,127 @@ def attach_binary(df: DataFrame, text_col: str = "text", key: str = "doc_id") ->
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder slot — image libs absent in this container."""
+def _ppm_tokens(payload: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated ASCII integers from a PPM header,
+    honoring ``#`` comments (spec: comments run to end-of-line and may
+    appear between any tokens). Returns (values, offset past the single
+    whitespace byte that terminates the last token)."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n:
+        if i >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(payload) and payload[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError(f"bad PPM header byte {c!r}")
+    # exactly ONE whitespace byte separates the maxval from pixel data
+    if i >= len(payload) or not payload[i : i + 1].isspace():
+        raise ValueError("PPM header not terminated by whitespace")
+    return vals, i + 1
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    (width, height, maxval), off = _ppm_tokens(payload, 3, 2)
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (need 1..255)")
+    need = width * height * 3
+    pixels = payload[off : off + need]
+    if len(pixels) != need:
+        raise ValueError(f"PPM pixel data truncated: {len(pixels)} < {need}")
+    return {"width": width, "height": height, "pixels": pixels}
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER). Rows are stored
+    bottom-up (top-down when height < 0), padded to 4 bytes, in BGR byte
+    order; output is row-major top-down RGB like the PPM branch."""
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant: bpp={bpp} compression={compression} "
+            "(only uncompressed 24-bit BI_RGB)"
+        )
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if len(payload) < data_off + stride * height:
+        raise ValueError("BMP pixel data truncated")
+    raw = np.frombuffer(payload, dtype=np.uint8, offset=data_off,
+                        count=stride * height).reshape(height, stride)
+    rows = raw[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    rgb = rows[:, :, ::-1]  # BGR → RGB
+    return {"width": width, "height": height, "pixels": rgb.tobytes()}
+
+
+def decode_image(payload: bytes) -> dict:
+    """Dependency-free image decode → ``{"width", "height", "pixels"}``
+    with ``pixels`` as row-major top-down RGB bytes. Real parsers for the
+    library-free formats (PPM P6, uncompressed 24-bit BMP); compressed
+    formats need an imaging library absent from this container."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; plug Pillow/libvips here"
+        "compressed image formats (JPEG/PNG/…) require an imaging library "
+        "not present in this environment; plug Pillow/libvips here "
+        "(PPM and 24-bit BMP decode natively)"
     )
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Dependency-free PCM WAV decode → ``{"channels", "sample_rate",
+    "n_samples", "samples"}`` with 16-bit samples as an int32 numpy array
+    (interleaved when multi-channel)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM WAV decodes natively; other audio codecs need a "
+            "library not present in this environment"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_fmt} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "n_samples": len(samples) // max(channels, 1),
+        "samples": samples,
+    }
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
@@ -72,6 +193,136 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     n_frames = 1 + h[2] % 8
     norm = int.from_bytes(h[3:7], "big") / 2**32
     return width, height, n_frames, round(norm, 6)
+
+
+# synthesized-media geometry: small enough that the DuckDB oracle can
+# replicate the per-pixel/per-sample arithmetic from the same md5 hex
+PPM_W, PPM_H = 8, 4          # 96 RGB bytes = 6 md5 digests
+WAV_SAMPLES, WAV_RATE = 32, 8000  # 64 PCM bytes = 4 md5 digests
+
+
+def _md5_hexcat(key: str, tag: str, n_digests: int) -> str:
+    return "concat(" + ", ".join(
+        f"md5(concat(cast({key} AS string), ':{tag}{i}'))"
+        for i in range(n_digests)
+    ) + ")"
+
+
+def attach_ppm_payload(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL image per row: an 8×4 binary PPM (P6) whose pixel
+    bytes are md5(key ':pxN') digests. Built from pure Catalyst
+    expressions (md5/unhex/concat), so an external SQL engine can
+    reproduce the exact bytes — which is what lets the correctness gate
+    pin the real decoder's output value-for-value."""
+    header_hex = f"P6\n{PPM_W} {PPM_H}\n255\n".encode().hex()
+    hexcat = _md5_hexcat(key, "px", PPM_W * PPM_H * 3 // 16)
+    return df.select(
+        F.col(key).alias("doc_id"),
+        F.expr(f"concat(unhex('{header_hex}'), unhex({hexcat}))").alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+    )
+
+
+def _wav_header(n_samples: int, rate: int, channels: int = 1, bits: int = 16) -> bytes:
+    data_len = n_samples * channels * bits // 8
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        )
+        + b"data" + struct.pack("<I", data_len)
+    )
+
+
+def attach_wav_payload(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Synthesize a real mono 16-bit PCM WAV per row (samples = md5
+    digests, header constant for the fixed geometry) — same oracle
+    contract as :func:`attach_ppm_payload`."""
+    header_hex = _wav_header(WAV_SAMPLES, WAV_RATE).hex()
+    hexcat = _md5_hexcat(key, "au", WAV_SAMPLES * 2 // 16)
+    return df.select(
+        F.col(key).alias("doc_id"),
+        F.expr(f"concat(unhex('{header_hex}'), unhex({hexcat}))").alias("payload"),
+        F.lit("audio/wav").alias("media_type"),
+    )
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode (PPM/BMP) → per-channel pixel
+    means. Unlike :func:`extract_features` (digest stub for opaque
+    payloads), the output here depends on every decoded pixel byte, so a
+    wrong header stride, row order, or channel order changes the values."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(-1, 3)
+                m = px.mean(axis=0) if px.size else np.zeros(3)
+                rows.append(
+                    (doc_id, img["width"], img["height"],
+                     float(m[0]), float(m[1]), float(m[2]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height",
+                               "mean_r", "mean_g", "mean_b"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _extract, IMAGE_FEATURE_SCHEMA
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("mean_abs", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WAV decode → amplitude stats over every PCM
+    sample (mean |x| and peak), plus the parsed header fields."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                au = decode_audio(bytes(payload))
+                a = np.abs(au["samples"])
+                rows.append(
+                    (doc_id, au["channels"], au["sample_rate"],
+                     au["n_samples"],
+                     float(a.mean()) if a.size else 0.0,
+                     int(a.max()) if a.size else 0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "channels", "sample_rate",
+                               "n_samples", "mean_abs", "peak"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _extract, AUDIO_FEATURE_SCHEMA
+    )
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:

@@ -617,6 +617,82 @@ FROM documents
 """
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode: synthesize an 8×4 binary PPM per document
+    (pixel bytes = md5 digests, built from Catalyst expressions), decode
+    with the dependency-free P6 parser, emit per-channel pixel means.
+    The oracle reproduces the per-pixel arithmetic from the same md5 hex,
+    so a mis-parsed header, stride, or channel order fails the hash —
+    this row certifies the decoder itself, not just the Arrow plumbing."""
+    media = multimodal.attach_ppm_payload(t(spark, sf_dir, "documents"))
+    return multimodal.extract_image_features(media)
+
+
+def _hexcat_sql(tag: str, n: int) -> str:
+    return " || ".join(
+        f"md5(CAST(doc_id AS VARCHAR) || ':{tag}{i}')" for i in range(n)
+    )
+
+
+# channel means over the 96 pixel bytes: byte i belongs to channel i % 3
+# (RGB interleaved, row-major). Means are sums over 32 ints / 32 — exact
+# in float64, so no rounding is needed on either side.
+ORACLE_MULTIMODAL_DECODE = f"""
+WITH px AS (
+  SELECT doc_id, {_hexcat_sql('px', 6)} AS hex FROM documents
+),
+b AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substring(hex, 2 * i + 1, 2)) AS INT) AS v
+  FROM px, range(0, 96) AS r(i)
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       avg(CASE WHEN i % 3 = 0 THEN v END) AS mean_r,
+       avg(CASE WHEN i % 3 = 1 THEN v END) AS mean_g,
+       avg(CASE WHEN i % 3 = 2 THEN v END) AS mean_b
+FROM b GROUP BY doc_id
+"""
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode: synthesize a 32-sample mono PCM WAV per
+    document, decode with the dependency-free RIFF parser, emit amplitude
+    stats. Same decoder-certifying oracle contract as
+    ``multimodal_decode`` — little-endian int16 reassembly replicated in
+    SQL."""
+    media = multimodal.attach_wav_payload(t(spark, sf_dir, "documents"))
+    return multimodal.extract_audio_features(media)
+
+
+# sample j is data bytes (2j, 2j+1) little-endian signed 16-bit: hex
+# positions 4j+1 (lo) and 4j+3 (hi)
+ORACLE_MULTIMODAL_AUDIO = f"""
+WITH hx AS (
+  SELECT doc_id, {_hexcat_sql('au', 4)} AS hex FROM documents
+),
+u AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(hex, 4 * j + 3, 2)) AS INT) * 256
+         + CAST(('0x' || substring(hex, 4 * j + 1, 2)) AS INT) AS raw
+  FROM hx, range(0, 32) AS r(j)
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM u
+)
+SELECT doc_id,
+       CAST(1 AS INT) AS channels,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(32 AS INT) AS n_samples,
+       avg(abs(v)) AS mean_abs,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM s GROUP BY doc_id
+"""
+
+
 def q_multimodal_frames(spark, sf_dir):
     media = multimodal.attach_binary(t(spark, sf_dir, "documents"))
     frames = multimodal.frame_sample(media)
@@ -670,5 +746,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "udaf_median_chars": (q_udaf_median_chars, ORACLE_UDAF_MEDIAN),
     "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL_METADATA),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL_FEATURES),
+    "multimodal_decode": (q_multimodal_decode, ORACLE_MULTIMODAL_DECODE),
+    "multimodal_audio": (q_multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
 }

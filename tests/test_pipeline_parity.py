@@ -88,6 +88,92 @@ def test_multimodal_feature_plumbing(spark):
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"\xff\xfbMP3")
+
+
+def test_ppm_decode_real():
+    """P6 parser: dims from header (incl. comments + multi-digit tokens),
+    pixels verbatim."""
+    pixels = bytes(range(2 * 3 * 3))  # 2x3 RGB
+    ppm = b"P6\n# a comment\n2 3\n255\n" + pixels
+    img = multimodal.decode_image(ppm)
+    assert (img["width"], img["height"]) == (2, 3)
+    assert img["pixels"] == pixels
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_image(b"P6\n2 3\n255\n" + pixels[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        multimodal.decode_image(b"P6\n2 3\n65535\n" + pixels)
+
+
+def _make_bmp(width, height, rgb_rows, top_down=False):
+    """Minimal 24-bit BI_RGB BMP; rgb_rows is top-down [[(r,g,b)...]]."""
+    import struct as S
+
+    stride = (width * 3 + 3) & ~3
+    rows = rgb_rows if top_down else rgb_rows[::-1]  # file order
+    body = b"".join(
+        b"".join(bytes((b, g, r)) for r, g, b in row).ljust(stride, b"\x00")
+        for row in rows
+    )
+    hdr = (
+        b"BM" + S.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + S.pack("<iiiHHIIiiII", 40, width, -height if top_down else height,
+                 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return hdr + body
+
+
+def test_bmp_decode_real():
+    """BMP parser: bottom-up row flip, BGR→RGB, 4-byte row padding, and
+    the top-down (negative height) variant."""
+    rows = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]  # 2x2 top-down
+    want = b"".join(bytes(px) for row in rows for px in row)
+    for td in (False, True):
+        img = multimodal.decode_image(_make_bmp(2, 2, rows, top_down=td))
+        assert (img["width"], img["height"]) == (2, 2)
+        assert img["pixels"] == want, f"top_down={td}"
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        bad = bytearray(_make_bmp(2, 2, rows))
+        bad[28] = 8  # bpp=8
+        multimodal.decode_image(bytes(bad))
+
+
+def test_wav_decode_real():
+    """WAV parser: fmt/data chunk walk, little-endian int16 samples."""
+    import struct as S
+
+    samples = [0, 1, -1, 32767, -32768, 12345]
+    payload = multimodal._wav_header(len(samples), 8000) + S.pack(
+        f"<{len(samples)}h", *samples
+    )
+    au = multimodal.decode_audio(payload)
+    assert au["channels"] == 1 and au["sample_rate"] == 8000
+    assert au["n_samples"] == len(samples)
+    assert list(au["samples"]) == samples
+    with pytest.raises(ValueError, match="missing fmt"):
+        multimodal.decode_audio(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_synthesized_media_decodes(spark):
+    """attach_ppm_payload / attach_wav_payload emit payloads the REAL
+    decoders accept; features reflect decoded bytes (gate-query shape)."""
+    docs = t(spark, SF_DIR, "documents").limit(20)
+    feats = multimodal.extract_image_features(
+        multimodal.attach_ppm_payload(docs)
+    ).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert (r["width"], r["height"]) == (multimodal.PPM_W, multimodal.PPM_H)
+        assert 0.0 <= r["mean_r"] <= 255.0
+    au = multimodal.extract_audio_features(
+        multimodal.attach_wav_payload(docs)
+    ).collect()
+    assert len(au) == 20
+    for r in au:
+        assert r["sample_rate"] == multimodal.WAV_RATE
+        assert r["n_samples"] == multimodal.WAV_SAMPLES
+        assert 0 <= r["mean_abs"] <= 32768.0 and 0 <= r["peak"] <= 32768
 
 
 def test_frame_sample_shapes(spark):
