@@ -46,48 +46,85 @@ def _registry() -> dict[str, tuple]:
 
 # The correctness driver checks the FIRST 50 registry entries, so insertion
 # order decides which queries get a gate row each round. Front-load (a)
-# queries that have never had a driver check, (b) queries fixed/added this
-# round whose fix must be certified, (c) queries whose last green row is the
-# oldest. Long-stable queries (green in r1+r2) take the tail — every
-# registered query keeps at least one green CORRECTNESS row across rounds.
+# queries that have never had a driver check, (b) queries added/changed this
+# round whose behavior must be certified, (c) queries whose last green row
+# predates a change to the module they run through. Long-stable queries take
+# the tail — every registered query keeps at least one green CORRECTNESS row
+# across rounds.
+#
+# ROUND-4 ROTATION: positions 1-29 are the r3-UNCHECKED tail (their modules
+# — dedup.py, relational.py, pbf/proto.py, pbf/decode.py — changed during r3
+# AFTER their last green row); then the round-4 additions (real-decoder
+# multimodal queries) and the queries over round-4-changed code
+# (sampling.py binary-search buckets, multimodal.py decoders).
+# UNCHECKED THIS ROUND — the 31 entries past the 50-cap, all r3-green with
+# modules unchanged in r4 (certified in CORRECTNESS_r03.json):
+# pricing_summary, top_revenue_orders, region_revenue, outer_join_agg,
+# topk_per_group, running_total, lag_lead_gap, approx_sketches,
+# multi_supplier_late_orders, rich_inactive_customers, nation_trade_volume,
+# parts_supplier_diversity, ntile_quartiles, stream_dedup_user_types,
+# stream_sessionize_stateful, stream_click_attribution,
+# stream_enriched_counts, dedup_embedding, ann_cosine_topk, ann_lsh_pairs,
+# ann_ivf_topk, text_stats, text_quality, text_lang_id, text_fingerprint,
+# clean_corpus_pipeline, udtf_top_words, udaf_median_chars,
+# sample_stratified_cap, sample_weighted_mixture, sample_uniform_n.
 _CHECK_FIRST = [
-    # never driver-checked through r2 (registry-cap eviction)
-    "clean_corpus_pipeline",
-    "udtf_top_words",
-    "udaf_median_chars",
+    # --- r3-unchecked tail: re-certify over r3-changed modules ---
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "osm_count_by_type",
+    "osm_datasource_nodes",
+    "osm_filter_with_deps",
+    "osm_latest_versions",
+    "osm_tag_histogram",
+    "osm_way_geometry",
+    "sessionize",
+    "asof_join",
+    "union_distinct",
+    "distinct_agg",
+    "salted_distinct_count",
+    "scalar_functions",
+    "pivot_counts",
+    "json_extract",
+    "scalar_subquery",
+    "exists_agg",
+    "word_topk",
+    "percentiles",
+    "range_window",
+    "geo_distance",
+    "argmin_per_group",
+    "or_predicate_join",
+    "higher_order_arrays",
+    "date_gapfill",
+    # --- new in r4: real-decoder gate rows (never checked) ---
+    "multimodal_decode",
+    "multimodal_audio",
+    # --- r4-changed code: sampling.py (binary-search range buckets),
+    #     multimodal.py (decoder module) ---
+    "ntile_quartiles_scalable",
+    "sample_pack_sequences",
+    "sample_length_buckets",
     "multimodal_metadata",
     "multimodal_features",
     "multimodal_frames",
-    "sample_hash_split",
-    "sample_stratified_cap",
-    "sample_weighted_mixture",
-    "sample_length_buckets",
-    "sample_uniform_n",
-    # fixed or reshaped in r3 — certify the fixes
-    "stream_windowed_counts",
-    "stream_dedup_user_types",
-    "stream_sessionize_stateful",
-    "stream_click_attribution",
-    "stream_enriched_counts",
-    "multi_supplier_late_orders",
-    "approx_sketches",
-    "rich_inactive_customers",
-    "ntile_quartiles",
-    "ntile_quartiles_scalable",
-    "decontaminate",
-    "sample_pack_sequences",
-    "nation_trade_volume",
-    "parts_supplier_diversity",
-    # green in r1 only, evicted in r2
-    "dedup_embedding",
-    "ann_cosine_topk",
-    "ann_lsh_pairs",
-    "ann_ivf_topk",
-    "text_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
+    # --- r3-checked set most affected by shared-scan-path edits
+    #     (pbf/blob.py lzma guard): representative osm + relational ---
     "osm_loc_on_ways",
+    "count_by_type",
+    "filter_project",
+    "semi_join",
+    "anti_join",
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets_agg",
+    "range_join_binned",
+    "set_ops",
+    "stream_windowed_counts",
+    "decontaminate",
+    "sample_hash_split",
 ]
 
 
