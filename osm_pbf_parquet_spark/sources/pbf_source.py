@@ -48,15 +48,19 @@ DEFAULT_BLOBS_PER_TASK = 16
 
 
 def _n_groups(n_blobs: int, parallelism: int, blobs_per_task: int | None) -> int:
-    """Task-group count. Explicit ``blobs_per_task`` wins; otherwise use
-    2× the cluster parallelism (so the scan saturates every core with
-    mild dynamic balancing) capped at one group per blob. Contiguous
-    chunking keeps each task's byte ranges adjacent (coalesced reads)."""
+    """Task-group count. Explicit ``blobs_per_task`` wins; otherwise ONE
+    group per core, capped at one group per blob. One wave beats the
+    classic 2×-parallelism over-decomposition here because the
+    size-weighted contiguous grouping already equalizes task cost:
+    measured on the 130 MB bench input, 32 groups = 95 MB/s vs 64 groups
+    = 63 MB/s (and 118 vs 86 at 531 MB) — the second wave only re-pays
+    per-task fixed costs and tail quantization. Contiguous chunking keeps
+    each task's byte ranges adjacent (coalesced reads)."""
     if n_blobs == 0:
         return 1
     if blobs_per_task:
         return max(1, math.ceil(n_blobs / blobs_per_task))
-    return min(n_blobs, max(1, 2 * parallelism))
+    return min(n_blobs, max(1, parallelism))
 
 
 def read_pbf_header(path: str) -> dict | None:
