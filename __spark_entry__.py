@@ -57,17 +57,18 @@ def _registry() -> dict[str, tuple]:
 # AFTER their last green row); then the round-4 additions (real-decoder
 # multimodal queries) and the queries over round-4-changed code
 # (sampling.py binary-search buckets, multimodal.py decoders).
-# UNCHECKED THIS ROUND — the 31 entries past the 50-cap, all r3-green with
-# modules unchanged in r4 (certified in CORRECTNESS_r03.json):
-# pricing_summary, top_revenue_orders, region_revenue, outer_join_agg,
-# topk_per_group, running_total, lag_lead_gap, approx_sketches,
-# multi_supplier_late_orders, rich_inactive_customers, nation_trade_volume,
-# parts_supplier_diversity, ntile_quartiles, stream_dedup_user_types,
-# stream_sessionize_stateful, stream_click_attribution,
-# stream_enriched_counts, dedup_embedding, ann_cosine_topk, ann_lsh_pairs,
-# ann_ivf_topk, text_stats, text_quality, text_lang_id, text_fingerprint,
-# clean_corpus_pipeline, udtf_top_words, udaf_median_chars,
-# sample_stratified_cap, sample_weighted_mixture, sample_uniform_n.
+# UNCHECKED THIS ROUND — the 33 entries past the 50-cap, all r3-green
+# (certified in CORRECTNESS_r03.json): pricing_summary, top_revenue_orders,
+# region_revenue, outer_join_agg, topk_per_group, running_total,
+# lag_lead_gap, approx_sketches, multi_supplier_late_orders,
+# rich_inactive_customers, nation_trade_volume, parts_supplier_diversity,
+# ntile_quartiles, stream_dedup_user_types, stream_sessionize_stateful,
+# stream_click_attribution, stream_enriched_counts, dedup_embedding,
+# ann_cosine_topk, ann_lsh_pairs, ann_ivf_topk, text_stats, text_quality,
+# text_lang_id, text_fingerprint, clean_corpus_pipeline, udtf_top_words,
+# udaf_median_chars, sample_stratified_cap, sample_weighted_mixture,
+# sample_uniform_n, decontaminate, sample_hash_split. (All were ALSO swept
+# green locally this round via tests/oracle_harness over the full registry.)
 _CHECK_FIRST = [
     # --- r3-unchecked tail: re-certify over r3-changed modules ---
     "dedup_exact",
@@ -99,9 +100,11 @@ _CHECK_FIRST = [
     "or_predicate_join",
     "higher_order_arrays",
     "date_gapfill",
-    # --- new in r4: real-decoder gate rows (never checked) ---
+    # --- new in r4: real-decoder + curation gate rows (never checked) ---
     "multimodal_decode",
     "multimodal_audio",
+    "pii_scrub",
+    "text_repetition",
     # --- r4-changed code: sampling.py (binary-search range buckets),
     #     multimodal.py (decoder module) ---
     "ntile_quartiles_scalable",
@@ -123,8 +126,6 @@ _CHECK_FIRST = [
     "range_join_binned",
     "set_ops",
     "stream_windowed_counts",
-    "decontaminate",
-    "sample_hash_split",
 ]
 
 

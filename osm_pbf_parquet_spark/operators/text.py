@@ -153,6 +153,82 @@ def clean_corpus(
     )
 
 
+# PII patterns chosen to parse AND match identically under Java regex
+# (Spark) and RE2 (DuckDB/Trino): no backrefs, no lookaround, ASCII \b.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone": "\\+[0-9]{7,15}",
+}
+# emails first (they contain dots and digits that the ip/phone patterns
+# could otherwise nibble), then ips, then international-format phones
+PII_ORDER = ("email", "ipv4", "phone")
+
+
+def with_pii_scrubbed(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Column-preserving PII redaction: adds ``n_email``/``n_ipv4``/
+    ``n_phone`` (match counts on the PRE-scrub text) and ``scrubbed``
+    (each category replaced by its placeholder, applied in PII_ORDER).
+    Pure Catalyst regexp expressions — scan-speed at any scale, no UDF."""
+    d = df
+    for cat in PII_ORDER:
+        d = d.withColumn(
+            f"n_{cat}",
+            F.size(F.regexp_extract_all(
+                F.col(text_col), F.lit(PII_PATTERNS[cat]), F.lit(0)
+            )),
+        )
+    scrub = F.col(text_col)
+    for cat in PII_ORDER:
+        scrub = F.regexp_replace(scrub, PII_PATTERNS[cat], f"<{cat.upper()}>")
+    return d.withColumn("scrubbed", scrub)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """PII scrub report: per-category counts + md5 of the fully scrubbed
+    text (pins every replacement byte-for-byte under a value-hash gate)."""
+    return with_pii_scrubbed(df, text_col).select(
+        key, "n_email", "n_ipv4", "n_phone",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-word and
+    duplicate-n-gram fractions (n=2,3). High values flag boilerplate/spam
+    docs that survive inter-document dedup. Pure per-row projection
+    (split + array_distinct + higher-order transform) — no shuffle, no
+    UDF; the whole filter runs at scan speed on 100 TB."""
+    d = df.select(F.col(key), F.split(F.col(text_col), " ").alias("_w"))
+    n = F.size("_w")
+    cols = [
+        n.alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("_w")) / F.greatest(n, F.lit(1)),
+            4,
+        ).alias("dup_word_fraction"),
+    ]
+    for g in (2, 3):
+        # guard BEFORE sequence(): sequence(1, 0) steps DESCENDING in
+        # Spark ([1,0]), it is not empty — short docs must yield array()
+        grams = F.expr(
+            f"CASE WHEN size(_w) >= {g} THEN"
+            f" transform(sequence(1, size(_w) - {g - 1}),"
+            f" i -> concat_ws(' ', slice(_w, i, {g})))"
+            f" ELSE array() END"
+        )
+        n_g = F.size(grams)
+        cols.append(
+            F.when(
+                n_g > 0,
+                F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / n_g, 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{g}gram_fraction")
+        )
+    return d.select(key, *cols)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """Rolling-hash document fingerprint: min gram hash (1-permutation
     minhash) + content hash — compact identity for shard-level dedup."""

@@ -574,6 +574,92 @@ FROM documents GROUP BY lang
 """
 
 
+# --- PII scrub / repetition -----------------------------------------------------------
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction gate: the synthetic corpus carries no PII, so the
+    query deterministically INJECTS doc-keyed email/ip/phone strings
+    (pure Catalyst concat — replicated verbatim in the oracle), then
+    scrubs them. The md5 of the scrubbed text pins every replacement;
+    counts pin the matchers. Patterns are Java-regex/RE2 compatible by
+    construction (operators/text.py PII_PATTERNS)."""
+    docs = t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org via 192.168."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".42 or +1415555"),
+            F.pmod(F.col("doc_id"), F.lit(10_000)).cast("string"),
+        ),
+    )
+    return text.pii_scrub(aug)
+
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.org via 192.168.'"
+    " || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.42 or +1415555' || CAST(doc_id % 10000 AS VARCHAR)"
+)
+
+ORACLE_PII_SCRUB = f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["email"]}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["ipv4"]}')) AS INT)  AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["phone"]}')) AS INT) AS n_phone,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{text.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+               '{text.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+             '{text.PII_PATTERNS["phone"]}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM aug
+"""
+
+
+def q_text_repetition(spark, sf_dir):
+    """Intra-document repetition signals (Gopher-style quality filters).
+    The corpus draws from a small vocabulary, so duplicate-word/-bigram
+    fractions are non-trivial on every row; a doubled copy of the text
+    tail stresses the n-gram paths."""
+    docs = t(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
+ORACLE_TEXT_REPETITION = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CASE WHEN len(ws) >= 2 THEN
+           [ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))]
+         ELSE [] END AS g2,
+         CASE WHEN len(ws) >= 3 THEN
+           [ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+            for i in range(1, len(ws) - 1)]
+         ELSE [] END AS g3
+  FROM w
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_words,
+       round(1 - len(list_distinct(ws)) / greatest(n, 1), 4) AS dup_word_fraction,
+       CASE WHEN len(g2) > 0
+            THEN round(1 - len(list_distinct(g2)) / len(g2), 4)
+            ELSE 0.0 END AS dup_2gram_fraction,
+       CASE WHEN len(g3) > 0
+            THEN round(1 - len(list_distinct(g3)) / len(g3), 4)
+            ELSE 0.0 END AS dup_3gram_fraction
+FROM g
+"""
+
+
 # --- multimodal ------------------------------------------------------------------------
 
 
@@ -741,6 +827,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_quality": (q_text_quality, _oracle_quality()),
     "text_lang_id": (q_text_lang_id, _oracle_lang_id()),
     "text_fingerprint": (q_text_fingerprint, ORACLE_FINGERPRINT),
+    "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
+    "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
     "clean_corpus_pipeline": (q_clean_corpus, _oracle_clean_corpus()),
     "udtf_top_words": (q_udtf_top_words, ORACLE_UDTF_TOP_WORDS),
     "udaf_median_chars": (q_udaf_median_chars, ORACLE_UDAF_MEDIAN),

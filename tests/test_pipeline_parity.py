@@ -155,6 +155,51 @@ def test_wav_decode_real():
         multimodal.decode_audio(b"RIFF\x04\x00\x00\x00WAVE")
 
 
+def test_pii_scrub_semantics(spark):
+    """Scrub order + placeholder content: emails are redacted before the
+    ip/phone matchers can nibble their digits; counts reflect the
+    pre-scrub text; non-PII text is untouched."""
+    from osm_pbf_parquet_spark.operators import text as T
+
+    rows = [
+        (1, "mail a.b+c@x-y.org and 10.0.0.1 and +4915123456 done"),
+        (2, "no pii here, just words and 1.5 numbers"),
+        (3, ""),
+        (4, "two mails p@q.io r@s.de one ip 255.255.255.255"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in T.with_pii_scrubbed(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[1]["scrubbed"] == "mail <EMAIL> and <IPV4> and <PHONE> done"
+    assert out[2]["scrubbed"] == rows[1][1] and out[2]["n_email"] == 0
+    assert out[3]["scrubbed"] == ""
+    assert (out[4]["n_email"], out[4]["n_ipv4"]) == (2, 1)
+    assert out[4]["scrubbed"] == "two mails <EMAIL> <EMAIL> one ip <IPV4>"
+
+
+def test_repetition_stats_semantics(spark):
+    """Duplicate fractions against hand-computed values, incl. the short-
+    doc guards (0- and 1-word docs must not hit descending sequence())."""
+    from osm_pbf_parquet_spark.operators import text as T
+
+    rows = [
+        (1, "a b a b a"),   # words: 5, distinct 2; 2grams: ab ba ab ba; 3grams: aba bab aba
+        (2, "x"),           # single word: no grams
+        (3, ""),            # split('') -> [''], 1 "word"
+        (4, "u v w x"),     # all unique
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    assert out[1]["n_words"] == 5
+    assert out[1]["dup_word_fraction"] == round(1 - 2 / 5, 4)
+    assert out[1]["dup_2gram_fraction"] == round(1 - 2 / 4, 4)
+    assert out[1]["dup_3gram_fraction"] == round(1 - 2 / 3, 4)
+    assert out[2]["n_words"] == 1 and out[2]["dup_2gram_fraction"] == 0.0
+    assert out[3]["n_words"] == 1 and out[3]["dup_3gram_fraction"] == 0.0
+    assert out[4]["dup_word_fraction"] == 0.0
+    assert out[4]["dup_2gram_fraction"] == 0.0
+
+
 def test_synthesized_media_decodes(spark):
     """attach_ppm_payload / attach_wav_payload emit payloads the REAL
     decoders accept; features reflect decoded bytes (gate-query shape)."""
