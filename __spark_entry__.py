@@ -57,7 +57,7 @@ def _registry() -> dict[str, tuple]:
 # AFTER their last green row); then the round-4 additions (real-decoder
 # multimodal queries) and the queries over round-4-changed code
 # (sampling.py binary-search buckets, multimodal.py decoders).
-# UNCHECKED THIS ROUND — the 33 entries past the 50-cap, all r3-green
+# UNCHECKED THIS ROUND — the 38 entries past the 50-cap, all r3-green
 # (certified in CORRECTNESS_r03.json): pricing_summary, top_revenue_orders,
 # region_revenue, outer_join_agg, topk_per_group, running_total,
 # lag_lead_gap, approx_sketches, multi_supplier_late_orders,
@@ -67,8 +67,11 @@ def _registry() -> dict[str, tuple]:
 # ann_cosine_topk, ann_lsh_pairs, ann_ivf_topk, text_stats, text_quality,
 # text_lang_id, text_fingerprint, clean_corpus_pipeline, udtf_top_words,
 # udaf_median_chars, sample_stratified_cap, sample_weighted_mixture,
-# sample_uniform_n, decontaminate, sample_hash_split. (All were ALSO swept
-# green locally this round via tests/oracle_harness over the full registry.)
+# sample_uniform_n, decontaminate, sample_hash_split, rollup_agg, cube_agg,
+# grouping_sets_agg, range_join_binned, set_ops (the last five rotated out
+# mid-round to make room for the five new curation-operator queries; their
+# module, relational.py, is unchanged in r4). (All were ALSO swept green
+# locally this round via tests/oracle_harness over the full registry.)
 _CHECK_FIRST = [
     # --- r3-unchecked tail: re-certify over r3-changed modules ---
     "dedup_exact",
@@ -105,6 +108,11 @@ _CHECK_FIRST = [
     "multimodal_audio",
     "pii_scrub",
     "text_repetition",
+    "line_corpus_dedup",
+    "vocab_build",
+    "embedding_quantize",
+    "semantic_dedup",
+    "sample_chunk_windows",
     # --- r4-changed code: sampling.py (binary-search range buckets),
     #     multimodal.py (decoder module) ---
     "ntile_quartiles_scalable",
@@ -120,11 +128,6 @@ _CHECK_FIRST = [
     "filter_project",
     "semi_join",
     "anti_join",
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets_agg",
-    "range_join_binned",
-    "set_ops",
     "stream_windowed_counts",
 ]
 

@@ -255,3 +255,35 @@ def uniform_sample_n(
         .limit(n)
         .drop("_h")
     )
+
+
+def chunk_documents(
+    df: DataFrame, size: int = 64, stride: int = 48,
+    text_col: str = "text", key: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard context-window prep for LLM training (size=window tokens,
+    stride<size gives overlapping windows; the trailing chunk may be
+    shorter). One row in → ceil(n/stride) rows out.
+
+    Pure per-row Catalyst work: split → sequence of starts → slice per
+    start → posexplode. No shuffle, no UDF — chunking runs at scan speed
+    and composes with any downstream packing/sampling operator. Chunk
+    identity is (key, chunk_id); ``chunk_md5`` pins the exact token bytes
+    of every window under a value hash."""
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    d = df.select(F.col(key), F.split(F.col(text_col), " ").alias("_w"))
+    starts = f"sequence(1, greatest(size(_w), 1), {stride})"
+    chunks = (
+        f"transform({starts}, s -> struct("
+        f"s AS start, slice(_w, s, {size}) AS toks))"
+    )
+    d = d.select(F.col(key), F.posexplode(F.expr(chunks)).alias("chunk_id", "c"))
+    return d.select(
+        key,
+        F.col("chunk_id").cast("int"),
+        F.col("c.start").cast("int").alias("start"),
+        F.size("c.toks").cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("c.toks"))).alias("chunk_md5"),
+    )

@@ -292,3 +292,95 @@ def lsh_ann_pairs(
         .select("id_a", "id_b", "cosine")
         .distinct()  # pairs colliding in several tables appear once
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", key: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = max|x| / 127, q_i = clamp(round-half-up(x_i / scale), ±127).
+    The storage shape for 100 TB embedding corpora — 4× smaller than
+    float32 before Parquet byte-stream-split even starts, and int8 SIMD
+    dot products downstream.
+
+    Pure per-row Catalyst lambda work (transform/aggregate), no shuffle.
+    Rounding is floor(x + 0.5) — identical semantics in Spark and DuckDB,
+    unlike bankers'-rounding builtins. Emits the quantized array plus
+    audit columns that pin the arithmetic under a value hash: a
+    position-weighted integer checksum and the sequential-fold
+    reconstruction MSE (same fold order as the oracle's list_reduce)."""
+    d = _spread(df).withColumn("_vd", F.expr(TO_DOUBLE.format(v=vec_col)))
+    d = d.withColumn(
+        "scale",
+        F.expr("aggregate(_vd, cast(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))")
+        / F.lit(127.0),
+    )
+    d = d.withColumn(
+        "q",
+        F.expr(
+            "transform(_vd, x -> CASE WHEN scale = 0.0 THEN 0 "
+            "ELSE cast(greatest(-127.0, least(127.0, floor(x / scale + 0.5))) AS INT) "
+            "END)"
+        ),
+    )
+    checksum = (
+        "aggregate(zip_with(q, sequence(1, size(q)), "
+        "(qi, i) -> cast(qi AS BIGINT) * i), cast(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    sq_err = (
+        "aggregate(zip_with(_vd, q, (x, qi) -> "
+        "(x - qi * scale) * (x - qi * scale)), cast(0.0 AS DOUBLE), "
+        "(a, x) -> a + x)"
+    )
+    return d.select(
+        key,
+        F.round("scale", 9).alias("scale"),
+        F.expr(checksum).alias("q_checksum"),
+        F.round(F.expr(sq_err) / F.greatest(F.size("q"), F.lit(1)), 9).alias("mse"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame, threshold: float = 0.45,
+    vec_col: str = "embedding", key: str = "vec_id",
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """SemDedup-style cluster-then-dedup: assign every vector to its
+    nearest coarse-quantizer cell (``ivf_assign``), find near-duplicate
+    pairs ONLY within a cell, and drop every vector that has a
+    lower-keyed near-duplicate in its cell (keep-first rule, transitive
+    within the pair relation's reach).
+
+    This is the embedding-dedup scale shape: the candidate join is an
+    equi-join on ``cell`` (hash-partitioned shuffle; at 100 TB the cell
+    column doubles as the physical partition key, making the join
+    co-located), so scored pairs are n²/C per cell instead of the global
+    n² of ``embedding_near_dup_pairs``. Cross-cell near-dups are missed
+    by construction — the recall/cost trade documented by SemDedup.
+    Returns survivors as (key, cell)."""
+    assigned = ivf_assign(_spread(df), vec_col, key, n_centroids).select(
+        F.col(key), "cell", F.col("_vd").alias("v")
+    ).withColumn("norm", F.expr(NORM.format(v="v"))).persist()
+    a = assigned.select(
+        F.col(key).alias("id_a"), "cell",
+        F.col("v").alias("va"), F.col("norm").alias("norm_a"),
+    )
+    b = assigned.select(
+        F.col(key).alias("id_b"), F.col("cell").alias("cell_b"),
+        F.col("v").alias("vb"), F.col("norm").alias("norm_b"),
+    )
+    removed = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(DOT.format(a="va", b="vb"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(key))
+        .distinct()
+    )
+    return assigned.join(removed, key, "left_anti").select(key, "cell")

@@ -229,6 +229,82 @@ def repetition_stats(df: DataFrame, text_col: str = "text", key: str = "doc_id")
     return d.select(key, *cols)
 
 
+def line_dedup(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+    max_docs: int = 5, sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style line-level corpus dedup: drop every line that occurs in
+    more than ``max_docs`` distinct documents (boilerplate headers,
+    footers, navigation chrome), keep the rest in original order.
+
+    Shape at 100 TB: lines are counted by an md5 line-hash groupBy (keyed
+    shuffle, bounded 32-byte keys regardless of line width), counts flow
+    back through a hash join on the same key, and the per-document
+    reassembly is one more keyed shuffle — three exchanges total, no
+    broadcast of anything corpus-sized, no driver state. Returns one row
+    per document: total/kept line counts and the md5 of the cleaned text
+    (pins every surviving byte AND the line order under a value hash).
+    """
+    lines = df.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("line_hash", F.md5("line"))
+    counts = lines.groupBy("line_hash").agg(
+        F.countDistinct(key).alias("n_docs")
+    )
+    joined = lines.join(counts, "line_hash").withColumn(
+        "keep", F.col("n_docs") <= max_docs
+    )
+    # collect_list drops nulls, so the CASE without ELSE keeps exactly the
+    # surviving lines; array_sort on (pos, line) restores document order
+    # (pos is unique per doc)
+    return joined.groupBy(key).agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                sep,
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN keep THEN struct(pos, line) END)), s -> s.line)"
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text",
+    vocab_size: int = 1000, min_count: int = 1,
+) -> DataFrame:
+    """Tokenizer-style vocabulary build: BPE-ish regex tokens → corpus
+    counts → top-``vocab_size`` by (count desc, token asc) → contiguous
+    ``token_id`` starting at 0.
+
+    The corpus-wide count is a partial+final hash aggregate (one keyed
+    shuffle over token strings); the top-V cut is TakeOrderedAndProject
+    (no global sort of the vocabulary); the id-assignment window runs over
+    at most ``vocab_size`` rows — bounded by a literal, not by data size,
+    the same justification as the pack_sequences bucket-dimension window.
+    """
+    from pyspark.sql import Window
+
+    toks = with_tokens(df, text_col).select(
+        F.explode("tokens").alias("token")
+    )
+    counts = (
+        toks.groupBy("token").agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    top = counts.orderBy(F.desc("n"), "token").limit(vocab_size)
+    w = Window.orderBy(F.desc("n"), "token")
+    return top.select(
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+        "token",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """Rolling-hash document fingerprint: min gram hash (1-permutation
     minhash) + content hash — compact identity for shard-level dedup."""

@@ -660,6 +660,149 @@ FROM g
 """
 
 
+def q_line_corpus_dedup(spark, sf_dir):
+    """CCNet-style line-level dedup gate: the synthetic corpus is single-
+    line, so the query deterministically injects a corpus-wide HEADER
+    line, a doc-keyed FOOTER shared by ~125 docs each, and a 48-char
+    prefix line — then drops lines occurring in >5 distinct docs. The
+    cleaned-text md5 pins surviving bytes and line order."""
+    docs = t(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.lit("HEADER: corpus boilerplate banner"),
+            F.substring("text", 1, 48),
+            F.concat(F.lit("FOOTER id "),
+                     F.pmod(F.col("doc_id"), F.lit(4)).cast("string")),
+            F.col("text"),
+        ),
+    )
+    return text.line_dedup(aug, max_docs=5)
+
+
+ORACLE_LINE_DEDUP = """
+WITH aug AS (
+  SELECT doc_id,
+         'HEADER: corpus boilerplate banner' || chr(10) ||
+         substring(text, 1, 48) || chr(10) ||
+         'FOOTER id ' || CAST(doc_id % 4 AS VARCHAR) || chr(10) ||
+         text AS text
+  FROM documents
+),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+e AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM l),
+x AS (SELECT doc_id, pos, ls[CAST(pos AS INT)] AS line FROM e),
+c AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS n_docs
+      FROM x GROUP BY md5(line)),
+j AS (SELECT x.doc_id, x.pos, x.line, c.n_docs
+      FROM x JOIN c ON md5(x.line) = c.lh)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_lines,
+       CAST(sum(CASE WHEN n_docs <= 5 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN n_docs <= 5 THEN line END,
+                               chr(10) ORDER BY pos), '')) AS cleaned_md5
+FROM j GROUP BY doc_id
+"""
+
+
+def q_vocab_build(spark, sf_dir):
+    """Tokenizer vocabulary build: corpus token counts → top-200 by
+    (count desc, token asc) → contiguous token ids."""
+    return text.build_vocab(t(spark, sf_dir, "documents"),
+                            vocab_size=200, min_count=2)
+
+
+ORACLE_VOCAB_BUILD = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS token
+  FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM toks
+      GROUP BY token HAVING count(*) >= 2),
+top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 200)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS INT) AS token_id,
+       token, CAST(n AS BIGINT) AS n
+FROM top
+"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization audit: per-vector scale, position-
+    weighted checksum of the quantized codes, sequential-fold MSE."""
+    return similarity.quantize_embeddings(t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_reduce(list_transform(v, x -> abs(x)),
+                     (a, x) -> greatest(a, x)) / 127.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0
+             ELSE CAST(greatest(-127.0, least(127.0,
+                       floor(x / scale + 0.5))) AS INT) END) AS q
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       list_reduce(list_transform(range(1, len(q) + 1),
+                   i -> CAST(q[i] AS BIGINT) * i), (a, x) -> a + x) AS q_checksum,
+       round(list_reduce(list_transform(range(1, len(v) + 1),
+                   i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)),
+                   (a, x) -> a + x) / greatest(len(v), 1), 9) AS mse
+FROM q
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDedup gate: IVF-cell assignment → within-cell near-dup pairs →
+    keep-lowest-key survivors. Same centroid arithmetic as ann_ivf_topk."""
+    return similarity.semantic_dedup(t(spark, sf_dir, "embeddings"),
+                                     threshold=0.45)
+
+
+def _oracle_semantic_dedup() -> str:
+    C = similarity.N_CENTROIDS
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent_arr AS MATERIALIZED (
+  SELECT list(struct_pack(cid := vec_id, cv := v) ORDER BY vec_id) AS cents
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {C})
+),
+sc AS (
+  SELECT vec_id, v, cents,
+         list_transform(cents, c -> {_DOT.format(a='v', b='c.cv')}
+           / ({_NORM.format(v='v')} * {_NORM.format(v='c.cv')})) AS cos_arr
+  FROM v CROSS JOIN cent_arr
+),
+assigned AS (
+  SELECT vec_id, v,
+         cents[list_position(cos_arr, list_aggregate(cos_arr, 'max'))].cid AS cell
+  FROM sc
+),
+removed AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_DOT.format(a='a.v', b='b.v')}
+          / ({_NORM.format(v='a.v')} * {_NORM.format(v='b.v')}), 6) >= 0.45
+)
+SELECT vec_id, cell FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+"""
+
+
 # --- multimodal ------------------------------------------------------------------------
 
 
@@ -829,6 +972,10 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "text_fingerprint": (q_text_fingerprint, ORACLE_FINGERPRINT),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "text_repetition": (q_text_repetition, ORACLE_TEXT_REPETITION),
+    "line_corpus_dedup": (q_line_corpus_dedup, ORACLE_LINE_DEDUP),
+    "vocab_build": (q_vocab_build, ORACLE_VOCAB_BUILD),
+    "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
+    "semantic_dedup": (q_semantic_dedup, _oracle_semantic_dedup()),
     "clean_corpus_pipeline": (q_clean_corpus, _oracle_clean_corpus()),
     "udtf_top_words": (q_udtf_top_words, ORACLE_UDTF_TOP_WORDS),
     "udaf_median_chars": (q_udaf_median_chars, ORACLE_UDAF_MEDIAN),

@@ -145,8 +145,33 @@ FROM cum
 """
 
 
+def q_sample_chunk_windows(spark, sf_dir):
+    """Context-window chunking: 24-token windows, stride 16 (overlapping);
+    per-window md5 pins the exact token bytes."""
+    out = sampling.chunk_documents(t(spark, sf_dir, "documents"),
+                                   size=24, stride=16)
+    return out
+
+
+ORACLE_CHUNK_WINDOWS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (
+  SELECT doc_id, ws,
+         unnest(range(1, greatest(len(ws), 1) + 1, 16)) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST((start - 1) // 16 AS INT) AS chunk_id,
+       CAST(start AS INT) AS start,
+       CAST(least(24, len(ws) - start + 1) AS INT) AS n_tokens,
+       md5(array_to_string(ws[CAST(start AS INT):CAST(start + 23 AS INT)], ' ')) AS chunk_md5
+FROM s
+"""
+
+
 SAMPLING_QUERIES: dict[str, tuple] = {
     "sample_pack_sequences": (q_sample_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "sample_chunk_windows": (q_sample_chunk_windows, ORACLE_CHUNK_WINDOWS),
     "sample_hash_split": (q_sample_hash_split, ORACLE_HASH_SPLIT),
     "sample_stratified_cap": (q_sample_stratified_cap, ORACLE_STRATIFIED_CAP),
     "sample_weighted_mixture": (q_sample_weighted_mixture, _oracle_mixture()),

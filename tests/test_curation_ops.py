@@ -1,0 +1,204 @@
+"""Edge-case units + plan audits for the r4 curation operators:
+line-level dedup, vocabulary build, document chunking, int8 embedding
+quantization, and SemDedup cluster-then-dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from osm_pbf_parquet_spark.operators import sampling, similarity, text
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# --- line_dedup -----------------------------------------------------------------
+
+
+def test_line_dedup_removes_common_keeps_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\ncommon\nunique two"),
+            (2, "common\nonly in two"),
+            (3, "common\nonly in three"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.line_dedup(docs, max_docs=2).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["cleaned_md5"] == md5("unique one\nunique two")
+    assert out[2]["cleaned_md5"] == md5("only in two")
+
+
+def test_line_dedup_all_removed_hashes_empty(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, "same line") for i in range(4)], ["doc_id", "text"]
+    )
+    out = text.line_dedup(docs, max_docs=1).collect()
+    assert all(r["n_kept"] == 0 for r in out)
+    assert all(
+        r["cleaned_md5"] == hashlib.md5(b"").hexdigest() for r in out
+    )
+
+
+def test_line_dedup_counts_distinct_docs_not_occurrences(spark):
+    # one doc repeating a line 5 times != 5 docs sharing it
+    docs = spark.createDataFrame(
+        [(1, "x\nx\nx\nx\nx"), (2, "y")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in text.line_dedup(docs, max_docs=1).collect()}
+    assert out[1]["n_kept"] == 5  # 1 distinct doc <= max_docs
+
+
+def test_line_dedup_plan_no_cartesian(spark):
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    plan = _plan(text.line_dedup(t(spark, SF_DIR, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- build_vocab ----------------------------------------------------------------
+
+
+def test_build_vocab_order_and_min_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a d")], ["doc_id", "text"]
+    )
+    out = text.build_vocab(docs, vocab_size=10, min_count=2).collect()
+    # a:3 b:3 (tie -> token asc), c:1 d:1 dropped by min_count
+    assert [(r["token_id"], r["token"], r["n"]) for r in out] == [
+        (0, "a", 3),
+        (1, "b", 3),
+    ]
+
+
+def test_build_vocab_caps_at_vocab_size(spark):
+    docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    out = text.build_vocab(docs, vocab_size=3, min_count=1).collect()
+    assert len(out) == 3
+    assert [r["token"] for r in out] == ["a", "b", "c"]
+
+
+def test_build_vocab_plan_takeordered_no_global_sort(spark):
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    plan = _plan(text.build_vocab(t(spark, SF_DIR, "documents"), vocab_size=200))
+    assert "TakeOrderedAndProject" in plan
+
+
+# --- chunk_documents ------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    out = sorted(
+        sampling.chunk_documents(docs, size=4, stride=3).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # starts 1,4,7,10 -> lengths 4,4,4,1
+    assert [(r["start"], r["n_tokens"]) for r in out] == [
+        (1, 4), (4, 4), (7, 4), (10, 1),
+    ]
+    import hashlib
+
+    assert out[0]["chunk_md5"] == hashlib.md5(b"w0 w1 w2 w3").hexdigest()
+    assert out[3]["chunk_md5"] == hashlib.md5(b"w9").hexdigest()
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    out = sampling.chunk_documents(docs, size=64, stride=48).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 2
+
+
+def test_chunk_documents_validates_args(spark):
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(docs, size=0)
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(docs, stride=0)
+
+
+def test_chunk_documents_plan_no_shuffle(spark):
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    plan = _plan(
+        sampling.chunk_documents(t(spark, SF_DIR, "documents"), 24, 16)
+    )
+    assert "Exchange" not in plan  # pure per-row explode at scan speed
+
+
+# --- quantize_embeddings --------------------------------------------------------
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 0.0, 0.0])]
+    )
+    r = similarity.quantize_embeddings(df).collect()[0]
+    assert r["scale"] == 0.0 and r["q_checksum"] == 0 and r["mse"] == 0.0
+
+
+def test_quantize_extremes_hit_127(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, -1.0, 0.5])]
+    )
+    r = similarity.quantize_embeddings(df).collect()[0]
+    # q = [127, -127, 64]; checksum = 127*1 - 127*2 + 64*3
+    assert r["q_checksum"] == 127 - 254 + 192
+    assert r["scale"] == round(1.0 / 127.0, 9)  # operator rounds to 9 dp
+
+
+def test_quantize_reconstruction_error_small(spark):
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    out = similarity.quantize_embeddings(t(spark, SF_DIR, "embeddings"))
+    mx = out.agg(F.max("mse")).collect()[0][0]
+    # int8 symmetric quantization: mse <= (scale/2)^2 with scale <= max|x|/127
+    assert mx < 1e-4
+
+
+# --- semantic_dedup -------------------------------------------------------------
+
+
+def test_semantic_dedup_matches_within_cell_brute_force(spark):
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    emb = t(spark, SF_DIR, "embeddings")
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(emb).select("vec_id", "cell").collect()
+    }
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    expect_removed = {
+        r["id_b"] for r in pairs if assigned[r["id_a"]] == assigned[r["id_b"]]
+    }
+    survivors = {
+        r["vec_id"] for r in similarity.semantic_dedup(emb, 0.45).collect()
+    }
+    assert survivors == set(assigned) - expect_removed
+
+
+def test_semantic_dedup_join_is_equi_on_cell(spark):
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    plan = _plan(similarity.semantic_dedup(t(spark, SF_DIR, "embeddings")))
+    assert "CartesianProduct" not in plan
+    # the pair join must be a hash join keyed on cell, not a nested loop
+    # over the corpus (the centroid crossJoin is broadcast-by-construction)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
