@@ -384,3 +384,76 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(removed, key, "left_anti").select(key, "cell")
+
+
+def kmeans_assign(
+    df: DataFrame, k: int = 8, iters: int = 3,
+    vec_col: str = "embedding", key: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column: deterministic
+    init (the ``k`` lowest-key vectors, cluster ids 0..k-1 by key order),
+    then ``iters`` rounds of assign → recompute. Returns one row per
+    vector: (key, cluster, sq_dist) against the FINAL centroids.
+
+    Scale shape: each round is (a) a broadcast of k×dim centroid doubles
+    into a per-row argmin projection — corpus scanned, never shuffled for
+    assignment — and (b) a posexplode + groupBy(cluster, dim) partial+
+    final aggregation whose result is k×dim rows, collected to the driver
+    (bounded by literals, the same justification as the components
+    convergence probe). No iteration-over-rows on the driver; lineage is
+    cut every round by re-literalizing the centroids, so round N's plan
+    does not embed rounds 1..N-1.
+
+    Determinism note: cross-partition double sums are order-sensitive in
+    the last ulp. Feed integer-valued vectors (e.g. ``floor(x*1000+0.5)``
+    — see the gate query) when bit-exact reproducibility across engines/
+    runs is required; means of exact integer sums are then fully
+    deterministic. Empty clusters keep their previous centroid."""
+    spark = df.sparkSession
+    base = (
+        _spread(df)
+        .select(F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("v"))
+        .persist()
+    )
+    init = base.orderBy(key).limit(k).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r["v"])) for i, r in enumerate(init)
+    ]
+    cent_schema = "cents array<struct<cid:int,cv:array<double>>>"
+
+    def with_cell(frame: DataFrame) -> DataFrame:
+        cents_df = spark.createDataFrame([(cents,)], cent_schema)
+        d = frame.crossJoin(F.broadcast(cents_df))
+        dist = (
+            "transform(cents, c -> aggregate(zip_with(v, c.cv, "
+            "(x, y) -> (x - y) * (x - y)), cast(0.0 AS DOUBLE), "
+            "(a, e) -> a + e))"
+        )
+        return d.withColumn("_darr", F.expr(dist)).withColumn(
+            "cluster",
+            F.expr("cents[array_position(_darr, array_min(_darr)) - 1].cid"),
+        )
+
+    for _ in range(iters):
+        assigned = with_cell(base)
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # k×dim rows — bounded by literals, not data size
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["i"]] = r["s"] / r["n"]
+        cents = [
+            (cid, [comp[i] for i in sorted(comp)])
+            if (comp := by_cluster.get(cid)) is not None
+            else (cid, cv)  # empty cluster keeps its previous centroid
+            for cid, cv in cents
+        ]
+    out = with_cell(base).select(
+        key,
+        F.col("cluster"),
+        F.round(F.expr("array_min(_darr)"), 6).alias("sq_dist"),
+    )
+    return out

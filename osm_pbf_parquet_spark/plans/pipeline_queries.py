@@ -803,6 +803,64 @@ WHERE vec_id NOT IN (SELECT vec_id FROM removed)
 """
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Iterative k-means gate (k=6, 3 Lloyd rounds). Vectors are
+    pre-quantized to integer-valued doubles (floor(x*1000+0.5)) so every
+    cross-partition sum is exact and the assignment is bit-deterministic
+    — the oracle unrolls the same three rounds in SQL."""
+    emb = t(spark, sf_dir, "embeddings")
+    iv = emb.withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"),
+    )
+    return similarity.kmeans_assign(iv, k=6, iters=3)
+
+
+def _oracle_kmeans() -> str:
+    k, iters, dim = 6, 3, 64
+    dist = (
+        f"list_reduce(list_transform(range(1, {dim} + 1), "
+        "i -> (v[i] - c.cv[i]) * (v[i] - c.cv[i])), (a, b) -> a + b)"
+    )
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+a{r} AS (
+  SELECT vec_id, v,
+         cents[list_position(darr, list_aggregate(darr, 'min'))].cid AS cluster
+  FROM (SELECT vec_id, v, cents,
+               list_transform(cents, c -> {dist}) AS darr
+        FROM v CROSS JOIN c{r - 1})
+),
+e{r} AS (SELECT cluster, unnest(range(1, {dim} + 1)) AS i, v FROM a{r}),
+s{r} AS (SELECT cluster, i, sum(v[CAST(i AS INT)]) / count(*) AS m
+         FROM e{r} GROUP BY cluster, i),
+g{r} AS (SELECT cluster, list(m ORDER BY i) AS cv FROM s{r} GROUP BY cluster),
+c{r} AS MATERIALIZED (
+  SELECT list(struct_pack(cid := cluster, cv := cv) ORDER BY cluster) AS cents
+  FROM g{r}
+)""")
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS v
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT list(struct_pack(cid := CAST(rn - 1 AS INT), cv := v) ORDER BY rn) AS cents
+  FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, v
+        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {k}))
+),{",".join(rounds)}
+SELECT vec_id,
+       cents[list_position(darr, list_aggregate(darr, 'min'))].cid AS cluster,
+       round(list_aggregate(darr, 'min'), 6) AS sq_dist
+FROM (SELECT vec_id, v, cents,
+             list_transform(cents, c -> {dist}) AS darr
+      FROM v CROSS JOIN c{iters})
+"""
+
+
 # --- multimodal ------------------------------------------------------------------------
 
 
@@ -976,6 +1034,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "vocab_build": (q_vocab_build, ORACLE_VOCAB_BUILD),
     "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
     "semantic_dedup": (q_semantic_dedup, _oracle_semantic_dedup()),
+    "kmeans_clusters": (q_kmeans_clusters, _oracle_kmeans()),
     "clean_corpus_pipeline": (q_clean_corpus, _oracle_clean_corpus()),
     "udtf_top_words": (q_udtf_top_words, ORACLE_UDTF_TOP_WORDS),
     "udaf_median_chars": (q_udaf_median_chars, ORACLE_UDAF_MEDIAN),

@@ -202,3 +202,58 @@ def test_semantic_dedup_join_is_equi_on_cell(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     )
+
+
+# --- kmeans_assign --------------------------------------------------------------
+
+
+def test_kmeans_inertia_non_increasing(spark):
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    emb = t(spark, SF_DIR, "embeddings").withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"),
+    )
+    inertia = [
+        similarity.kmeans_assign(emb, k=6, iters=i)
+        .agg(F.sum("sq_dist")).collect()[0][0]
+        for i in (1, 3)
+    ]
+    assert inertia[1] <= inertia[0] + 1e-6  # Lloyd's monotonicity
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    emb = t(spark, SF_DIR, "embeddings").withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"),
+    )
+    a = sorted(map(tuple, similarity.kmeans_assign(emb, k=6, iters=2).collect()))
+    b = sorted(map(tuple, similarity.kmeans_assign(emb, k=6, iters=2).collect()))
+    assert a == b
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # duplicate init vectors force an empty cluster (ties go to the
+    # lowest cid); the guard must keep iterating without KeyError and
+    # still emit a full partition over 0..k-1
+    rows = [Row(vec_id=i, embedding=[0.0]) for i in range(2)] + [
+        Row(vec_id=10, embedding=[5.0]),
+        Row(vec_id=11, embedding=[6.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.kmeans_assign(df, k=2, iters=3).collect()
+    assert len(out) == 4
+    assert {r["cluster"] for r in out} <= {0, 1}
+
+
+def test_kmeans_assignment_stage_no_shuffle(spark):
+    """The per-round argmin assignment must be a broadcast projection over
+    the corpus scan — the only exchanges in the FINAL plan are the
+    persist/spread scan, never a join shuffle keyed on data."""
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    emb = t(spark, SF_DIR, "embeddings")
+    plan = _plan(similarity.kmeans_assign(emb, k=4, iters=1))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
