@@ -192,6 +192,10 @@ def main() -> None:
         ("text_lang_id", PIPE["text_lang_id"][0]),
         ("decontaminate", PIPE["decontaminate"][0]),
         ("sample_pack_sequences", SAMP["sample_pack_sequences"][0]),
+        ("duplicate_spans", PIPE["duplicate_spans"][0]),
+        ("line_corpus_dedup", PIPE["line_corpus_dedup"][0]),
+        ("semantic_dedup", PIPE["semantic_dedup"][0]),
+        ("kmeans_clusters", PIPE["kmeans_clusters"][0]),
     ]
 
     timings: dict[str, float] = {}

@@ -453,3 +453,58 @@ def duplicate_components(
         F.col("label").alias("canonical_id"),
         F.count("*").over(Window.partitionBy("label")).alias("component_size"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame, k: int = 8, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN detection: find every maximal
+    token span of a document that is covered by k-token shingles
+    occurring more than once in the corpus (including within the same
+    document). Doc-level dedup (minhash/jaccard) misses partially-copied
+    documents; span-level detection is what the "Deduplicating Training
+    Data Makes Language Models Better" recipe removes.
+
+    Plan shape at 100 TB: per-position shingle hashes are a per-row
+    projection + explode (no shuffle); the occurrence count is one keyed
+    groupBy on the 32-byte md5; the count flows back via a hash join on
+    the same key; interval merge is a per-document window (partitioned by
+    doc — no global sort). Suffix arrays do this with less memory on one
+    machine; the shingle-hash form is the join-friendly distributed
+    equivalent.
+
+    Returns one row per maximal span: (key, span_id, start, span_end,
+    n_tokens, n_shingles), positions 1-based in token units.
+    """
+    d = df.select(F.col(key), F.split(F.col(text_col), " ").alias("_w"))
+    sh = (
+        f"CASE WHEN size(_w) >= {k} THEN "
+        f"transform(sequence(1, size(_w) - {k - 1}), p -> "
+        f"struct(p AS pos, md5(concat_ws(' ', slice(_w, p, {k}))) AS h)) "
+        "ELSE array() END"
+    )
+    e = (
+        d.select(F.col(key), F.explode(F.expr(sh)).alias("s"))
+        .select(key, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    dup_counts = e.groupBy("h").agg(F.count("*").alias("n_occ")).filter(
+        F.col("n_occ") > 1
+    )
+    dup = e.join(dup_counts, "h").select(key, "pos")
+    w = Window.partitionBy(key).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "new_span",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy(key, "span_id").agg(
+        F.min("pos").cast("int").alias("start"),
+        (F.max("pos") + (k - 1)).cast("int").alias("span_end"),
+        (F.max("pos") + (k - 1) - F.min("pos") + 1).cast("int").alias("n_tokens"),
+        F.count("*").cast("int").alias("n_shingles"),
+    ).withColumn("span_id", F.col("span_id").cast("int"))

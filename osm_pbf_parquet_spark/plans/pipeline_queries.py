@@ -660,6 +660,58 @@ FROM g
 """
 
 
+DUP_SPAN_K = 8
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """ExactSubstr-style span detection over the corpus: maximal token
+    spans covered by repeated 8-token shingles. The planted near-dup
+    documents guarantee long cross-doc spans; the small vocabulary
+    guarantees incidental repeats."""
+    return dedup.duplicate_spans(t(spark, sf_dir, "documents"), k=DUP_SPAN_K)
+
+
+def _oracle_duplicate_spans() -> str:
+    k = DUP_SPAN_K
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= {k} THEN
+           [{{'pos': p, 'h': md5(array_to_string(ws[p:p + {k - 1}], ' '))}}
+            for p in range(1, len(ws) - {k} + 2)]
+         ELSE [] END) AS s
+  FROM w
+),
+e AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM g),
+c AS (SELECT h FROM e GROUP BY h HAVING count(*) > 1),
+d AS (SELECT e.doc_id, e.pos FROM e JOIN c ON e.h = c.h),
+m AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {k - 1}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + {k - 1}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_span
+  FROM d
+),
+sp AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM m
+)
+SELECT doc_id, CAST(span_id AS INT) AS span_id,
+       CAST(min(pos) AS INT) AS start,
+       CAST(max(pos) + {k - 1} AS INT) AS span_end,
+       CAST(max(pos) + {k - 1} - min(pos) + 1 AS INT) AS n_tokens,
+       CAST(count(*) AS INT) AS n_shingles
+FROM sp GROUP BY doc_id, span_id
+"""
+
+
 def q_line_corpus_dedup(spark, sf_dir):
     """CCNet-style line-level dedup gate: the synthetic corpus is single-
     line, so the query deterministically injects a corpus-wide HEADER
@@ -1035,6 +1087,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
     "semantic_dedup": (q_semantic_dedup, _oracle_semantic_dedup()),
     "kmeans_clusters": (q_kmeans_clusters, _oracle_kmeans()),
+    "duplicate_spans": (q_duplicate_spans, _oracle_duplicate_spans()),
     "clean_corpus_pipeline": (q_clean_corpus, _oracle_clean_corpus()),
     "udtf_top_words": (q_udtf_top_words, ORACLE_UDTF_TOP_WORDS),
     "udaf_median_chars": (q_udaf_median_chars, ORACLE_UDAF_MEDIAN),

@@ -257,3 +257,150 @@ def test_kmeans_assignment_stage_no_shuffle(spark):
     emb = t(spark, SF_DIR, "embeddings")
     plan = _plan(similarity.kmeans_assign(emb, k=4, iters=1))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# --- duplicate_spans ------------------------------------------------------------
+
+
+def test_duplicate_spans_cross_doc_maximal_merge(spark):
+    from osm_pbf_parquet_spark.operators import dedup
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb " + shared + " cc"),
+            (2, shared + " zz yy"),
+            (3, "totally different words here nothing repeated at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["span_id"]): r
+        for r in dedup.duplicate_spans(docs, k=8).collect()
+    }
+    # doc1: shared starts at token 3, covers 12 tokens -> span [3, 14];
+    # 5 dup shingles (positions 3..7) merge into ONE maximal span
+    r1 = out[(1, 1)]
+    assert (r1["start"], r1["span_end"], r1["n_tokens"], r1["n_shingles"]) == (
+        3, 14, 12, 5,
+    )
+    r2 = out[(2, 1)]
+    assert (r2["start"], r2["span_end"], r2["n_tokens"]) == (1, 12, 12)
+    assert not any(doc == 3 for doc, _ in out)
+
+
+def test_duplicate_spans_intra_doc_repeat(spark):
+    from osm_pbf_parquet_spark.operators import dedup
+
+    block = " ".join(f"t{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, block + " mid " + block)], ["doc_id", "text"]
+    )
+    out = sorted(
+        dedup.duplicate_spans(docs, k=8).collect(), key=lambda r: r["start"]
+    )
+    # the 8-token block occurs twice inside one doc: two disjoint spans
+    assert [(r["start"], r["span_end"]) for r in out] == [(1, 8), (10, 17)]
+
+
+def test_duplicate_spans_short_docs_yield_nothing(spark):
+    from osm_pbf_parquet_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+    )
+    assert dedup.duplicate_spans(docs, k=8).count() == 0
+
+
+def test_duplicate_spans_plan_no_cartesian(spark):
+    from osm_pbf_parquet_spark.operators import dedup
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    plan = _plan(dedup.duplicate_spans(t(spark, SF_DIR, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- randomized differential checks (fixed seed, pure-Python reference) ---------
+
+
+def _py_duplicate_spans(texts: dict, k: int):
+    """Reference implementation: shingle counts -> maximal merged spans."""
+    from collections import Counter
+
+    sh = {
+        d: [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+        for d, ws in ((d, t.split(" ")) for d, t in texts.items())
+    }
+    counts = Counter(g for gs in sh.values() for g in gs)
+    spans = []
+    for d, gs in sh.items():
+        dup_pos = [i + 1 for i, g in enumerate(gs) if counts[g] > 1]
+        cur = None
+        sid = 0
+        for p in dup_pos:
+            if cur and p <= cur[1]:  # inside or adjacent to covered end
+                cur[1] = max(cur[1], p + k - 1)
+                cur[3] += 1
+            else:
+                if cur:
+                    spans.append((d, sid, cur[0], cur[1], cur[1] - cur[0] + 1, cur[3]))
+                sid += 1
+                cur = [p, p + k - 1, None, 1]
+        if cur:
+            spans.append((d, sid, cur[0], cur[1], cur[1] - cur[0] + 1, cur[3]))
+    return sorted(spans)
+
+
+def test_duplicate_spans_differential_random_corpus(spark):
+    import random
+
+    from osm_pbf_parquet_spark.operators import dedup
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many repeats
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+        for d in range(30)
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["span_id"], r["start"], r["span_end"],
+         r["n_tokens"], r["n_shingles"])
+        for r in dedup.duplicate_spans(docs, k=4).collect()
+    )
+    assert got == _py_duplicate_spans(texts, k=4)
+
+
+def test_line_dedup_differential_random_corpus(spark):
+    import hashlib
+    import random
+    from collections import Counter
+
+    rng = random.Random(99)
+    lines_pool = [f"line {i}" for i in range(8)]
+    texts = {
+        d: "\n".join(rng.choice(lines_pool) for _ in range(rng.randint(1, 6)))
+        for d in range(25)
+    }
+    max_docs = 3
+    per_line_docs = Counter()
+    for d, t in texts.items():
+        for ln in set(t.split("\n")):
+            per_line_docs[ln] += 1
+    expect = {}
+    for d, t in texts.items():
+        ls = t.split("\n")
+        kept = [ln for ln in ls if per_line_docs[ln] <= max_docs]
+        expect[d] = (
+            len(ls), len(kept),
+            hashlib.md5("\n".join(kept).encode()).hexdigest(),
+        )
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    from osm_pbf_parquet_spark.operators import text as text_ops
+
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["cleaned_md5"])
+        for r in text_ops.line_dedup(docs, max_docs=max_docs).collect()
+    }
+    assert got == expect
