@@ -689,7 +689,56 @@ FROM gapped GROUP BY 1
 """
 
 
+def q_zorder_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) spatial clustering key: deterministic synthetic
+    lat/lon derived from customer keys → 16-bit quantization per axis →
+    bit interleave. Sorting a planet-scale node table by this key before
+    the parquet write makes every row group a small bounding box, so
+    lat/lon range predicates prune on row-group min/max stats — the
+    spatial analog of the sink's id-clustered zone maps (reference
+    preserves no order at all, README.md:88). Pure integer Catalyst
+    arithmetic; the oracle replays every bit op."""
+    from .. import functions as fn
+
+    cust = t(spark, sf_dir, "customer")
+    d = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 17000) / F.lit(100.0) - 85.0).alias("lat"),
+        ((F.col("c_custkey") % 35000) / F.lit(100.0) - 175.0).alias("lon"),
+    )
+    return fn.with_zorder(d).select("c_custkey", "zu", "zv", "zkey")
+
+
+def _oracle_zorder() -> str:
+    bits, m = 16, (1 << 16) - 1
+    quant = (
+        "greatest(0, least({m}, CAST(floor((({c}) - ({lo})) / ({span}) * {m}) "
+        "AS BIGINT)))"
+    )
+    zu = quant.format(c="lat", lo="CAST(-90.0 AS DOUBLE)",
+                      span="CAST(180.0 AS DOUBLE)", m=m)
+    zv = quant.format(c="lon", lo="CAST(-180.0 AS DOUBLE)",
+                      span="CAST(360.0 AS DOUBLE)", m=m)
+    return f"""
+WITH d AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 17000 AS DOUBLE) / CAST(100.0 AS DOUBLE)
+           - CAST(85.0 AS DOUBLE) AS lat,
+         CAST(c_custkey % 35000 AS DOUBLE) / CAST(100.0 AS DOUBLE)
+           - CAST(175.0 AS DOUBLE) AS lon
+  FROM customer
+),
+q AS (SELECT c_custkey, {zu} AS zu, {zv} AS zv FROM d)
+SELECT c_custkey, zu, zv,
+       CAST(list_aggregate(list_transform(range(0, {bits}), i ->
+         (((zu >> i) & 1) << (2 * i)) + (((zv >> i) & 1) << (2 * i + 1))),
+         'sum') AS BIGINT) AS zkey
+FROM q
+"""
+
+
 ANALYTIC_QUERIES: dict[str, tuple] = {
+    "zorder_spatial": (q_zorder_spatial, _oracle_zorder()),
     "argmin_per_group": (q_argmin_per_group, ORACLE_ARGMIN),
     "multi_supplier_late_orders": (
         q_multi_supplier_late_orders,

@@ -1,0 +1,80 @@
+"""Z-order spatial clustering: Morton-code correctness + the row-group
+pruning property it exists for (each row group of a z-sorted write covers
+a small bounding box, so lat/lon range scans prune on min/max stats)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark import functions as fn
+
+
+def test_zorder_interleave_known_values(spark):
+    # u=0b11, v=0b01 -> bit layout (v1 u1 v0 u0) = 0 1 1 1 = 7
+    df = spark.range(1).select(
+        F.lit(3).cast("long").alias("u"), F.lit(1).cast("long").alias("v")
+    )
+    out = df.select(
+        F.expr(fn.zorder_interleave_expr("u", "v", bits=2)).alias("z")
+    ).collect()
+    assert out[0]["z"] == 7
+    # axis order matters: swapping u/v gives 0b1011 = 11
+    out2 = df.select(
+        F.expr(fn.zorder_interleave_expr("v", "u", bits=2)).alias("z")
+    ).collect()
+    assert out2[0]["z"] == 11
+
+
+def test_zorder_quantization_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(1, 95.0, 185.0), (2, -95.0, -185.0)], ["id", "lat", "lon"]
+    )
+    rows = {r["id"]: r for r in fn.with_zorder(df).collect()}
+    m = (1 << fn.ZORDER_BITS) - 1
+    assert rows[1]["zu"] == m and rows[1]["zv"] == m
+    assert rows[2]["zu"] == 0 and rows[2]["zv"] == 0
+
+
+def _row_group_lat_extents(path: str) -> list[float]:
+    import pyarrow.parquet as pq
+
+    extents = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        lat_idx = schema_names.index("lat")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(lat_idx).statistics
+            extents.append(st.max - st.min)
+    return extents
+
+
+def test_zorder_write_clusters_row_groups(spark, tmp_path):
+    """The point of z-ordering: after repartitionByRange+sort on zkey,
+    each row group's lat extent is a small slice of the globe; a random
+    layout leaves every row group covering ~the full range."""
+    pts = spark.range(20_000).select(
+        F.col("id"),
+        ((F.pmod(F.col("id") * 7919, F.lit(18000)) / 100.0) - 90.0).alias("lat"),
+        ((F.pmod(F.col("id") * 104729, F.lit(36000)) / 100.0) - 180.0).alias("lon"),
+    )
+    z = fn.with_zorder(pts)
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    # 64 range partitions ~ 6 Morton prefix bits: each row group sits in
+    # a handful of cells of the 8x8 lat/lon grid (quantile boundaries
+    # straddle cells, so extents are a few cells, not one)
+    (
+        z.repartitionByRange(64, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.parquet(zdir)
+    )
+    z.repartition(64).write.parquet(rdir)
+    z_ext = _row_group_lat_extents(zdir)
+    r_ext = _row_group_lat_extents(rdir)
+    avg = lambda xs: sum(xs) / len(xs)
+    # z-sorted row groups cover far less latitude than random ones
+    assert avg(z_ext) < 0.5 * avg(r_ext), (avg(z_ext), avg(r_ext))
+    assert avg(r_ext) > 150  # sanity: random layout spans ~the globe
