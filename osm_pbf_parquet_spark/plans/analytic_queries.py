@@ -689,6 +689,94 @@ FROM gapped GROUP BY 1
 """
 
 
+def q_stream_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: a file-source stream over the documents
+    table runs the SAME Catalyst quality/language projections as the
+    batch operators (streaming/batch unification — zero operator
+    changes), filters on quality, and aggregates per predicted language
+    in complete mode. Per-group quality mass is summed as exact integers
+    (round(q*1e4) per row) so the result is order-independent and the
+    batch-SQL oracle pins it bit-for-bit on static input."""
+    from pyspark.sql import types as T
+
+    from ..operators import text as text_ops
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    d = text_ops.with_language(text_ops.with_quality(stream))
+    agg = (
+        d.filter(F.col("quality") >= 0.5)
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.round(F.col("quality") * 10_000, 0).cast("long")
+            ).alias("sum_quality_x1e4"),
+        )
+    )
+    return _run_stream_to_table(
+        spark, agg, "stream_quality_lang_result", "complete"
+    )
+
+
+def _oracle_stream_quality_by_lang() -> str:
+    from ..operators import text as text_ops
+
+    en = ", ".join(f"'{w}'" for w in text_ops.STOPWORDS["en"])
+    score_cols = []
+    for lang, words in text_ops.STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(words, w -> list_contains([{lst}], w)))"
+            f" AS score_{lang}"
+        )
+    langs = list(text_ops.STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'unknown' END"
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id, words,
+    round(len(list_filter(words, w -> list_contains([{en}], w))) * 1.0
+          / greatest(len(words), 1), 4) AS stopword_ratio,
+    round((length(text) -
+           length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+          / greatest(length(text), 1), 4) AS punct_ratio,
+    round(least(length(text) / 200.0, 1.0), 4) AS length_factor
+  FROM d
+),
+q AS (
+  SELECT doc_id, words,
+         round(0.4 * length_factor + 0.4 * least(stopword_ratio * 4, 1.0)
+               + 0.2 * (1 - least(punct_ratio * 5, 1.0)), 4) AS quality
+  FROM m
+),
+s AS (SELECT doc_id, quality, {', '.join(score_cols)} FROM q),
+lp AS (SELECT doc_id, quality, {case} AS lang_pred FROM s)
+SELECT lang_pred, count(*) AS n_docs,
+       CAST(sum(CAST(round(quality * 10000, 0) AS BIGINT)) AS BIGINT)
+         AS sum_quality_x1e4
+FROM lp WHERE quality >= 0.5 GROUP BY lang_pred
+"""
+
+
 def q_zorder_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) spatial clustering key: deterministic synthetic
     lat/lon derived from customer keys → 16-bit quantization per axis →
@@ -739,6 +827,10 @@ FROM q
 
 ANALYTIC_QUERIES: dict[str, tuple] = {
     "zorder_spatial": (q_zorder_spatial, _oracle_zorder()),
+    "stream_quality_by_lang": (
+        q_stream_quality_by_lang,
+        _oracle_stream_quality_by_lang(),
+    ),
     "argmin_per_group": (q_argmin_per_group, ORACLE_ARGMIN),
     "multi_supplier_late_orders": (
         q_multi_supplier_late_orders,
