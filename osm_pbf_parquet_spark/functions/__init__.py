@@ -92,3 +92,82 @@ def with_zorder(df, lat_col: str = "lat", lon_col: str = "lon",
     return d.withColumn(
         "zkey", F.expr(zorder_interleave_expr("zu", "zv", bits))
     )
+
+
+def _interleave_py(u: int, v: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((u >> i) & 1) << (2 * i)
+        z |= ((v >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def zorder_ranges(
+    lat_min: float, lat_max: float, lon_min: float, lon_max: float,
+    bits: int = ZORDER_BITS, max_depth: int = 6,
+) -> list[tuple[int, int]]:
+    """Quadtree cover of a lat/lon bbox as sorted, merged, disjoint
+    [lo, hi] Z-key ranges — the query-side complement of ``with_zorder``.
+    Cells fully inside the quantized query box emit their whole z-range;
+    straddling cells recurse to ``max_depth`` then over-approximate, so
+    the cover is a SUPERSET of the exact box (callers re-apply the exact
+    predicate; see ``zorder_bbox_filter``). Driver-side pure arithmetic:
+    O(4^max_depth) worst case, a few hundred ranges at depth 6."""
+    m = (1 << bits) - 1
+
+    def quant(x: float, lo: float, span: float) -> int:
+        return max(0, min(m, int(((x - lo) / span) * m)))
+
+    qu = (quant(lat_min, -90.0, 180.0), quant(lat_max, -90.0, 180.0))
+    qv = (quant(lon_min, -180.0, 360.0), quant(lon_max, -180.0, 360.0))
+    out: list[tuple[int, int]] = []
+
+    def rec(depth: int, u0: int, v0: int) -> None:
+        shift = bits - depth
+        ulo, uhi = u0 << shift, ((u0 + 1) << shift) - 1
+        vlo, vhi = v0 << shift, ((v0 + 1) << shift) - 1
+        if uhi < qu[0] or ulo > qu[1] or vhi < qv[0] or vlo > qv[1]:
+            return  # disjoint from the query box
+        zlo = _interleave_py(u0, v0, depth) << (2 * shift)
+        if (
+            depth == max_depth
+            or (qu[0] <= ulo and uhi <= qu[1] and qv[0] <= vlo and vhi <= qv[1])
+        ):
+            out.append((zlo, zlo + (1 << (2 * shift)) - 1))
+            return
+        for vb in (0, 1):  # v carries the higher interleaved bit
+            for ub in (0, 1):
+                rec(depth + 1, (u0 << 1) | ub, (v0 << 1) | vb)
+
+    rec(0, 0, 0)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    return [(lo, hi) for lo, hi in merged]
+
+
+def zorder_bbox_filter(
+    df, lat_min: float, lat_max: float, lon_min: float, lon_max: float,
+    bits: int = ZORDER_BITS, zkey_col: str = "zkey",
+    lat_col: str = "lat", lon_col: str = "lon", max_depth: int = 6,
+):
+    """Bounding-box query over a z-keyed table: an OR-of-BETWEENs on the
+    z-key (pushable to parquet row-group stats of a z-sorted table — the
+    pruning ``with_zorder`` clustering exists for) ANDed with the exact
+    lat/lon predicate (the cover is a superset, so results are exactly
+    the naive filter's)."""
+    ranges = zorder_ranges(lat_min, lat_max, lon_min, lon_max, bits, max_depth)
+    z = F.col(zkey_col)
+    cond = None
+    for lo, hi in ranges:
+        c = z.between(F.lit(lo), F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    exact = (
+        F.col(lat_col).between(F.lit(lat_min), F.lit(lat_max))
+        & F.col(lon_col).between(F.lit(lon_min), F.lit(lon_max))
+    )
+    return df.filter(cond & exact) if cond is not None else df.filter(exact)

@@ -825,8 +825,65 @@ FROM q
 """
 
 
+# lat_min, lat_max, lon_min, lon_max — intersects the synthetic coords of
+# the low custkey range at every sf (non-empty at sf0.001 AND sf0.01)
+_BBOX = (-84.5, -75.0, -174.0, -166.0)
+
+
+def q_zorder_bbox_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial bbox query through the Z-key range cover: the quadtree
+    cover's OR-of-BETWEENs on zkey (pushable to row-group stats on a
+    z-sorted table) ANDed with the exact predicate. The oracle applies
+    only the exact bbox filter — so a cover that ever dropped a cell
+    would lose rows and fail the value hash (superset proof under the
+    gate)."""
+    from .. import functions as fn
+
+    cust = t(spark, sf_dir, "customer")
+    d = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 17000) / F.lit(100.0) - 85.0).alias("lat"),
+        ((F.col("c_custkey") % 35000) / F.lit(100.0) - 175.0).alias("lon"),
+    )
+    z = fn.with_zorder(d)
+    return fn.zorder_bbox_filter(z, *_BBOX).select("c_custkey", "zkey")
+
+
+def _oracle_zorder_bbox() -> str:
+    bits, m = 16, (1 << 16) - 1
+    quant = (
+        "greatest(0, least({m}, CAST(floor((({c}) - ({lo})) / ({span}) * {m}) "
+        "AS BIGINT)))"
+    )
+    zu = quant.format(c="lat", lo="CAST(-90.0 AS DOUBLE)",
+                      span="CAST(180.0 AS DOUBLE)", m=m)
+    zv = quant.format(c="lon", lo="CAST(-180.0 AS DOUBLE)",
+                      span="CAST(360.0 AS DOUBLE)", m=m)
+    la, lb, na, nb = _BBOX
+    return f"""
+WITH d AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 17000 AS DOUBLE) / CAST(100.0 AS DOUBLE)
+           - CAST(85.0 AS DOUBLE) AS lat,
+         CAST(c_custkey % 35000 AS DOUBLE) / CAST(100.0 AS DOUBLE)
+           - CAST(175.0 AS DOUBLE) AS lon
+  FROM customer
+),
+q AS (
+  SELECT c_custkey, lat, lon, {zu} AS zu, {zv} AS zv FROM d
+  WHERE lat BETWEEN {la} AND {lb} AND lon BETWEEN {na} AND {nb}
+)
+SELECT c_custkey,
+       CAST(list_aggregate(list_transform(range(0, {bits}), i ->
+         (((zu >> i) & 1) << (2 * i)) + (((zv >> i) & 1) << (2 * i + 1))),
+         'sum') AS BIGINT) AS zkey
+FROM q
+"""
+
+
 ANALYTIC_QUERIES: dict[str, tuple] = {
     "zorder_spatial": (q_zorder_spatial, _oracle_zorder()),
+    "zorder_bbox_search": (q_zorder_bbox_search, _oracle_zorder_bbox()),
     "stream_quality_by_lang": (
         q_stream_quality_by_lang,
         _oracle_stream_quality_by_lang(),

@@ -78,3 +78,57 @@ def test_zorder_write_clusters_row_groups(spark, tmp_path):
     # z-sorted row groups cover far less latitude than random ones
     assert avg(z_ext) < 0.5 * avg(r_ext), (avg(z_ext), avg(r_ext))
     assert avg(r_ext) > 150  # sanity: random layout spans ~the globe
+
+
+def test_zorder_ranges_disjoint_sorted_merged(spark):
+    rngs = fn.zorder_ranges(10.0, 20.0, 30.0, 50.0)
+    assert rngs and rngs == sorted(rngs)
+    assert all(lo <= hi for lo, hi in rngs)
+    # strictly disjoint AND non-adjacent (adjacent ranges must merge)
+    assert all(l2 > h1 + 1 for (_, h1), (l2, _) in zip(rngs, rngs[1:]))
+
+
+def test_zorder_bbox_filter_equals_naive_filter(spark):
+    pts = spark.range(30_000).select(
+        F.col("id"),
+        ((F.pmod(F.col("id") * 7919, F.lit(18000)) / 100.0) - 90.0).alias("lat"),
+        ((F.pmod(F.col("id") * 104729, F.lit(36000)) / 100.0) - 180.0).alias("lon"),
+    )
+    z = fn.with_zorder(pts)
+    bbox = (-10.0, 35.5, 20.0, 99.25)
+    got = sorted(
+        r["id"]
+        for r in fn.zorder_bbox_filter(z, *bbox).select("id").collect()
+    )
+    want = sorted(
+        r["id"]
+        for r in z.filter(
+            F.col("lat").between(bbox[0], bbox[1])
+            & F.col("lon").between(bbox[2], bbox[3])
+        ).select("id").collect()
+    )
+    assert got == want and len(want) > 100
+
+
+def test_zorder_bbox_filter_pushes_zkey_ranges_to_scan(spark, tmp_path):
+    pts = spark.range(5_000).select(
+        F.col("id"),
+        ((F.pmod(F.col("id") * 7919, F.lit(18000)) / 100.0) - 90.0).alias("lat"),
+        ((F.pmod(F.col("id") * 104729, F.lit(36000)) / 100.0) - 180.0).alias("lon"),
+    )
+    out = str(tmp_path / "zsorted")
+    (
+        fn.with_zorder(pts)
+        .repartitionByRange(16, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.parquet(out)
+    )
+    df = spark.read.parquet(out)
+    q = fn.zorder_bbox_filter(df, 0.0, 10.0, 0.0, 10.0)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    # the z-range OR-of-BETWEENs must reach the parquet scan so row-group
+    # stats of the z-sorted files prune
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "zkey" in pushed
