@@ -57,7 +57,7 @@ def _registry() -> dict[str, tuple]:
 # AFTER their last green row); then the round-4 additions (real-decoder
 # multimodal queries) and the queries over round-4-changed code
 # (sampling.py binary-search buckets, multimodal.py decoders).
-# UNCHECKED THIS ROUND — the 43 entries past the 50-cap, all r3-green
+# UNCHECKED THIS ROUND — the 44 entries past the 50-cap, all r3-green
 # (certified in CORRECTNESS_r03.json): pricing_summary, top_revenue_orders,
 # region_revenue, outer_join_agg, topk_per_group, running_total,
 # lag_lead_gap, approx_sketches, multi_supplier_late_orders,
@@ -70,10 +70,10 @@ def _registry() -> dict[str, tuple]:
 # sample_uniform_n, decontaminate, sample_hash_split, rollup_agg, cube_agg,
 # grouping_sets_agg, range_join_binned, set_ops, anti_join, count_by_type,
 # filter_project, semi_join (rotated out mid-round — their module,
-# relational.py, is unchanged in r4), multimodal_metadata (r3-certified;
-# the new real-decoder gates multimodal_decode/audio exercise the changed
-# multimodal.py far harder than the metadata-only path). All rotated-out
-# entries were ALSO swept green locally this round via tests/
+# relational.py, is unchanged in r4), multimodal_metadata + multimodal_frames
+# (r3-certified; the new real-decoder gates multimodal_decode/audio exercise
+# the changed multimodal.py far harder than those plumbing-only paths). All
+# rotated-out entries were ALSO swept green locally this round via tests/
 # oracle_harness over the full registry.
 _CHECK_FIRST = [
     # --- r3-unchecked tail: re-certify over r3-changed modules ---
@@ -121,13 +121,13 @@ _CHECK_FIRST = [
     "zorder_spatial",
     "zorder_bbox_search",
     "stream_quality_by_lang",
+    "tfidf_top_terms",
     # --- r4-changed code: sampling.py (binary-search range buckets),
     #     multimodal.py (decoder module) ---
     "ntile_quartiles_scalable",
     "sample_pack_sequences",
     "sample_length_buckets",
     "multimodal_features",
-    "multimodal_frames",
     # --- r3-checked set most affected by shared-scan-path edits
     #     (pbf/blob.py lzma guard): representative osm + relational ---
     "osm_loc_on_ways",

@@ -315,3 +315,41 @@ def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
         F.expr("array_min(gram_hashes)").alias("fingerprint"),
         F.md5(F.col(text_col)).alias("content_md5"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, top_k: int = 3, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """TF-IDF-style term importance: per-document top-``top_k`` tokens by
+    ``tf * (N / df)``. The inverse document frequency is the LINEAR ratio
+    N/df, not log(N/df): division is correctly rounded under IEEE-754 so
+    scores are bit-identical across engines, while transcendental log is
+    not — the ranking this feeds is unchanged (x/y and log monotone in
+    the same direction for fixed tf... rank ties differ only at equal
+    ratios, where the token tie-break decides anyway).
+
+    Shuffle shape: tf is a (doc, term) hash aggregate, df a (term)
+    aggregate, one hash join on term, one per-doc window for the top-k —
+    every exchange keyed, none global."""
+    from pyspark.sql import Window
+
+    toks = with_tokens(df, text_col).select(
+        F.col(key), F.explode("tokens").alias("term")
+    )
+    tf = toks.groupBy(key, "term").agg(F.count("*").alias("tf"))
+    docfreq = (
+        toks.select(key, "term").distinct()
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+    n_docs = df.select(key).distinct().count()
+    scored = tf.join(docfreq, "term").withColumn(
+        "score",
+        F.round(F.col("tf") * (F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= top_k)
+        .select(key, "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "score", "rk")
+    )

@@ -712,6 +712,42 @@ FROM sp GROUP BY doc_id, span_id
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by tf * (N/df). Linear IDF keeps every
+    float op correctly-rounded IEEE (no transcendental log), so the
+    scores hash bit-identically against the oracle."""
+    return text.tfidf_top_terms(t(spark, sf_dir, "documents"), top_k=3)
+
+
+ORACLE_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+docfreq AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+         round(tf.tf * (n.n_docs / docfreq.df), 6) AS score
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS INT) AS rk
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
 def q_line_corpus_dedup(spark, sf_dir):
     """CCNet-style line-level dedup gate: the synthetic corpus is single-
     line, so the query deterministically injects a corpus-wide HEADER
@@ -1088,6 +1124,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "semantic_dedup": (q_semantic_dedup, _oracle_semantic_dedup()),
     "kmeans_clusters": (q_kmeans_clusters, _oracle_kmeans()),
     "duplicate_spans": (q_duplicate_spans, _oracle_duplicate_spans()),
+    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "clean_corpus_pipeline": (q_clean_corpus, _oracle_clean_corpus()),
     "udtf_top_words": (q_udtf_top_words, ORACLE_UDTF_TOP_WORDS),
     "udaf_median_chars": (q_udaf_median_chars, ORACLE_UDAF_MEDIAN),

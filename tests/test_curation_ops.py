@@ -404,3 +404,32 @@ def test_line_dedup_differential_random_corpus(spark):
         for r in text_ops.line_dedup(docs, max_docs=max_docs).collect()
     }
     assert got == expect
+
+
+# --- tfidf_top_terms ------------------------------------------------------------
+
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple common"),
+            (2, "banana common common"),
+            (3, "cherry common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.tfidf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rk"], r["term"], r["score"]))
+    # doc1: apple tf=3 df=1 -> 3*(3/1)=9; common tf=1 df=3 -> 1
+    assert sorted(by_doc[1]) == [(1, "apple", 9.0), (2, "common", 1.0)]
+    # doc2: banana 1*(3/1)=3 beats common 2*(3/3)=2
+    assert sorted(by_doc[2]) == [(1, "banana", 3.0), (2, "common", 2.0)]
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    docs = spark.createDataFrame([(1, "zz aa")], ["doc_id", "text"])
+    out = sorted(text.tfidf_top_terms(docs, top_k=2).collect(),
+                 key=lambda r: r["rk"])
+    assert [r["term"] for r in out] == ["aa", "zz"]  # equal scores
