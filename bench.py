@@ -256,6 +256,7 @@ def main() -> None:
             ("dedup_minhash_lsh", PIPE["dedup_minhash_lsh"][0]),
             ("dedup_simhash", PIPE["dedup_simhash"][0]),
             ("sample_pack_sequences", SAMP["sample_pack_sequences"][0]),
+            ("duplicate_spans", PIPE["duplicate_spans"][0]),
             ("skew_salted_distinct", _q_skew_salted_distinct),
         ]
         for name, fn in big_headline:
