@@ -881,8 +881,53 @@ FROM q
 """
 
 
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through Hive-bucketed tables: both sides written
+    bucketed-and-sorted on the join key, so the join plan carries ZERO
+    Exchange (the shuffle is paid once at write time — the layout a
+    100 TB pipeline uses for its hot join key). Price mass is summed as
+    exact integer cents so the aggregate is order-independent and
+    value-hash-exact. The result is identical to the plain join, which
+    is what the oracle computes."""
+    import os
+    import tempfile
+
+    from ..sinks.bucketed import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="bucketed_gate_")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    lineitem = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = write_bucketed(spark, orders, "gate_bucketed_orders", "o_orderkey",
+                       8, os.path.join(base, "orders"))
+    l = write_bucketed(spark, lineitem, "gate_bucketed_lineitem",
+                       "l_orderkey", 8, os.path.join(base, "lineitem"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("price_cents"),
+        )
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT o_orderstatus,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 ANALYTIC_QUERIES: dict[str, tuple] = {
     "zorder_spatial": (q_zorder_spatial, _oracle_zorder()),
+    "bucketed_join_agg": (q_bucketed_join_agg, ORACLE_BUCKETED_JOIN),
     "zorder_bbox_search": (q_zorder_bbox_search, _oracle_zorder_bbox()),
     "stream_quality_by_lang": (
         q_stream_quality_by_lang,
