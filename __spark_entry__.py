@@ -57,7 +57,7 @@ def _registry() -> dict[str, tuple]:
 # AFTER their last green row); then the round-4 additions (real-decoder
 # multimodal queries) and the queries over round-4-changed code
 # (sampling.py binary-search buckets, multimodal.py decoders).
-# UNCHECKED THIS ROUND — the 45 entries past the 50-cap, all r3-green
+# UNCHECKED THIS ROUND — the 46 entries past the 50-cap, all r3-green
 # (certified in CORRECTNESS_r03.json): pricing_summary, top_revenue_orders,
 # region_revenue, outer_join_agg, topk_per_group, running_total,
 # lag_lead_gap, approx_sketches, multi_supplier_late_orders,
@@ -71,8 +71,9 @@ def _registry() -> dict[str, tuple]:
 # grouping_sets_agg, range_join_binned, set_ops, anti_join, count_by_type,
 # filter_project, semi_join (rotated out mid-round — their module,
 # relational.py, is unchanged in r4), multimodal_metadata + multimodal_frames
-# (r3-certified; the new real-decoder gates multimodal_decode/audio exercise
-# the changed multimodal.py far harder than those plumbing-only paths),
+# + multimodal_features (r3-certified; the new real-decoder gates
+# multimodal_decode/audio exercise the changed multimodal.py far harder
+# than those plumbing-only paths),
 # sample_length_buckets (r3-certified; independent of the r4
 # range_bucket_column change — it buckets via bin() length). All
 # rotated-out entries were ALSO swept green locally this round via tests/
@@ -125,11 +126,11 @@ _CHECK_FIRST = [
     "stream_quality_by_lang",
     "tfidf_top_terms",
     "bucketed_join_agg",
+    "cms_heavy_hitters",
     # --- r4-changed code: sampling.py (binary-search range buckets),
     #     multimodal.py (decoder module) ---
     "ntile_quartiles_scalable",
     "sample_pack_sequences",
-    "multimodal_features",
     # --- r3-checked set most affected by shared-scan-path edits
     #     (pbf/blob.py lzma guard): representative osm + relational ---
     "osm_loc_on_ways",

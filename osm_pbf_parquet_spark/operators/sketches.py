@@ -1,0 +1,75 @@
+"""Count-min-sketch heavy hitters — approximate frequent-item counting
+whose memory is O(d·w) regardless of corpus size.
+
+At 100 TB exact token counts need a full-cardinality shuffle; a CMS
+keeps d×w integer counters (here 3×1024) that merge associatively, so
+the sketch build is ONE map-side-combinable aggregation over (row, hash)
+pairs and the estimate for any item is min over d counters. Estimates
+never undercount (est ≥ true) and overcount by at most εN with high
+probability (ε ≈ e/w).
+
+Hashing is md5-derived integer arithmetic (same idiom as the dedup
+seeds), so the whole sketch — buckets, counters, estimates — is
+bit-reproducible in ANSI SQL for the oracle: the gate checks REPLAY the
+sketch, they don't trust it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+
+
+def _bucket_expr(term_col: str, j: str | int, width: int) -> str:
+    """Deterministic row-j hash bucket: top-60-bit md5 of 'term:j' mod w
+    (same arithmetic as sampling.hash_bucket_expr)."""
+    keyed = f"concat({term_col}, ':', cast({j} AS string))"
+    return (
+        f"pmod(cast(conv(substring(md5({keyed}), 1, 15), 16, 10) AS BIGINT), "
+        f"{width})"
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, text_col: str = "text", k: int = 10,
+    depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build a count-min sketch over the corpus tokens, then audit it
+    against the exact top-``k``: one row per frequent token with its true
+    count, the CMS estimate, and ``never_undercounts`` (est ≥ true —
+    guaranteed by construction, pinned TRUE under the gate).
+
+    Plan: token explode → (a) exact counts (one keyed groupBy — at real
+    scale this side is replaced by the sketch itself; it exists here as
+    the audit baseline), (b) sketch = groupBy(j, bucket) over a
+    depth-way explode (map-side combinable, d·w result rows). The
+    estimate join touches only k×depth rows."""
+    from .text import with_tokens
+
+    toks = with_tokens(df, text_col).select(F.explode("tokens").alias("term"))
+    exact = toks.groupBy("term").agg(F.count("*").alias("true_n"))
+    top = exact.orderBy(F.desc("true_n"), "term").limit(k)
+
+    rows = toks.select(
+        "term", F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("j")
+    ).withColumn("bucket", F.expr(_bucket_expr("term", "j", width)))
+    sketch = rows.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+
+    probes = top.select(
+        "term", "true_n",
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("j"),
+    ).withColumn("bucket", F.expr(_bucket_expr("term", "j", width)))
+    est = (
+        probes.join(sketch, ["j", "bucket"])
+        .groupBy("term", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return est.select(
+        "term",
+        F.col("true_n").cast("long"),
+        F.col("est_n").cast("long"),
+        (F.col("est_n") >= F.col("true_n")).alias("never_undercounts"),
+    )

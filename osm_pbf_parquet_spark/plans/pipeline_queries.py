@@ -712,6 +712,50 @@ FROM sp GROUP BY doc_id, span_id
 """
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters audited against exact top-10: the
+    oracle REPLAYS the sketch (same md5 buckets, same min-of-rows), so
+    the value hash pins estimates, not just the error booleans."""
+    from ..operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(t(spark, sf_dir, "documents"), k=10)
+
+
+def _oracle_cms() -> str:
+    from ..operators import sketches
+
+    d, w = sketches.CMS_DEPTH, sketches.CMS_WIDTH
+    bucket = (
+        "CAST(('0x' || substring(md5(term || ':' || CAST(j AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {w}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS term
+  FROM documents
+),
+exact AS (SELECT term, count(*) AS true_n FROM toks GROUP BY term),
+top AS (SELECT term, true_n FROM exact ORDER BY true_n DESC, term LIMIT 10),
+rows_ AS (
+  SELECT term, unnest(range(0, {d})) AS j FROM toks
+),
+bucketed AS (SELECT j, {bucket} AS bucket FROM rows_),
+sketch AS (SELECT j, bucket, count(*) AS c FROM bucketed GROUP BY j, bucket),
+probes AS (
+  SELECT term, true_n, unnest(range(0, {d})) AS j FROM top
+),
+pb AS (SELECT term, true_n, j, {bucket} AS bucket FROM probes),
+est AS (
+  SELECT pb.term, pb.true_n, min(sketch.c) AS est_n
+  FROM pb JOIN sketch ON pb.j = sketch.j AND pb.bucket = sketch.bucket
+  GROUP BY pb.term, pb.true_n
+)
+SELECT term, CAST(true_n AS BIGINT) AS true_n, CAST(est_n AS BIGINT) AS est_n,
+       est_n >= true_n AS never_undercounts
+FROM est
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 terms by tf * (N/df). Linear IDF keeps every
     float op correctly-rounded IEEE (no transcendental log), so the
@@ -1125,6 +1169,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "kmeans_clusters": (q_kmeans_clusters, _oracle_kmeans()),
     "duplicate_spans": (q_duplicate_spans, _oracle_duplicate_spans()),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, _oracle_cms()),
     "clean_corpus_pipeline": (q_clean_corpus, _oracle_clean_corpus()),
     "udtf_top_words": (q_udtf_top_words, ORACLE_UDTF_TOP_WORDS),
     "udaf_median_chars": (q_udaf_median_chars, ORACLE_UDAF_MEDIAN),

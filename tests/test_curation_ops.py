@@ -433,3 +433,30 @@ def test_tfidf_tie_breaks_by_term(spark):
     out = sorted(text.tfidf_top_terms(docs, top_k=2).collect(),
                  key=lambda r: r["rk"])
     assert [r["term"] for r in out] == ["aa", "zz"]  # equal scores
+
+
+# --- cms_heavy_hitters ----------------------------------------------------------
+
+
+def test_cms_never_undercounts_on_corpus(spark):
+    from osm_pbf_parquet_spark.operators.sketches import cms_heavy_hitters
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    out = cms_heavy_hitters(t(spark, SF_DIR, "documents"), k=10).collect()
+    assert len(out) == 10
+    assert all(r["never_undercounts"] for r in out)
+    assert all(r["est_n"] >= r["true_n"] for r in out)
+
+
+def test_cms_exact_when_no_collisions(spark):
+    from osm_pbf_parquet_spark.operators.sketches import cms_heavy_hitters
+
+    # 5 distinct tokens << width=1024: collisions are possible only if
+    # two of the 5 tokens share a bucket in EVERY row — vanishingly
+    # unlikely and deterministically absent for this fixed vocabulary
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc dd ee")], ["doc_id", "text"]
+    )
+    out = {r["term"]: r for r in cms_heavy_hitters(docs, k=5).collect()}
+    assert out["aa"]["true_n"] == 3 and out["aa"]["est_n"] == 3
+    assert all(r["est_n"] == r["true_n"] for r in out.values())
