@@ -495,9 +495,12 @@ def duplicate_spans(
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
+    # a new span starts only when coverage is NON-contiguous: pos may
+    # exceed the previous covered end by one (abutting coverage — the
+    # duplicated region continues) without breaking the span
     flagged = dup.withColumn(
         "new_span",
-        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
     ).withColumn(
         "span_id",
         F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),

@@ -32,14 +32,21 @@ from pyspark.sql import functions as F
 HASH_BUCKETS = 10_000
 
 
-def hash_bucket_expr(key_col: str, salt: str, buckets: int = HASH_BUCKETS) -> str:
-    """Deterministic bucket in [0, buckets): top 60 bits of
-    md5(key ':' salt) mod buckets. Same arithmetic as the DuckDB form
+def hash_mod_expr(keyed_sql: str, buckets: int) -> str:
+    """THE engine-wide deterministic hash: top 60 bits of md5 of a string
+    expression, mod ``buckets``. Single definition so every consumer
+    (splits, sketches) stays bit-identical with the DuckDB oracle form
     ``CAST(('0x' || substring(md5(...), 1, 15)) AS BIGINT) % buckets``."""
-    keyed = f"concat(cast({key_col} AS string), ':', '{salt}')"
     return (
-        f"pmod(cast(conv(substring(md5({keyed}), 1, 15), 16, 10) AS BIGINT), "
+        f"pmod(cast(conv(substring(md5({keyed_sql}), 1, 15), 16, 10) AS BIGINT), "
         f"{buckets})"
+    )
+
+
+def hash_bucket_expr(key_col: str, salt: str, buckets: int = HASH_BUCKETS) -> str:
+    """Deterministic bucket in [0, buckets) of md5(key ':' salt-literal)."""
+    return hash_mod_expr(
+        f"concat(cast({key_col} AS string), ':', '{salt}')", buckets
     )
 
 
@@ -270,19 +277,32 @@ def chunk_documents(
     start → posexplode. No shuffle, no UDF — chunking runs at scan speed
     and composes with any downstream packing/sampling operator. Chunk
     identity is (key, chunk_id); ``chunk_md5`` pins the exact token bytes
-    of every window under a value hash."""
+    of every window under a value hash.
+
+    Once a window reaches the document end, later stride starts would
+    emit windows fully CONTAINED in it (pure duplicate training data);
+    such starts are filtered out — kept starts are a prefix of the
+    stride progression, so chunk_id stays ``(start-1)/stride``."""
     if size < 1 or stride < 1:
         raise ValueError("size and stride must be >= 1")
     d = df.select(F.col(key), F.split(F.col(text_col), " ").alias("_w"))
-    starts = f"sequence(1, greatest(size(_w), 1), {stride})"
+    # keep start s unless the PREVIOUS window (s - stride) already
+    # covered the last token — the containment condition is monotone, so
+    # this drops exactly the redundant suffix
+    starts = (
+        f"filter(sequence(1, greatest(size(_w), 1), {stride}), "
+        f"s -> s = 1 OR s - {stride} + {size} - 1 < size(_w))"
+    )
     chunks = (
         f"transform({starts}, s -> struct("
         f"s AS start, slice(_w, s, {size}) AS toks))"
     )
-    d = d.select(F.col(key), F.posexplode(F.expr(chunks)).alias("chunk_id", "c"))
+    d = d.select(F.col(key), F.posexplode(F.expr(chunks)).alias("_ci", "c"))
     return d.select(
         key,
-        F.col("chunk_id").cast("int"),
+        # derive from start, not explode position: identical because kept
+        # starts are a progression prefix, and SQL-expressible
+        F.expr(f"cast((c.start - 1) div {stride} AS INT)").alias("chunk_id"),
         F.col("c.start").cast("int").alias("start"),
         F.size("c.toks").cast("int").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("c.toks"))).alias("chunk_md5"),

@@ -24,12 +24,12 @@ CMS_WIDTH = 1024
 
 
 def _bucket_expr(term_col: str, j: str | int, width: int) -> str:
-    """Deterministic row-j hash bucket: top-60-bit md5 of 'term:j' mod w
-    (same arithmetic as sampling.hash_bucket_expr)."""
-    keyed = f"concat({term_col}, ':', cast({j} AS string))"
-    return (
-        f"pmod(cast(conv(substring(md5({keyed}), 1, 15), 16, 10) AS BIGINT), "
-        f"{width})"
+    """Deterministic row-j hash bucket: the engine-wide md5 hash
+    (sampling.hash_mod_expr) keyed on 'term:j'."""
+    from .sampling import hash_mod_expr
+
+    return hash_mod_expr(
+        f"concat({term_col}, ':', cast({j} AS string))", width
     )
 
 
@@ -49,7 +49,11 @@ def cms_heavy_hitters(
     estimate join touches only k×depth rows."""
     from .text import with_tokens
 
-    toks = with_tokens(df, text_col).select(F.explode("tokens").alias("term"))
+    # both the exact-count side and the sketch explode reuse this frame;
+    # persist so tokenization runs once (same discipline as lsh_ann_pairs)
+    toks = with_tokens(df, text_col).select(
+        F.explode("tokens").alias("term")
+    ).persist()
     exact = toks.groupBy("term").agg(F.count("*").alias("true_n"))
     top = exact.orderBy(F.desc("true_n"), "term").limit(k)
 

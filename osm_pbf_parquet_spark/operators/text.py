@@ -320,17 +320,23 @@ def fingerprint(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> D
 def tfidf_top_terms(
     df: DataFrame, top_k: int = 3, text_col: str = "text", key: str = "doc_id"
 ) -> DataFrame:
-    """TF-IDF-style term importance: per-document top-``top_k`` tokens by
-    ``tf * (N / df)``. The inverse document frequency is the LINEAR ratio
-    N/df, not log(N/df): division is correctly rounded under IEEE-754 so
-    scores are bit-identical across engines, while transcendental log is
-    not — the ranking this feeds is unchanged (x/y and log monotone in
-    the same direction for fixed tf... rank ties differ only at equal
-    ratios, where the token tie-break decides anyway).
+    """Term importance, linear-IDF variant: per-document top-``top_k``
+    tokens by ``tf * (N / df)``. The inverse document frequency is the
+    LINEAR ratio N/df, not the classic log(N/df), a deliberate trade:
+    division is correctly rounded under IEEE-754 so scores replicate
+    bit-identically in the SQL oracle, while transcendental log differs
+    across engines in the last ulp. NOTE the rankings are NOT equivalent
+    when tf varies across a document's terms — linear IDF weights rarity
+    more aggressively than log-IDF (a tf=1 term with N/df=100 outranks a
+    tf=30 term with N/df=1.2, where log-IDF ranks them the other way);
+    callers wanting classic TF-IDF ordering should apply log to the
+    returned df column and re-rank.
 
     Shuffle shape: tf is a (doc, term) hash aggregate, df a (term)
     aggregate, one hash join on term, one per-doc window for the top-k —
-    every exchange keyed, none global."""
+    every exchange keyed, none global. N is computed INSIDE the plan (a
+    broadcast single-row aggregate) — no eager count job at plan-build
+    time."""
     from pyspark.sql import Window
 
     toks = with_tokens(df, text_col).select(
@@ -341,10 +347,16 @@ def tfidf_top_terms(
         toks.select(key, "term").distinct()
         .groupBy("term").agg(F.count("*").alias("df"))
     )
-    n_docs = df.select(key).distinct().count()
-    scored = tf.join(docfreq, "term").withColumn(
-        "score",
-        F.round(F.col("tf") * (F.lit(float(n_docs)) / F.col("df")), 6),
+    n_docs_row = df.agg(
+        F.count_distinct(F.col(key)).cast("double").alias("_n_docs")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs_row))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * (F.col("_n_docs") / F.col("df")), 6),
+        )
     )
     w = Window.partitionBy(key).orderBy(F.desc("score"), "term")
     return (

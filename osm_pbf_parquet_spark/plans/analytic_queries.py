@@ -894,7 +894,11 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sinks.bucketed import write_bucketed
 
-    base = tempfile.mkdtemp(prefix="bucketed_gate_")
+    # FIXED path, overwritten per call: a fresh mkdtemp per invocation
+    # would accumulate full fact-table copies across gate sweeps/bench
+    # reruns until /tmp fills. Single-session writers only (the table
+    # names are session-catalog entries; mode=overwrite handles reruns).
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed_gate")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     lineitem = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"

@@ -687,13 +687,15 @@ e AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM g),
 c AS (SELECT h FROM e GROUP BY h HAVING count(*) > 1),
 d AS (SELECT e.doc_id, e.pos FROM e JOIN c ON e.h = c.h),
 m AS (
+  -- new span only on NON-contiguous coverage: pos == prev_end + 1 abuts
+  -- and continues the duplicated region
   SELECT doc_id, pos,
          CASE WHEN max(pos + {k - 1}) OVER (
                 PARTITION BY doc_id ORDER BY pos
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
               OR pos > max(pos + {k - 1}) OVER (
                 PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
          THEN 1 ELSE 0 END AS new_span
   FROM d
 ),
@@ -969,8 +971,14 @@ s{r} AS (SELECT cluster, i, sum(v[CAST(i AS INT)]) / count(*) AS m
          FROM e{r} GROUP BY cluster, i),
 g{r} AS (SELECT cluster, list(m ORDER BY i) AS cv FROM s{r} GROUP BY cluster),
 c{r} AS MATERIALIZED (
-  SELECT list(struct_pack(cid := cluster, cv := cv) ORDER BY cluster) AS cents
-  FROM g{r}
+  -- LEFT JOIN against the previous round's centroid list: a cluster
+  -- that lost every member keeps its old centroid (the Spark
+  -- operator's empty-cluster rule) instead of vanishing
+  SELECT list(struct_pack(cid := o.cid, cv := coalesce(g.cv, o.ocv))
+              ORDER BY o.cid) AS cents
+  FROM (SELECT u.cid AS cid, u.cv AS ocv
+        FROM (SELECT unnest(cents) AS u FROM c{r - 1})) o
+  LEFT JOIN g{r} g ON g.cluster = o.cid
 )""")
     return f"""
 WITH v AS (

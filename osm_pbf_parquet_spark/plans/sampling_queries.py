@@ -156,8 +156,11 @@ def q_sample_chunk_windows(spark, sf_dir):
 ORACLE_CHUNK_WINDOWS = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 s AS (
+  -- drop starts whose previous window already reached the doc end
+  -- (their windows are strict subsets — mirror of the Spark filter)
   SELECT doc_id, ws,
-         unnest(range(1, greatest(len(ws), 1) + 1, 16)) AS start
+         unnest(list_filter(range(1, greatest(len(ws), 1) + 1, 16),
+                            s -> s = 1 OR s - 16 + 24 - 1 < len(ws))) AS start
   FROM w
 )
 SELECT doc_id,

@@ -108,14 +108,15 @@ def test_chunk_documents_windows_and_tail(spark):
         sampling.chunk_documents(docs, size=4, stride=3).collect(),
         key=lambda r: r["chunk_id"],
     )
-    # starts 1,4,7,10 -> lengths 4,4,4,1
+    # starts 1,4,7 (start 10's window [10,10] is contained in [7,10] — a
+    # redundant subset window, filtered out)
     assert [(r["start"], r["n_tokens"]) for r in out] == [
-        (1, 4), (4, 4), (7, 4), (10, 1),
+        (1, 4), (4, 4), (7, 4),
     ]
     import hashlib
 
     assert out[0]["chunk_md5"] == hashlib.md5(b"w0 w1 w2 w3").hexdigest()
-    assert out[3]["chunk_md5"] == hashlib.md5(b"w9").hexdigest()
+    assert out[2]["chunk_md5"] == hashlib.md5(b"w6 w7 w8 w9").hexdigest()
 
 
 def test_chunk_documents_short_doc_single_chunk(spark):
@@ -339,7 +340,7 @@ def _py_duplicate_spans(texts: dict, k: int):
         cur = None
         sid = 0
         for p in dup_pos:
-            if cur and p <= cur[1]:  # inside or adjacent to covered end
+            if cur and p <= cur[1] + 1:  # inside or abutting covered end
                 cur[1] = max(cur[1], p + k - 1)
                 cur[3] += 1
             else:
@@ -460,3 +461,56 @@ def test_cms_exact_when_no_collisions(spark):
     out = {r["term"]: r for r in cms_heavy_hitters(docs, k=5).collect()}
     assert out["aa"]["true_n"] == 3 and out["aa"]["est_n"] == 3
     assert all(r["est_n"] == r["true_n"] for r in out.values())
+
+
+def test_duplicate_spans_abutting_coverage_merges(spark):
+    from osm_pbf_parquet_spark.operators import dedup
+
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, a + " " + b), (2, a), (3, b)], ["doc_id", "text"]
+    )
+    out = [r for r in dedup.duplicate_spans(docs, k=8).collect()
+           if r["doc_id"] == 1]
+    # dup shingles at pos 1 (block a) and pos 9 (block b): coverages
+    # [1,8] and [9,16] abut -> ONE maximal span over the whole doc
+    assert len(out) == 1
+    r = out[0]
+    assert (r["start"], r["span_end"], r["n_tokens"], r["n_shingles"]) == (
+        1, 16, 16, 2,
+    )
+
+
+def test_kmeans_oracle_matches_when_cluster_empties(spark, tmp_path):
+    """Regression: the DuckDB oracle must keep an emptied cluster's stale
+    centroid (LEFT JOIN + coalesce) exactly like the operator. Duplicate
+    init vectors force cluster 1 empty in round 1 (lowest-cid tie-break);
+    with the stale centroid kept it regains members at final assignment."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oracle_harness import run_compare
+    from osm_pbf_parquet_spark.plans.pipeline_queries import PIPELINE_QUERIES
+
+    base = str(tmp_path)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    f"{base}/{t}.parquet")
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, size=(40, 64)).astype(np.float32)
+    vecs[1] = vecs[0]  # duplicate init centroid -> empty cluster round 1
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 40, pa.int32()),
+    }), f"{base}/embeddings.parquet")
+    fn, oracle = PIPELINE_QUERIES["kmeans_clusters"]
+    out = fn(spark, base).toPandas()
+    assert 1 in set(out["cluster"])  # stale centroid regained members
+    run_compare(spark, base, "kmeans_clusters", fn, oracle)
