@@ -57,7 +57,7 @@ def _registry() -> dict[str, tuple]:
 # AFTER their last green row); then the round-4 additions (real-decoder
 # multimodal queries) and the queries over round-4-changed code
 # (sampling.py binary-search buckets, multimodal.py decoders).
-# UNCHECKED THIS ROUND — the 46 entries past the 50-cap, all r3-green
+# UNCHECKED THIS ROUND — the 47 entries past the 50-cap, all r3-green
 # (certified in CORRECTNESS_r03.json): pricing_summary, top_revenue_orders,
 # region_revenue, outer_join_agg, topk_per_group, running_total,
 # lag_lead_gap, approx_sketches, multi_supplier_late_orders,
@@ -75,7 +75,10 @@ def _registry() -> dict[str, tuple]:
 # multimodal_decode/audio exercise the changed multimodal.py far harder
 # than those plumbing-only paths),
 # sample_length_buckets (r3-certified; independent of the r4
-# range_bucket_column change — it buckets via bin() length). All
+# range_bucket_column change — it buckets via bin() length),
+# stream_windowed_counts (r3-certified; the NEW stream gate
+# stream_quality_by_lang, in head, exercises the same r4-touched
+# streaming helpers _event-stream-infra/_run_stream_to_table). All
 # rotated-out entries were ALSO swept green locally this round via tests/
 # oracle_harness over the full registry.
 _CHECK_FIRST = [
@@ -127,6 +130,7 @@ _CHECK_FIRST = [
     "tfidf_top_terms",
     "bucketed_join_agg",
     "cms_heavy_hitters",
+    "osm_relation_members",
     # --- r4-changed code: sampling.py (binary-search range buckets),
     #     multimodal.py (decoder module) ---
     "ntile_quartiles_scalable",
@@ -134,7 +138,6 @@ _CHECK_FIRST = [
     # --- r3-checked set most affected by shared-scan-path edits
     #     (pbf/blob.py lzma guard): representative osm + relational ---
     "osm_loc_on_ways",
-    "stream_windowed_counts",
 ]
 
 

@@ -141,3 +141,43 @@ def way_node_join(osm: DataFrame) -> DataFrame:
             F.transform("_pts", lambda p: p["lon"]).alias("lons"),
         )
     )
+
+
+def resolve_relation_members(osm: DataFrame) -> DataFrame:
+    """D6 downstream: explode relation members and resolve every
+    (type, ref) against the element table — the membership join osmium's
+    relation assembly starts from, and the broken-reference data-quality
+    check (``resolved = false`` marks members whose target is absent
+    from the extract, routine in regional extracts).
+
+    Shuffle profile: member explode is narrow; the resolution join is
+    keyed on (member_type, member_ref) — at planet scale both sides hash-
+    partition on the composite key and the element side can be bucketed
+    by (type, id) to make this exchange-free across queries.
+    """
+    mem = (
+        osm.filter(F.col("type") == "relation")
+        .select(
+            F.col("id").alias("relation_id"),
+            F.posexplode("members").alias("seq", "m"),
+        )
+        .select(
+            "relation_id",
+            F.col("seq").cast("int"),
+            F.col("m.type").alias("member_type"),
+            F.col("m.ref").alias("member_ref"),
+            F.col("m.role").alias("role"),
+        )
+    )
+    targets = osm.select(
+        F.col("type").alias("member_type"),
+        F.col("id").alias("member_ref"),
+        F.lit(True).alias("resolved"),
+    )
+    return (
+        mem.join(targets, ["member_type", "member_ref"], "left")
+        .select(
+            "relation_id", "seq", "member_type", "member_ref", "role",
+            F.coalesce("resolved", F.lit(False)).alias("resolved"),
+        )
+    )

@@ -217,7 +217,23 @@ ORACLE_LOC_ON_WAYS = ORACLE_LOC_ON_WAYS_TEMPLATE.format(
     n105=_N105, n106=_N106, n108=_N108
 )
 
+def q_osm_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 downstream: relation-member resolution join over the golden
+    fixture (relation 120 → one member (way, 107, 'test_role'), present
+    → resolved=true; read.rs:198-207 pins the member content)."""
+    return osm_ops.resolve_relation_members(scan_pbf(spark, FIXTURE))
+
+
+ORACLE_RELATION_MEMBERS = """
+SELECT * FROM (VALUES
+  (CAST(120 AS BIGINT), CAST(0 AS INT), 'way', CAST(107 AS BIGINT),
+   'test_role', true)
+) AS t(relation_id, seq, member_type, member_ref, role, resolved)
+"""
+
+
 OSM_QUERIES: dict[str, tuple] = {
+    "osm_relation_members": (q_osm_relation_members, ORACLE_RELATION_MEMBERS),
     "osm_count_by_type": (q_osm_count_by_type, ORACLE_COUNT_BY_TYPE),
     "osm_loc_on_ways": (q_osm_loc_on_ways, ORACLE_LOC_ON_WAYS),
     "osm_datasource_nodes": (q_osm_datasource_nodes, ORACLE_DATASOURCE_NODES),
