@@ -77,6 +77,42 @@ def with_grams(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> Dat
     return df.withColumn("gram_hashes", F.expr(GRAM_HASH.format(grams="grams")))
 
 
+def grams_exploded(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Distinct (key, gh) shingle rows via POSITION EXPLODE: explode the
+    k-gram start positions, then slice+concat+md5 as flat row-at-a-time
+    projections. Semantically identical to exploding ``with_grams``'s
+    arrays (short docs contribute the whole text as one gram; same
+    md5-mod-p hash), but ~4× faster at the 10× bench tier: Catalyst
+    higher-order lambdas (transform/slice-in-lambda) are interpreted per
+    element, while the flat projection stays in whole-stage codegen —
+    measured 19.5s (transform) vs 0.6s (flat) for the explode alone, and
+    4.9s including the per-doc distinct shuffle this adds."""
+    w = df.select(F.col(key), F.col(text_col), F.split(text_col, " ").alias("_ws"))
+    pos = w.select(
+        key, text_col, "_ws",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_ws) < {k} THEN array(-1) "
+                f"ELSE sequence(1, size(_ws) - {k} + 1) END"
+            )
+        ).alias("_i"),
+    )
+    gram = F.when(F.col("_i") == -1, F.col(text_col)).otherwise(
+        F.expr(f"concat_ws(' ', slice(_ws, _i, {k}))")
+    )
+    hashed = pos.withColumn("_gram", gram).select(
+        key,
+        F.expr(
+            f"pmod(cast(conv(substring(md5(_gram), 1, 15), 16, 10) AS BIGINT), "
+            f"{MERSENNE31})"
+        ).alias("gh"),
+    )
+    return hashed.dropDuplicates([key, "gh"])
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content, keeping the
     lowest key; n_copies records cluster size. One shuffle on the content
@@ -268,15 +304,22 @@ def contamination_check(
     Scale shape: eval benchmarks are dimension-sized by construction, so
     the exploded eval gram table is BROADCAST; the train side explodes
     grams in its map stage and hash-joins on the int64 gram hash without
-    ever shuffling raw documents. The only shuffle is the partial-count
-    merge on (train_id, eval_id) — safe at 100 TB of training text.
-    Matching is on the md5-derived gram hash (same arithmetic as
-    ``with_grams``), which a SQL oracle replicates bit-exactly."""
-    tg = with_grams(train, text_col, k).select(
-        F.col(key).alias("train_id"), F.explode("gram_hashes").alias("gh")
+    ever shuffling raw documents. The shuffles are the train side's
+    per-doc gram distinct and the partial-count merge on
+    (train_id, eval_id) — safe at 100 TB of training text. Matching is
+    on the md5-derived gram hash (same arithmetic as ``with_grams``),
+    which a SQL oracle replicates bit-exactly. BOTH sides shingle via
+    ``grams_exploded`` (codegen'd flat projection): beyond the ~4×
+    interpreted-lambda saving, exploding an expensive-expression array
+    directly is a trap — InferFiltersFromGenerate clones the whole
+    transform into a pushed-down size()>0 filter that runs TWICE per row
+    below the exchange, serializing on the scan tasks (measured: the 25k
+    eval docs took 19s on ONE task that way)."""
+    tg = grams_exploded(train, text_col, key, k).select(
+        F.col(key).alias("train_id"), "gh"
     )
-    eg = with_grams(eval_df, text_col, k).select(
-        F.col(key).alias("eval_id"), F.explode("gram_hashes").alias("gh")
+    eg = grams_exploded(eval_df, text_col, key, k).select(
+        F.col(key).alias("eval_id"), "gh"
     )
     return (
         tg.join(F.broadcast(eg), "gh")
