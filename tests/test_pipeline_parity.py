@@ -258,3 +258,20 @@ def test_duplicate_components_transitive_closure(spark):
         (1, 1, 4), (2, 1, 4), (3, 1, 4), (30, 1, 4),
         (8, 8, 2), (9, 8, 2),
     }
+
+
+def test_grams_exploded_matches_array_form(spark):
+    """grams_exploded (flat codegen shingling) must be row-for-row
+    identical to exploding with_grams' arrays — same distinct (doc, gh)
+    set, including the short-doc whole-text gram case."""
+    docs = t(spark, SF_DIR, "documents").limit(500).union(
+        spark.createDataFrame([(99_999, "one two", "en", "s", 7)],
+                              ["doc_id", "text", "lang", "source", "n_chars"])
+    )
+    a = dedup.grams_exploded(docs).select("doc_id", "gh")
+    b = (
+        dedup.with_grams(docs)
+        .select("doc_id", F.explode("gram_hashes").alias("gh"))
+        .dropDuplicates(["doc_id", "gh"])
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
