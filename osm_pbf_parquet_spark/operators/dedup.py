@@ -520,15 +520,26 @@ def duplicate_spans(
     n_tokens, n_shingles), positions 1-based in token units.
     """
     d = df.select(F.col(key), F.split(F.col(text_col), " ").alias("_w"))
-    sh = (
-        f"CASE WHEN size(_w) >= {k} THEN "
-        f"transform(sequence(1, size(_w) - {k - 1}), p -> "
-        f"struct(p AS pos, md5(concat_ws(' ', slice(_w, p, {k}))) AS h)) "
-        "ELSE array() END"
-    )
+    # positions first, hash flat: exploding an expensive inline transform
+    # would let InferFiltersFromGenerate clone the whole expression into a
+    # pushed-down filter (2x eval below the exchange); the bare integer
+    # sequence keeps the inferred filter trivial and the md5/slice work in
+    # whole-stage codegen (same lesson as grams_exploded)
     e = (
-        d.select(F.col(key), F.explode(F.expr(sh)).alias("s"))
-        .select(key, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+        d.select(
+            F.col(key), "_w",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(_w) >= {k} THEN "
+                    f"sequence(1, size(_w) - {k - 1}) ELSE "
+                    "array() END"
+                )
+            ).alias("pos"),
+        )
+        .select(
+            key, "pos",
+            F.expr(f"md5(concat_ws(' ', slice(_w, pos, {k})))").alias("h"),
+        )
     )
     dup_counts = e.groupBy("h").agg(F.count("*").alias("n_occ")).filter(
         F.col("n_occ") > 1

@@ -288,22 +288,24 @@ def chunk_documents(
     d = df.select(F.col(key), F.split(F.col(text_col), " ").alias("_w"))
     # keep start s unless the PREVIOUS window (s - stride) already
     # covered the last token — the containment condition is monotone, so
-    # this drops exactly the redundant suffix
+    # this drops exactly the redundant suffix. Explode the bare integer
+    # starts, slice flat AFTERWARDS: an inline slice-in-transform under
+    # explode gets cloned into an inferred filter and evaluated twice
+    # below the exchange (see dedup.grams_exploded), and flat projections
+    # stay in whole-stage codegen
     starts = (
         f"filter(sequence(1, greatest(size(_w), 1), {stride}), "
         f"s -> s = 1 OR s - {stride} + {size} - 1 < size(_w))"
     )
-    chunks = (
-        f"transform({starts}, s -> struct("
-        f"s AS start, slice(_w, s, {size}) AS toks))"
-    )
-    d = d.select(F.col(key), F.posexplode(F.expr(chunks)).alias("_ci", "c"))
+    d = d.select(
+        F.col(key), "_w", F.explode(F.expr(starts)).alias("start")
+    ).withColumn("_toks", F.expr(f"slice(_w, start, {size})"))
     return d.select(
         key,
         # derive from start, not explode position: identical because kept
         # starts are a progression prefix, and SQL-expressible
-        F.expr(f"cast((c.start - 1) div {stride} AS INT)").alias("chunk_id"),
-        F.col("c.start").cast("int").alias("start"),
-        F.size("c.toks").cast("int").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", F.col("c.toks"))).alias("chunk_md5"),
+        F.expr(f"cast((start - 1) div {stride} AS INT)").alias("chunk_id"),
+        F.col("start").cast("int"),
+        F.size("_toks").cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("_toks"))).alias("chunk_md5"),
     )
