@@ -181,3 +181,43 @@ def test_dedupe_stream_drops_repeats(spark, tmp_path):
         assert n_total == base
     finally:
         q.stop()
+
+
+def test_stream_checkpoint_exactly_once_resume(spark, tmp_path):
+    """Checkpointed file-source stream: a restart with the same
+    checkpointLocation reprocesses NOTHING (exactly-once over committed
+    source files), and a new input file is picked up incrementally —
+    the recovery contract a production ingest pipeline leans on."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src, out, chk = (str(tmp_path / d) for d in ("src", "out", "chk"))
+    os.makedirs(src)
+    pq.write_table(pa.table({"id": pa.array(range(10), pa.int64())}),
+                   f"{src}/batch1.parquet")
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 10
+    run_once()  # same checkpoint: no reprocessing, no duplicates
+    assert spark.read.parquet(out).count() == 10
+    pq.write_table(pa.table({"id": pa.array(range(100, 105), pa.int64())}),
+                   f"{src}/batch2.parquet")
+    run_once()  # only the new file flows through
+    got = spark.read.parquet(out)
+    assert got.count() == 15
+    assert got.filter("id >= 100").count() == 5
