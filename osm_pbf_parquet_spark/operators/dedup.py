@@ -103,14 +103,19 @@ def grams_exploded(
     gram = F.when(F.col("_i") == -1, F.col(text_col)).otherwise(
         F.expr(f"concat_ws(' ', slice(_ws, _i, {k}))")
     )
-    hashed = pos.withColumn("_gram", gram).select(
-        key,
-        F.expr(
-            f"pmod(cast(conv(substring(md5(_gram), 1, 15), 16, 10) AS BIGINT), "
-            f"{MERSENNE31})"
-        ).alias("gh"),
+    # distinct on the PRE-hash gram string, exactly like with_grams'
+    # list_distinct-then-hash: two distinct grams colliding mod p must
+    # contribute TWO rows (the oracle's arithmetic keeps both), so
+    # deduping on gh would diverge on within-doc hash collisions
+    from .sampling import hash_mod_expr
+
+    flat = (
+        pos.withColumn("_gram", gram)
+        .dropDuplicates([key, "_gram"])
     )
-    return hashed.dropDuplicates([key, "gh"])
+    return flat.select(
+        key, F.expr(hash_mod_expr("_gram", MERSENNE31)).alias("gh")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", key: str = "doc_id") -> DataFrame:

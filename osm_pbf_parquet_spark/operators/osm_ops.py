@@ -169,10 +169,19 @@ def resolve_relation_members(osm: DataFrame) -> DataFrame:
             F.col("m.role").alias("role"),
         )
     )
-    targets = osm.select(
+    # dedupe targets: a history extract carries MULTIPLE versions per
+    # (type, id), which would fan out every referencing member row; a
+    # target whose versions are all deleted (visible=false) is logically
+    # absent, so only visible versions resolve (visible defaults true
+    # when the history feature isn't present)
+    visible = osm
+    if "visible" in osm.columns:
+        visible = osm.filter(F.coalesce(F.col("visible"), F.lit(True)))
+    targets = visible.select(
         F.col("type").alias("member_type"),
         F.col("id").alias("member_ref"),
-        F.lit(True).alias("resolved"),
+    ).dropDuplicates(["member_type", "member_ref"]).withColumn(
+        "resolved", F.lit(True)
     )
     return (
         mem.join(targets, ["member_type", "member_ref"], "left")

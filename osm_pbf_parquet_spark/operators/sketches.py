@@ -42,25 +42,27 @@ def cms_heavy_hitters(
     count, the CMS estimate, and ``never_undercounts`` (est ≥ true —
     guaranteed by construction, pinned TRUE under the gate).
 
-    Plan: token explode → (a) exact counts (one keyed groupBy — at real
-    scale this side is replaced by the sketch itself; it exists here as
-    the audit baseline), (b) sketch = groupBy(j, bucket) over a
-    depth-way explode (map-side combinable, d·w result rows). The
-    estimate join touches only k×depth rows."""
+    Plan: token explode → ONE keyed groupBy into per-term counts (the
+    only corpus-sized shuffle; persisted, but it's vocabulary-sized, not
+    corpus-sized). The exact top-k cut AND the sketch both derive from
+    that frame — the sketch counter for (j, bucket) is the SUM of term
+    counts hashing there, identical to counting raw token rows but over
+    distinct terms only (no corpus-sized cache, no second tokenize).
+    The estimate join touches only k×depth rows."""
     from .text import with_tokens
 
-    # both the exact-count side and the sketch explode reuse this frame;
-    # persist so tokenization runs once (same discipline as lsh_ann_pairs)
     toks = with_tokens(df, text_col).select(
         F.explode("tokens").alias("term")
-    ).persist()
-    exact = toks.groupBy("term").agg(F.count("*").alias("true_n"))
+    )
+    # vocabulary-sized; feeds both the top-k cut and the sketch build
+    exact = toks.groupBy("term").agg(F.count("*").alias("true_n")).persist()
     top = exact.orderBy(F.desc("true_n"), "term").limit(k)
 
-    rows = toks.select(
-        "term", F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("j")
+    rows = exact.select(
+        "term", "true_n",
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("j"),
     ).withColumn("bucket", F.expr(_bucket_expr("term", "j", width)))
-    sketch = rows.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+    sketch = rows.groupBy("j", "bucket").agg(F.sum("true_n").alias("c"))
 
     probes = top.select(
         "term", "true_n",

@@ -894,11 +894,15 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sinks.bucketed import write_bucketed
 
-    # FIXED path, overwritten per call: a fresh mkdtemp per invocation
-    # would accumulate full fact-table copies across gate sweeps/bench
-    # reruns until /tmp fills. Single-session writers only (the table
-    # names are session-catalog entries; mode=overwrite handles reruns).
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed_gate")
+    # per-process FIXED path, overwritten per call: a fresh mkdtemp per
+    # invocation would accumulate full fact-table copies across gate
+    # sweeps/bench reruns until /tmp fills, while a world-shared name
+    # would race concurrent sessions (overwrite deletes files another
+    # session's join is reading) and collide across users
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bucketed_gate_{os.getuid()}_{os.getpid()}",
+    )
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     lineitem = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"

@@ -269,9 +269,9 @@ def test_grams_exploded_matches_array_form(spark):
                               ["doc_id", "text", "lang", "source", "n_chars"])
     )
     a = dedup.grams_exploded(docs).select("doc_id", "gh")
-    b = (
-        dedup.with_grams(docs)
-        .select("doc_id", F.explode("gram_hashes").alias("gh"))
-        .dropDuplicates(["doc_id", "gh"])
+    # exact MULTISET equality (no dropDuplicates): two string-distinct
+    # grams colliding mod p must appear twice on both sides
+    b = dedup.with_grams(docs).select(
+        "doc_id", F.explode("gram_hashes").alias("gh")
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
