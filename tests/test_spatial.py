@@ -132,3 +132,39 @@ def test_zorder_bbox_filter_pushes_zkey_ranges_to_scan(spark, tmp_path):
     # stats of the z-sorted files prune
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "zkey" in pushed
+
+
+def test_zorder_ranges_superset_property_fuzz():
+    """Pure-Python fuzz (no Spark): every point inside a random bbox must
+    quantize to a z-key covered by some range of the quadtree cover —
+    the superset guarantee zorder_bbox_filter's correctness rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bits = 16
+    m = (1 << bits) - 1
+
+    def quant(x, lo, span):
+        return max(0, min(m, int(((x - lo) / span) * m)))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lat0=st.floats(-90, 89), dlat=st.floats(0.001, 40),
+        lon0=st.floats(-180, 179), dlon=st.floats(0.001, 40),
+        fx=st.floats(0, 1), fy=st.floats(0, 1),
+    )
+    def check(lat0, dlat, lon0, dlon, fx, fy):
+        lat1 = min(90.0, lat0 + dlat)
+        lon1 = min(180.0, lon0 + dlon)
+        ranges = fn.zorder_ranges(lat0, lat1, lon0, lon1, bits=bits)
+        # a random interior point
+        lat = lat0 + fx * (lat1 - lat0)
+        lon = lon0 + fy * (lon1 - lon0)
+        z = fn._interleave_py(
+            quant(lat, -90.0, 180.0), quant(lon, -180.0, 360.0), bits
+        )
+        assert any(lo <= z <= hi for lo, hi in ranges), (
+            f"point ({lat},{lon}) z={z} escaped the cover"
+        )
+
+    check()
