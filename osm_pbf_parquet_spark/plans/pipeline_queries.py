@@ -714,6 +714,30 @@ FROM sp GROUP BY doc_id, span_id
 """
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL serde round-trip: documents → to_json lines → from_json with
+    the declared schema → unpacked columns. JSONL is the de-facto
+    training-data interchange; this pins that a serialize→parse cycle is
+    lossless for every row (the oracle is the identity projection, so ANY
+    roundtrip corruption — encoding, quoting, null handling — flips the
+    value hash). Pure Catalyst serde expressions, scan-speed."""
+    docs = t(spark, sf_dir, "documents")
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    lines = docs.select(
+        F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+        .alias("line")
+    )
+    parsed = lines.select(
+        F.from_json("line", schema).alias("r")
+    ).select("r.*")
+    return parsed
+
+
+ORACLE_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters audited against exact top-10: the
     oracle REPLAYS the sketch (same md5 buckets, same min-of-rows), so
@@ -1178,6 +1202,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "duplicate_spans": (q_duplicate_spans, _oracle_duplicate_spans()),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _oracle_cms()),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
     "clean_corpus_pipeline": (q_clean_corpus, _oracle_clean_corpus()),
     "udtf_top_words": (q_udtf_top_words, ORACLE_UDTF_TOP_WORDS),
     "udaf_median_chars": (q_udaf_median_chars, ORACLE_UDAF_MEDIAN),
