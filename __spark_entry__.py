@@ -80,9 +80,11 @@ def _registry() -> dict[str, tuple]:
 # stream_quality_by_lang, in head, exercises the same r4-touched
 # streaming helpers _event-stream-infra/_run_stream_to_table). All
 # rotated-out entries were ALSO swept green locally this round via tests/
-# oracle_harness over the full registry. jsonl_roundtrip (new r4) is also
-# past the cap: it is an identity-oracle serde gate, the lowest-risk new
-# entry, verified locally at sf0.01 and sf0.001 — first driver row in r5.
+# oracle_harness over the full registry. jsonl_roundtrip and
+# full_curation_pipeline (new r4) are also past the cap: the former is an
+# identity-oracle serde gate, the latter composes five pieces that each
+# hold a head slot individually (quality/pii/dedup/chunk/split); both
+# verified locally at sf0.01 and sf0.001 — first driver rows in r5.
 _CHECK_FIRST = [
     # --- r3-unchecked tail: re-certify over r3-changed modules ---
     "dedup_exact",

@@ -196,6 +196,7 @@ def main() -> None:
         ("line_corpus_dedup", PIPE["line_corpus_dedup"][0]),
         ("semantic_dedup", PIPE["semantic_dedup"][0]),
         ("kmeans_clusters", PIPE["kmeans_clusters"][0]),
+        ("full_curation_pipeline", PIPE["full_curation_pipeline"][0]),
     ]
 
     timings: dict[str, float] = {}

@@ -714,6 +714,98 @@ FROM sp GROUP BY doc_id, span_id
 """
 
 
+def q_full_curation_pipeline(spark, sf_dir):
+    """CAPSTONE: the full pretraining-data pipeline as ONE declarative
+    plan — quality gate → PII scrub → exact dedup on the scrubbed text →
+    context-window chunking → deterministic train/val/test split of the
+    chunks. Catalyst fuses the quality/scrub projections into the scan;
+    the exchanges are exactly the dedup window and the chunking's
+    downstream consumers — the operators were designed to compose
+    without re-shuffling, and this gate proves the composition end-to-
+    end under one value hash."""
+    from pyspark.sql import Window
+
+    from ..operators import sampling
+
+    docs = t(spark, sf_dir, "documents")
+    d = text.with_quality(docs).filter(F.col("quality") >= 0.5)
+    d = text.with_pii_scrubbed(d)
+    w = Window.partitionBy("_ch").orderBy("doc_id")
+    d = (
+        d.withColumn("_ch", F.md5("scrubbed"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("scrubbed").alias("text"))
+    )
+    chunks = sampling.chunk_documents(d, size=32, stride=24)
+    keyed = chunks.withColumn(
+        "chunk_key", F.col("doc_id") * 100_000 + F.col("chunk_id")
+    )
+    return sampling.hash_split(keyed, key="chunk_key").select(
+        "doc_id", "chunk_id", "n_tokens", "chunk_md5", "split"
+    )
+
+
+def _oracle_full_pipeline() -> str:
+    en = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+    pii = text.PII_PATTERNS
+    b = (
+        "CAST(('0x' || substring(md5(CAST(chunk_key AS VARCHAR) || ':' || "
+        "'split-v1'), 1, 15)) AS BIGINT) % 10000"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS words FROM documents
+),
+q AS (
+  SELECT doc_id, text,
+    round(0.4 * round(least(length(text) / 200.0, 1.0), 4)
+      + 0.4 * least(round(len(list_filter(words, w -> list_contains([{en}], w)))
+          * 1.0 / greatest(len(words), 1), 4) * 4, 1.0)
+      + 0.2 * (1 - least(round((length(text) -
+          length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
+          / greatest(length(text), 1), 4) * 5, 1.0)), 4) AS quality
+  FROM m
+),
+s AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{pii["email"]}', '<EMAIL>', 'g'),
+           '{pii["ipv4"]}', '<IPV4>', 'g'),
+           '{pii["phone"]}', '<PHONE>', 'g') AS text
+  FROM q WHERE quality >= 0.5
+),
+dd AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM s
+  ) WHERE rn = 1
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd),
+c AS (
+  SELECT doc_id, ws,
+         unnest(list_filter(range(1, greatest(len(ws), 1) + 1, 24),
+                            s -> s = 1 OR s - 24 + 32 - 1 < len(ws))) AS start
+  FROM w
+),
+ch AS (
+  SELECT doc_id,
+         CAST((start - 1) // 24 AS INT) AS chunk_id,
+         CAST(least(32, len(ws) - start + 1) AS INT) AS n_tokens,
+         md5(array_to_string(ws[CAST(start AS INT):CAST(start + 31 AS INT)],
+             ' ')) AS chunk_md5,
+         doc_id * 100000 + CAST((start - 1) // 24 AS INT) AS chunk_key
+  FROM c
+)
+SELECT doc_id, chunk_id, n_tokens, chunk_md5,
+       CASE WHEN {b} < 8000 THEN 'train'
+            WHEN {b} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM ch
+"""
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """JSONL serde round-trip: documents → to_json lines → from_json with
     the declared schema → unpacked columns. JSONL is the de-facto
@@ -1203,6 +1295,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _oracle_cms()),
     "jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
+    "full_curation_pipeline": (q_full_curation_pipeline, _oracle_full_pipeline()),
     "clean_corpus_pipeline": (q_clean_corpus, _oracle_clean_corpus()),
     "udtf_top_words": (q_udtf_top_words, ORACLE_UDTF_TOP_WORDS),
     "udaf_median_chars": (q_udaf_median_chars, ORACLE_UDAF_MEDIAN),
