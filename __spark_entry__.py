@@ -83,8 +83,10 @@ def _registry() -> dict[str, tuple]:
 # oracle_harness over the full registry. jsonl_roundtrip and
 # full_curation_pipeline (new r4) are also past the cap: the former is an
 # identity-oracle serde gate, the latter composes five pieces that each
-# hold a head slot individually (quality/pii/dedup/chunk/split); both
-# verified locally at sf0.01 and sf0.001 — first driver rows in r5.
+# hold a head slot individually (quality/pii/dedup/chunk/split); plus
+# osm_header_metadata (VALUES-pinned metadata-only scan). All verified
+# locally at sf0.01 (and sf0.001 where applicable) — first driver rows
+# in r5.
 _CHECK_FIRST = [
     # --- r3-unchecked tail: re-certify over r3-changed modules ---
     "dedup_exact",

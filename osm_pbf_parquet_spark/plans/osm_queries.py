@@ -232,8 +232,45 @@ SELECT * FROM (VALUES
 """
 
 
+def q_osm_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 header decode under the gate: the metadata-only scan (read the
+    header blob, skip payloads — reference blob.rs:422-448) feeds a
+    one-row-per-fact DataFrame. Pinned to the golden fixture's header
+    (read.rs:13-20: required OsmSchema-V0.6 + DenseNodes, writingprogram
+    0.43.1, no bbox/replication)."""
+    from ..pbf.blob import TYPE_HEADER, decompress_blob, iter_blobs
+    from ..pbf.decode import parse_header_block
+
+    hdr = None
+    for info, raw in iter_blobs(FIXTURE):
+        if info.blob_type == TYPE_HEADER:
+            hdr = parse_header_block(decompress_blob(raw))
+            break
+    rows = [("required_feature", f) for f in hdr["required_features"]]
+    rows += [("optional_feature", f) for f in hdr["optional_features"]]
+    rows += [
+        ("writingprogram", hdr["writingprogram"]),
+        ("has_bbox", str(hdr["bbox"] is not None).lower()),
+        ("has_replication",
+         str(hdr["osmosis_replication_sequence_number"] is not None).lower()),
+    ]
+    return spark.createDataFrame(rows, "fact string, value string")
+
+
+ORACLE_HEADER_METADATA = """
+SELECT * FROM (VALUES
+  ('required_feature', 'OsmSchema-V0.6'),
+  ('required_feature', 'DenseNodes'),
+  ('writingprogram', '0.43.1'),
+  ('has_bbox', 'false'),
+  ('has_replication', 'false')
+) AS t(fact, value)
+"""
+
+
 OSM_QUERIES: dict[str, tuple] = {
     "osm_relation_members": (q_osm_relation_members, ORACLE_RELATION_MEMBERS),
+    "osm_header_metadata": (q_osm_header_metadata, ORACLE_HEADER_METADATA),
     "osm_count_by_type": (q_osm_count_by_type, ORACLE_COUNT_BY_TYPE),
     "osm_loc_on_ways": (q_osm_loc_on_ways, ORACLE_LOC_ON_WAYS),
     "osm_datasource_nodes": (q_osm_datasource_nodes, ORACLE_DATASOURCE_NODES),
