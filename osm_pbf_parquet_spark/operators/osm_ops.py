@@ -154,10 +154,28 @@ def resolve_relation_members(osm: DataFrame) -> DataFrame:
     keyed on (member_type, member_ref) — at planet scale both sides hash-
     partition on the composite key and the element side can be bucketed
     by (type, id) to make this exchange-free across queries.
+
+    History extracts: BOTH sides are version-aware — the relation side
+    resolves members of the LATEST VISIBLE version of each relation
+    (deleted relations emit nothing, older versions don't fan out), and
+    the target side resolves against any visible version (deleted-only
+    targets report resolved=false).
     """
+    rels = osm.filter(F.col("type") == "relation")
+    if "visible" in osm.columns:
+        rels = rels.filter(F.coalesce(F.col("visible"), F.lit(True)))
+    if "version" in osm.columns:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(
+            F.desc_nulls_last("version")
+        )
+        rels = (
+            rels.withColumn("_vrn", F.row_number().over(w))
+            .filter(F.col("_vrn") == 1)
+        )
     mem = (
-        osm.filter(F.col("type") == "relation")
-        .select(
+        rels.select(
             F.col("id").alias("relation_id"),
             F.posexplode("members").alias("seq", "m"),
         )

@@ -309,3 +309,12 @@ def chunk_documents(
         F.size("_toks").cast("int").alias("n_tokens"),
         F.md5(F.concat_ws(" ", F.col("_toks"))).alias("chunk_md5"),
     )
+
+
+def duck_hash_mod(keyed_sql: str, buckets: int) -> str:
+    """DuckDB form of ``hash_mod_expr`` — the single definition the SQL
+    oracles compose so Spark and oracle hashing can never drift apart."""
+    return (
+        f"CAST(('0x' || substring(md5({keyed_sql}), 1, 15)) AS BIGINT)"
+        f" % {buckets}"
+    )

@@ -54,7 +54,11 @@ def cms_heavy_hitters(
     toks = with_tokens(df, text_col).select(
         F.explode("tokens").alias("term")
     )
-    # vocabulary-sized; feeds both the top-k cut and the sketch build
+    # vocabulary-sized; feeds both the top-k cut and the sketch build.
+    # Deliberately left persisted (same discipline as lsh_ann_pairs): the
+    # function returns a lazy plan, so there is no safe unpersist point
+    # inside it — callers running many sketches in one session should
+    # clearCache() between them (bench does).
     exact = toks.groupBy("term").agg(F.count("*").alias("true_n")).persist()
     top = exact.orderBy(F.desc("true_n"), "term").limit(k)
 

@@ -881,6 +881,9 @@ FROM q
 """
 
 
+_BUCKETED_GATE_DIRS: set[str] = set()
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact join through Hive-bucketed tables: both sides written
     bucketed-and-sorted on the join key, so the join plan carries ZERO
@@ -894,15 +897,22 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sinks.bucketed import write_bucketed
 
-    # per-process FIXED path, overwritten per call: a fresh mkdtemp per
-    # invocation would accumulate full fact-table copies across gate
-    # sweeps/bench reruns until /tmp fills, while a world-shared name
-    # would race concurrent sessions (overwrite deletes files another
-    # session's join is reading) and collide across users
+    # per-process FIXED path, overwritten per call and removed at exit: a
+    # fresh mkdtemp per invocation would accumulate full fact-table
+    # copies across gate sweeps/bench reruns until /tmp fills, while a
+    # world-shared name would race concurrent sessions (overwrite
+    # deletes files another session's join is reading) and collide
+    # across users
+    import atexit
+    import shutil
+
     base = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_bucketed_gate_{os.getuid()}_{os.getpid()}",
     )
+    if base not in _BUCKETED_GATE_DIRS:
+        _BUCKETED_GATE_DIRS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     lineitem = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"

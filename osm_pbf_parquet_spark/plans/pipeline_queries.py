@@ -747,33 +747,25 @@ def q_full_curation_pipeline(spark, sf_dir):
 
 
 def _oracle_full_pipeline() -> str:
-    en = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+    from ..operators import sampling
+
     pii = text.PII_PATTERNS
-    b = (
-        "CAST(('0x' || substring(md5(CAST(chunk_key AS VARCHAR) || ':' || "
-        "'split-v1'), 1, 15)) AS BIGINT) % 10000"
+    b = sampling.duck_hash_mod(
+        "CAST(chunk_key AS VARCHAR) || ':' || 'split-v1'",
+        sampling.HASH_BUCKETS,
     )
+    # quality arithmetic is COMPOSED from _oracle_quality() (the same SQL
+    # the text_quality gate runs), not re-implemented — a formula change
+    # moves every oracle together
     return f"""
-WITH m AS (
-  SELECT doc_id, text, string_split(lower(text), ' ') AS words FROM documents
-),
-q AS (
-  SELECT doc_id, text,
-    round(0.4 * round(least(length(text) / 200.0, 1.0), 4)
-      + 0.4 * least(round(len(list_filter(words, w -> list_contains([{en}], w)))
-          * 1.0 / greatest(len(words), 1), 4) * 4, 1.0)
-      + 0.2 * (1 - least(round((length(text) -
-          length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
-          / greatest(length(text), 1), 4) * 5, 1.0)), 4) AS quality
-  FROM m
-),
+WITH q AS ({_oracle_quality()}),
 s AS (
-  SELECT doc_id,
-         regexp_replace(regexp_replace(regexp_replace(text,
+  SELECT d.doc_id,
+         regexp_replace(regexp_replace(regexp_replace(d.text,
            '{pii["email"]}', '<EMAIL>', 'g'),
            '{pii["ipv4"]}', '<IPV4>', 'g'),
            '{pii["phone"]}', '<PHONE>', 'g') AS text
-  FROM q WHERE quality >= 0.5
+  FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.5
 ),
 dd AS (
   SELECT doc_id, text FROM (

@@ -14,9 +14,8 @@ B = sampling.HASH_BUCKETS
 
 
 def _duck_bucket(key: str, salt: str) -> str:
-    return (
-        f"CAST(('0x' || substring(md5(CAST({key} AS VARCHAR) || ':' || '{salt}'),"
-        f" 1, 15)) AS BIGINT) % {B}"
+    return sampling.duck_hash_mod(
+        f"CAST({key} AS VARCHAR) || ':' || '{salt}'", B
     )
 
 
