@@ -155,25 +155,32 @@ def resolve_relation_members(osm: DataFrame) -> DataFrame:
     partition on the composite key and the element side can be bucketed
     by (type, id) to make this exchange-free across queries.
 
-    History extracts: BOTH sides are version-aware — the relation side
-    resolves members of the LATEST VISIBLE version of each relation
-    (deleted relations emit nothing, older versions don't fan out), and
-    the target side resolves against any visible version (deleted-only
-    targets report resolved=false).
+    History extracts: BOTH sides are version-aware with LATEST-FIRST
+    semantics (same ranking as ``latest_versions``): take the newest
+    version per element, THEN check its visibility. A relation whose
+    head version is a deletion emits nothing — even if an older visible
+    version exists — and a member target deleted at its head version
+    reports resolved=false. Older versions never fan out.
     """
-    rels = osm.filter(F.col("type") == "relation")
-    if "visible" in osm.columns:
-        rels = rels.filter(F.coalesce(F.col("visible"), F.lit(True)))
-    if "version" in osm.columns:
-        from pyspark.sql import Window
 
-        w = Window.partitionBy("id").orderBy(
-            F.desc_nulls_last("version")
-        )
-        rels = (
-            rels.withColumn("_vrn", F.row_number().over(w))
-            .filter(F.col("_vrn") == 1)
-        )
+    def _latest_then_visible(df: DataFrame, *keys: str) -> DataFrame:
+        # Rank newest-first BEFORE the visibility filter so an element
+        # deleted at its head version is absent (matches latest_versions).
+        if "version" in df.columns:
+            order = [F.desc_nulls_last("version")]
+            if "timestamp" in df.columns:
+                order.append(F.desc_nulls_last("timestamp"))
+            w = Window.partitionBy(*keys).orderBy(*order)
+            df = (
+                df.withColumn("_vrn", F.row_number().over(w))
+                .filter(F.col("_vrn") == 1)
+                .drop("_vrn")
+            )
+        if "visible" in df.columns:
+            df = df.filter(F.coalesce(F.col("visible"), F.lit(True)))
+        return df
+
+    rels = _latest_then_visible(osm.filter(F.col("type") == "relation"), "id")
     mem = (
         rels.select(
             F.col("id").alias("relation_id"),
@@ -189,13 +196,9 @@ def resolve_relation_members(osm: DataFrame) -> DataFrame:
     )
     # dedupe targets: a history extract carries MULTIPLE versions per
     # (type, id), which would fan out every referencing member row; a
-    # target whose versions are all deleted (visible=false) is logically
-    # absent, so only visible versions resolve (visible defaults true
-    # when the history feature isn't present)
-    visible = osm
-    if "visible" in osm.columns:
-        visible = osm.filter(F.coalesce(F.col("visible"), F.lit(True)))
-    targets = visible.select(
+    # target is live only if its LATEST version is visible (visible
+    # defaults true when the history feature isn't present)
+    targets = _latest_then_visible(osm, "type", "id").select(
         F.col("type").alias("member_type"),
         F.col("id").alias("member_ref"),
     ).dropDuplicates(["member_type", "member_ref"]).withColumn(

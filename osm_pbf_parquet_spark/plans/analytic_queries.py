@@ -732,44 +732,18 @@ def q_stream_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_stream_quality_by_lang() -> str:
-    from ..operators import text as text_ops
+    # COMPOSED from pipeline_queries' _oracle_quality/_oracle_lang_id — the
+    # exact SQL the batch text_quality/text_lang_id gates pin — so a formula
+    # change moves every oracle together (mirrors _oracle_clean_corpus).
+    from .pipeline_queries import _oracle_lang_id, _oracle_quality
 
-    en = ", ".join(f"'{w}'" for w in text_ops.STOPWORDS["en"])
-    score_cols = []
-    for lang, words in text_ops.STOPWORDS.items():
-        lst = ", ".join(f"'{w}'" for w in words)
-        score_cols.append(
-            f"len(list_filter(words, w -> list_contains([{lst}], w)))"
-            f" AS score_{lang}"
-        )
-    langs = list(text_ops.STOPWORDS)
-    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
-    case = "CASE " + " ".join(
-        f"WHEN score_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
-    ) + " ELSE 'unknown' END"
     return f"""
-WITH d AS (
-  SELECT doc_id, text, string_split(lower(text), ' ') AS words
-  FROM documents
-),
-m AS (
-  SELECT doc_id, words,
-    round(len(list_filter(words, w -> list_contains([{en}], w))) * 1.0
-          / greatest(len(words), 1), 4) AS stopword_ratio,
-    round((length(text) -
-           length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) * 1.0
-          / greatest(length(text), 1), 4) AS punct_ratio,
-    round(least(length(text) / 200.0, 1.0), 4) AS length_factor
-  FROM d
-),
-q AS (
-  SELECT doc_id, words,
-         round(0.4 * length_factor + 0.4 * least(stopword_ratio * 4, 1.0)
-               + 0.2 * (1 - least(punct_ratio * 5, 1.0)), 4) AS quality
-  FROM m
-),
-s AS (SELECT doc_id, quality, {', '.join(score_cols)} FROM q),
-lp AS (SELECT doc_id, quality, {case} AS lang_pred FROM s)
+WITH qq AS ({_oracle_quality()}),
+ll AS ({_oracle_lang_id()}),
+lp AS (
+  SELECT qq.doc_id, qq.quality, ll.lang_pred
+  FROM qq JOIN ll ON ll.doc_id = qq.doc_id
+)
 SELECT lang_pred, count(*) AS n_docs,
        CAST(sum(CAST(round(quality * 10000, 0) AS BIGINT)) AS BIGINT)
          AS sum_quality_x1e4

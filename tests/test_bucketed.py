@@ -4,9 +4,6 @@ for a pipeline's hot join key (sinks/bucketed.py)."""
 from __future__ import annotations
 
 import os
-import tempfile
-
-from pyspark.sql import functions as F
 
 from osm_pbf_parquet_spark.plans.relational import t
 from osm_pbf_parquet_spark.sinks.bucketed import write_bucketed
@@ -20,7 +17,7 @@ def _plan(df) -> str:
     )
 
 
-def test_bucketed_join_has_zero_exchange(spark):
+def test_bucketed_join_has_zero_exchange(spark, tmp_path):
     """Both sides bucketed+sorted on the join key -> SortMergeJoin with
     no Exchange on either side. Broadcast is disabled for the audit: at
     testdata scale AQE would broadcast the small side, but at the scale
@@ -28,18 +25,17 @@ def test_bucketed_join_has_zero_exchange(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        base = tempfile.mkdtemp(prefix="bucketed_audit_")
         o = write_bucketed(
             spark,
             t(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus"),
             "audit_bucketed_orders", "o_orderkey", 8,
-            os.path.join(base, "orders"),
+            os.path.join(str(tmp_path), "orders"),
         )
         l = write_bucketed(
             spark,
             t(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice"),
             "audit_bucketed_lineitem", "l_orderkey", 8,
-            os.path.join(base, "lineitem"),
+            os.path.join(str(tmp_path), "lineitem"),
         )
         j = l.join(o, l.l_orderkey == o.o_orderkey)
         plan = _plan(j)
@@ -48,21 +44,27 @@ def test_bucketed_join_has_zero_exchange(spark):
         assert "Bucketed: true" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS audit_bucketed_orders")
+        spark.sql("DROP TABLE IF EXISTS audit_bucketed_lineitem")
 
 
-def test_bucketed_join_matches_plain_join(spark):
-    base = tempfile.mkdtemp(prefix="bucketed_eq_")
+def test_bucketed_join_matches_plain_join(spark, tmp_path):
     orders = t(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
     lineitem = t(spark, SF_DIR, "lineitem").select("l_orderkey")
-    o = write_bucketed(spark, orders, "eq_bucketed_orders", "o_orderkey", 8,
-                       os.path.join(base, "orders"))
-    l = write_bucketed(spark, lineitem, "eq_bucketed_lineitem", "l_orderkey",
-                       8, os.path.join(base, "lineitem"))
-    got = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderstatus").count()
-        .collect()
-    )
+    try:
+        o = write_bucketed(spark, orders, "eq_bucketed_orders", "o_orderkey",
+                           8, os.path.join(str(tmp_path), "orders"))
+        l = write_bucketed(spark, lineitem, "eq_bucketed_lineitem",
+                           "l_orderkey", 8,
+                           os.path.join(str(tmp_path), "lineitem"))
+        got = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus").count()
+            .collect()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eq_bucketed_orders")
+        spark.sql("DROP TABLE IF EXISTS eq_bucketed_lineitem")
     want = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderstatus").count()
