@@ -73,12 +73,18 @@ def _quant_expr(col: str, lo: float, span: float, bits: int) -> str:
 
 def zorder_interleave_expr(u: str, v: str, bits: int = ZORDER_BITS) -> str:
     """Bit-interleave two ``bits``-wide non-negative BIGINT expressions:
-    u's bit i lands at position 2i, v's at 2i+1 (Morton code)."""
-    return (
-        f"aggregate(sequence(0, {bits - 1}), cast(0 AS BIGINT), (acc, i) -> "
-        f"acc + shiftleft(shiftright({u}, i) & 1L, 2 * i)"
-        f" + shiftleft(shiftright({v}, i) & 1L, 2 * i + 1))"
-    )
+    u's bit i lands at position 2i, v's at 2i+1 (Morton code).
+
+    Emitted as a FLAT 2*bits-term shiftleft/+ chain, not a higher-order
+    ``aggregate(sequence(...))`` fold: Catalyst interprets lambda
+    functions per element (~30x slower than codegen — the same penalty
+    measured for gram shingling, see operators/dedup.py grams_exploded),
+    while the flat chain stays inside whole-stage codegen."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({u}, {i}) & 1L, {2 * i})")
+        terms.append(f"shiftleft(shiftright({v}, {i}) & 1L, {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
 
 
 def with_zorder(df, lat_col: str = "lat", lon_col: str = "lon",

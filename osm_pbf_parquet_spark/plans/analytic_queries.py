@@ -804,13 +804,28 @@ FROM q
 _BBOX = (-84.5, -75.0, -174.0, -166.0)
 
 
+_ZORDER_GATE_DIRS: set[str] = set()
+
+
 def q_zorder_bbox_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spatial bbox query through the Z-key range cover: the quadtree
-    cover's OR-of-BETWEENs on zkey (pushable to row-group stats on a
-    z-sorted table) ANDed with the exact predicate. The oracle applies
-    only the exact bbox filter — so a cover that ever dropped a cell
-    would lose rows and fail the value hash (superset proof under the
-    gate)."""
+    """Spatial bbox query through the Z-key range cover over a STORED
+    z-sorted table — the layout the pruning exists for: the quadtree
+    cover's OR-of-BETWEENs on the scanned zkey column reaches the
+    parquet scan as PushedFilters (row-group min/max stats prune), ANDed
+    with the exact predicate. The oracle applies only the exact bbox
+    filter — so a cover that ever dropped a cell would lose rows and
+    fail the value hash (superset proof under the gate).
+
+    Filtering the zkey *expression* on the fly instead would make
+    predicate pushdown substitute the 32-term interleave into every
+    BETWEEN of the cover (blowing janino's 64KB method limit into an
+    interpreted fallback) — storing the key first is both the scale
+    path and the fast one."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
     from .. import functions as fn
 
     cust = t(spark, sf_dir, "customer")
@@ -819,8 +834,25 @@ def q_zorder_bbox_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey") % 17000) / F.lit(100.0) - 85.0).alias("lat"),
         ((F.col("c_custkey") % 35000) / F.lit(100.0) - 175.0).alias("lon"),
     )
-    z = fn.with_zorder(d)
-    return fn.zorder_bbox_filter(z, *_BBOX).select("c_custkey", "zkey")
+    # per-process fixed dir (same rationale as q_bucketed_join_agg):
+    # overwritten per call, removed at exit
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_zorder_gate_{os.getuid()}_{os.getpid()}",
+    )
+    if base not in _ZORDER_GATE_DIRS:
+        _ZORDER_GATE_DIRS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, os.path.basename(os.path.normpath(sf_dir)))
+    (
+        fn.with_zorder(d)
+        .repartitionByRange(4, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    zs = spark.read.parquet(path)
+    return fn.zorder_bbox_filter(zs, *_BBOX).select("c_custkey", "zkey")
 
 
 def _oracle_zorder_bbox() -> str:
