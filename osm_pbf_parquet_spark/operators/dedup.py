@@ -103,18 +103,26 @@ def grams_exploded(
     gram = F.when(F.col("_i") == -1, F.col(text_col)).otherwise(
         F.expr(f"concat_ws(' ', slice(_ws, _i, {k}))")
     )
-    # distinct on the PRE-hash gram string, exactly like with_grams'
-    # list_distinct-then-hash: two distinct grams colliding mod p must
-    # contribute TWO rows (the oracle's arithmetic keeps both), so
-    # deduping on gh would diverge on within-doc hash collisions
-    from .sampling import hash_mod_expr
-
+    # distinct on h60 — the 8-byte BIGINT already derived from md5 (top
+    # 60 bits) that fully determines gh — NOT the raw gram string: the
+    # per-doc distinct is a shuffle, and a k-word gram string (or the
+    # 32-char md5 hex) is several times wider than one int64. Measured on
+    # the 10x tier: decontaminate shuffle 76.7 MB (raw string) / 104.5 MB
+    # (md5 hex) / 45.5 MB (h60). Unlike deduping on gh itself (mod 2^31,
+    # where within-doc birthday collisions are real at ~50k grams and
+    # would drop rows the oracle keeps), a 60-bit collision is ~n^2/2^61
+    # per doc — and the oracle list_distincts the SAME h60 values, so
+    # both engines agree bit-exactly even then.
+    h60 = (
+        "cast(conv(substring(md5(_gram), 1, 15), 16, 10) AS BIGINT)"
+    )
     flat = (
         pos.withColumn("_gram", gram)
-        .dropDuplicates([key, "_gram"])
+        .select(key, F.expr(h60).alias("_h60"))
+        .dropDuplicates([key, "_h60"])
     )
     return flat.select(
-        key, F.expr(hash_mod_expr("_gram", MERSENNE31)).alias("gh")
+        key, F.expr(f"pmod(_h60, {MERSENNE31})").alias("gh")
     )
 
 

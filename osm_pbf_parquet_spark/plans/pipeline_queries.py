@@ -122,15 +122,18 @@ ORACLE_DECONTAMINATE = f"""
 WITH g5 AS (
   SELECT doc_id,
     CASE WHEN len(string_split(text, ' ')) < {DECON_K} THEN [text]
-         ELSE list_distinct(list_transform(
+         ELSE list_transform(
               range(0, len(string_split(text, ' ')) - {DECON_K} + 1),
-              i -> array_to_string((string_split(text, ' '))[i+1:i+{DECON_K}], ' ')))
+              i -> array_to_string((string_split(text, ' '))[i+1:i+{DECON_K}], ' '))
     END AS grams
   FROM documents
 ),
 h5 AS (
-  SELECT doc_id, list_transform(grams, x ->
-      CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % {P}) AS gram_hashes
+  -- distinct on h60 (top 60 md5 bits as BIGINT), same key as
+  -- grams_exploded's pre-shuffle dedupe, then mod p
+  SELECT doc_id, list_transform(list_distinct(list_transform(grams,
+      x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))),
+      h -> h % {P}) AS gram_hashes
   FROM g5
 ),
 tg AS (SELECT doc_id AS train_id, unnest(gram_hashes) AS gh FROM h5
