@@ -52,98 +52,94 @@ def _registry() -> dict[str, tuple]:
 # the tail — every registered query keeps at least one green CORRECTNESS row
 # across rounds.
 #
-# ROUND-4 ROTATION: positions 1-29 are the r3-UNCHECKED tail (their modules
-# — dedup.py, relational.py, pbf/proto.py, pbf/decode.py — changed during r3
-# AFTER their last green row); then the round-4 additions (real-decoder
-# multimodal queries) and the queries over round-4-changed code
-# (sampling.py binary-search buckets, multimodal.py decoders).
-# UNCHECKED THIS ROUND — the 47 entries past the 50-cap, all r3-green
-# (certified in CORRECTNESS_r03.json): pricing_summary, top_revenue_orders,
-# region_revenue, outer_join_agg, topk_per_group, running_total,
-# lag_lead_gap, approx_sketches, multi_supplier_late_orders,
-# rich_inactive_customers, nation_trade_volume, parts_supplier_diversity,
-# ntile_quartiles, stream_dedup_user_types, stream_sessionize_stateful,
-# stream_click_attribution, stream_enriched_counts, dedup_embedding,
-# ann_cosine_topk, ann_lsh_pairs, ann_ivf_topk, text_stats, text_quality,
-# text_lang_id, text_fingerprint, clean_corpus_pipeline, udtf_top_words,
+# ROUND-5 ROTATION: positions 1-3 are the only queries that have NEVER had
+# a driver row (r4-new; judge-verified green at sf0.01 in the r4 session —
+# the gate should now certify them). Positions 4-22 cover code CHANGED this
+# round: osm_ops.py (relation history head-deletion semantics), functions/
+# __init__.py (flat z-order interleave) + the zorder gate rewrite,
+# analytic_queries.py (stream oracle composition), dedup.py (h60 gram
+# dedupe + PersistSet), similarity.py / sketches.py (PersistSet release).
+# Positions 23-29 are the osm transcode-path gates — pbf/proto.py and
+# sinks/native_sink.py are this round's perf-work targets, so their greens
+# must postdate those edits. Positions 30-50 are the longest-stale
+# r4-unchecked entries (last green r3; modules unchanged since, but their
+# rows are now two rounds old): relational, streaming, text families.
+#
+# PAST THE 50-CAP this round (all driver-green in r4 at positions 1-50,
+# modules unchanged since their green row except as swept by local parity
+# tests, which parametrize over ALL 100 registry entries): sessionize,
+# asof_join, union_distinct, distinct_agg, salted_distinct_count,
+# scalar_functions, pivot_counts, json_extract, scalar_subquery, exists_agg,
+# word_topk, percentiles, range_window, geo_distance, argmin_per_group,
+# or_predicate_join, higher_order_arrays, date_gapfill, multimodal_decode,
+# multimodal_audio, pii_scrub, text_repetition, line_corpus_dedup,
+# vocab_build, sample_chunk_windows, tfidf_top_terms, bucketed_join_agg,
+# ntile_quartiles_scalable, sample_pack_sequences; plus the r3-green set
+# whose modules are untouched since r3: sample_hash_split, rollup_agg,
+# cube_agg, grouping_sets_agg, range_join_binned, set_ops, anti_join,
+# count_by_type, filter_project, semi_join, multimodal_metadata,
+# multimodal_frames, multimodal_features, sample_length_buckets,
+# text_fingerprint, clean_corpus_pipeline, udtf_top_words,
 # udaf_median_chars, sample_stratified_cap, sample_weighted_mixture,
-# sample_uniform_n, decontaminate, sample_hash_split, rollup_agg, cube_agg,
-# grouping_sets_agg, range_join_binned, set_ops, anti_join, count_by_type,
-# filter_project, semi_join (rotated out mid-round — their module,
-# relational.py, is unchanged in r4), multimodal_metadata + multimodal_frames
-# + multimodal_features (r3-certified; the new real-decoder gates
-# multimodal_decode/audio exercise the changed multimodal.py far harder
-# than those plumbing-only paths),
-# sample_length_buckets (r3-certified; independent of the r4
-# range_bucket_column change — it buckets via bin() length),
-# stream_windowed_counts (r3-certified; the NEW stream gate
-# stream_quality_by_lang, in head, exercises the same r4-touched
-# streaming helpers _event-stream-infra/_run_stream_to_table). All
-# rotated-out entries were ALSO swept green locally this round via tests/
-# oracle_harness over the full registry. jsonl_roundtrip and
-# full_curation_pipeline (new r4) are also past the cap: the former is an
-# identity-oracle serde gate, the latter composes five pieces that each
-# hold a head slot individually (quality/pii/dedup/chunk/split); plus
-# osm_header_metadata (VALUES-pinned metadata-only scan). All verified
-# locally at sf0.01 (and sf0.001 where applicable) — first driver rows
-# in r5.
+# sample_uniform_n, stream_quality... (stream_quality_by_lang is IN head).
 _CHECK_FIRST = [
-    # --- r3-unchecked tail: re-certify over r3-changed modules ---
+    # --- never driver-checked (r4-new, judge-verified) ---
+    "jsonl_roundtrip",
+    "full_curation_pipeline",
+    "osm_header_metadata",
+    # --- r5-changed code: osm_ops / functions / analytic oracles ---
+    "osm_relation_members",
+    "zorder_spatial",
+    "zorder_bbox_search",
+    "stream_quality_by_lang",
+    # --- r5-changed code: dedup.py (h60 grams, PersistSet) ---
+    "decontaminate",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "duplicate_spans",
+    # --- r5-changed code: similarity.py / sketches.py (PersistSet) ---
+    "ann_lsh_pairs",
+    "ann_ivf_topk",
+    "ann_cosine_topk",
+    "dedup_embedding",
+    "semantic_dedup",
+    "kmeans_clusters",
+    "embedding_quantize",
+    "cms_heavy_hitters",
+    # --- transcode path: pbf/proto.py + native_sink.py are r5 perf
+    #     targets; greens must postdate those edits ---
     "osm_count_by_type",
     "osm_datasource_nodes",
-    "osm_filter_with_deps",
-    "osm_latest_versions",
-    "osm_tag_histogram",
     "osm_way_geometry",
-    "sessionize",
-    "asof_join",
-    "union_distinct",
-    "distinct_agg",
-    "salted_distinct_count",
-    "scalar_functions",
-    "pivot_counts",
-    "json_extract",
-    "scalar_subquery",
-    "exists_agg",
-    "word_topk",
-    "percentiles",
-    "range_window",
-    "geo_distance",
-    "argmin_per_group",
-    "or_predicate_join",
-    "higher_order_arrays",
-    "date_gapfill",
-    # --- new in r4: real-decoder + curation gate rows (never checked) ---
-    "multimodal_decode",
-    "multimodal_audio",
-    "pii_scrub",
-    "text_repetition",
-    "line_corpus_dedup",
-    "vocab_build",
-    "embedding_quantize",
-    "semantic_dedup",
-    "sample_chunk_windows",
-    "kmeans_clusters",
-    "duplicate_spans",
-    "zorder_spatial",
-    "zorder_bbox_search",
-    "stream_quality_by_lang",
-    "tfidf_top_terms",
-    "bucketed_join_agg",
-    "cms_heavy_hitters",
-    "osm_relation_members",
-    # --- r4-changed code: sampling.py (binary-search range buckets),
-    #     multimodal.py (decoder module) ---
-    "ntile_quartiles_scalable",
-    "sample_pack_sequences",
-    # --- r3-checked set most affected by shared-scan-path edits
-    #     (pbf/blob.py lzma guard): representative osm + relational ---
+    "osm_latest_versions",
     "osm_loc_on_ways",
+    "osm_filter_with_deps",
+    "osm_tag_histogram",
+    # --- longest-stale (last green r3, unchanged modules) ---
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "outer_join_agg",
+    "topk_per_group",
+    "running_total",
+    "lag_lead_gap",
+    "approx_sketches",
+    "multi_supplier_late_orders",
+    "rich_inactive_customers",
+    "nation_trade_volume",
+    "parts_supplier_diversity",
+    "ntile_quartiles",
+    "stream_dedup_user_types",
+    "stream_sessionize_stateful",
+    "stream_click_attribution",
+    "stream_enriched_counts",
+    "stream_windowed_counts",
+    "text_stats",
+    "text_quality",
+    "text_lang_id",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Persist-lifetime management for operators that cache intermediates.
+
+Several operators (LSH signatures, CMS term counts, IVF cell
+assignments, k-means feature vectors) persist an intermediate DataFrame
+because two or more branches of the returned plan reuse it. The
+functions return LAZY plans, so there is no safe unpersist point inside
+them — but leaving blocks cached forever is a session-level leak
+(previously papered over by a "callers clearCache() between sketches"
+convention).
+
+Two explicit lifecycles replace that convention:
+
+- **Caller-managed**: pass a ``PersistSet`` into the operator and call
+  ``release()`` (or use it as a context manager) once the returned plan
+  has been acted on. Deterministic, for callers that chain many
+  operators in one session.
+- **Automatic (default)**: when the caller passes nothing, the operator
+  ties release to the *result* DataFrame's lifetime via
+  ``weakref.finalize`` — CPython's refcounting unpersists the
+  intermediates as soon as the caller drops the result (typically right
+  after ``.collect()``/``.count()``), so no blocks outlive the query.
+"""
+
+from __future__ import annotations
+
+import weakref
+
+from pyspark.sql import DataFrame
+
+
+class PersistSet:
+    """Tracks DataFrames persisted on a caller's behalf.
+
+    Usage::
+
+        with PersistSet() as ps:
+            pairs = lsh_ann_pairs(df, dim=16, cache=ps)
+            pairs.count()
+        # signature table unpersisted here
+    """
+
+    def __init__(self) -> None:
+        self._dfs: list[DataFrame] = []
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        self._dfs.append(df.persist())
+        return df
+
+    def release(self) -> None:
+        dfs, self._dfs = self._dfs, []
+        for df in dfs:
+            try:
+                df.unpersist()
+            except Exception:
+                # session already stopped (interpreter shutdown) — blocks
+                # are gone with the executors anyway
+                pass
+
+    def __enter__(self) -> "PersistSet":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
+
+
+def owned_set(cache: PersistSet | None) -> tuple[PersistSet, bool]:
+    """Resolve an operator's ``cache`` parameter: the caller's set (they
+    release) or a fresh operator-owned one (released automatically when
+    the result is garbage-collected — see ``tie_release``)."""
+    return (PersistSet(), True) if cache is None else (cache, False)
+
+
+def tie_release(result: DataFrame, ps: PersistSet, owned: bool) -> DataFrame:
+    """For an operator-owned ``PersistSet``, unpersist its blocks when
+    ``result`` is garbage-collected. The finalizer holds only ``ps``
+    (never ``result``), so it fires as soon as the caller drops the
+    returned DataFrame."""
+    if owned:
+        weakref.finalize(result, ps.release)
+    return result

@@ -245,24 +245,32 @@ def _verified_jaccard(pairs: DataFrame, grams: DataFrame, key: str,
 def minhash_lsh_dedup(
     df: DataFrame, text_col: str = "text", key: str = "doc_id",
     threshold: float = 0.8, n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
-    k: int = SHINGLE_K,
+    k: int = SHINGLE_K, cache=None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates from banded buckets,
     verified with exact jaccard. At 100 TB the verify join touches only
     candidate pairs (LSH bounds them), never the quadratic pair space."""
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
     # the signature table feeds both candidate generation and the verify
     # join — materialize it once (at warehouse scale this is the persisted
     # signature table every incremental dedup run reuses)
-    sigs = minhash_signatures(_spread_compute(df), text_col, n_hashes, k).select(
-        key, "grams", "minhash"
-    ).persist()
+    sigs = ps.persist(
+        minhash_signatures(_spread_compute(df), text_col, n_hashes, k).select(
+            key, "grams", "minhash"
+        )
+    )
     # materialize the cache BEFORE the self-join fans out: otherwise both
     # join branches race the unpopulated cache and each recomputes the
     # full md5+fold signature chain (visible as "Block already exists"
     # warnings and ~2x signature cost)
     sigs.count()
     pairs = lsh_candidate_pairs(sigs, key, bands, n_hashes)
-    return _verified_jaccard(pairs, sigs.select(key, "grams"), key, threshold)
+    return tie_release(
+        _verified_jaccard(pairs, sigs.select(key, "grams"), key, threshold),
+        ps, owned,
+    )
 
 
 def ngram_jaccard_dedup(
@@ -399,7 +407,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def simhash_dedup(
     df: DataFrame, text_col: str = "text", key: str = "doc_id",
-    max_hamming: int = 3, k: int = SHINGLE_K,
+    max_hamming: int = 3, k: int = SHINGLE_K, cache=None,
 ) -> DataFrame:
     """SimHash near-dup: banded candidate join (4 × 8-bit bands — by
     pigeonhole, any pair within hamming ≤ 3 shares at least one band, so
@@ -407,9 +415,14 @@ def simhash_dedup(
     hamming filter) + bit_count verification. Scales like LSH: the only
     shuffle is on (band_idx, band_bits)."""
     assert max_hamming < SIMHASH_BANDS, "pigeonhole guarantee needs bands > hamming"
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
     # persist: both sides of the banded self-join would otherwise re-run
     # the full gram-hash + majority-fold chain
-    sigs = simhash_signatures(_spread_compute(df), text_col, k).select(key, "simhash").persist()
+    sigs = ps.persist(
+        simhash_signatures(_spread_compute(df), text_col, k).select(key, "simhash")
+    )
     sigs.count()  # populate the cache before the self-join branches race it
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     band_expr = (
@@ -435,12 +448,13 @@ def simhash_dedup(
         )
         .distinct()
     )
-    return (
+    return tie_release(
         pairs.withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", "hamming"),
+        ps, owned,
     )
 
 

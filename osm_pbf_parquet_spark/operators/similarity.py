@@ -261,15 +261,21 @@ def lsh_ann_pairs(
     df: DataFrame, dim: int, threshold: float = 0.45,
     vec_col: str = "embedding", key: str = "vec_id",
     n_tables: int = N_TABLES, planes_per_table: int = PLANES_PER_TABLE,
+    cache=None,
 ) -> DataFrame:
     """Approximate near-dup pairs: score only candidates sharing a bucket
     in ≥1 table. The (table, bucket) equi-join is the single shuffle;
     scored pairs ≈ L · n²/2^m — sub-quadratic once m tracks log2(n).
     Candidates are exact-verified, so no false positives; recall is
     measured against the brute-force baseline in pytest."""
-    b = lsh_buckets(df, dim, vec_col, n_tables, planes_per_table).select(
-        key, "table_idx", "bucket", vec_col
-    ).persist()  # both join sides reuse the bucketed table
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    b = ps.persist(  # both join sides reuse the bucketed table
+        lsh_buckets(df, dim, vec_col, n_tables, planes_per_table).select(
+            key, "table_idx", "bucket", vec_col
+        )
+    )
     a_side = b.select(
         F.col(key).alias("id_a"), "table_idx", "bucket",
         F.expr(TO_DOUBLE.format(v=vec_col)).alias("va"),
@@ -280,7 +286,7 @@ def lsh_ann_pairs(
         F.col("bucket").alias("bucket_b"),
         F.expr(TO_DOUBLE.format(v=vec_col)).alias("vb"),
     )
-    return (
+    return tie_release(
         a_side.join(
             b_side,
             (F.col("table_idx") == F.col("table_b"))
@@ -290,7 +296,8 @@ def lsh_ann_pairs(
         .withColumn("cosine", F.round(F.expr(cosine_expr("va", "vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()  # pairs colliding in several tables appear once
+        .distinct(),  # pairs colliding in several tables appear once
+        ps, owned,
     )
 
 
@@ -343,7 +350,7 @@ def quantize_embeddings(
 def semantic_dedup(
     df: DataFrame, threshold: float = 0.45,
     vec_col: str = "embedding", key: str = "vec_id",
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int = N_CENTROIDS, cache=None,
 ) -> DataFrame:
     """SemDedup-style cluster-then-dedup: assign every vector to its
     nearest coarse-quantizer cell (``ivf_assign``), find near-duplicate
@@ -358,9 +365,14 @@ def semantic_dedup(
     n² of ``embedding_near_dup_pairs``. Cross-cell near-dups are missed
     by construction — the recall/cost trade documented by SemDedup.
     Returns survivors as (key, cell)."""
-    assigned = ivf_assign(_spread(df), vec_col, key, n_centroids).select(
-        F.col(key), "cell", F.col("_vd").alias("v")
-    ).withColumn("norm", F.expr(NORM.format(v="v"))).persist()
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    assigned = ps.persist(
+        ivf_assign(_spread(df), vec_col, key, n_centroids).select(
+            F.col(key), "cell", F.col("_vd").alias("v")
+        ).withColumn("norm", F.expr(NORM.format(v="v")))
+    )
     a = assigned.select(
         F.col(key).alias("id_a"), "cell",
         F.col("v").alias("va"), F.col("norm").alias("norm_a"),
@@ -383,12 +395,15 @@ def semantic_dedup(
         .select(F.col("id_b").alias(key))
         .distinct()
     )
-    return assigned.join(removed, key, "left_anti").select(key, "cell")
+    return tie_release(
+        assigned.join(removed, key, "left_anti").select(key, "cell"),
+        ps, owned,
+    )
 
 
 def kmeans_assign(
     df: DataFrame, k: int = 8, iters: int = 3,
-    vec_col: str = "embedding", key: str = "vec_id",
+    vec_col: str = "embedding", key: str = "vec_id", cache=None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column: deterministic
     init (the ``k`` lowest-key vectors, cluster ids 0..k-1 by key order),
@@ -409,11 +424,13 @@ def kmeans_assign(
     — see the gate query) when bit-exact reproducibility across engines/
     runs is required; means of exact integer sums are then fully
     deterministic. Empty clusters keep their previous centroid."""
+    from ..functions.caching import owned_set, tie_release
+
     spark = df.sparkSession
-    base = (
+    ps, owned = owned_set(cache)
+    base = ps.persist(
         _spread(df)
         .select(F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("v"))
-        .persist()
     )
     init = base.orderBy(key).limit(k).collect()
     cents: list[tuple[int, list[float]]] = [
@@ -456,4 +473,4 @@ def kmeans_assign(
         F.col("cluster"),
         F.round(F.expr("array_min(_darr)"), 6).alias("sq_dist"),
     )
-    return out
+    return tie_release(out, ps, owned)

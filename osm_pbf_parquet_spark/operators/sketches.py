@@ -36,6 +36,7 @@ def _bucket_expr(term_col: str, j: str | int, width: int) -> str:
 def cms_heavy_hitters(
     df: DataFrame, text_col: str = "text", k: int = 10,
     depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+    cache=None,
 ) -> DataFrame:
     """Build a count-min sketch over the corpus tokens, then audit it
     against the exact top-``k``: one row per frequent token with its true
@@ -51,15 +52,15 @@ def cms_heavy_hitters(
     The estimate join touches only k×depth rows."""
     from .text import with_tokens
 
+    from ..functions.caching import owned_set, tie_release
+
     toks = with_tokens(df, text_col).select(
         F.explode("tokens").alias("term")
     )
-    # vocabulary-sized; feeds both the top-k cut and the sketch build.
-    # Deliberately left persisted (same discipline as lsh_ann_pairs): the
-    # function returns a lazy plan, so there is no safe unpersist point
-    # inside it — callers running many sketches in one session should
-    # clearCache() between them (bench does).
-    exact = toks.groupBy("term").agg(F.count("*").alias("true_n")).persist()
+    ps, owned = owned_set(cache)
+    # vocabulary-sized; feeds both the top-k cut and the sketch build;
+    # unpersisted via `cache` or when the result is dropped
+    exact = ps.persist(toks.groupBy("term").agg(F.count("*").alias("true_n")))
     top = exact.orderBy(F.desc("true_n"), "term").limit(k)
 
     rows = exact.select(
@@ -77,9 +78,12 @@ def cms_heavy_hitters(
         .groupBy("term", "true_n")
         .agg(F.min("c").alias("est_n"))
     )
-    return est.select(
-        "term",
-        F.col("true_n").cast("long"),
-        F.col("est_n").cast("long"),
-        (F.col("est_n") >= F.col("true_n")).alias("never_undercounts"),
+    return tie_release(
+        est.select(
+            "term",
+            F.col("true_n").cast("long"),
+            F.col("est_n").cast("long"),
+            (F.col("est_n") >= F.col("true_n")).alias("never_undercounts"),
+        ),
+        ps, owned,
     )
