@@ -164,15 +164,30 @@ def uvarints_from_raw(raw: np.ndarray) -> np.ndarray:
     is_term = raw < 0x80
     if not is_term[-1]:
         raise ProtoDecodeError("truncated packed varint run")
+    if is_term.all():
+        # every byte is its own varint — the dominant dense-node case
+        # (unit id deltas, tag indexes); one cast, no grouping passes
+        return raw.astype(np.uint64)
     ends = np.flatnonzero(is_term)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    # byte position within its own varint
-    gid = np.cumsum(is_term) - is_term  # group index per byte
-    offsets = np.arange(raw.size, dtype=np.int64) - starts[gid]
-    if offsets.max(initial=0) > 9:
+    lens = ends - starts + 1
+    if int(lens.max()) > 10:
         raise ProtoDecodeError("varint too long")
+    if int(lens.max()) <= 2:
+        # all 1-2 byte varints (small zigzag deltas): direct gather of the
+        # (optional) low byte + terminator byte — no per-byte group index
+        v = raw[ends].astype(np.uint64) << (
+            _U64_7 * (lens - 1).astype(np.uint64)
+        )
+        two = lens == 2
+        base = np.zeros(ends.size, dtype=np.uint64)
+        base[two] = raw[starts[two]].astype(np.uint64) & np.uint64(0x7F)
+        return v | base
+    # general path: byte position within its own varint via group index
+    gid = np.cumsum(is_term) - is_term
+    offsets = np.arange(raw.size, dtype=np.int64) - starts[gid]
     contrib = (raw & 0x7F).astype(np.uint64) << (offsets.astype(np.uint64) * _U64_7)
     return np.add.reduceat(contrib, starts)
 
