@@ -41,6 +41,12 @@ def _registry() -> dict[str, tuple]:
         reg.update(SAMPLING_QUERIES)
     except ImportError:
         pass
+    try:
+        from osm_pbf_parquet_spark.plans.advanced_queries import ADVANCED_QUERIES
+
+        reg.update(ADVANCED_QUERIES)
+    except ImportError:
+        pass
     return _verification_order(reg)
 
 
@@ -83,6 +89,13 @@ def _registry() -> dict[str, tuple]:
 # udaf_median_chars, sample_stratified_cap, sample_weighted_mixture,
 # sample_uniform_n, stream_quality... (stream_quality_by_lang is IN head).
 _CHECK_FIRST = [
+    # --- r5-NEW queries (advanced_queries.py): never driver-checked ---
+    "skyline_pareto",
+    "scd2_intervals",
+    "hll_distinct",
+    "negative_sampling",
+    "embedding_outliers",
+    "unigram_logprob",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

@@ -1,0 +1,115 @@
+"""Order-sensitive analytics: Pareto skyline and SCD-2 interval builds.
+
+Both are classic warehouse operators the reference's users run on its
+parquet output via external engines (reference ``README.md:44-77``
+delegates querying to DuckDB/Athena); here they're native Spark window
+plans.
+
+Scale posture: each operator is ONE window over ONE keyed (or global)
+sort — the same O(n log n) sort-based strategy a dedicated engine would
+pick. No self-joins, no cross products: the naive skyline is an
+all-pairs dominance test (O(n²)); the running-minimum formulation below
+is the textbook sort-based skyline (Börzsönyi et al., "The Skyline
+Operator", ICDE 2001) and shuffles each row at most once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skyline_min_min(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Distinct Pareto-frontier points minimizing ``(x, y)`` jointly.
+
+    A point is dominated iff another point is <= in both coordinates and
+    strictly < in at least one. After collapsing exact duplicates, order
+    by (x asc, y asc); a point survives iff its y is strictly below the
+    running minimum y of ALL preceding points in that order:
+
+    - a preceding point has smaller x, or equal x with smaller y —
+      either way it dominates iff its y <= ours;
+    - conversely any dominator sorts before us, so the running min
+      catches every one.
+
+    The running minimum is computed DISTRIBUTED, not as one global
+    window (``Window.orderBy`` with no partition key moves every row to
+    a single task): deterministic range buckets on x (quantile
+    boundaries as plan literals — ``sampling.range_bucket_column``, the
+    same two-phase scheme as ``pack_sequences``), a per-bucket window
+    for the local running min, and a bucket-count-sized prefix-min of
+    per-bucket minima broadcast back as the carry-in. The only wide ops
+    on data are the distinct and the bucket shuffle.
+    """
+    from .sampling import range_bucket_column
+
+    spark = df.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 8)
+    pts = df.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).dropDuplicates(["x", "y"])
+    ranged = pts.withColumn("_b", range_bucket_column(pts, "x", nparts))
+    bmins = ranged.groupBy("_b").agg(F.min("y").alias("_bymin"))
+    # bucket-count-sized frame (one row per bucket), never over data
+    prec = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    carry = bmins.select(
+        "_b", F.min("_bymin").over(prec).alias("_premin")
+    )
+    local = (
+        Window.partitionBy("_b")
+        .orderBy("x", "y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        ranged.join(F.broadcast(carry), "_b")
+        .withColumn("_locmin", F.min("y").over(local))
+        # least() skips NULLs (first row of a bucket / first bucket)
+        .withColumn("_gmin", F.least("_locmin", "_premin"))
+    )
+    return (
+        out.where(F.col("_gmin").isNull() | (F.col("y") < F.col("_gmin")))
+        .select(F.col("x").alias(x_col), F.col("y").alias(y_col))
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: compress a change log to
+    validity intervals per key.
+
+    Rows where ``attr`` differs from the key's previous value open a new
+    interval ``[valid_from, valid_to)``; ``valid_to`` is the next
+    change's timestamp (NULL for the current interval). ``tiebreak_col``
+    makes the event order total when timestamps collide, so the output
+    is deterministic and oracle-comparable.
+
+    Plan: one keyed window (lag to find change points), then a second
+    window over the surviving change rows (lead for the interval close).
+    Both windows share the (key) partitioning — one shuffle total.
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changes = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .where(
+            F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        changes.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .select(
+            F.col(key_col),
+            F.col(attr_col),
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.row_number().over(w2).alias("version_no"),
+        )
+    )

@@ -474,3 +474,149 @@ def kmeans_assign(
         F.round(F.expr("array_min(_darr)"), 6).alias("sq_dist"),
     )
     return tie_release(out, ps, owned)
+
+
+# --- contrastive-training negative sampling ----------------------------------
+
+
+def negative_sampling(
+    df: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    query_limit: int | None = None,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    for each anchor vector, draw ``k`` pseudo-random partners by hashing
+    (anchor, draw-index) into the id space, fetch their embeddings, and
+    score each pair's cosine.
+
+    The draw is pure hash arithmetic (engine-wide md5 idiom), so it is
+    reproducible across runs AND replayable in the SQL oracle — no RNG
+    state, no sampling shuffle. Plan: ids-only min/max agg (broadcast as
+    a literal-free 1-row frame), explode k draws per anchor, one keyed
+    equi-join back to the corpus for the partner vectors. At scale the
+    join is the standard fact-fact hash join on the id key; nothing is
+    ever collected to the driver. Draws that hit the anchor itself are
+    dropped (standard practice, and hash-replayable).
+    """
+    from .sampling import hash_mod_expr
+
+    base = df.select(key, vec_col)
+    if query_limit is not None:
+        base_q = base.where(F.col(key) < query_limit)
+    else:
+        base_q = base
+    # contiguous-id assumption avoided: draw into [min_id, max_id] via
+    # modulo of the observed span, then keep only draws that actually
+    # resolve (inner join) — works for sparse id spaces too
+    span = df.agg(
+        F.min(key).alias("_lo"), F.max(key).alias("_hi")
+    )
+    draws = (
+        base_q.crossJoin(F.broadcast(span))
+        .select(
+            F.col(key).alias("anchor_id"),
+            F.col(vec_col).alias("_av"),
+            F.explode(F.expr(f"sequence(0, {k - 1})")).alias("draw"),
+            "_lo", "_hi",
+        )
+        .withColumn(
+            "neg_id",
+            F.expr(
+                "_lo + "
+                + hash_mod_expr(
+                    "concat(cast(anchor_id AS string), ':neg:', "
+                    "cast(draw AS string))",
+                    # span evaluated per-row from the broadcast 1-row frame
+                    "(_hi - _lo + 1)",
+                )
+            ),
+        )
+        .where(F.col("neg_id") != F.col("anchor_id"))
+    )
+    negs = df.select(
+        F.col(key).alias("neg_id"), F.col(vec_col).alias("_nv")
+    )
+    paired = draws.join(negs, "neg_id")
+    a = TO_DOUBLE.format(v="_av")
+    b = TO_DOUBLE.format(v="_nv")
+    return paired.select(
+        "anchor_id",
+        "draw",
+        "neg_id",
+        F.expr(f"round({cosine_expr(a, b)}, 6)").alias("cosine"),
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    top_n: int = 3,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-cluster outlier audit: distance of each vector to its label's
+    centroid, keeping the ``top_n`` farthest per label — the screening
+    step that drops mislabeled / out-of-distribution rows before
+    training.
+
+    Centroids are computed in EXACT integer space: each coordinate is
+    scaled by 10^6 and rounded to a BIGINT before the per-(label, dim)
+    sum, so the aggregation is order-independent (double summation order
+    differs between Spark partial aggs and any oracle) and the result is
+    bit-reproducible. The final distance math runs in doubles but starts
+    from identical integers on both sides.
+
+    Plan: posexplode → ONE keyed (label, dim) sum — map-side combinable,
+    centroid table is (labels × dim) rows, broadcast back. Top-n per
+    label is a bounded per-label window. No driver collect.
+    """
+    scaled = df.select(
+        key, label_col,
+        F.expr(
+            f"transform({TO_DOUBLE.format(v=vec_col)}, "
+            f"x -> cast(round(x * {scale}, 0) AS BIGINT))"
+        ).alias("_vi"),
+    )
+    dims = scaled.select(
+        key, label_col, F.posexplode("_vi").alias("dim", "val")
+    )
+    cents = (
+        dims.groupBy(label_col, "dim")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        # exact integer sum / count -> the centroid coordinate, still
+        # scaled; identical on both engines
+        .select(
+            label_col, "dim",
+            (F.col("s").cast("double") / F.col("n")).alias("c"),
+        )
+        .groupBy(label_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, c))), "
+                "p -> p.c)"
+            ).alias("_cv")
+        )
+    )
+    joined = scaled.join(F.broadcast(cents), label_col)
+    dist = (
+        "sqrt(aggregate(zip_with(_vi, _cv, (x, c) -> "
+        "(cast(x AS DOUBLE) - c) * (cast(x AS DOUBLE) - c)), "
+        f"cast(0.0 AS DOUBLE), (acc, v) -> acc + v)) / {scale}.0"
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.desc("dist_raw"), F.col(key)
+    )
+    return (
+        joined.withColumn("dist_raw", F.expr(dist))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_n)
+        .select(
+            F.col(label_col),
+            F.col(key),
+            F.col("rk"),
+            F.expr("round(dist_raw, 6)").alias("dist"),
+        )
+    )

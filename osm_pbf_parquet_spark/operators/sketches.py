@@ -87,3 +87,90 @@ def cms_heavy_hitters(
         ),
         ps, owned,
     )
+
+
+# --- HyperLogLog distinct counting -------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_HASH_BITS = 60  # md5-derived hash width (sampling.hash_mod_expr idiom)
+# Flajolet et al. 2007 bias constant for m >= 128, computed HERE in Python
+# and injected as the same double literal into the Spark plan and the SQL
+# oracle — decimal-literal arithmetic inside an engine (DuckDB treats
+# `0.7213/(1+1.079/256)` as DECIMAL) rounds differently than double math.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, p: int = HLL_P
+) -> DataFrame:
+    """HyperLogLog distinct-count: one row with the HLL estimate, the
+    exact count, and the sketch's integer checksum.
+
+    At 100 TB an exact COUNT(DISTINCT key) shuffles every distinct key;
+    the HLL register build is ONE map-side-combinable aggregation into
+    2^p integer registers (here 256) — constant memory, associative
+    merge, the same plan shape Spark's own approx_count_distinct lowers
+    to. This implementation is deterministic md5-derived arithmetic so
+    the DuckDB oracle REPLAYS the sketch bit-for-bit (register checksum
+    compared as an exact BIGINT, not a tolerance):
+
+    - h   = 60-bit md5 hash of the key (engine-wide idiom)
+    - bucket = h mod 2^p; w = h div 2^p  (a (60-p)-bit substream)
+    - rank   = (60-p) - bit_length(w) + 1, i.e. leading zeros + 1;
+      w = 0 → rank (60-p)+1
+    - register[bucket] = max rank over the bucket's keys; untouched
+      buckets hold 0
+    - indicator sum  Z⁻¹ = Σ 2^(-register) is kept SCALED BY 2^53 so it
+      is an exact integer — double addition order across 256 buckets
+      would otherwise vary between engines
+    - raw estimate   = alpha · m² / Z⁻¹, with the standard small-range
+      linear-counting correction (V = empty registers).
+    """
+    from .sampling import hash_mod_expr
+
+    m = 1 << p
+    sub_bits = HLL_HASH_BITS - p  # substream width
+    max_rank = sub_bits + 1
+    h = hash_mod_expr(f"cast({key_col} AS string)", 1 << HLL_HASH_BITS)
+    spark = df.sparkSession
+    hashed = df.select(
+        F.expr(f"({h}) % {m}").alias("bucket"),
+        F.expr(f"({h}) div {m}").alias("w"),
+    ).withColumn(
+        "rank",
+        F.expr(
+            f"CASE WHEN w = 0 THEN {max_rank} "
+            f"ELSE {sub_bits} - length(bin(w)) + 1 END"
+        ),
+    )
+    # the ONLY wide op: 256-ary max aggregation (map-side combinable)
+    regs = hashed.groupBy("bucket").agg(F.max("rank").alias("r"))
+    # fill untouched buckets with rank 0 via a register-spine broadcast
+    spine = spark.range(m).select(F.col("id").alias("bucket"))
+    full = spine.join(F.broadcast(regs), "bucket", "left").select(
+        "bucket", F.coalesce("r", F.lit(0)).alias("r")
+    )
+    # scaled indicator: 2^(53-r) is an exact BIGINT for r in [0, 53];
+    # max_rank = 53 exactly at p=8, so the scale covers the full range
+    agg = full.agg(
+        F.sum(F.expr("cast(pow(2.0, 53 - r) AS BIGINT)")).alias("z_scaled"),
+        F.sum(F.expr("CASE WHEN r = 0 THEN 1 ELSE 0 END")).alias("v_empty"),
+    )
+    exact = df.agg(
+        F.countDistinct(key_col).cast("long").alias("exact_distinct")
+    )
+    est_raw = f"{HLL_ALPHA!r} * {m} * {m} * cast({1 << 53} AS DOUBLE) / z_scaled"
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("z_scaled").cast("long"),
+            F.col("v_empty").cast("long"),
+            "exact_distinct",
+            F.expr(
+                # linear-counting small-range correction (HLL standard)
+                f"round(CASE WHEN ({est_raw}) <= 2.5 * {m} AND v_empty > 0 "
+                f"THEN {m} * ln(cast({m} AS DOUBLE) / v_empty) "
+                f"ELSE ({est_raw}) END, 6)"
+            ).alias("hll_estimate"),
+        )
+    )

@@ -365,3 +365,64 @@ def tfidf_top_terms(
         .select(key, "term", F.col("tf").cast("long").alias("tf"),
                 F.col("df").cast("long").alias("df"), "score", "rk")
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with a corpus-trained
+    unigram LM: score(doc) = -(1/n) Σ ln p(token), add-one smoothed.
+    High scores flag boilerplate-free but improbable (noisy) text; low
+    scores flag repetitive/templated text — the standard perplexity
+    filter in pretraining pipelines, here with the LM trained on the
+    corpus itself in the same plan.
+
+    Determinism: the per-doc sum Σ c_w · ln p(w) runs as a SEQUENTIAL
+    fold over the doc's (token, count) pairs in sorted-token order
+    (collect_list → array_sort → aggregate), never as a float SUM
+    aggregate whose partial-merge order differs run to run. Counts and
+    totals are exact BIGINTs; only the final fold is floating.
+
+    Scale: vocabulary build is one map-side-combinable token count (the
+    same shuffle class as word-count); the vocab joins back BROADCAST
+    (a natural-language vocab is millions of rows at worst). Per-doc
+    state is bounded by the doc's distinct tokens.
+    """
+    toks = with_tokens(df, text_col).select(
+        key, F.explode("tokens").alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c_corpus"))
+    totals = vocab.agg(
+        F.sum("c_corpus").alias("n_total"),
+        F.count("*").alias("v_size"),
+    )
+    per_doc = toks.groupBy(key, "token").agg(F.count("*").alias("c_doc"))
+    joined = (
+        per_doc.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(totals))
+    )
+    # p(w) = (c_corpus + 1) / (n_total + v_size); fold in token order
+    return (
+        joined.groupBy(key)
+        .agg(
+            F.sum("c_doc").cast("long").alias("n_tokens"),
+            F.expr(
+                "aggregate("
+                "  array_sort(collect_list(struct(token, c_doc, c_corpus,"
+                "                                 n_total, v_size))),"
+                "  cast(0.0 AS DOUBLE),"
+                "  (acc, t) -> acc - t.c_doc * ln("
+                "      (cast(t.c_corpus AS DOUBLE) + 1.0)"
+                "      / (cast(t.n_total AS DOUBLE) + t.v_size))"
+                ") "
+            ).alias("_nll"),
+        )
+        .select(
+            key,
+            "n_tokens",
+            F.expr(
+                "round(CASE WHEN n_tokens = 0 THEN 0.0 "
+                "ELSE _nll / n_tokens END, 6)"
+            ).alias("avg_neg_logprob"),
+        )
+    )

@@ -1,0 +1,321 @@
+"""Round-5 advanced analytics + ML-pipeline queries with DuckDB oracles.
+
+Six operator families the 100 TB training-data story still lacked:
+Pareto skyline (sort-based, distributed carry), SCD-2 interval build,
+HyperLogLog distinct (oracle REPLAYS the sketch), deterministic negative
+sampling, per-cluster embedding outliers (exact-integer centroids), and
+unigram-LM perplexity scoring (CCNet-style quality filter).
+
+Every float constant is computed once in Python and injected as the same
+double literal into BOTH the Spark plan and the SQL oracle — engine-side
+decimal-literal arithmetic (DuckDB parses ``1.079/256`` as DECIMAL
+division) diverges from double math at the 1e-9 digit, which a
+value-hash gate notices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import ordered, similarity, text
+from ..operators.sketches import (
+    HLL_ALPHA,
+    HLL_HASH_BITS,
+    HLL_P,
+    hll_distinct,
+)
+from .pipeline_queries import t as _pt
+from .relational import t as _t
+
+# md5-derived 60-bit hash, DuckDB form (same idiom as sampling oracles)
+_H60 = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+# sequential left-fold dot/norm, the pipeline_queries oracle idiom —
+# identical FP order to Spark's aggregate(zip_with(...)) fold
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (acc, x) -> acc + x)"
+)
+_NORM = "sqrt(list_reduce(list_transform({v}, x -> x * x), (acc, x) -> acc + x))"
+
+
+# --- Pareto skyline -----------------------------------------------------------
+
+
+def q_skyline_pareto(spark, sf_dir):
+    """Distinct Pareto frontier of orders minimizing (price, date):
+    cheapest-and-earliest trade-off curve. Distributed sort-based
+    skyline — see operators/ordered.py for the carry-in scheme."""
+    return ordered.skyline_min_min(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderdate"
+    )
+
+
+ORACLE_SKYLINE = """
+WITH pts AS (
+  SELECT DISTINCT o_totalprice AS x, o_orderdate AS y FROM orders
+),
+m AS (
+  SELECT x, y,
+         min(y) OVER (ORDER BY x, y
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS gmin
+  FROM pts
+)
+SELECT x AS o_totalprice, y AS o_orderdate
+FROM m WHERE gmin IS NULL OR y < gmin
+"""
+
+
+# --- SCD-2 intervals ----------------------------------------------------------
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """Type-2 change history of each user's event_type: change-point
+    compression of the event log into validity intervals. Timestamps
+    compare as exact epoch-µs integers (loader's ts_us) so interval
+    bounds are integer-exact across engines."""
+    e = _t(spark, sf_dir, "events")
+    out = ordered.scd2_intervals(
+        e, key_col="user_id", attr_col="event_type",
+        ts_col="ts_us", tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id", "event_type",
+        F.col("valid_from").cast("long"),
+        F.col("valid_to").cast("long"),
+        F.col("version_no").cast("int"),
+    )
+
+
+ORACLE_SCD2 = """
+WITH ordered_ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+changes AS (
+  SELECT user_id, event_type, ts_us
+  FROM ordered_ev
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type,
+       CAST(ts_us AS BIGINT) AS valid_from,
+       CAST(lead(ts_us) OVER w2 AS BIGINT) AS valid_to,
+       CAST(row_number() OVER w2 AS INT) AS version_no
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us)
+"""
+
+
+# --- HyperLogLog distinct -----------------------------------------------------
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HLL distinct users over events; the oracle REPLAYS the register
+    build (z_scaled is an exact integer checksum of all 256 registers,
+    not a tolerance check)."""
+    return hll_distinct(_t(spark, sf_dir, "events"), "user_id")
+
+
+_HLL_M = 1 << HLL_P
+_HLL_SUB = HLL_HASH_BITS - HLL_P
+_HLL_EST = (
+    # CAST the alpha literal: DuckDB parses a bare float literal as
+    # DECIMAL and overflows the register-count multiplication
+    f"CAST({HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}"
+    f" * CAST({1 << 53} AS DOUBLE) / z_scaled"
+)
+ORACLE_HLL = f"""
+WITH h AS (
+  SELECT {_H60.format(x="CAST(user_id AS VARCHAR)")} AS hv FROM events
+),
+b AS (
+  SELECT hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h
+),
+rk AS (
+  SELECT bucket,
+         CASE WHEN w = 0 THEN {_HLL_SUB + 1}
+              ELSE {_HLL_SUB} - length(bin(w)) + 1 END AS rank
+  FROM b
+),
+regs AS (SELECT bucket, max(rank) AS r FROM rk GROUP BY bucket),
+spine AS (SELECT unnest(range(0, {_HLL_M})) AS bucket),
+filled AS (
+  SELECT s.bucket, coalesce(regs.r, 0) AS r
+  FROM spine s LEFT JOIN regs ON s.bucket = regs.bucket
+),
+agg AS (
+  SELECT CAST(sum(CAST(pow(2.0, 53 - r) AS BIGINT)) AS BIGINT) AS z_scaled,
+         CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+  FROM filled
+),
+ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       FROM events)
+SELECT z_scaled, v_empty, exact_distinct,
+       round(CASE WHEN ({_HLL_EST}) <= 2.5 * {_HLL_M} AND v_empty > 0
+             THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / v_empty)
+             ELSE ({_HLL_EST}) END, 6) AS hll_estimate
+FROM agg, ex
+"""
+
+
+# --- negative sampling --------------------------------------------------------
+
+_NEG_K = 4
+_NEG_LIMIT = 200
+
+
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic contrastive negatives: k hash-drawn partners per
+    anchor (vec_id < 200), cosine-scored. Pure hash arithmetic — no RNG
+    state, replayable in SQL."""
+    out = similarity.negative_sampling(
+        _pt(spark, sf_dir, "embeddings"),
+        k=_NEG_K, query_limit=_NEG_LIMIT,
+    )
+    return out.select(
+        "anchor_id", F.col("draw").cast("long"), "neg_id", "cosine"
+    )
+
+
+_NEG_HASH = _H60.format(
+    x="CAST(e.vec_id AS VARCHAR) || ':neg:' || CAST(d.draw AS VARCHAR)"
+)
+ORACLE_NEGATIVE_SAMPLING = f"""
+WITH span AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM embeddings),
+vd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+draws AS (
+  SELECT e.vec_id AS anchor_id, d.draw,
+         s.lo + {_NEG_HASH} % (s.hi - s.lo + 1) AS neg_id
+  FROM embeddings e, span s,
+       (SELECT unnest(range(0, {_NEG_K})) AS draw) d
+  WHERE e.vec_id < {_NEG_LIMIT}
+)
+SELECT dr.anchor_id, CAST(dr.draw AS BIGINT) AS draw, dr.neg_id,
+       round({_DOT.format(a="a.v", b="n.v")}
+             / ({_NORM.format(v="a.v")} * {_NORM.format(v="n.v")}), 6)
+         AS cosine
+FROM draws dr
+JOIN vd a ON a.vec_id = dr.anchor_id
+JOIN vd n ON n.vec_id = dr.neg_id
+WHERE dr.neg_id <> dr.anchor_id
+"""
+
+
+# --- embedding outliers -------------------------------------------------------
+
+_OUT_SCALE = 1_000_000
+_OUT_TOP = 3
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Top-3 farthest-from-centroid vectors per label. Centroids from
+    exact scaled-integer sums (order-independent); distances fold
+    sequentially from identical integers on both engines."""
+    return similarity.embedding_outliers(
+        _pt(spark, sf_dir, "embeddings"),
+        top_n=_OUT_TOP, scale=_OUT_SCALE,
+    )
+
+
+ORACLE_EMBEDDING_OUTLIERS = f"""
+WITH s AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {_OUT_SCALE}, 0) AS BIGINT))
+           AS vi
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, label,
+         unnest(range(0, len(vi))) AS dim, unnest(vi) AS val
+  FROM s
+),
+cent AS (
+  SELECT label, dim,
+         CAST(sum(val) AS DOUBLE) / count(*) AS c
+  FROM d GROUP BY label, dim
+),
+cv AS (
+  SELECT label, list(c ORDER BY dim) AS cvec FROM cent GROUP BY label
+),
+dist AS (
+  SELECT s.vec_id, s.label,
+         sqrt(list_reduce(
+             list_transform(range(1, len(s.vi) + 1),
+                 i -> (CAST(s.vi[i] AS DOUBLE) - cv.cvec[i])
+                      * (CAST(s.vi[i] AS DOUBLE) - cv.cvec[i])),
+             (acc, x) -> acc + x)) / {_OUT_SCALE}.0 AS dist_raw
+  FROM s JOIN cv ON s.label = cv.label
+),
+ranked AS (
+  SELECT label, vec_id,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist_raw DESC, vec_id) AS rk,
+         dist_raw
+  FROM dist
+)
+SELECT label, vec_id, CAST(rk AS INT) AS rk, round(dist_raw, 6) AS dist
+FROM ranked WHERE rk <= {_OUT_TOP}
+"""
+
+
+# --- unigram LM perplexity ----------------------------------------------------
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram-LM quality score per document (CCNet-style
+    perplexity filter). Sequential sorted-token fold — see
+    operators/text.py."""
+    return text.unigram_logprob_score(_pt(spark, sf_dir, "documents"))
+
+
+ORACLE_UNIGRAM = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS c_corpus FROM toks GROUP BY token),
+tot AS (
+  SELECT CAST(sum(c_corpus) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS v_size
+  FROM vocab
+),
+pd AS (
+  SELECT doc_id, token, count(*) AS c_doc
+  FROM toks GROUP BY doc_id, token
+),
+folded AS (
+  SELECT pd.doc_id,
+         CAST(sum(pd.c_doc) AS BIGINT) AS n_tokens,
+         list_reduce(
+             list_transform(
+                 list(struct_pack(token := pd.token, c_doc := pd.c_doc,
+                                  c_corpus := v.c_corpus)
+                      ORDER BY pd.token),
+                 s -> -(s.c_doc * ln((CAST(s.c_corpus AS DOUBLE) + 1.0)
+                        / (CAST(t.n_total AS DOUBLE) + t.v_size)))),
+             (acc, x) -> acc + x) AS nll
+  FROM pd JOIN vocab v ON pd.token = v.token, tot t
+  GROUP BY pd.doc_id, t.n_total, t.v_size
+)
+SELECT doc_id, n_tokens,
+       round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE nll / n_tokens END, 6)
+         AS avg_neg_logprob
+FROM folded
+"""
+
+
+ADVANCED_QUERIES: dict[str, tuple] = {
+    "skyline_pareto": (q_skyline_pareto, ORACLE_SKYLINE),
+    "scd2_intervals": (q_scd2_intervals, ORACLE_SCD2),
+    "hll_distinct": (q_hll_distinct, ORACLE_HLL),
+    "negative_sampling": (q_negative_sampling, ORACLE_NEGATIVE_SAMPLING),
+    "embedding_outliers": (q_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS),
+    "unigram_logprob": (q_unigram_logprob, ORACLE_UNIGRAM),
+}

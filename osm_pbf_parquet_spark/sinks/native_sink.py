@@ -94,16 +94,25 @@ class _KindWriter:
         # the node table 1.8x faster AND 19% smaller (7.6s/213 MB ->
         # 4.3s/172 MB at zstd-3). BYTE_STREAM_SPLIT for lat/lon was faster
         # still but Spark's vectorized parquet reader rejects it — both
-        # Spark and DuckDB read DELTA_BINARY_PACKED fine.
-        delta_cols = {"id", "changeset", "uid", "version"}
+        # Spark and DuckDB read DELTA_BINARY_PACKED fine. Round-5 re-sweep:
+        # extending delta to timestamp (INT64 physical) and the way-ref
+        # list elements (near-sorted node ids) cuts write time another 33%
+        # and output 13% at the same zstd-3 (1.48s/42.0 MB -> 0.99s/36.5 MB
+        # on the 25 MB profile input); both Spark's vectorized reader and
+        # DuckDB read the nested-element encoding (verified by aggregate
+        # parity). DELTA_BYTE_ARRAY on user/tag strings measured neutral.
+        delta_cols = {"id", "changeset", "uid", "version", "timestamp"}
+        encoding = {
+            f.name: "DELTA_BINARY_PACKED"
+            for f in schema if f.name in delta_cols
+        }
+        if "nds" in schema.names:
+            encoding["nds.list.element"] = "DELTA_BINARY_PACKED"
         self.writer = pq.ParquetWriter(
             self.path + ".inprogress", schema, compression=self.codec,
             compression_level=self.level,
             use_dictionary=False,
-            column_encoding={
-                f.name: "DELTA_BINARY_PACKED"
-                for f in schema if f.name in delta_cols
-            },
+            column_encoding=encoding,
         )
         self.rows = 0
 

@@ -1,0 +1,92 @@
+"""Round-5 advanced queries vs DuckDB oracles at sf0.01, plus semantic
+checks (skyline dominance, HLL error bound, SCD2 interval algebra) no
+oracle covers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark.operators import ordered
+from osm_pbf_parquet_spark.plans.advanced_queries import ADVANCED_QUERIES
+from osm_pbf_parquet_spark.plans.relational import t
+
+from oracle_harness import run_compare
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("name", sorted(ADVANCED_QUERIES))
+def test_advanced_oracle_parity(spark, name):
+    fn, oracle = ADVANCED_QUERIES[name]
+    run_compare(spark, SF_DIR, name, fn, oracle)
+
+
+def test_skyline_no_point_dominated(spark):
+    """Semantic check the oracle can't express: no skyline point is
+    dominated by ANY input point (all-pairs audit at test scale)."""
+    orders = t(spark, SF_DIR, "orders").limit(2000)
+    sky = ordered.skyline_min_min(
+        orders, "o_totalprice", "o_orderdate"
+    ).collect()
+    pts = orders.select("o_totalprice", "o_orderdate").collect()
+    assert sky
+    for s in sky:
+        for p in pts:
+            dominated = (
+                p["o_totalprice"] <= s["o_totalprice"]
+                and p["o_orderdate"] <= s["o_orderdate"]
+                and (
+                    p["o_totalprice"] < s["o_totalprice"]
+                    or p["o_orderdate"] < s["o_orderdate"]
+                )
+            )
+            assert not dominated, (s, p)
+
+
+def test_hll_estimate_within_theoretical_error(spark):
+    """HLL with m=256 has relative standard error 1.04/sqrt(256) = 6.5%;
+    demand the estimate lands within 4 sigma of the exact count."""
+    from osm_pbf_parquet_spark.operators.sketches import hll_distinct
+
+    row = hll_distinct(t(spark, SF_DIR, "events"), "user_id").collect()[0]
+    exact = row["exact_distinct"]
+    est = row["hll_estimate"]
+    assert exact > 0
+    assert abs(est - exact) / exact < 4 * 1.04 / (256 ** 0.5), row
+
+
+def test_scd2_intervals_partition_timeline(spark):
+    """Per user: intervals are disjoint, ordered, cover from the first
+    event, and exactly one open (NULL valid_to) interval exists."""
+    e = t(spark, SF_DIR, "events")
+    out = ordered.scd2_intervals(
+        e, "user_id", "event_type", "ts_us", "event_id"
+    )
+    rows = out.orderBy("user_id", "version_no").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        opens = [r for r in ivs if r["valid_to"] is None]
+        assert len(opens) == 1, user
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"], (a, b)
+            assert a["event_type"] != b["event_type"], (a, b)
+
+
+def test_negative_sampling_no_self_pairs_and_k_bound(spark):
+    from osm_pbf_parquet_spark.operators.similarity import negative_sampling
+    from osm_pbf_parquet_spark.plans.pipeline_queries import t as pt
+
+    out = negative_sampling(
+        pt(spark, SF_DIR, "embeddings"), k=4, query_limit=50
+    ).collect()
+    assert out
+    per_anchor: dict = {}
+    for r in out:
+        assert r["neg_id"] != r["anchor_id"]
+        assert -1.0 <= r["cosine"] <= 1.0
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["draw"])
+    assert all(len(d) <= 4 for d in per_anchor.values())
