@@ -96,6 +96,9 @@ _CHECK_FIRST = [
     "negative_sampling",
     "embedding_outliers",
     "unigram_logprob",
+    "bm25_topk",
+    "histogram_quantiles",
+    "grouped_split",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

@@ -318,3 +318,39 @@ def duck_hash_mod(keyed_sql: str, buckets: int) -> str:
         f"CAST(('0x' || substring(md5({keyed_sql}), 1, 15)) AS BIGINT)"
         f" % {buckets}"
     )
+
+
+def grouped_split_audit(
+    df: DataFrame,
+    group_col: str = "source",
+    key: str = "doc_id",
+    weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    salt: str = "grouped-split-v1",
+) -> DataFrame:
+    """Leakage-safe dataset split: assignment hashes the GROUP (e.g.
+    source/domain/author), not the row, so every document of a group
+    lands in the same split — near-duplicates within a source can never
+    straddle train/test, the group-level analog of ``hash_split``'s
+    row-level contract.
+
+    Output is the audit a pipeline records: one row per split with its
+    group and document counts, plus ``max_splits_per_group`` — the
+    across-splits leakage check (1 by construction; the audit COMPUTES
+    it rather than trusting it). Pure projections + two bounded
+    aggregations; nothing wide beyond the split-cardinality groupBys."""
+    assigned = hash_split(df, key=group_col, weights=weights, salt=salt)
+    per_split = assigned.groupBy("split").agg(
+        F.countDistinct(group_col).alias("n_groups"),
+        F.count(key).alias("n_docs"),
+    )
+    leak = (
+        assigned.groupBy(group_col)
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(F.max("ns").alias("max_splits_per_group"))
+    )
+    return per_split.crossJoin(F.broadcast(leak)).select(
+        "split",
+        F.col("n_groups").cast("long"),
+        F.col("n_docs").cast("long"),
+        F.col("max_splits_per_group").cast("long"),
+    )

@@ -16,7 +16,7 @@ sketch, they don't trust it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 CMS_DEPTH = 3
@@ -173,4 +173,79 @@ def hll_distinct(
                 f"ELSE ({est_raw}) END, 6)"
             ).alias("hll_estimate"),
         )
+    )
+
+
+# --- equi-width histogram quantiles ------------------------------------------
+
+HIST_BINS = 1024
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Scalable approximate quantiles from a fixed-width histogram — the
+    two-pass alternative to a full sort when percentiles of a 100 TB
+    column are needed: pass 1 min/max, pass 2 one map-side-combinable
+    count per bin, then linear interpolation inside the covering bin.
+    Bin counts are exact BIGINTs and every float step (bin assignment,
+    interpolation) is per-row/per-bin double math with no cross-row
+    float accumulation, so a SQL oracle replays it exactly.
+
+    Returns one row per requested quantile: (q, est). Estimator: the
+    smallest bin whose cumulative count reaches q·N, then
+    ``lo + (q·N − cum_before)/bin_count · width`` interpolated within
+    it. The bin spine (≤ ``bins`` rows) is the only windowed frame —
+    dimension-sized, never over data."""
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).cast("double").alias("x")).where(
+        F.col("x").isNotNull()
+    )
+    rng = vals.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    binned = (
+        vals.crossJoin(F.broadcast(rng))
+        .select(
+            F.expr(
+                f"CASE WHEN hi = lo THEN 0 ELSE "
+                f"least({bins} - 1, cast(floor((x - lo) / (hi - lo) "
+                f"* {bins}) AS INT)) END"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    filled = spine.join(F.broadcast(binned), "bin", "left").select(
+        "bin", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = filled.select(
+        "bin", "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    ).withColumn("cum", F.col("cum_before") + F.col("cnt"))
+    qs = spark.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    # covering bin: cum_before < qN <= cum (bin therefore non-empty)
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(rng))
+        .where(
+            (F.expr("q * n") > F.col("cum_before"))
+            & (F.expr("q * n") <= F.col("cum"))
+        )
+    )
+    return hit.select(
+        "q",
+        F.expr(
+            "round(CASE WHEN hi = lo THEN lo ELSE "
+            f"lo + (cast(bin AS DOUBLE) + (q * n - cum_before) / cnt) "
+            f"* ((hi - lo) / {bins}) END, 6)"
+        ).alias("est"),
     )

@@ -426,3 +426,75 @@ def unigram_logprob_score(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+# Okapi BM25 constants (Robertson et al.; Lucene's defaults). Injected as
+# Python float literals into both the Spark plan and the SQL oracle.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against a fixed term
+    query, return the top-``k``; the ranking half of a hybrid
+    (lexical + vector) search stack.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    with Lucene's idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    All counts (tf, df, |d|, N, Σ|d|) are exact BIGINTs; the float score
+    derives from identical integers on both engines, and the per-doc
+    term sum folds sequentially in sorted-term order. Scale: tf explode
+    is filtered to the query's terms BEFORE the shuffle (scan-side
+    selectivity |terms|/|vocab|); doc-length agg is map-side
+    combinable; corpus stats broadcast; top-k is TakeOrderedAndProject,
+    never a global sort materialization.
+    """
+    terms_sql = ", ".join(f"'{t}'" for t in query_terms)
+    toks = with_tokens(df, text_col).select(
+        key, F.explode("tokens").alias("token")
+    )
+    dlens = toks.groupBy(key).agg(F.count("*").alias("dl"))
+    stats = dlens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.where(F.expr(f"token IN ({terms_sql})"))
+        .groupBy(key, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.countDistinct(key).alias("df")
+    )
+    parts = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dlens, key)
+        .crossJoin(F.broadcast(stats))
+    )
+    term_score = (
+        "ln(1.0 + (cast(t.n_docs AS DOUBLE) - t.df + 0.5) / (t.df + 0.5))"
+        f" * (t.tf * ({BM25_K1!r} + 1.0))"
+        f" / (t.tf + {BM25_K1!r} * (1.0 - {BM25_B!r}"
+        f" + {BM25_B!r} * t.dl / (cast(t.sum_dl AS DOUBLE) / t.n_docs)))"
+    )
+    scored = parts.groupBy(key).agg(
+        F.expr(
+            "round(aggregate("
+            "  array_sort(collect_list(struct(token, tf, df, dl,"
+            "                                 n_docs, sum_dl))),"
+            "  cast(0.0 AS DOUBLE),"
+            f"  (acc, t) -> acc + {term_score}), 6)"
+        ).alias("bm25"),
+        F.count("*").cast("long").alias("n_terms_hit"),
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.col(key))
+        .limit(k)
+        .select(key, "n_terms_hit", "bm25")
+    )

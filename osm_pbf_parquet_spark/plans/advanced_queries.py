@@ -319,3 +319,173 @@ ADVANCED_QUERIES: dict[str, tuple] = {
     "embedding_outliers": (q_embedding_outliers, ORACLE_EMBEDDING_OUTLIERS),
     "unigram_logprob": (q_unigram_logprob, ORACLE_UNIGRAM),
 }
+
+
+# --- BM25 retrieval -----------------------------------------------------------
+
+_BM25_TERMS = ["data", "spark", "query"]
+_BM25_K = 10
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 for a fixed 3-term query — the lexical half of
+    hybrid search; the oracle replays idf/tf/length normalization from
+    the same exact integer counts."""
+    return text.bm25_topk(
+        _pt(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_TERM_SCORE = (
+    "ln(1.0 + (CAST(s.n_docs AS DOUBLE) - s.df + 0.5) / (s.df + 0.5))"
+    f" * (s.tf * (CAST({text.BM25_K1!r} AS DOUBLE) + 1.0))"
+    f" / (s.tf + CAST({text.BM25_K1!r} AS DOUBLE)"
+    f" * (1.0 - CAST({text.BM25_B!r} AS DOUBLE)"
+    f" + CAST({text.BM25_B!r} AS DOUBLE) * s.dl"
+    " / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))"
+)
+ORACLE_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS token
+  FROM documents
+),
+dlens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM dlens
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+parts AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
+         CAST(dlens.dl AS BIGINT) AS dl, st.n_docs, st.sum_dl
+  FROM tf
+  JOIN dfreq ON tf.token = dfreq.token
+  JOIN dlens ON tf.doc_id = dlens.doc_id, stats st
+),
+scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_terms_hit,
+         round(list_reduce(
+             list_transform(
+                 list(struct_pack(token := token, tf := tf, df := df,
+                                  dl := dl, n_docs := n_docs,
+                                  sum_dl := sum_dl) ORDER BY token),
+                 s -> {_BM25_TERM_SCORE}),
+             (acc, x) -> acc + x), 6) AS bm25
+  FROM parts GROUP BY doc_id
+)
+SELECT doc_id, n_terms_hit, bm25
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+# --- histogram quantiles ------------------------------------------------------
+
+_HQ_QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_histogram_quantiles(spark, sf_dir):
+    """Fixed-width-histogram quantile estimates over lineitem prices —
+    the two-pass scalable alternative to a global sort; the oracle
+    replays bin assignment, cumulative counts, and interpolation."""
+    from ..operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", _HQ_QUANTILES
+    )
+
+
+_HQ_BINS = 1024
+_HQ_Q_SQL = ", ".join(repr(q) for q in _HQ_QUANTILES)
+ORACLE_HISTOGRAM_QUANTILES = f"""
+WITH vals AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+),
+rng AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(*) AS BIGINT) AS n
+        FROM vals),
+binned AS (
+  SELECT CASE WHEN r.hi = r.lo THEN 0 ELSE
+           least({_HQ_BINS} - 1,
+                 CAST(floor((x - r.lo) / (r.hi - r.lo) * {_HQ_BINS}) AS INT))
+         END AS bin,
+         count(*) AS cnt
+  FROM vals, rng r GROUP BY 1
+),
+spine AS (SELECT CAST(unnest(range(0, {_HQ_BINS})) AS INT) AS bin),
+filled AS (
+  SELECT s.bin, CAST(coalesce(b.cnt, 0) AS BIGINT) AS cnt
+  FROM spine s LEFT JOIN binned b ON s.bin = b.bin
+),
+cum AS (
+  SELECT bin, cnt,
+         coalesce(sum(cnt) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         sum(cnt) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM filled
+)
+SELECT q.q,
+       round(CASE WHEN r.hi = r.lo THEN r.lo ELSE
+           r.lo + (CAST(c.bin AS DOUBLE)
+                   + (q.q * r.n - c.cum_before) / c.cnt)
+                * ((r.hi - r.lo) / {_HQ_BINS}) END, 6) AS est
+FROM cum c, (SELECT unnest([{_HQ_Q_SQL}]) AS q) q, rng r
+WHERE q.q * r.n > c.cum_before AND q.q * r.n <= c.cum
+"""
+
+
+# --- leakage-safe grouped split -----------------------------------------------
+
+
+def q_grouped_split(spark, sf_dir):
+    """Group-level (source-keyed) train/val/test split audit: per-split
+    group/doc counts plus the computed no-leakage invariant."""
+    from ..operators.sampling import grouped_split_audit
+
+    return grouped_split_audit(_pt(spark, sf_dir, "documents"))
+
+
+ORACLE_GROUPED_SPLIT = """
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(('0x' || substring(md5(
+                  CAST(source AS VARCHAR) || ':' || 'grouped-split-v1'
+              ), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
+              WHEN CAST(('0x' || substring(md5(
+                  CAST(source AS VARCHAR) || ':' || 'grouped-split-v1'
+              ), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+per_split AS (
+  SELECT split,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+         CAST(count(doc_id) AS BIGINT) AS n_docs
+  FROM assigned GROUP BY split
+),
+leak AS (
+  SELECT CAST(max(ns) AS BIGINT) AS max_splits_per_group
+  FROM (SELECT source, count(DISTINCT split) AS ns
+        FROM assigned GROUP BY source)
+)
+SELECT split, n_groups, n_docs, max_splits_per_group
+FROM per_split, leak
+"""
+
+
+ADVANCED_QUERIES.update({
+    "bm25_topk": (q_bm25_topk, ORACLE_BM25),
+    "histogram_quantiles": (q_histogram_quantiles, ORACLE_HISTOGRAM_QUANTILES),
+    "grouped_split": (q_grouped_split, ORACLE_GROUPED_SPLIT),
+})
