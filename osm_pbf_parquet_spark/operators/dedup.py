@@ -224,16 +224,29 @@ def lsh_candidate_pairs(
 
 def _verified_jaccard(pairs: DataFrame, grams: DataFrame, key: str,
                       threshold: float) -> DataFrame:
-    ga = grams.select(F.col(key).alias("doc_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col(key).alias("doc_b"), F.col("grams").alias("grams_b"))
+    """Exact set-overlap verification on the docs' GRAM-HASH sets
+    (``with_grams``'s int64 ``gram_hashes``), not the raw gram strings:
+    the two verify joins then shuffle 8-byte elements instead of k-word
+    strings (~4× narrower) and intersect/union compare int64s. Both
+    array_intersect/array_union (Spark) and list_intersect/list_distinct
+    (DuckDB oracle) are set-semantic, and the oracle hashes with the
+    SAME md5-mod-p arithmetic, so the two engines agree bit-exactly —
+    including in the ~n²/2³¹-per-pair birthday-collision case where the
+    hashed jaccard differs from the raw-string jaccard by one gram."""
+    ga = grams.select(
+        F.col(key).alias("doc_a"), F.col("gram_hashes").alias("gh_a")
+    )
+    gb = grams.select(
+        F.col(key).alias("doc_b"), F.col("gram_hashes").alias("gh_b")
+    )
     return (
         pairs.join(ga, "doc_a")
         .join(gb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("grams_a", "grams_b"))
-                / F.size(F.array_union("grams_a", "grams_b")),
+                F.size(F.array_intersect("gh_a", "gh_b"))
+                / F.size(F.array_union("gh_a", "gh_b")),
                 4,
             ),
         )
@@ -256,9 +269,11 @@ def minhash_lsh_dedup(
     # the signature table feeds both candidate generation and the verify
     # join — materialize it once (at warehouse scale this is the persisted
     # signature table every incremental dedup run reuses)
+    # persist (key, gram_hashes, minhash) — int64 arrays only; the raw
+    # gram strings never enter the cache or the verify-join shuffles
     sigs = ps.persist(
         minhash_signatures(_spread_compute(df), text_col, n_hashes, k).select(
-            key, "grams", "minhash"
+            key, "gram_hashes", "minhash"
         )
     )
     # materialize the cache BEFORE the self-join fans out: otherwise both
@@ -268,7 +283,9 @@ def minhash_lsh_dedup(
     sigs.count()
     pairs = lsh_candidate_pairs(sigs, key, bands, n_hashes)
     return tie_release(
-        _verified_jaccard(pairs, sigs.select(key, "grams"), key, threshold),
+        _verified_jaccard(
+            pairs, sigs.select(key, "gram_hashes"), key, threshold
+        ),
         ps, owned,
     )
 
@@ -288,8 +305,10 @@ def ngram_jaccard_dedup(
     pairs share many grams including rare ones, so recall loss only
     occurs for pairs ALL of whose shared grams are ubiquitous — at
     threshold ≥ 0.8 that requires pathological corpora. Verification
-    still uses complete gram sets, so reported jaccard values are exact."""
-    grams = with_grams(df, text_col, k).select(key, "grams")
+    uses the complete GRAM-HASH sets (``_verified_jaccard``): exact set
+    overlap up to md5-mod-p birthday collisions, bit-identical to the
+    oracle either way."""
+    grams = with_grams(df, text_col, k).select(key, "grams", "gram_hashes")
     exploded = grams.select(key, F.explode("grams").alias("gram"))
     # ubiquitous grams are FEW by definition (bounded by n_grams/max_df)
     # → broadcast anti-join; the rare majority streams through untouched

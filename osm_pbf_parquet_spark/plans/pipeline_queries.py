@@ -88,9 +88,10 @@ pairs AS (
 ),
 scored AS (
   SELECT doc_a, doc_b,
-         round(len(list_intersect(ga.grams, gb.grams)) * 1.0
-               / len(list_distinct(ga.grams || gb.grams)), 4) AS jaccard
-  FROM pairs JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
+         round(len(list_intersect(ga.gram_hashes, gb.gram_hashes)) * 1.0
+               / len(list_distinct(ga.gram_hashes || gb.gram_hashes)), 4)
+           AS jaccard
+  FROM pairs JOIN h ga ON ga.doc_id = doc_a JOIN h gb ON gb.doc_id = doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
 """
@@ -176,9 +177,9 @@ pairs AS (
 ),
 dups AS (
   SELECT doc_a, doc_b
-  FROM pairs JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
-  WHERE round(len(list_intersect(ga.grams, gb.grams)) * 1.0
-              / len(list_distinct(ga.grams || gb.grams)), 4) >= 0.8
+  FROM pairs JOIN h ga ON ga.doc_id = doc_a JOIN h gb ON gb.doc_id = doc_b
+  WHERE round(len(list_intersect(ga.gram_hashes, gb.gram_hashes)) * 1.0
+              / len(list_distinct(ga.gram_hashes || gb.gram_hashes)), 4) >= 0.8
 ),
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM dups
           UNION SELECT doc_b AS src, doc_a AS dst FROM dups),
@@ -226,9 +227,10 @@ pairs AS (
 ),
 scored AS (
   SELECT doc_a, doc_b,
-         round(len(list_intersect(ga.grams, gb.grams)) * 1.0
-               / len(list_distinct(ga.grams || gb.grams)), 4) AS jaccard
-  FROM pairs JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
+         round(len(list_intersect(ga.gram_hashes, gb.gram_hashes)) * 1.0
+               / len(list_distinct(ga.gram_hashes || gb.gram_hashes)), 4)
+           AS jaccard
+  FROM pairs JOIN h ga ON ga.doc_id = doc_a JOIN h gb ON gb.doc_id = doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
 """

@@ -131,3 +131,64 @@ def test_osmpbf_datasource_filter_pushdown(spark):
     plan = _plan(df)
     assert "BatchScan osmpbf" in plan
     assert "PushedFilters: [EqualTo(type,node)]" in plan
+
+
+def test_skyline_no_global_window_over_data(spark):
+    """Distributed skyline: the running min must window WITHIN range
+    buckets; the only single-partition exchanges allowed belong to the
+    bucket-count-sized carry branch (prefix-min over per-bucket minima,
+    an Aggregate directly below) and its broadcast — never the points
+    scan. The carry joins back broadcast."""
+    from osm_pbf_parquet_spark.operators.ordered import skyline_min_min
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    plan = _plan(skyline_min_min(
+        t(spark, SF_DIR, "orders"), "o_totalprice", "o_orderdate"
+    ))
+    assert "hashpartitioning(_b" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_hll_single_wide_agg_and_broadcast_spine(spark):
+    """HLL: exactly the register aggregation may shuffle data (256
+    groups, map-side combinable); the spine fill and the exact-count
+    attach are broadcasts; no cartesian beyond the 1-row attach."""
+    from osm_pbf_parquet_spark.operators.sketches import hll_distinct
+    from osm_pbf_parquet_spark.plans.relational import t
+
+    plan = _plan(hll_distinct(t(spark, SF_DIR, "events"), "user_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan or "partial" in plan  # map-side combine
+
+
+def test_bm25_filters_terms_before_shuffle(spark):
+    """BM25: the query-term IN filter must sit below the tf aggregation
+    exchange (scan-side selectivity), and the final top-k must be
+    TakeOrderedAndProject, not a global sort materialization."""
+    from osm_pbf_parquet_spark.operators.text import bm25_topk
+    from osm_pbf_parquet_spark.plans.pipeline_queries import t
+
+    plan = _plan(bm25_topk(
+        t(spark, SF_DIR, "documents"), ["data", "spark", "query"]
+    ))
+    assert "TakeOrderedAndProject" in plan
+    assert "token IN " in plan or "token#" in plan  # filter present
+    assert "CartesianProduct" not in plan
+
+
+def test_negative_sampling_keyed_join_no_cartesian(spark):
+    """Negative sampling: partner fetch is a keyed equi-join; the only
+    nested-loop is the 1-row span attach."""
+    from osm_pbf_parquet_spark.operators.similarity import negative_sampling
+    from osm_pbf_parquet_spark.plans.pipeline_queries import t
+
+    plan = _plan(negative_sampling(
+        t(spark, SF_DIR, "embeddings"), k=4, query_limit=100
+    ))
+    assert "CartesianProduct" not in plan
+    # formatted explain names each node twice (tree + detail section):
+    # exactly ONE BroadcastNestedLoopJoin node = two mentions
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # the span attach
+    assert "hashpartitioning(neg_id" in plan or "BroadcastHashJoin" in plan
