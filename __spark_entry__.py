@@ -99,6 +99,7 @@ _CHECK_FIRST = [
     "bm25_topk",
     "histogram_quantiles",
     "grouped_split",
+    "hybrid_rrf_search",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

@@ -620,3 +620,76 @@ def embedding_outliers(
             F.expr("round(dist_raw, 6)").alias("dist"),
         )
     )
+
+
+RRF_K = 60  # Cormack et al. reciprocal-rank-fusion constant
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    key: str,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (each with
+    columns ``key`` and ``rank``): score = Σ 1/(rrf_k + rank) over the
+    lists containing the key, the standard score-free way to merge a
+    lexical (BM25) and a vector (ANN) ranking into one hybrid result.
+
+    Inputs are already TOP-N CUTS (bounded), so the fusion join and the
+    final top-k run on dimension-sized frames — at corpus scale the
+    expensive part is producing each list, which its own operator bounds
+    (TakeOrderedAndProject); fusion adds no data-sized work."""
+    fused = None
+    for i, lst in enumerate(ranked_lists):
+        cur = lst.select(
+            F.col(key),
+            F.col("rank").cast("long").alias(f"rank_{i}"),
+        )
+        fused = cur if fused is None else fused.join(cur, key, "outer")
+    terms = " + ".join(
+        f"coalesce(1.0 / CAST({rrf_k} + rank_{i} AS DOUBLE), 0.0)"
+        for i in range(len(ranked_lists))
+    )
+    return (
+        fused.withColumn("rrf", F.expr(f"round({terms}, 6)"))
+        .orderBy(F.desc("rrf"), F.col(key))
+        .limit(k)
+        .select(
+            key,
+            *[F.col(f"rank_{i}") for i in range(len(ranked_lists))],
+            "rrf",
+        )
+    )
+
+
+def ranked_cosine_candidates(
+    df: DataFrame,
+    query_vec_id: int,
+    n: int,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Top-``n`` vectors by cosine to one stored query vector, with a
+    dense ``rank`` column — the vector half of hybrid search. The query
+    vector attaches as a broadcast 1-row frame (no collect); the top-n
+    cut is TakeOrderedAndProject; the rank window then runs on ≤ n rows
+    (bounded, documented single partition)."""
+    q = df.where(F.col(key) == query_vec_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    a = TO_DOUBLE.format(v=vec_col)
+    b = TO_DOUBLE.format(v="_qv")
+    scored = (
+        df.crossJoin(F.broadcast(q))
+        .where(F.col(key) != query_vec_id)
+        .select(
+            key,
+            F.expr(f"round({cosine_expr(a, b)}, 6)").alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(key))
+        .limit(n)
+    )
+    # ≤ n rows: the unpartitioned window is literal-bounded
+    w = Window.orderBy(F.desc("cosine"), F.col(key))
+    return scored.withColumn("rank", F.row_number().over(w))

@@ -489,3 +489,114 @@ ADVANCED_QUERIES.update({
     "histogram_quantiles": (q_histogram_quantiles, ORACLE_HISTOGRAM_QUANTILES),
     "grouped_split": (q_grouped_split, ORACLE_GROUPED_SPLIT),
 })
+
+
+# --- hybrid RRF search --------------------------------------------------------
+
+_RRF_N = 50  # per-list candidate cut
+_RRF_TOP = 10
+_RRF_QVEC = 0  # stored query vector (vec_id 0)
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid search capstone: BM25 lexical ranking over documents +
+    cosine ranking against a stored query vector, fused by reciprocal
+    rank (1/(60+rank)). Each list is a bounded top-50 cut
+    (TakeOrderedAndProject); fusion runs on dimension-sized frames."""
+    from pyspark.sql import Window
+
+    docs = _pt(spark, sf_dir, "documents")
+    lex = text.bm25_topk(docs, _BM25_TERMS, k=_RRF_N)
+    # ≤ 50 rows: literal-bounded unpartitioned window
+    w = Window.orderBy(F.desc("bm25"), F.col("doc_id"))
+    lex_ranked = lex.withColumn("rank", F.row_number().over(w)).select(
+        F.col("doc_id").alias("id"), "rank"
+    )
+    vec_ranked = similarity.ranked_cosine_candidates(
+        _pt(spark, sf_dir, "embeddings"), _RRF_QVEC, _RRF_N
+    ).select(F.col("vec_id").alias("id"), "rank")
+    out = similarity.rrf_fuse([lex_ranked, vec_ranked], "id", k=_RRF_TOP)
+    return out.select(
+        "id",
+        F.col("rank_0").alias("rank_lex"),
+        F.col("rank_1").alias("rank_vec"),
+        "rrf",
+    )
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS token
+  FROM documents
+),
+dlens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM dlens
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM toks WHERE token IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+parts AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
+         CAST(dlens.dl AS BIGINT) AS dl, st.n_docs, st.sum_dl
+  FROM tf
+  JOIN dfreq ON tf.token = dfreq.token
+  JOIN dlens ON tf.doc_id = dlens.doc_id, stats st
+),
+bm AS (
+  SELECT doc_id,
+         round(list_reduce(
+             list_transform(
+                 list(struct_pack(token := token, tf := tf, df := df,
+                                  dl := dl, n_docs := n_docs,
+                                  sum_dl := sum_dl) ORDER BY token),
+                 s -> {_BM25_TERM_SCORE}),
+             (acc, x) -> acc + x), 6) AS bm25
+  FROM parts GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id AS id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+           AS rank_lex
+  FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_RRF_N}
+),
+vd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qv AS (SELECT v AS q FROM vd WHERE vec_id = {_RRF_QVEC}),
+cos AS (
+  SELECT vec_id,
+         round({_DOT.format(a="vd.v", b="qv.q")}
+               / ({_NORM.format(v="vd.v")} * {_NORM.format(v="qv.q")}), 6)
+           AS cosine
+  FROM vd, qv WHERE vec_id <> {_RRF_QVEC}
+),
+vec AS (
+  SELECT vec_id AS id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+           AS rank_vec
+  FROM cos ORDER BY cosine DESC, vec_id LIMIT {_RRF_N}
+),
+fused AS (
+  SELECT coalesce(lex.id, vec.id) AS id, rank_lex, rank_vec,
+         round(coalesce(1.0 / CAST(60 + rank_lex AS DOUBLE), 0.0)
+               + coalesce(1.0 / CAST(60 + rank_vec AS DOUBLE), 0.0), 6)
+           AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+)
+SELECT id, rank_lex, rank_vec, rrf
+FROM fused ORDER BY rrf DESC, id LIMIT {_RRF_TOP}
+"""
+
+
+ADVANCED_QUERIES.update({
+    "hybrid_rrf_search": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
+})
