@@ -58,18 +58,18 @@ def _registry() -> dict[str, tuple]:
 # the tail — every registered query keeps at least one green CORRECTNESS row
 # across rounds.
 #
-# ROUND-5 ROTATION: positions 1-3 are the only queries that have NEVER had
-# a driver row (r4-new; judge-verified green at sf0.01 in the r4 session —
-# the gate should now certify them). Positions 4-22 cover code CHANGED this
-# round: osm_ops.py (relation history head-deletion semantics), functions/
-# __init__.py (flat z-order interleave) + the zorder gate rewrite,
-# analytic_queries.py (stream oracle composition), dedup.py (h60 gram
-# dedupe + PersistSet), similarity.py / sketches.py (PersistSet release).
-# Positions 23-29 are the osm transcode-path gates — pbf/proto.py and
-# sinks/native_sink.py are this round's perf-work targets, so their greens
-# must postdate those edits. Positions 30-50 are the longest-stale
-# r4-unchecked entries (last green r3; modules unchanged since, but their
-# rows are now two rounds old): relational, streaming, text families.
+# ROUND-5 ROTATION: positions 1-11 are the ELEVEN queries ADDED this round
+# (advanced_queries.py + osm_geohash) — never driver-checked, local parity
+# green. Positions 12-14 are the r4-new trio with no driver row (judge-
+# verified green in the r4 session). Then code CHANGED this round:
+# osm_ops.py (relation history), functions/__init__.py (flat z-order +
+# geohash), analytic_queries.py (stream oracle composition), dedup.py (h60
+# grams, PersistSet, hash-set jaccard verify — minhash/jaccard/components
+# oracles changed WITH it), similarity.py / sketches.py (PersistSet, new
+# operators). Then the osm transcode-path gates — pbf/proto.py (varint
+# gather) and native_sink.py (encodings) are r5 perf targets, so their
+# greens must postdate those edits. The remaining head slots go to the
+# longest-stale r4-unchecked entries (last green r3; modules unchanged).
 #
 # PAST THE 50-CAP this round (all driver-green in r4 at positions 1-50,
 # modules unchanged since their green row except as swept by local parity
@@ -100,6 +100,7 @@ _CHECK_FIRST = [
     "histogram_quantiles",
     "grouped_split",
     "hybrid_rrf_search",
+    "osm_geohash",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

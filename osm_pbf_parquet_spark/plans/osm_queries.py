@@ -268,6 +268,39 @@ SELECT * FROM (VALUES
 """
 
 
+def q_osm_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash spatial keys for the fixture's nodes (precision 8) plus
+    the published test vector (57.64911, 10.40744) -> u4pruydq as a
+    literal row — pins the full quantize→interleave→base32 chain, all
+    pure codegen'd Catalyst integer arithmetic (functions.with_geohash;
+    the prefix doubles as a spatial GROUP BY / pruning key)."""
+    from ..functions import geohash_expr, with_geohash
+
+    nodes = scan_pbf(spark, FIXTURE).where(F.col("type") == "node")
+    hashed = with_geohash(nodes).select(
+        F.col("id"), F.col("geohash"),
+        F.substring("geohash", 1, 6).alias("cell6"),
+    )
+    vector = spark.range(1).select(
+        F.lit(-1).cast("long").alias("id"),
+        F.expr(geohash_expr("57.64911d", "10.40744d")).alias("geohash"),
+        F.expr(
+            f"substring({geohash_expr('57.64911d', '10.40744d')}, 1, 6)"
+        ).alias("cell6"),
+    )
+    return hashed.unionByName(vector)
+
+
+ORACLE_GEOHASH = """
+SELECT * FROM (VALUES
+  (CAST(105 AS BIGINT), 'u32288ee', 'u32288'),
+  (CAST(106 AS BIGINT), 'u322881s', 'u32288'),
+  (CAST(108 AS BIGINT), 'u32288jk', 'u32288'),
+  (CAST(-1 AS BIGINT), 'u4pruydq', 'u4pruy')
+) AS t(id, geohash, cell6)
+"""
+
+
 OSM_QUERIES: dict[str, tuple] = {
     "osm_relation_members": (q_osm_relation_members, ORACLE_RELATION_MEMBERS),
     "osm_header_metadata": (q_osm_header_metadata, ORACLE_HEADER_METADATA),
@@ -278,4 +311,5 @@ OSM_QUERIES: dict[str, tuple] = {
     "osm_latest_versions": (q_osm_latest_versions, ORACLE_LATEST_VERSIONS),
     "osm_tag_histogram": (q_osm_tag_histogram, ORACLE_TAG_HISTOGRAM),
     "osm_way_geometry": (q_osm_way_geometry, ORACLE_WAY_GEOMETRY),
+    "osm_geohash": (q_osm_geohash, ORACLE_GEOHASH),
 }

@@ -168,3 +168,83 @@ def test_zorder_ranges_superset_property_fuzz():
         )
 
     check()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _geohash_reference(lat: float, lon: float, precision: int = 8) -> str:
+    """Classic binary-subdivision geohash (independent of the engine's
+    quantize+interleave formulation)."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    latr, lonr = [-90.0, 90.0], [-180.0, 180.0]
+    bits = []
+    even = True
+    while len(bits) < precision * 5:
+        rng = lonr if even else latr
+        val = lon if even else lat
+        mid = (rng[0] + rng[1]) / 2
+        if val >= mid:
+            bits.append(1)
+            rng[0] = mid
+        else:
+            bits.append(0)
+            rng[1] = mid
+        even = not even
+    out = []
+    for j in range(precision):
+        v = 0
+        for b in bits[j * 5:(j + 1) * 5]:
+            v = (v << 1) | b
+        out.append(alpha[v])
+    return "".join(out)
+
+
+def _geohash_quantized(lat: float, lon: float, precision: int = 8) -> str:
+    """The engine's formulation (functions.geohash_expr), re-stated in
+    Python: per-axis quantization + lon-leading interleave + base32."""
+    import math
+
+    nbits = precision * 5
+    half = nbits // 2
+    m = (1 << half) - 1
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    qlat = max(0, min(m, math.floor((lat + 90.0) / 180.0 * (1 << half))))
+    qlon = max(0, min(m, math.floor((lon + 180.0) / 360.0 * (1 << half))))
+    z = 0
+    for i in range(half):
+        z |= ((qlat >> i) & 1) << (2 * i)
+        z |= ((qlon >> i) & 1) << (2 * i + 1)
+    return "".join(
+        alpha[(z >> (nbits - 5 - 5 * j)) & 31] for j in range(precision)
+    )
+
+
+@given(
+    st.floats(min_value=-89.999, max_value=89.999,
+              allow_nan=False, allow_infinity=False),
+    st.floats(min_value=-179.999, max_value=179.999,
+              allow_nan=False, allow_infinity=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_geohash_quantized_equals_subdivision(lat, lon):
+    """The quantize→interleave→base32 formulation (what geohash_expr /
+    with_geohash emit as Catalyst arithmetic — the Spark round-trip of
+    the same formula is pinned by the osm_geohash VALUES gate and the
+    u4pruydq test vector) must equal the classic binary-subdivision
+    algorithm everywhere EXCEPT within ~1 double-ulp of a cell
+    boundary: there ``(x + 90.0)`` can absorb the sub-ulp offset and
+    the two formulations pick adjacent cells (both self-consistent;
+    hypothesis found lon = -1.5e-227). Exclude that measure-zero band
+    rather than pretend it away."""
+    from hypothesis import assume
+    import math
+
+    for scaled in (
+        (lat + 90.0) / 180.0 * (1 << 20),
+        (lon + 180.0) / 360.0 * (1 << 20),
+    ):
+        frac = scaled - math.floor(scaled)
+        assume(1e-9 < frac < 1.0 - 1e-9)
+    assert _geohash_quantized(lat, lon) == _geohash_reference(lat, lon)
