@@ -101,6 +101,7 @@ _CHECK_FIRST = [
     "grouped_split",
     "hybrid_rrf_search",
     "osm_geohash",
+    "stream_hll_distinct",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

@@ -126,38 +126,53 @@ def hll_distinct(
     - raw estimate   = alpha · m² / Z⁻¹, with the standard small-range
       linear-counting correction (V = empty registers).
     """
+    regs = hll_rank_projection(df, key_col, p).groupBy("bucket").agg(
+        F.max("rank").alias("r")
+    )
+    exact = df.agg(
+        F.countDistinct(key_col).cast("long").alias("exact_distinct")
+    )
+    return hll_finish(regs, exact, p)
+
+
+def hll_rank_projection(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFrame:
+    """The sketch's map side: (bucket, rank) per row — a pure projection
+    that runs UNCHANGED on a batch frame or a stream (the streaming gate
+    feeds it to a complete-mode max aggregation; streaming/batch
+    unification for sketches)."""
     from .sampling import hash_mod_expr
 
     m = 1 << p
     sub_bits = HLL_HASH_BITS - p  # substream width
-    max_rank = sub_bits + 1
     h = hash_mod_expr(f"cast({key_col} AS string)", 1 << HLL_HASH_BITS)
-    spark = df.sparkSession
-    hashed = df.select(
+    return df.select(
         F.expr(f"({h}) % {m}").alias("bucket"),
         F.expr(f"({h}) div {m}").alias("w"),
     ).withColumn(
         "rank",
         F.expr(
-            f"CASE WHEN w = 0 THEN {max_rank} "
+            f"CASE WHEN w = 0 THEN {sub_bits + 1} "
             f"ELSE {sub_bits} - length(bin(w)) + 1 END"
         ),
-    )
-    # the ONLY wide op: 256-ary max aggregation (map-side combinable)
-    regs = hashed.groupBy("bucket").agg(F.max("rank").alias("r"))
+    ).drop("w")
+
+
+def hll_finish(regs: DataFrame, exact: DataFrame, p: int = HLL_P) -> DataFrame:
+    """The sketch's reduce tail over the ≤2^p aggregated registers
+    (bucket, r): spine fill, exact-integer indicator sum, estimate with
+    the linear-counting small-range correction. Bounded frames only."""
+    m = 1 << p
+    spark = regs.sparkSession
     # fill untouched buckets with rank 0 via a register-spine broadcast
     spine = spark.range(m).select(F.col("id").alias("bucket"))
     full = spine.join(F.broadcast(regs), "bucket", "left").select(
         "bucket", F.coalesce("r", F.lit(0)).alias("r")
     )
     # scaled indicator: 2^(53-r) is an exact BIGINT for r in [0, 53];
-    # max_rank = 53 exactly at p=8, so the scale covers the full range
+    # rank max = 53 exactly at p=8, so the scale covers the full range
     agg = full.agg(
         F.sum(F.expr("cast(pow(2.0, 53 - r) AS BIGINT)")).alias("z_scaled"),
         F.sum(F.expr("CASE WHEN r = 0 THEN 1 ELSE 0 END")).alias("v_empty"),
-    )
-    exact = df.agg(
-        F.countDistinct(key_col).cast("long").alias("exact_distinct")
     )
     est_raw = f"{HLL_ALPHA!r} * {m} * {m} * cast({1 << 53} AS DOUBLE) / z_scaled"
     return (

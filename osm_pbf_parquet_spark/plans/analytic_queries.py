@@ -949,6 +949,40 @@ GROUP BY o_orderstatus
 """
 
 
+def q_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch built ON A STREAM: the batch sketch's (bucket, rank)
+    projection runs unchanged over the event stream
+    (``sketches.hll_rank_projection`` — streaming/batch unification for
+    sketches), the register max aggregates in complete mode into the
+    memory sink, and the bounded ``hll_finish`` tail (spine fill,
+    exact-integer indicator sum, estimate) runs batch-side over the ≤256
+    sink rows. On static input this equals the batch ``hll_distinct``,
+    which the same replaying oracle pins register-for-register."""
+    from ..operators.sketches import hll_finish, hll_rank_projection
+
+    stream = _event_stream(spark, sf_dir)
+    proj = hll_rank_projection(stream, "user_id")
+    regs_stream = proj.groupBy("bucket").agg(F.max("rank").alias("r"))
+    regs = _run_stream_to_table(
+        spark, regs_stream, "stream_hll_result", "complete"
+    )
+    exact = t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return hll_finish(regs, exact)
+
+
+
+
+def _oracle_stream_hll() -> str:
+    """The streaming HLL gate reuses the batch sketch's replaying oracle
+    verbatim — identical registers on static input IS the unification
+    guarantee."""
+    from .advanced_queries import ORACLE_HLL
+
+    return ORACLE_HLL
+
+
 ANALYTIC_QUERIES: dict[str, tuple] = {
     "zorder_spatial": (q_zorder_spatial, _oracle_zorder()),
     "bucketed_join_agg": (q_bucketed_join_agg, ORACLE_BUCKETED_JOIN),
@@ -974,6 +1008,7 @@ ANALYTIC_QUERIES: dict[str, tuple] = {
     "ntile_quartiles": (q_ntile_quartiles, ORACLE_NTILE),
     "ntile_quartiles_scalable": (q_ntile_quartiles_scalable, ORACLE_NTILE),
     "stream_windowed_counts": (q_stream_windowed_counts, ORACLE_STREAM_WINDOWED),
+    "stream_hll_distinct": (q_stream_hll_distinct, _oracle_stream_hll()),
     "stream_dedup_user_types": (q_stream_dedup_user_types, ORACLE_STREAM_DEDUP),
     "stream_sessionize_stateful": (
         q_stream_sessionize_stateful,
