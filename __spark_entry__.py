@@ -102,6 +102,7 @@ _CHECK_FIRST = [
     "hybrid_rrf_search",
     "osm_geohash",
     "stream_hll_distinct",
+    "incremental_dedup",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

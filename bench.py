@@ -151,6 +151,13 @@ def _make_bench_pbf(n_nodes: int = N_BENCH_NODES) -> str:
     return cache
 
 
+def _q_hll_big(spark, sf_dir):
+    from osm_pbf_parquet_spark.operators.sketches import hll_distinct
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return hll_distinct(df, "l_orderkey")
+
+
 def _bench_transcode(spark, pbf: str, workdir: str,
                      blobs_per_task: int | None = None) -> None:
     """PBF → partitioned parquet, the reference's product flow — the fused
@@ -169,6 +176,7 @@ def main() -> None:
     from osm_pbf_parquet_spark.plans.relational import QUERIES as REL
     from osm_pbf_parquet_spark.plans.pipeline_queries import PIPELINE_QUERIES as PIPE
     from osm_pbf_parquet_spark.plans.sampling_queries import SAMPLING_QUERIES as SAMP
+    from osm_pbf_parquet_spark.plans.advanced_queries import ADVANCED_QUERIES as ADV
 
     spark = get_spark("bench")
     # warm the JVM + parquet footers with a trivial action
@@ -204,6 +212,9 @@ def main() -> None:
         ("semantic_dedup", PIPE["semantic_dedup"][0]),
         ("kmeans_clusters", PIPE["kmeans_clusters"][0]),
         ("full_curation_pipeline", PIPE["full_curation_pipeline"][0]),
+        ("hll_distinct", ADV["hll_distinct"][0]),
+        ("bm25_topk", ADV["bm25_topk"][0]),
+        ("hybrid_rrf_search", ADV["hybrid_rrf_search"][0]),
     ]
 
     timings: dict[str, float] = {}
@@ -268,6 +279,11 @@ def main() -> None:
             ("sample_pack_sequences", SAMP["sample_pack_sequences"][0]),
             ("duplicate_spans", PIPE["duplicate_spans"][0]),
             ("skew_salted_distinct", _q_skew_salted_distinct),
+            # HLL over the 10x lineitem key space (~6M rows) — the gate
+            # query's events table is copied 1x into BIG_DIR, so point
+            # the sketch at the table that actually scales
+            ("hll_distinct", _q_hll_big),
+            ("bm25_topk", ADV["bm25_topk"][0]),
         ]
         for name, fn in big_headline:
             timed(name, lambda fn=fn: fn(spark, BIG_DIR).count(),

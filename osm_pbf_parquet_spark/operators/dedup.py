@@ -611,3 +611,84 @@ def duplicate_spans(
         (F.max("pos") + (k - 1) - F.min("pos") + 1).cast("int").alias("n_tokens"),
         F.count("*").cast("int").alias("n_shingles"),
     ).withColumn("span_id", F.col("span_id").cast("int"))
+
+
+def incremental_minhash_dedup(
+    incoming: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Incremental near-dup dedup: flag INCOMING documents that
+    near-duplicate an already-ingested corpus, WITHOUT touching
+    corpus×corpus pairs — the warehouse steady state, where each new
+    batch checks against the persisted signature table
+    (``minhash_signatures`` output: key, gram_hashes, minhash) instead
+    of re-deduping 100 TB from scratch.
+
+    Plan shape: signatures for the (small) incoming batch only; banded
+    LSH join incoming-bands × corpus-bands — the shuffle is
+    |incoming|·bands + |corpus|·bands keyed rows, linear in corpus size
+    and embarrassingly smaller than the full self-join; gram-hash-set
+    jaccard verify on candidates only; per-incoming best match by
+    (jaccard desc, corpus key asc). Returns one row per flagged
+    incoming doc: (key, dup_of, jaccard)."""
+    inc_sigs = minhash_signatures(incoming, text_col, n_hashes, k).select(
+        key, "gram_hashes", "minhash"
+    )
+    rows = n_hashes // bands
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows})))"
+    )
+
+    def banded(sigs: DataFrame, out: str) -> DataFrame:
+        return (
+            sigs.withColumn("_bands", F.expr(band_expr))
+            .select(
+                F.col(key).alias(out),
+                F.posexplode("_bands").alias("band_idx", "band_sig"),
+            )
+        )
+
+    cand = (
+        banded(inc_sigs, "new_id")
+        .join(banded(corpus_sigs, "old_id"), ["band_idx", "band_sig"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    ga = inc_sigs.select(
+        F.col(key).alias("new_id"), F.col("gram_hashes").alias("gh_a")
+    )
+    gb = corpus_sigs.select(
+        F.col(key).alias("old_id"), F.col("gram_hashes").alias("gh_b")
+    )
+    scored = (
+        cand.join(ga, "new_id")
+        .join(gb, "old_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("gh_a", "gh_b"))
+                / F.size(F.array_union("gh_a", "gh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jaccard"), F.col("old_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("new_id").alias(key),
+            F.col("old_id").alias("dup_of"),
+            "jaccard",
+        )
+    )

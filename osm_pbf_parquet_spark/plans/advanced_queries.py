@@ -600,3 +600,72 @@ FROM fused ORDER BY rrf DESC, id LIMIT {_RRF_TOP}
 ADVANCED_QUERIES.update({
     "hybrid_rrf_search": (q_hybrid_rrf, ORACLE_HYBRID_RRF),
 })
+
+
+# --- incremental dedup --------------------------------------------------------
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Warehouse steady-state dedup: incoming batch (doc_id % 5 == 0)
+    checked against the already-ingested corpus's persisted signature
+    table — banded LSH join new×old only, never corpus×corpus."""
+    from ..operators import dedup
+
+    docs = _pt(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    corpus_sigs = dedup.minhash_signatures(corpus).select(
+        "doc_id", "gram_hashes", "minhash"
+    )
+    return dedup.incremental_minhash_dedup(incoming, corpus_sigs)
+
+
+def _oracle_incremental() -> str:
+    from ..operators import dedup
+    from .pipeline_queries import GRAMS_CTE, _seed_sql
+
+    P = dedup.MERSENNE31
+    rows = dedup.N_MINHASH // dedup.LSH_BANDS
+    return f"""
+WITH {GRAMS_CTE},
+sig AS (
+  SELECT doc_id,
+    list_transform({_seed_sql()}, s ->
+      list_min(list_transform(gram_hashes, gh -> (s.a * gh + s.b) % {P})))
+      AS minhash
+  FROM h
+),
+bands AS (
+  SELECT doc_id, t.b AS band_idx,
+         array_to_string(minhash[t.b * {rows} + 1 : t.b * {rows} + {rows}], ',')
+           AS band_sig
+  FROM sig CROSS JOIN generate_series(0, {dedup.LSH_BANDS - 1}) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o
+    ON n.band_idx = o.band_idx AND n.band_sig = o.band_sig
+  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+),
+scored AS (
+  SELECT new_id, old_id,
+         round(len(list_intersect(ga.gram_hashes, gb.gram_hashes)) * 1.0
+               / len(list_distinct(ga.gram_hashes || gb.gram_hashes)), 4)
+           AS jaccard
+  FROM cand
+  JOIN h ga ON ga.doc_id = new_id
+  JOIN h gb ON gb.doc_id = old_id
+),
+best AS (
+  SELECT new_id AS doc_id, old_id AS dup_of, jaccard,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, old_id) AS rn
+  FROM scored WHERE jaccard >= 0.8
+)
+SELECT doc_id, dup_of, jaccard FROM best WHERE rn = 1
+"""
+
+
+ADVANCED_QUERIES.update({
+    "incremental_dedup": (q_incremental_dedup, _oracle_incremental()),
+})
