@@ -103,6 +103,7 @@ _CHECK_FIRST = [
     "osm_geohash",
     "stream_hll_distinct",
     "incremental_dedup",
+    "merge_upsert",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

@@ -113,3 +113,42 @@ def scd2_intervals(
             F.row_number().over(w2).alias("version_no"),
         )
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """MERGE (upsert) semantics as a declarative plan: rows from
+    ``updates`` replace same-key rows in ``target``; unmatched update
+    rows insert; unmatched target rows survive — the maintenance
+    primitive behind lakehouse MERGE INTO, expressed engine-side.
+
+    Plan: union with a priority column + one keyed window keeping the
+    highest-priority row per key — ONE shuffle on the merge key, same
+    cost class as the join-based MERGE a table format would run, with
+    no broadcast requirement on either side (both may be huge). If
+    several update rows share a key, ``updates`` must pre-dedupe (the
+    window would otherwise pick one arbitrarily; standard MERGE raises
+    there, we document instead)."""
+    cols = target.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError(
+            "merge_upsert requires identical target/update schemas; got "
+            f"{sorted(cols)} vs {sorted(updates.columns)}"
+        )
+    tagged = target.select(*cols).withColumn(
+        "_prio", F.lit(0)
+    ).unionByName(updates.select(*cols).withColumn("_prio", F.lit(1)))
+    w = Window.partitionBy(key_col).orderBy(F.desc("_prio"))
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            *cols,
+            F.when(F.col("_prio") == 1, F.lit("update"))
+            .otherwise(F.lit("target"))
+            .alias("src"),
+        )
+    )

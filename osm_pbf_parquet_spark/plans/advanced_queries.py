@@ -669,3 +669,68 @@ SELECT doc_id, dup_of, jaccard FROM best WHERE rn = 1
 ADVANCED_QUERIES.update({
     "incremental_dedup": (q_incremental_dedup, _oracle_incremental()),
 })
+
+
+# --- MERGE upsert -------------------------------------------------------------
+
+
+def q_merge_upsert(spark, sf_dir):
+    """Lakehouse MERGE INTO semantics: a deterministic price-correction
+    batch (keys % 10 == 0, +10% in exact integer cents) plus an insert
+    batch (keys % 97 == 0, re-keyed +1e9) merged into orders — updates
+    replace, inserts append, untouched rows survive. One keyed-window
+    shuffle. Prices flow as BIGINT cents end-to-end: ``x * 1.1`` lands
+    on .xx5 half-boundaries where Spark (shortest-repr BigDecimal
+    HALF_UP) and DuckDB (double-scaled C rounding) systematically
+    disagree — integer cents make the merge bit-exact instead."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.expr(
+            "cast(round(o_totalprice * 100.0d, 0) AS BIGINT)"
+        ).alias("price_cents"),
+    )
+    corrections = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "price_cents", F.expr("(price_cents * 11) div 10")
+    )
+    inserts = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+    )
+    updates = corrections.unionByName(inserts)
+    merged = ordered.merge_upsert(orders, updates, "o_orderkey")
+    return merged.select("o_orderkey", "o_custkey", "price_cents", "src")
+
+
+ORACLE_MERGE_UPSERT = """
+WITH target AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS price_cents
+  FROM orders
+),
+corrections AS (
+  SELECT o_orderkey, o_custkey, (price_cents * 11) // 10 AS price_cents
+  FROM target WHERE o_orderkey % 10 = 0
+),
+inserts AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, price_cents
+  FROM target WHERE o_orderkey % 97 = 0
+),
+updates AS (SELECT * FROM corrections UNION ALL SELECT * FROM inserts),
+tagged AS (
+  SELECT *, 0 AS prio FROM target
+  UNION ALL
+  SELECT *, 1 AS prio FROM updates
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY prio DESC) AS rn
+  FROM tagged
+)
+SELECT o_orderkey, o_custkey, price_cents,
+       CASE WHEN prio = 1 THEN 'update' ELSE 'target' END AS src
+FROM ranked WHERE rn = 1
+"""
+
+
+ADVANCED_QUERIES.update({
+    "merge_upsert": (q_merge_upsert, ORACLE_MERGE_UPSERT),
+})
