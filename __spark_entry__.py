@@ -104,6 +104,8 @@ _CHECK_FIRST = [
     "stream_hll_distinct",
     "incremental_dedup",
     "merge_upsert",
+    "cogroup_reconcile",
+    "text_entropy",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

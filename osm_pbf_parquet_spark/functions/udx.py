@@ -57,3 +57,52 @@ def median_udaf(v: pd.Series) -> float:
     the midpoint average is FP-exact, so the DuckDB ``quantile_cont``
     oracle matches bit-for-bit."""
     return float(np.median(v.to_numpy(dtype=np.float64)))
+
+
+def cogroup_reconcile(events: "DataFrame", orders: "DataFrame") -> "DataFrame":
+    """Per-key reconciliation of two fact streams via
+    ``groupby().cogroup().applyInPandas`` — the two-sided grouped-map
+    API (each key's rows from BOTH frames arrive as pandas frames in one
+    call; no join materialization of the pair space).
+
+    Emits one row per key present on either side: row/value totals from
+    each frame and their deltas. Determinism: monetary values are
+    scaled to exact integer cents before summation (numpy int64 sums
+    are order-independent; float sums are not), so a SQL oracle pins
+    the output bit-for-bit.
+
+    Scale: cogroup shuffles each side ONCE on the key — the same cost
+    as the aggregate-then-outer-join plan — while keeping per-key logic
+    in vectorized pandas; state is bounded by the largest single key
+    group."""
+    import numpy as np
+
+    def reconcile(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        ev_cents = np.round(ev["value"].to_numpy() * 100.0).astype("int64")
+        od_cents = np.round(
+            od["o_totalprice"].to_numpy() * 100.0
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [np.int64(len(ev))],
+                "n_orders": [np.int64(len(od))],
+                "event_cents": [ev_cents.sum(dtype="int64")],
+                "order_cents": [od_cents.sum(dtype="int64")],
+                "delta_cents": [
+                    od_cents.sum(dtype="int64") - ev_cents.sum(dtype="int64")
+                ],
+            }
+        )
+
+    return (
+        events.groupby("user_id")
+        .cogroup(orders.groupby("user_id"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "user_id long, n_events long, n_orders long, "
+                "event_cents long, order_cents long, delta_cents long"
+            ),
+        )
+    )

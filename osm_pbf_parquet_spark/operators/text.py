@@ -504,3 +504,58 @@ def bm25_topk(
         .limit(k)
         .select(key, "n_terms_hit", "bm25")
     )
+
+
+# character classes for the entropy estimate: lowercase letters, digits
+# collapsed to one class, space, and an "other" remainder class
+ENTROPY_CHARS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def char_entropy_stats(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+) -> DataFrame:
+    """Per-document information-density signals: character-distribution
+    Shannon entropy (bits) over 29 classes (26 letters, digits, space,
+    other) and type-token ratio — the compression-ratio-style quality
+    screens (low entropy ⇒ repetitive/templated text; low TTR ⇒ word
+    salad loops).
+
+    All flat codegen projections, zero shuffle, scan-speed: per-class
+    counts are ``length(x) - length(replace(x, c, ''))`` chains on the
+    lowercased text; the entropy sum is a FIXED-ORDER chain of 29 terms
+    (expression order, not a data-order float aggregation), so a SQL
+    oracle replays it bit-for-bit."""
+    lower = f"lower({text_col})"
+    d = df.withColumn("_lc", F.expr(lower)).withColumn(
+        "_n", F.expr("length(_lc)")
+    )
+    counts = []
+    for ch in ENTROPY_CHARS:
+        counts.append(
+            f"(length(_lc) - length(replace(_lc, '{ch}', '')))"
+        )
+    counts.append(
+        "(length(_lc) - length(regexp_replace(_lc, '[0-9]', '')))"
+    )
+    counts.append("(length(_lc) - length(replace(_lc, ' ', '')))")
+    total_known = " + ".join(counts)
+    counts.append(f"(length(_lc) - ({total_known}))")  # other
+    # -sum p*log2(p); zero-count classes contribute 0 via the CASE
+    terms = [
+        f"CASE WHEN {c} = 0 OR _n = 0 THEN 0.0d ELSE "
+        f"-(cast({c} AS DOUBLE) / _n) * log2(cast({c} AS DOUBLE) / _n) END"
+        for c in counts
+    ]
+    entropy = " + ".join(terms)
+    tokens = f"split({text_col}, ' ')"
+    return d.select(
+        key,
+        F.col("_n").cast("long").alias("n_chars"),
+        F.expr(f"round({entropy}, 6)").alias("char_entropy_bits"),
+        F.expr(
+            # cast to DOUBLE explicitly: `* 1.0` is DECIMAL math in
+            # Spark SQL (pandas object dtype, decimal division)
+            f"round(cast(size(array_distinct({tokens})) AS DOUBLE) "
+            f"/ greatest(size({tokens}), 1), 6)"
+        ).alias("type_token_ratio"),
+    )

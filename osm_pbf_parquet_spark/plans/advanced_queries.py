@@ -734,3 +734,99 @@ FROM ranked WHERE rn = 1
 ADVANCED_QUERIES.update({
     "merge_upsert": (q_merge_upsert, ORACLE_MERGE_UPSERT),
 })
+
+
+# --- cogrouped reconciliation -------------------------------------------------
+
+
+def q_cogroup_reconcile(spark, sf_dir):
+    """Two-sided grouped-map API surface (cogroup + applyInPandas):
+    per-user reconciliation of event value vs order spend, exact
+    integer-cents arithmetic. user_id maps onto the customer key space
+    via the events table's existing ids; orders keyed by o_custkey."""
+    from ..functions.udx import cogroup_reconcile
+
+    events = _t(spark, sf_dir, "events").select("user_id", "value")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+    return cogroup_reconcile(events, orders)
+
+
+ORACLE_COGROUP_RECONCILE = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS event_cents
+  FROM events GROUP BY user_id
+),
+od AS (
+  SELECT o_custkey AS user_id,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS order_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(ev.user_id, od.user_id) AS user_id,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(event_cents, 0) AS BIGINT) AS event_cents,
+       CAST(coalesce(order_cents, 0) AS BIGINT) AS order_cents,
+       CAST(coalesce(order_cents, 0) - coalesce(event_cents, 0) AS BIGINT)
+         AS delta_cents
+FROM ev FULL OUTER JOIN od ON ev.user_id = od.user_id
+"""
+
+
+ADVANCED_QUERIES.update({
+    "cogroup_reconcile": (q_cogroup_reconcile, ORACLE_COGROUP_RECONCILE),
+})
+
+
+# --- character entropy / TTR --------------------------------------------------
+
+
+def q_text_entropy(spark, sf_dir):
+    """Information-density quality screens: char-distribution Shannon
+    entropy + type-token ratio, flat codegen, zero shuffle."""
+    return text.char_entropy_stats(_pt(spark, sf_dir, "documents"))
+
+
+def _oracle_text_entropy() -> str:
+    """Mirror char_entropy_stats' expression chain term-for-term (same
+    class order, same fixed-order sum) in DuckDB SQL."""
+    counts = [
+        f"(length(_lc) - length(replace(_lc, '{ch}', '')))"
+        for ch in text.ENTROPY_CHARS
+    ]
+    counts.append(
+        "(length(_lc) - length(regexp_replace(_lc, '[0-9]', '', 'g')))"
+    )
+    counts.append("(length(_lc) - length(replace(_lc, ' ', '')))")
+    total_known = " + ".join(counts)
+    counts.append(f"(length(_lc) - ({total_known}))")
+    terms = [
+        f"CASE WHEN {c} = 0 OR _n = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"-(CAST({c} AS DOUBLE) / _n) * log2(CAST({c} AS DOUBLE) / _n) END"
+        for c in counts
+    ]
+    entropy = " + ".join(terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS _lc, length(lower(text)) AS _n, text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(_n AS BIGINT) AS n_chars,
+       round({entropy}, 6) AS char_entropy_bits,
+       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1), 6)
+         AS type_token_ratio
+FROM base
+"""
+
+
+ADVANCED_QUERIES.update({
+    "text_entropy": (q_text_entropy, _oracle_text_entropy()),
+})
