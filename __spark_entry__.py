@@ -106,6 +106,7 @@ _CHECK_FIRST = [
     "merge_upsert",
     "cogroup_reconcile",
     "text_entropy",
+    "salted_join",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

@@ -73,3 +73,47 @@ def salted_collect_set(
             F.array_distinct(F.flatten(F.collect_list("_pset")))
         ).alias(out_col)
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    tiebreak_col: str,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Hand-rolled salted replicated join for the case AQE's skew split
+    can't reach: a statically-planned shuffle join whose hot fact keys
+    exceed one reducer even after split (or AQE disabled/unavailable —
+    e.g. inside a statically-compiled stage of a larger pipeline).
+
+    fact rows scatter across ``n_salts`` sub-keys via a DETERMINISTIC
+    hash of a per-row tiebreak column (md5-derived — no rand(), so
+    retried/recomputed tasks place rows identically, which
+    non-deterministic salting violates under Spark's task-retry model);
+    the dim side replicates ``n_salts``× (explode of a literal range —
+    dim must tolerate the blow-up, i.e. be ≪ fact). Join keys become
+    (key, salt): the hot key's rows now land on ``n_salts`` reducers.
+    Semantically IDENTICAL to the plain join — every fact row still
+    meets every matching dim row exactly once.
+
+    Join strategy is hinted shuffle-hash: broadcasting the replicated
+    dim would collapse the salting back into one stream per fact
+    partition (fine, but then you didn't need salt); the hint keeps the
+    demonstration honest and the plan shape stable."""
+    from .sampling import hash_mod_expr
+
+    salted_fact = fact.withColumn(
+        "_salt",
+        F.expr(hash_mod_expr(f"cast({tiebreak_col} AS string)", n_salts)),
+    )
+    replicated_dim = dim.select(
+        "*",
+        F.explode(F.expr(f"sequence(0, {n_salts - 1})")).alias("_salt"),
+    )
+    return (
+        salted_fact.join(
+            replicated_dim.hint("shuffle_hash"), [key, "_salt"]
+        )
+        .drop("_salt")
+    )

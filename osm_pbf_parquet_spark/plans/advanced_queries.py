@@ -830,3 +830,43 @@ FROM base
 ADVANCED_QUERIES.update({
     "text_entropy": (q_text_entropy, _oracle_text_entropy()),
 })
+
+
+# --- salted skew join ---------------------------------------------------------
+
+
+def q_salted_join(spark, sf_dir):
+    """Salted replicated join (static skew mitigation): events joined to
+    the customer dimension on (user_id, salt) with the dim replicated
+    16x — semantically identical to the plain join the oracle runs;
+    rolled up per market segment in exact integer cents."""
+    from ..operators.skew import salted_join
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(events, dim, "user_id", "event_id")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(
+            F.expr("cast(round(value * 100.0, 0) AS BIGINT)")
+        ).cast("long").alias("value_cents"),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 100.0, 0) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+ADVANCED_QUERIES.update({
+    "salted_join": (q_salted_join, ORACLE_SALTED_JOIN),
+})

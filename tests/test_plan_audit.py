@@ -192,3 +192,15 @@ def test_negative_sampling_keyed_join_no_cartesian(spark):
     # exactly ONE BroadcastNestedLoopJoin node = two mentions
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # the span attach
     assert "hashpartitioning(neg_id" in plan or "BroadcastHashJoin" in plan
+
+
+def test_salted_join_shuffles_on_salt_no_broadcast(spark):
+    """The salted join must be a ShuffledHashJoin keyed on (key, _salt) —
+    a broadcast of the replicated dim would collapse the salting back
+    into one stream per fact partition."""
+    from osm_pbf_parquet_spark.plans.advanced_queries import ADVANCED_QUERIES
+
+    plan = _plan(ADVANCED_QUERIES["salted_join"][0](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert "_salt" in plan
+    assert "BroadcastHashJoin" not in plan
