@@ -185,6 +185,35 @@ GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 GEOHASH_PRECISION = 8  # 40 bits = 20 lat + 20 lon
 
 
+def _geohash_quant_exprs(lat_operand: str, lon_operand: str,
+                         half_bits: int) -> tuple[str, str]:
+    """The two clamp-quantize expression strings, shared by the inline
+    (``geohash_expr``) and column-materialized (``with_geohash``)
+    formulations so the two can never drift apart."""
+    m = (1 << half_bits) - 1
+    qlat = (
+        f"greatest(0L, least({m}L, cast(floor(({lat_operand} + 90.0d) "
+        f"/ 180.0d * {1 << half_bits}) AS BIGINT)))"
+    )
+    qlon = (
+        f"greatest(0L, least({m}L, cast(floor(({lon_operand} + 180.0d) "
+        f"/ 360.0d * {1 << half_bits}) AS BIGINT)))"
+    )
+    return qlat, qlon
+
+
+def _geohash_char_concat(z_operand: str, precision: int) -> str:
+    """base32 of the interleaved key: 5 bits per character, MSB first."""
+    nbits = precision * 5
+    chars = [
+        f"substring('{GEOHASH_ALPHABET}', "
+        f"cast(shiftright({z_operand}, {nbits - 5 - 5 * j}) & 31L AS INT)"
+        " + 1, 1)"
+        for j in range(precision)
+    ]
+    return "concat(" + ", ".join(chars) + ")"
+
+
 def geohash_expr(lat_col: str, lon_col: str,
                  precision: int = GEOHASH_PRECISION) -> str:
     """Standard geohash of (lat, lon) at even ``precision`` as pure
@@ -208,24 +237,10 @@ def geohash_expr(lat_col: str, lon_col: str,
     the z-key, plus a human-readable key)."""
     if precision % 2 != 0:
         raise ValueError("geohash_expr supports even precision only")
-    nbits = precision * 5
-    half = nbits // 2
-    m = (1 << half) - 1
-    qlat = (
-        f"greatest(0L, least({m}L, "
-        f"cast(floor(({lat_col} + 90.0d) / 180.0d * {1 << half}) AS BIGINT)))"
-    )
-    qlon = (
-        f"greatest(0L, least({m}L, "
-        f"cast(floor(({lon_col} + 180.0d) / 360.0d * {1 << half}) AS BIGINT)))"
-    )
+    half = precision * 5 // 2
+    qlat, qlon = _geohash_quant_exprs(lat_col, lon_col, half)
     z = zorder_interleave_expr(qlat, qlon, half)
-    chars = [
-        f"substring('{GEOHASH_ALPHABET}', "
-        f"cast(shiftright({z}, {nbits - 5 - 5 * j}) & 31L AS INT) + 1, 1)"
-        for j in range(precision)
-    ]
-    return "concat(" + ", ".join(chars) + ")"
+    return _geohash_char_concat(z, precision)
 
 
 def with_geohash(df, lat_col: str = "lat", lon_col: str = "lon",
@@ -236,30 +251,14 @@ def with_geohash(df, lat_col: str = "lat", lon_col: str = "lon",
     the expression tree stays linear. ``geohash_expr`` inlines the whole
     chain (operands repeated per interleave term — fine for literals and
     oracles, quadratic blowup on wide plans)."""
-    nbits = precision * 5
-    half = nbits // 2
-    m = (1 << half) - 1
-    d = df.withColumn(
-        "_gqlat",
-        F.expr(
-            f"greatest(0L, least({m}L, cast(floor(({lat_col} + 90.0d) "
-            f"/ 180.0d * {1 << half}) AS BIGINT)))"
-        ),
-    ).withColumn(
-        "_gqlon",
-        F.expr(
-            f"greatest(0L, least({m}L, cast(floor(({lon_col} + 180.0d) "
-            f"/ 360.0d * {1 << half}) AS BIGINT)))"
-        ),
+    half = precision * 5 // 2
+    qlat, qlon = _geohash_quant_exprs(lat_col, lon_col, half)
+    d = df.withColumn("_gqlat", F.expr(qlat)).withColumn(
+        "_gqlon", F.expr(qlon)
     )
     d = d.withColumn(
         "_gz", F.expr(zorder_interleave_expr("_gqlat", "_gqlon", half))
     )
-    chars = [
-        f"substring('{GEOHASH_ALPHABET}', "
-        f"cast(shiftright(_gz, {nbits - 5 - 5 * j}) & 31L AS INT) + 1, 1)"
-        for j in range(precision)
-    ]
-    return d.withColumn(out, F.expr("concat(" + ", ".join(chars) + ")")).drop(
-        "_gqlat", "_gqlon", "_gz"
-    )
+    return d.withColumn(
+        out, F.expr(_geohash_char_concat("_gz", precision))
+    ).drop("_gqlat", "_gqlon", "_gz")

@@ -77,11 +77,18 @@ def cogroup_reconcile(events: "DataFrame", orders: "DataFrame") -> "DataFrame":
     group."""
     import numpy as np
 
+    def _cents(series: pd.Series) -> "np.ndarray":
+        # match the engines' round-half-AWAY-FROM-ZERO (DuckDB round /
+        # Spark F.round HALF_UP) — np.round is half-to-even and diverges
+        # on exact .5 products (e.g. 0.125*100); NULLs drop out like a
+        # SQL sum (NaN.astype(int64) is silent garbage otherwise)
+        x = series.to_numpy(dtype="float64") * 100.0
+        x = x[~np.isnan(x)]
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
+
     def reconcile(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
-        ev_cents = np.round(ev["value"].to_numpy() * 100.0).astype("int64")
-        od_cents = np.round(
-            od["o_totalprice"].to_numpy() * 100.0
-        ).astype("int64")
+        ev_cents = _cents(ev["value"])
+        od_cents = _cents(od["o_totalprice"])
         return pd.DataFrame(
             {
                 "user_id": [key[0]],

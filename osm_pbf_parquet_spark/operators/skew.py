@@ -105,7 +105,13 @@ def salted_join(
 
     salted_fact = fact.withColumn(
         "_salt",
-        F.expr(hash_mod_expr(f"cast({tiebreak_col} AS string)", n_salts)),
+        # coalesce: a NULL tiebreak must still salt (to bucket 0), not
+        # NULL out the join key and silently drop the row
+        F.expr(
+            "coalesce("
+            + hash_mod_expr(f"cast({tiebreak_col} AS string)", n_salts)
+            + ", 0)"
+        ),
     )
     replicated_dim = dim.select(
         "*",

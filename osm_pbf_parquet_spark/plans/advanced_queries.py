@@ -27,8 +27,7 @@ from ..operators.sketches import (
 from .pipeline_queries import t as _pt
 from .relational import t as _t
 
-# md5-derived 60-bit hash, DuckDB form (same idiom as sampling oracles)
-_H60 = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+from ..operators.sampling import duck_hash_mod as _duck_hash_mod
 # sequential left-fold dot/norm, the pipeline_queries oracle idiom —
 # identical FP order to Spark's aggregate(zip_with(...)) fold
 _DOT = (
@@ -89,13 +88,13 @@ def q_scd2_intervals(spark, sf_dir):
 
 ORACLE_SCD2 = """
 WITH ordered_ev AS (
-  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
          lag(event_type) OVER w AS prev_type
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ),
 changes AS (
-  SELECT user_id, event_type, ts_us
+  SELECT user_id, event_type, ts_us, event_id
   FROM ordered_ev
   WHERE prev_type IS NULL OR event_type <> prev_type
 )
@@ -104,7 +103,7 @@ SELECT user_id, event_type,
        CAST(lead(ts_us) OVER w2 AS BIGINT) AS valid_to,
        CAST(row_number() OVER w2 AS INT) AS version_no
 FROM changes
-WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us)
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 """
 
 
@@ -128,7 +127,8 @@ _HLL_EST = (
 )
 ORACLE_HLL = f"""
 WITH h AS (
-  SELECT {_H60.format(x="CAST(user_id AS VARCHAR)")} AS hv FROM events
+  SELECT {_duck_hash_mod("CAST(user_id AS VARCHAR)", 1 << 60)} AS hv
+  FROM events
 ),
 b AS (
   SELECT hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS w FROM h
@@ -179,8 +179,9 @@ def q_negative_sampling(spark, sf_dir):
     )
 
 
-_NEG_HASH = _H60.format(
-    x="CAST(e.vec_id AS VARCHAR) || ':neg:' || CAST(d.draw AS VARCHAR)"
+_NEG_HASH = _duck_hash_mod(
+    "CAST(e.vec_id AS VARCHAR) || ':neg:' || CAST(d.draw AS VARCHAR)",
+    "(s.hi - s.lo + 1)",
 )
 ORACLE_NEGATIVE_SAMPLING = f"""
 WITH span AS (SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM embeddings),
@@ -190,7 +191,7 @@ vd AS (
 ),
 draws AS (
   SELECT e.vec_id AS anchor_id, d.draw,
-         s.lo + {_NEG_HASH} % (s.hi - s.lo + 1) AS neg_id
+         s.lo + {_NEG_HASH} AS neg_id
   FROM embeddings e, span s,
        (SELECT unnest(range(0, {_NEG_K})) AS draw) d
   WHERE e.vec_id < {_NEG_LIMIT}
@@ -345,8 +346,7 @@ _BM25_TERM_SCORE = (
     f" + CAST({text.BM25_B!r} AS DOUBLE) * s.dl"
     " / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))"
 )
-ORACLE_BM25 = f"""
-WITH toks AS (
+_BM25_CTE = f"""toks AS (
   SELECT doc_id,
          unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS token
   FROM documents
@@ -371,7 +371,7 @@ parts AS (
   JOIN dfreq ON tf.token = dfreq.token
   JOIN dlens ON tf.doc_id = dlens.doc_id, stats st
 ),
-scored AS (
+bm AS (
   SELECT doc_id,
          CAST(count(*) AS BIGINT) AS n_terms_hit,
          round(list_reduce(
@@ -382,9 +382,12 @@ scored AS (
                  s -> {_BM25_TERM_SCORE}),
              (acc, x) -> acc + x), 6) AS bm25
   FROM parts GROUP BY doc_id
-)
+)"""
+
+ORACLE_BM25 = f"""
+WITH {_BM25_CTE}
 SELECT doc_id, n_terms_hit, bm25
-FROM scored ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
+FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
 """
 
 
@@ -456,17 +459,20 @@ def q_grouped_split(spark, sf_dir):
     return grouped_split_audit(_pt(spark, sf_dir, "documents"))
 
 
-ORACLE_GROUPED_SPLIT = """
-WITH assigned AS (
+ORACLE_GROUPED_SPLIT = f"""
+WITH bucketed AS (
   SELECT doc_id, source,
-         CASE WHEN CAST(('0x' || substring(md5(
-                  CAST(source AS VARCHAR) || ':' || 'grouped-split-v1'
-              ), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
-              WHEN CAST(('0x' || substring(md5(
-                  CAST(source AS VARCHAR) || ':' || 'grouped-split-v1'
-              ), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'val'
-              ELSE 'test' END AS split
+         {_duck_hash_mod(
+             "CAST(source AS VARCHAR) || ':' || 'grouped-split-v1'", 10000
+         )} AS bucket
   FROM documents
+),
+assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM bucketed
 ),
 per_split AS (
   SELECT split,
@@ -525,42 +531,7 @@ def q_hybrid_rrf(spark, sf_dir):
 
 
 ORACLE_HYBRID_RRF = f"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS token
-  FROM documents
-),
-dlens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-stats AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(dl) AS BIGINT) AS sum_dl
-  FROM dlens
-),
-tf AS (
-  SELECT doc_id, token, count(*) AS tf
-  FROM toks WHERE token IN ({_BM25_TERMS_SQL})
-  GROUP BY doc_id, token
-),
-dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
-parts AS (
-  SELECT tf.doc_id, tf.token,
-         CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
-         CAST(dlens.dl AS BIGINT) AS dl, st.n_docs, st.sum_dl
-  FROM tf
-  JOIN dfreq ON tf.token = dfreq.token
-  JOIN dlens ON tf.doc_id = dlens.doc_id, stats st
-),
-bm AS (
-  SELECT doc_id,
-         round(list_reduce(
-             list_transform(
-                 list(struct_pack(token := token, tf := tf, df := df,
-                                  dl := dl, n_docs := n_docs,
-                                  sum_dl := sum_dl) ORDER BY token),
-                 s -> {_BM25_TERM_SCORE}),
-             (acc, x) -> acc + x), 6) AS bm25
-  FROM parts GROUP BY doc_id
-),
+WITH {_BM25_CTE},
 lex AS (
   SELECT doc_id AS id,
          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
