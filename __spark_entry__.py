@@ -107,6 +107,7 @@ _CHECK_FIRST = [
     "cogroup_reconcile",
     "text_entropy",
     "salted_join",
+    "funnel_depths",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

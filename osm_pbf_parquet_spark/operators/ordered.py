@@ -152,3 +152,61 @@ def merge_upsert(
             .alias("src"),
         )
     )
+
+
+def funnel_depths(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key, how far through the step
+    sequence did it progress, requiring each step STRICTLY AFTER the
+    previous one (the product-analytics funnel semantic: view → click →
+    purchase counts a purchase only if it follows the user's first
+    qualifying click, which follows their first view).
+
+    Plan: one keyed min-aggregation per step, each filtered by the
+    previous step's timestamp via a keyed equi-join — ``len(steps)``
+    map-side-combinable aggs + joins on the SAME key (co-partitioned
+    shuffles, no window over raw events, per-key state is one timestamp
+    per step). Emits (key, depth, t_1..t_n) with NULLs past the
+    reached depth."""
+    if not steps:
+        raise ValueError("funnel_depths needs at least one step")
+    reached = None
+    out_cols = []
+    for i, step in enumerate(steps):
+        cur = df.where(F.col(type_col) == step).select(
+            key_col, F.col(ts_col).alias("_ts")
+        )
+        if reached is None:
+            agg = cur.groupBy(key_col).agg(
+                F.min("_ts").alias(f"t_{i + 1}")
+            )
+            reached = agg
+        else:
+            agg = (
+                cur.join(
+                    reached.select(key_col, F.col(f"t_{i}").alias("_prev")),
+                    key_col,
+                )
+                .where(F.col("_ts") > F.col("_prev"))
+                .groupBy(key_col)
+                .agg(F.min("_ts").alias(f"t_{i + 1}"))
+            )
+            reached = reached.join(agg, key_col, "left")
+        out_cols.append(f"t_{i + 1}")
+    depth = F.lit(0)
+    for i in range(len(steps)):
+        depth = F.when(F.col(f"t_{i + 1}").isNotNull(), i + 1).otherwise(
+            depth
+        )
+    # later steps are NULL whenever an earlier one is (inner join chain),
+    # so the CASE cascade written back-to-front yields the max depth
+    return reached.select(
+        key_col,
+        depth.cast("int").alias("depth"),
+        *[F.col(c) for c in out_cols],
+    )

@@ -841,3 +841,60 @@ GROUP BY c.c_mktsegment
 ADVANCED_QUERIES.update({
     "salted_join": (q_salted_join, ORACLE_SALTED_JOIN),
 })
+
+
+# --- ordered funnel -----------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_depths(spark, sf_dir):
+    """Product-analytics funnel: per user, how far through
+    view → click → purchase they progressed, each step strictly after
+    the previous one; exact epoch-µs timestamps."""
+    e = _t(spark, sf_dir, "events")
+    out = ordered.funnel_depths(
+        e, _FUNNEL_STEPS, key_col="user_id",
+        type_col="event_type", ts_col="ts_us",
+    )
+    return out.select(
+        "user_id", "depth",
+        F.col("t_1").cast("long"),
+        F.col("t_2").cast("long"),
+        F.col("t_3").cast("long"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t_1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t_2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(CASE WHEN t_3 IS NOT NULL THEN 3
+                 WHEN t_2 IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS depth,
+       CAST(t_1 AS BIGINT) AS t_1,
+       CAST(t_2 AS BIGINT) AS t_2,
+       CAST(t_3 AS BIGINT) AS t_3
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+ADVANCED_QUERIES.update({
+    "funnel_depths": (q_funnel_depths, ORACLE_FUNNEL),
+})

@@ -90,3 +90,21 @@ def test_negative_sampling_no_self_pairs_and_k_bound(spark):
         assert -1.0 <= r["cosine"] <= 1.0
         per_anchor.setdefault(r["anchor_id"], set()).add(r["draw"])
     assert all(len(d) <= 4 for d in per_anchor.values())
+
+
+def test_funnel_strict_ordering_property(spark):
+    """Funnel timestamps must be strictly increasing to the reached
+    depth and NULL past it — the semantic the oracle can't state."""
+    from osm_pbf_parquet_spark.plans.advanced_queries import q_funnel_depths
+
+    rows = q_funnel_depths(spark, SF_DIR).collect()
+    assert rows
+    depths = set()
+    for r in rows:
+        ts = [r["t_1"], r["t_2"], r["t_3"]]
+        d = r["depth"]
+        depths.add(d)
+        assert all(t is not None for t in ts[:d])
+        assert all(t is None for t in ts[d:])
+        assert all(a < b for a, b in zip(ts[:d], ts[1:d]))
+    assert {1, 2, 3} & depths  # the fixture reaches multiple depths
