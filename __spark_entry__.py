@@ -108,6 +108,8 @@ _CHECK_FIRST = [
     "text_entropy",
     "salted_join",
     "funnel_depths",
+    "cohort_retention",
+    "table_checksum",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

@@ -898,3 +898,105 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 ADVANCED_QUERIES.update({
     "funnel_depths": (q_funnel_depths, ORACLE_FUNNEL),
 })
+
+
+# --- cohort retention ---------------------------------------------------------
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention grid: users grouped by first-activity
+    week (cohort), counted per subsequent activity week offset — two
+    map-side-combinable aggs + one co-partitioned join on user_id;
+    week arithmetic in exact integer µs (epoch µs div one week)."""
+    week_us = 7 * 24 * 3600 * 1_000_000
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts_us div {week_us}").alias("week")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    grid = (
+        e.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week"))
+                 .alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    return grid.select(
+        F.col("cohort_week").cast("long"),
+        F.col("week_offset").cast("long"),
+        "n_users",
+    )
+
+
+ORACLE_COHORT = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(e.week - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM e JOIN cohort c ON e.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+# --- distributed table checksum -----------------------------------------------
+
+_CKSUM_BUCKETS = 64
+
+
+def q_table_checksum(spark, sf_dir):
+    """Distributed anti-entropy checksum of the orders table: rows hash
+    to 64 buckets; per bucket, an order-independent XOR of the row
+    content hash + exact count. Two tables are replica-identical iff
+    their 64 checksum rows match — the cross-cluster validation
+    primitive (compare replicas / write routes without moving data).
+    One map-side-combinable aggregation; XOR is commutative-associative
+    so partial merge order is irrelevant."""
+    from ..operators.sampling import hash_mod_expr
+
+    row_key = (
+        "concat(cast(o_orderkey AS string), '|', "
+        "cast(o_custkey AS string), '|', o_orderstatus, '|', "
+        "cast(cast(round(o_totalprice * 100.0d, 0) AS BIGINT) AS string))"
+    )
+    h = f"cast(conv(substring(md5({row_key}), 1, 15), 16, 10) AS BIGINT)"
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.expr(hash_mod_expr(row_key, _CKSUM_BUCKETS)).alias("bucket"),
+            F.expr(h).alias("row_hash"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.expr("bit_xor(row_hash)").cast("long").alias("xor_hash"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def _oracle_table_checksum() -> str:
+    row_key = (
+        "CAST(o_orderkey AS VARCHAR) || '|' || "
+        "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
+        "CAST(CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS VARCHAR)"
+    )
+    h = f"CAST(('0x' || substring(md5({row_key}), 1, 15)) AS BIGINT)"
+    return f"""
+WITH hashed AS (
+  SELECT {_duck_hash_mod(row_key, _CKSUM_BUCKETS)} AS bucket,
+         {h} AS row_hash
+  FROM orders
+)
+SELECT bucket,
+       CAST(bit_xor(row_hash) AS BIGINT) AS xor_hash,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM hashed GROUP BY bucket
+"""
+
+
+ADVANCED_QUERIES.update({
+    "cohort_retention": (q_cohort_retention, ORACLE_COHORT),
+    "table_checksum": (q_table_checksum, _oracle_table_checksum()),
+})
