@@ -19,6 +19,8 @@ prune row groups for free.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -63,3 +65,66 @@ def read_osm_parquet(spark, path: str) -> DataFrame:
     """Read the engine's (or the reference's) partitioned output back as a
     DataFrame; hive partition discovery restores the ``type`` column."""
     return spark.read.parquet(path)
+
+
+def compact_parquet_dataset(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 500,
+    partition_col: str | None = None,
+) -> dict:
+    """Small-file compaction — the 100 TB operational chore: a dataset
+    written by many tasks/ingests accumulates files far below the
+    row-group-efficient size, and scan planning + footer reads start to
+    dominate. Rewrites the dataset into ~``target_file_mb`` files,
+    preserving an optional hive partition column.
+
+    File count derives from the dataset's ACTUAL on-disk bytes (input
+    file sizes summed driver-side — a listing, not a data pass), then
+    one round-robin repartition → write. With a partition column the
+    write keeps hive layout; repartitioning by the partition column plus
+    a round-robin salt keeps each output partition's files balanced
+    instead of one-file-per-hive-partition hotspots.
+
+    Returns {"files_in", "files_out", "rows", "bytes_in"}.
+    """
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    files = [
+        f for f in _glob.glob(os.path.join(in_path, "**", "*.parquet"),
+                              recursive=True)
+        if os.path.isfile(f)
+    ]
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, (bytes_in + target_file_mb * 1024 * 1024 - 1)
+                // (target_file_mb * 1024 * 1024))
+    df = spark.read.parquet(in_path)
+    rows = df.count()
+    if partition_col is not None:
+        # salt keeps files per hive partition balanced
+        salted = df.withColumn(
+            "_c", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(int(n_out)))
+        )
+        (
+            salted.repartition(int(n_out), partition_col, "_c")
+            .drop("_c")
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(out_path)
+        )
+    else:
+        df.repartition(int(n_out)).write.mode("overwrite").parquet(out_path)
+    files_out = [
+        f for f in _glob.glob(os.path.join(out_path, "**", "*.parquet"),
+                              recursive=True)
+        if os.path.isfile(f)
+    ]
+    return {
+        "files_in": len(files),
+        "files_out": len(files_out),
+        "rows": rows,
+        "bytes_in": bytes_in,
+    }

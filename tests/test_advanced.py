@@ -108,3 +108,41 @@ def test_funnel_strict_ordering_property(spark):
         assert all(t is None for t in ts[d:])
         assert all(a < b for a, b in zip(ts[:d], ts[1:d]))
     assert {1, 2, 3} & depths  # the fixture reaches multiple depths
+
+
+def test_compact_parquet_dataset_reduces_files_preserves_content(spark, tmp_path):
+    """Compaction: fewer files, identical rows (order-independent
+    content checksum), hive partitioning preserved."""
+    from osm_pbf_parquet_spark.sinks.parquet_sink import (
+        compact_parquet_dataset,
+    )
+
+    src = str(tmp_path / "fragmented")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # simulate ingest fragmentation: 64 tiny files per lang partition
+    docs.repartition(64).write.partitionBy("lang").parquet(src)
+
+    dst = str(tmp_path / "compacted")
+    stats = compact_parquet_dataset(
+        spark, src, dst, target_file_mb=64, partition_col="lang"
+    )
+    assert stats["files_out"] < stats["files_in"]
+    assert stats["rows"] == docs.count()
+
+    def checksum(path):
+        return (
+            spark.read.parquet(path)
+            .select(
+                F.expr(
+                    "cast(conv(substring(md5(concat_ws('|', doc_id, text, "
+                    "lang, source)), 1, 15), 16, 10) AS BIGINT)"
+                ).alias("h")
+            )
+            .agg(F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+
+    a, b = checksum(src), checksum(dst)
+    assert (a["x"], a["n"]) == (b["x"], b["n"])
+    import glob
+    assert glob.glob(f"{dst}/lang=*")  # hive layout preserved
