@@ -146,3 +146,55 @@ def test_compact_parquet_dataset_reduces_files_preserves_content(spark, tmp_path
     assert (a["x"], a["n"]) == (b["x"], b["n"])
     import glob
     assert glob.glob(f"{dst}/lang=*")  # hive layout preserved
+
+
+def test_skyline_exact_vs_bruteforce_random(spark):
+    """Completeness AND soundness on adversarial random data (heavy
+    duplicate x values stress the range-bucket boundaries): the
+    distributed skyline must equal the brute-force frontier exactly."""
+    import random
+
+    from osm_pbf_parquet_spark.operators.ordered import skyline_min_min
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        pts = [
+            (float(rng.randint(0, 40)), float(rng.randint(0, 40)))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(pts, "x double, y double")
+        got = {(r["x"], r["y"]) for r in skyline_min_min(df, "x", "y").collect()}
+        uniq = set(pts)
+        expected = {
+            p for p in uniq
+            if not any(
+                q[0] <= p[0] and q[1] <= p[1] and q != p
+                and (q[0] < p[0] or q[1] < p[1])
+                for q in uniq
+            )
+        }
+        assert got == expected, (trial, got ^ expected)
+
+
+def test_merge_upsert_matches_dict_semantics(spark):
+    """merge_upsert against the obvious dict-merge reference on random
+    key overlap patterns."""
+    import random
+
+    from osm_pbf_parquet_spark.operators.ordered import merge_upsert
+
+    rng = random.Random(7)
+    target = [(k, rng.randint(0, 99)) for k in range(50)]
+    updates = [
+        (k, rng.randint(100, 199))
+        for k in rng.sample(range(80), 30)  # mix of replaces + inserts
+    ]
+    tdf = spark.createDataFrame(target, "k long, v long")
+    udf_ = spark.createDataFrame(updates, "k long, v long")
+    got = {
+        r["k"]: (r["v"], r["src"])
+        for r in merge_upsert(tdf, udf_, "k").collect()
+    }
+    expected = {k: (v, "target") for k, v in target}
+    expected.update({k: (v, "update") for k, v in updates})
+    assert got == expected
