@@ -110,6 +110,7 @@ _CHECK_FIRST = [
     "funnel_depths",
     "cohort_retention",
     "table_checksum",
+    "dataset_diff",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

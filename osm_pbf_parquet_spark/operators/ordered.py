@@ -210,3 +210,42 @@ def funnel_depths(
         depth.cast("int").alias("depth"),
         *[F.col(c) for c in out_cols],
     )
+
+
+def dataset_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff of two keyed datasets: emits (key, status) for
+    every key that is ``only_a``, ``only_b``, or ``changed`` (identical
+    rows are omitted — the output is the delta, bounded by the true
+    change volume, not the table size). The companion to the bucketed
+    ``table_checksum``: the checksum says WHETHER replicas diverged,
+    the diff says WHERE.
+
+    Plan: md5 content hash of the compare columns as a projection on
+    each side, then ONE full outer join on the key — same shuffle class
+    as the merge that would repair the difference. No broadcast
+    requirement; both sides may be huge."""
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        concat = ", '|', ".join(
+            f"coalesce(cast({c} AS string), '\\x00null')"
+            for c in compare_cols
+        )
+        return df.select(
+            *key_cols, F.expr(f"md5(concat({concat}))").alias(f"_h_{tag}")
+        )
+
+    joined = hashed(a, "a").join(hashed(b, "b"), key_cols, "full_outer")
+    status = (
+        F.when(F.col("_h_b").isNull(), F.lit("only_a"))
+        .when(F.col("_h_a").isNull(), F.lit("only_b"))
+        .when(F.col("_h_a") != F.col("_h_b"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(*key_cols, "status")
+    )

@@ -1000,3 +1000,73 @@ ADVANCED_QUERIES.update({
     "cohort_retention": (q_cohort_retention, ORACLE_COHORT),
     "table_checksum": (q_table_checksum, _oracle_table_checksum()),
 })
+
+
+# --- dataset diff -------------------------------------------------------------
+
+
+def q_dataset_diff(spark, sf_dir):
+    """Row-level delta between orders and its merge-upserted form: the
+    corrected keys report ``changed``, the re-keyed inserts ``only_b``,
+    everything identical is omitted. One full-outer join on the key."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.expr(
+            "cast(round(o_totalprice * 100.0d, 0) AS BIGINT)"
+        ).alias("price_cents"),
+    )
+    corrections = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "price_cents", F.expr("(price_cents * 11) div 10")
+    )
+    inserts = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+    )
+    merged = ordered.merge_upsert(
+        orders, corrections.unionByName(inserts), "o_orderkey"
+    ).drop("src")
+    return ordered.dataset_diff(
+        orders, merged, ["o_orderkey"], ["o_custkey", "price_cents"]
+    )
+
+
+ORACLE_DATASET_DIFF = """
+WITH target AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS price_cents
+  FROM orders
+),
+corrections AS (
+  SELECT o_orderkey, o_custkey, (price_cents * 11) // 10 AS price_cents
+  FROM target WHERE o_orderkey % 10 = 0
+),
+inserts AS (
+  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, price_cents
+  FROM target WHERE o_orderkey % 97 = 0
+),
+updates AS (SELECT * FROM corrections UNION ALL SELECT * FROM inserts),
+merged AS (
+  SELECT o_orderkey, o_custkey, price_cents FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY prio DESC) AS rn
+    FROM (SELECT *, 0 AS prio FROM target
+          UNION ALL SELECT *, 1 AS prio FROM updates)
+  ) WHERE rn = 1
+)
+SELECT coalesce(t.o_orderkey, m.o_orderkey) AS o_orderkey,
+       CASE WHEN m.o_orderkey IS NULL THEN 'only_a'
+            WHEN t.o_orderkey IS NULL THEN 'only_b'
+            WHEN t.o_custkey <> m.o_custkey
+                 OR t.price_cents <> m.price_cents THEN 'changed'
+       END AS status
+FROM target t FULL OUTER JOIN merged m ON t.o_orderkey = m.o_orderkey
+WHERE CASE WHEN m.o_orderkey IS NULL THEN 'only_a'
+           WHEN t.o_orderkey IS NULL THEN 'only_b'
+           WHEN t.o_custkey <> m.o_custkey
+                OR t.price_cents <> m.price_cents THEN 'changed'
+      END IS NOT NULL
+"""
+
+
+ADVANCED_QUERIES.update({
+    "dataset_diff": (q_dataset_diff, ORACLE_DATASET_DIFF),
+})
