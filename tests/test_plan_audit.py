@@ -204,3 +204,32 @@ def test_salted_join_shuffles_on_salt_no_broadcast(spark):
     assert "ShuffledHashJoin" in plan
     assert "_salt" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_advanced_suite_no_cartesian_products(spark):
+    """Sweep every advanced-suite plan: no cartesian products anywhere;
+    nested-loop joins only as broadcast one-row attaches (≤1 node).
+    Single-partition exchanges are allowed only on the queries whose
+    bounded frames are documented (1-row stat aggs, ≤1024-row spines,
+    ≤top-N rank windows)."""
+    from osm_pbf_parquet_spark.plans.advanced_queries import ADVANCED_QUERIES
+
+    bounded_ok = {
+        "unigram_logprob": 1,       # corpus-totals 1-row agg
+        "histogram_quantiles": 3,   # rng agg + 1024-bin spine + q frame
+        "hybrid_rrf_search": 6,     # two top-50 rank windows + stats
+        "bm25_topk": 1,             # corpus-stats 1-row agg
+        "hll_distinct": 2,          # register-sum + exact-count aggs
+        "negative_sampling": 1,     # span 1-row agg
+        "skyline_pareto": 1,        # bucket-count carry window
+        "grouped_split": 1,         # leakage-audit 1-row agg
+        "table_checksum": 0,
+    }
+    for name, (fn, _oracle) in ADVANCED_QUERIES.items():
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin (") <= 1, name
+        cap = bounded_ok.get(name, 2)
+        assert plan.count("SinglePartition") <= cap, (
+            name, plan.count("SinglePartition")
+        )
