@@ -111,6 +111,7 @@ _CHECK_FIRST = [
     "cohort_retention",
     "table_checksum",
     "dataset_diff",
+    "poisson_bootstrap",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

@@ -264,3 +264,85 @@ def histogram_quantiles(
             f"* ((hi - lo) / {bins}) END, 6)"
         ).alias("est"),
     )
+
+
+# --- Poisson bootstrap --------------------------------------------------------
+
+import math as _math
+
+BOOT_B = 32  # resamples
+# Poisson(1) CDF thresholds, Python-computed once and injected as the
+# same double literals into the Spark plan and the SQL oracle
+_POIS_CDF = []
+_acc = 0.0
+for _k in range(9):
+    _acc += _math.exp(-1) / _math.factorial(_k)
+    _POIS_CDF.append(_acc)
+
+
+def _poisson_weight_case(u_expr: str) -> str:
+    """Inverse-CDF Poisson(1) draw from a uniform expression: the CASE
+    chain is exact literal comparisons — no RNG, no transcendentals at
+    run time."""
+    branches = " ".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}"
+        for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE 9 END"
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_resamples: int = BOOT_B,
+    scale: int = 100,
+) -> DataFrame:
+    """Bootstrap distribution of a mean at corpus scale via the POISSON
+    bootstrap: instead of materializing B multinomial resamples (which
+    needs the global row count and a shuffle per replica), every row
+    independently draws a Poisson(1) multiplicity per replica — for
+    large n the replica is statistically indistinguishable from a
+    classical bootstrap resample, and the whole computation is ONE
+    explode(B) + ONE map-side-combinable aggregation over (replica).
+
+    Determinism: the uniform driving each draw is the engine-wide
+    md5-derived hash of (row key, replica) scaled to [0,1); the
+    Poisson inverse-CDF is a literal CASE chain; values are summed as
+    exact scale-integers. Output: one row per replica with its
+    resample's n_eff and mean — the caller reads CI bounds off the
+    replica distribution."""
+    from .sampling import hash_mod_expr
+
+    u = (
+        "(cast("
+        + hash_mod_expr(
+            f"concat(cast({key_col} AS string), ':boot:', "
+            "cast(b AS string))",
+            1 << 60,
+        )
+        + f" AS DOUBLE) / {float(1 << 60)!r})"
+    )
+    w = _poisson_weight_case(u)
+    rows = df.select(
+        key_col,
+        F.expr(
+            f"cast(round({value_col} * {scale}.0d, 0) AS BIGINT)"
+        ).alias("_v"),
+        F.explode(F.expr(f"sequence(0, {n_resamples - 1})")).alias("b"),
+    ).withColumn("_w", F.expr(w))
+    return (
+        rows.groupBy("b")
+        .agg(
+            F.sum("_w").cast("long").alias("n_eff"),
+            F.sum(F.expr("_w * _v")).cast("long").alias("_sum"),
+        )
+        .select(
+            F.col("b").cast("long").alias("replica"),
+            "n_eff",
+            F.expr(
+                "round(CASE WHEN n_eff = 0 THEN 0.0 ELSE "
+                f"cast(_sum AS DOUBLE) / n_eff / {scale}.0 END, 6)"
+            ).alias("mean_value"),
+        )
+    )

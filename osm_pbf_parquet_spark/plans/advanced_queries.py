@@ -1070,3 +1070,53 @@ WHERE CASE WHEN m.o_orderkey IS NULL THEN 'only_a'
 ADVANCED_QUERIES.update({
     "dataset_diff": (q_dataset_diff, ORACLE_DATASET_DIFF),
 })
+
+
+# --- Poisson bootstrap --------------------------------------------------------
+
+
+def q_poisson_bootstrap(spark, sf_dir):
+    """Scalable bootstrap of the mean event value: 32 Poisson-resample
+    replicas in one explode + one map-side-combinable agg; fully
+    deterministic (hash-driven draws, exact integer-cents sums)."""
+    from ..operators.sketches import poisson_bootstrap_mean
+
+    return poisson_bootstrap_mean(
+        _t(spark, sf_dir, "events"), "value", "event_id"
+    )
+
+
+def _oracle_poisson_bootstrap() -> str:
+    from ..operators.sketches import BOOT_B, _poisson_weight_case
+
+    u = (
+        "(CAST("
+        + _duck_hash_mod(
+            "CAST(event_id AS VARCHAR) || ':boot:' || CAST(b AS VARCHAR)",
+            1 << 60,
+        )
+        + f" AS DOUBLE) / {float(1 << 60)!r})"
+    )
+    w = _poisson_weight_case(u)
+    return f"""
+WITH rows_ AS (
+  SELECT event_id,
+         CAST(round(value * 100.0, 0) AS BIGINT) AS v,
+         b
+  FROM events, (SELECT unnest(range(0, {BOOT_B})) AS b)
+),
+weighted AS (
+  SELECT b, v, {w} AS w FROM rows_
+)
+SELECT CAST(b AS BIGINT) AS replica,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       round(CASE WHEN sum(w) = 0 THEN 0.0 ELSE
+           CAST(sum(w * v) AS DOUBLE) / sum(w) / 100.0 END, 6)
+         AS mean_value
+FROM weighted GROUP BY b
+"""
+
+
+ADVANCED_QUERIES.update({
+    "poisson_bootstrap": (q_poisson_bootstrap, _oracle_poisson_bootstrap()),
+})

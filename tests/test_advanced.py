@@ -198,3 +198,28 @@ def test_merge_upsert_matches_dict_semantics(spark):
     expected = {k: (v, "target") for k, v in target}
     expected.update({k: (v, "update") for k, v in updates})
     assert got == expected
+
+
+def test_poisson_bootstrap_brackets_true_mean(spark):
+    """Statistical sanity: the 32-replica bootstrap distribution must
+    bracket the true mean, and its spread must be on the order of the
+    standard error (sigma/sqrt(n)) — a constant-factor window, not a
+    tolerance tuned to pass."""
+    import statistics
+
+    from osm_pbf_parquet_spark.plans.advanced_queries import (
+        q_poisson_bootstrap,
+    )
+
+    rows = q_poisson_bootstrap(spark, SF_DIR).collect()
+    assert len(rows) == 32
+    means = [r["mean_value"] for r in rows]
+    vals = [
+        r["value"]
+        for r in t(spark, SF_DIR, "events").select("value").collect()
+    ]
+    true_mean = statistics.fmean(vals)
+    se = statistics.pstdev(vals) / (len(vals) ** 0.5)
+    assert min(means) <= true_mean <= max(means)
+    boot_sd = statistics.pstdev(means)
+    assert 0.3 * se < boot_sd < 3.0 * se, (boot_sd, se)
