@@ -112,6 +112,7 @@ _CHECK_FIRST = [
     "table_checksum",
     "dataset_diff",
     "poisson_bootstrap",
+    "gram_matrix",
     # --- never driver-checked (r4-new, judge-verified) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",

@@ -693,3 +693,60 @@ def ranked_cosine_candidates(
     # ≤ n rows: the unpartitioned window is literal-bounded
     w = Window.orderBy(F.desc("cosine"), F.col(key))
     return scored.withColumn("rank", F.row_number().over(w))
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact Gram matrix X'X of the embedding corpus — the distributed
+    heavy half of PCA/whitening (the d×d eigensolve that follows is
+    driver-trivial at any corpus size; d=64 here).
+
+    Rows quantize to exact int64 (×``scale``), then each PARTITION
+    computes its d×d partial Gram in one numpy matmul inside
+    ``mapInArrow`` (vectorized, no per-row Python) and emits 4096
+    partial rows; one map-side-combinable (i, j) sum merges partials.
+    Integer arithmetic end-to-end ⇒ the result is order-independent and
+    bit-reproducible, so a SQL oracle (pair-explode formulation — fine
+    at oracle scale, never the cluster plan) pins every cell. Shuffled
+    volume: partitions × d² rows, independent of corpus size.
+
+    Overflow headroom: |x|≲10 ⇒ cell partial ≲ n_part·(10·scale)² —
+    int64 holds ~9.2e18, so ~9e4 rows/partition at scale=1e6; Spark's
+    128 MB input splits keep partitions far below that, and the final
+    int sums only add ~thousands of partials."""
+    import numpy as np
+    import pyarrow as pa
+
+    def partial_gram(batches):
+        acc = None
+        for batch in batches:
+            arr = batch.column(0)
+            # ChunkedArray-safe flatten: values buffer + offsets
+            flat = np.asarray(arr.flatten(), dtype=np.float64)
+            n = len(arr)
+            if n == 0:
+                continue
+            d = len(flat) // n
+            x = np.round(flat.reshape(n, d) * scale).astype(np.int64)
+            g = x.T @ x  # exact: int64 matmul in numpy uses int64 accum
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ii.ravel(), pa.int32()),
+                    pa.array(jj.ravel(), pa.int32()),
+                    pa.array(acc.ravel(), pa.int64()),
+                ],
+                names=["i", "j", "g"],
+            )
+
+    vecs = df.select(F.expr(TO_DOUBLE.format(v=vec_col)).alias("v"))
+    partials = vecs.mapInArrow(partial_gram, "i int, j int, g long")
+    return partials.groupBy("i", "j").agg(
+        F.sum("g").cast("long").alias("g")
+    )

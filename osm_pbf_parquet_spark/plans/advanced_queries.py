@@ -1120,3 +1120,36 @@ FROM weighted GROUP BY b
 ADVANCED_QUERIES.update({
     "poisson_bootstrap": (q_poisson_bootstrap, _oracle_poisson_bootstrap()),
 })
+
+
+# --- exact Gram matrix (PCA core) ---------------------------------------------
+
+
+def q_gram_matrix(spark, sf_dir):
+    """Distributed exact X'X over the embedding corpus: per-partition
+    numpy matmul partials in mapInArrow + one (i, j) sum — the heavy
+    half of PCA; integer-exact, order-independent."""
+    return similarity.gram_matrix(_pt(spark, sf_dir, "embeddings"))
+
+
+ORACLE_GRAM_MATRIX = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+           AS vi
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, unnest(range(0, len(vi))) AS i, unnest(vi) AS xi FROM v
+)
+SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+       CAST(sum(a.xi * b.xi) AS BIGINT) AS g
+FROM d a JOIN d b ON a.vec_id = b.vec_id
+GROUP BY 1, 2
+"""
+
+
+ADVANCED_QUERIES.update({
+    "gram_matrix": (q_gram_matrix, ORACLE_GRAM_MATRIX),
+})

@@ -223,3 +223,31 @@ def test_poisson_bootstrap_brackets_true_mean(spark):
     assert min(means) <= true_mean <= max(means)
     boot_sd = statistics.pstdev(means)
     assert 0.3 * se < boot_sd < 3.0 * se, (boot_sd, se)
+
+
+def test_gram_matrix_supports_pca_eigensolve(spark):
+    """The d×d Gram matrix collected from the distributed partials must
+    drive a correct PCA: its top eigenvector (driver-side eigensolve —
+    trivially cheap at d=64 regardless of corpus size) aligns with the
+    one numpy computes from the raw data."""
+    import numpy as np
+
+    from osm_pbf_parquet_spark.operators.similarity import gram_matrix
+    from osm_pbf_parquet_spark.plans.pipeline_queries import t as pt
+
+    df = pt(spark, SF_DIR, "embeddings")
+    rows = gram_matrix(df).collect()
+    d = max(r["i"] for r in rows) + 1
+    G = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        G[r["i"], r["j"]] = r["g"]
+    assert np.allclose(G, G.T)
+    top_engine = np.linalg.eigh(G)[1][:, -1]
+
+    X = np.array(
+        [r["embedding"] for r in df.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    Xi = np.round(X * 1_000_000)
+    top_ref = np.linalg.eigh(Xi.T @ Xi)[1][:, -1]
+    assert abs(float(np.dot(top_engine, top_ref))) > 0.9999
