@@ -1153,3 +1153,170 @@ GROUP BY 1, 2
 ADVANCED_QUERIES.update({
     "gram_matrix": (q_gram_matrix, ORACLE_GRAM_MATRIX),
 })
+
+
+# --- mutual information -------------------------------------------------------
+
+
+def q_mutual_information(spark, sf_dir):
+    """Mutual information between a document's language and its source
+    (column-dependence screening): exact contingency counts (one
+    map-side agg over ≤ |langs|·|sources| cells), then ONE row with MI
+    computed as a sequential fold over the sorted cell list — the only
+    float work happens once, in a fixed order, from exact integers."""
+    docs = _pt(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_xy")
+    )
+    margins_x = docs.groupBy("lang").agg(F.count("*").alias("n_x"))
+    margins_y = docs.groupBy("source").agg(F.count("*").alias("n_y"))
+    total = docs.agg(F.count("*").alias("n"))
+    joined = (
+        cells.join(F.broadcast(margins_x), "lang")
+        .join(F.broadcast(margins_y), "source")
+        .crossJoin(F.broadcast(total))
+    )
+    term = (
+        "(cast(t.n_xy AS DOUBLE) / t.n) * ln("
+        "  (cast(t.n_xy AS DOUBLE) * t.n)"
+        "  / (cast(t.n_x AS DOUBLE) * t.n_y))"
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.expr(
+            "round(aggregate("
+            "  array_sort(collect_list(struct(lang, source, n_xy, n_x,"
+            "                                 n_y, n))),"
+            "  cast(0.0 AS DOUBLE),"
+            f"  (acc, t) -> acc + {term}), 6)"
+        ).alias("mi_nats"),
+    )
+
+
+ORACLE_MUTUAL_INFORMATION = """
+WITH cells AS (
+  SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY 1, 2
+),
+mx AS (SELECT lang, count(*) AS n_x FROM documents GROUP BY 1),
+my AS (SELECT source, count(*) AS n_y FROM documents GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM documents),
+j AS (
+  SELECT c.lang, c.source,
+         CAST(c.n_xy AS BIGINT) AS n_xy, CAST(mx.n_x AS BIGINT) AS n_x,
+         CAST(my.n_y AS BIGINT) AS n_y, CAST(tot.n AS BIGINT) AS n
+  FROM cells c JOIN mx ON c.lang = mx.lang
+  JOIN my ON c.source = my.source, tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       round(list_reduce(
+           list_transform(
+               list(struct_pack(lang := lang, source := source,
+                                n_xy := n_xy, n_x := n_x, n_y := n_y,
+                                n := n)
+                    ORDER BY lang, source),
+               t -> (CAST(t.n_xy AS DOUBLE) / t.n)
+                    * ln((CAST(t.n_xy AS DOUBLE) * t.n)
+                         / (CAST(t.n_x AS DOUBLE) * t.n_y))),
+           (acc, x) -> acc + x), 6) AS mi_nats
+FROM j
+"""
+
+
+ADVANCED_QUERIES.update({
+    "mutual_information": (q_mutual_information, ORACLE_MUTUAL_INFORMATION),
+})
+
+
+# --- corpus drift (Jensen-Shannon) ----------------------------------------------
+
+_JS_SCALE = 1_000_000_000_000  # per-token contribs rounded to 1e-12 then
+# summed as exact BIGINTs — order-independent at ANY vocab size (a float
+# SUM's partial-merge order varies; a sorted-collect fold wouldn't scale
+# past driver-sized vocabularies)
+
+
+def q_token_drift_js(spark, sf_dir):
+    """Distribution-drift detection between two corpus halves: the
+    Jensen-Shannon divergence of their token distributions — the
+    standard screen for 'did this ingest batch shift the data mix'.
+    Token counts are exact; each token's JS contribution is computed
+    once from those integers and rounded to a 1e-12-scaled BIGINT, so
+    the corpus-wide sum is one map-side-combinable integer aggregation
+    (no fold, no collect — works at a 100 M-token vocabulary)."""
+    docs = _pt(spark, sf_dir, "documents")
+    toks = text.with_tokens(docs).select(
+        F.expr("CASE WHEN cast(substring(source, 4, 10) AS INT) < 10 "
+               "THEN 'a' ELSE 'b' END").alias("half"),
+        F.explode("tokens").alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.expr("CASE WHEN half = 'a' THEN 1 ELSE 0 END"))
+        .alias("ca"),
+        F.sum(F.expr("CASE WHEN half = 'b' THEN 1 ELSE 0 END"))
+        .alias("cb"),
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    contrib = (
+        "CASE WHEN p > 0.0d THEN 0.5d * p * ln(p / m) ELSE 0.0d END"
+        " + CASE WHEN q > 0.0d THEN 0.5d * q * ln(q / m) ELSE 0.0d END"
+    )
+    scored = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("p", F.expr("cast(ca AS DOUBLE) / na"))
+        .withColumn("q", F.expr("cast(cb AS DOUBLE) / nb"))
+        .withColumn("m", F.expr("(p + q) / 2.0d"))
+        .withColumn(
+            "c_scaled",
+            F.expr(
+                f"cast(round(({contrib}) * {_JS_SCALE}, 0) AS BIGINT)"
+            ),
+        )
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_tokens_union"),
+        F.expr(
+            f"round(cast(sum(c_scaled) AS DOUBLE) / {_JS_SCALE}, 6)"
+        ).alias("js_divergence"),
+    )
+
+
+ORACLE_TOKEN_DRIFT = f"""
+WITH toks AS (
+  SELECT CASE WHEN CAST(substring(source, 4, 10) AS INT) < 10
+         THEN 'a' ELSE 'b' END AS half,
+         unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+         sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM toks GROUP BY token
+),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts),
+scored AS (
+  SELECT CAST(ca AS DOUBLE) / na AS p,
+         CAST(cb AS DOUBLE) / nb AS q
+  FROM counts, tot
+),
+contrib AS (
+  SELECT CAST(round((
+           CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0))
+                ELSE CAST(0.0 AS DOUBLE) END
+           + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0))
+                  ELSE CAST(0.0 AS DOUBLE) END
+         ) * {_JS_SCALE}, 0) AS BIGINT) AS c_scaled
+  FROM scored
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tokens_union,
+       round(CAST(sum(c_scaled) AS DOUBLE) / {_JS_SCALE}, 6)
+         AS js_divergence
+FROM contrib
+"""
+
+
+ADVANCED_QUERIES.update({
+    "token_drift_js": (q_token_drift_js, ORACLE_TOKEN_DRIFT),
+})
