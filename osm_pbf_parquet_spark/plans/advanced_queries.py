@@ -1320,3 +1320,80 @@ FROM contrib
 ADVANCED_QUERIES.update({
     "token_drift_js": (q_token_drift_js, ORACLE_TOKEN_DRIFT),
 })
+
+
+# --- z-score anomalies ----------------------------------------------------------
+
+_Z_TOP = 5
+
+
+def q_zscore_anomalies(spark, sf_dir):
+    """Per-group outlier detection: top-5 |z-score| event values per
+    event type. Group mean/std come from exact integer-cents sums and
+    sum-of-squares (one map-side agg — order-independent, unlike float
+    moments), z and the ranking derive deterministically from those
+    integers; ties break on event_id."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.expr("cast(round(value * 100.0d, 0) AS BIGINT)").alias("cents"),
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.expr("cents * cents")).alias("s2"),
+    )
+    from pyspark.sql import Window
+
+    joined = e.join(F.broadcast(stats), "event_type").withColumn(
+        "z",
+        F.expr(
+            "(cast(cents AS DOUBLE) - cast(s1 AS DOUBLE) / n)"
+            " / sqrt(cast(s2 AS DOUBLE) / n"
+            " - (cast(s1 AS DOUBLE) / n) * (cast(s1 AS DOUBLE) / n))"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("z"))), F.col("event_id")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _Z_TOP)
+        .select(
+            "event_type", F.col("rk").cast("int"), "event_id",
+            F.expr("round(z, 6)").alias("z"),
+        )
+    )
+
+
+ORACLE_ZSCORE = f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+  FROM events
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s1,
+         CAST(sum(cents * cents) AS BIGINT) AS s2
+  FROM e GROUP BY event_type
+),
+scored AS (
+  SELECT e.event_type, e.event_id,
+         (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+         / sqrt(CAST(s2 AS DOUBLE) / n
+                - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+           AS z
+  FROM e JOIN stats ON e.event_type = stats.event_type
+)
+SELECT event_type, CAST(rk AS INT) AS rk, event_id, round(z, 6) AS z
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(z) DESC, event_id) AS rk
+  FROM scored
+) WHERE rk <= {_Z_TOP}
+"""
+
+
+ADVANCED_QUERIES.update({
+    "zscore_anomalies": (q_zscore_anomalies, ORACLE_ZSCORE),
+})
