@@ -251,3 +251,45 @@ def test_gram_matrix_supports_pca_eigensolve(spark):
     Xi = np.round(X * 1_000_000)
     top_ref = np.linalg.eigh(Xi.T @ Xi)[1][:, -1]
     assert abs(float(np.dot(top_engine, top_ref))) > 0.9999
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    from osm_pbf_parquet_spark.operators.sketches import hll_distinct
+
+    empty = spark.createDataFrame([], "k long")
+    row = hll_distinct(empty, "k").collect()[0]
+    assert row["exact_distinct"] == 0
+    assert row["v_empty"] == 256
+    # all registers zero → linear counting: 256·ln(256/256) = 0 exactly
+    assert row["hll_estimate"] == 0.0
+
+
+def test_histogram_quantiles_degenerate_constant_column(spark):
+    from osm_pbf_parquet_spark.operators.sketches import histogram_quantiles
+
+    const = spark.createDataFrame([(42.0,)] * 100, "x double")
+    rows = histogram_quantiles(const, "x", [0.25, 0.5, 0.99]).collect()
+    assert len(rows) == 3
+    assert all(r["est"] == 42.0 for r in rows)
+
+
+def test_skyline_empty_and_single_point(spark):
+    from osm_pbf_parquet_spark.operators.ordered import skyline_min_min
+
+    empty = spark.createDataFrame([], "x double, y double")
+    assert skyline_min_min(empty, "x", "y").count() == 0
+    one = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    assert skyline_min_min(one, "x", "y").collect() == [(1.0, 2.0)]
+
+
+def test_salted_join_null_tiebreak_keeps_row(spark):
+    """The review-found bug class: a NULL tiebreak column must not drop
+    the row from the salted join."""
+    from osm_pbf_parquet_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, None), (1, 10), (2, 20)], "k long, tb long"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    out = salted_join(fact, dim, "k", "tb").collect()
+    assert len(out) == 3  # all three fact rows survive
