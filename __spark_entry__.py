@@ -60,7 +60,7 @@ def _registry() -> dict[str, tuple]:
 #
 # ROUND-5 ROTATION (final): positions 1-26 are the TWENTY-SIX queries
 # added this round — never driver-checked, all locally parity-green.
-# Positions 24-26 are the r4-new trio with no driver row yet. The rest of
+# Positions 27-29 are the r4-new trio with no driver row yet. The rest of
 # the 50-cap certifies code CHANGED this round: the PBF transcode path
 # (proto.py varint gather, native_sink.py encodings), functions/__init__
 # (z-order + geohash), osm_ops history semantics, the stream-oracle

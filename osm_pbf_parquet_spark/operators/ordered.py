@@ -230,12 +230,16 @@ def dataset_diff(
     as the merge that would repair the difference. No broadcast
     requirement; both sides may be huge."""
     def hashed(df: DataFrame, tag: str) -> DataFrame:
-        concat = ", '|', ".join(
-            f"coalesce(cast({c} AS string), '\\x00null')"
+        # hash each column SEPARATELY before combining: per-column md5 is
+        # fixed-width hex, so no separator-injection ambiguity
+        # (('a|b','c') vs ('a','b|c')), and NULL maps to a marker no hex
+        # digest can collide with
+        parts = ", ".join(
+            f"coalesce(md5(cast({c} AS string)), '@null')"
             for c in compare_cols
         )
         return df.select(
-            *key_cols, F.expr(f"md5(concat({concat}))").alias(f"_h_{tag}")
+            *key_cols, F.expr(f"md5(concat({parts}))").alias(f"_h_{tag}")
         )
 
     joined = hashed(a, "a").join(hashed(b, "b"), key_cols, "full_outer")

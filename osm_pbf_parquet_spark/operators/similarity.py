@@ -713,10 +713,12 @@ def gram_matrix(
     at oracle scale, never the cluster plan) pins every cell. Shuffled
     volume: partitions × d² rows, independent of corpus size.
 
-    Overflow headroom: |x|≲10 ⇒ cell partial ≲ n_part·(10·scale)² —
-    int64 holds ~9.2e18, so ~9e4 rows/partition at scale=1e6; Spark's
-    128 MB input splits keep partitions far below that, and the final
-    int sums only add ~thousands of partials."""
+    Overflow safety: the per-BATCH matmul is chunked so each int64
+    accumulation stays provably below 2^62 (chunk rows bounded by
+    2^62 / max|x_scaled|² for the batch), cross-batch accumulation uses
+    arbitrary-precision Python ints (object dtype — d² adds per batch,
+    negligible), and the final partial is range-checked before casting
+    back to int64 with a clear error instead of numpy's silent wrap."""
     import numpy as np
     import pyarrow as pa
 
@@ -730,17 +732,32 @@ def gram_matrix(
             if n == 0:
                 continue
             d = len(flat) // n
-            x = np.round(flat.reshape(n, d) * scale).astype(np.int64)
-            g = x.T @ x  # exact: int64 matmul in numpy uses int64 accum
-            acc = g if acc is None else acc + g
+            # round-half-AWAY-FROM-ZERO to match the SQL oracle's round()
+            # (np.round is half-to-even: 2.5 -> 2 vs DuckDB/Spark 3)
+            scaled = flat.reshape(n, d) * scale
+            x = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+                np.int64
+            )
+            peak = int(np.abs(x).max()) or 1
+            safe_rows = max(1, (1 << 62) // (peak * peak))
+            for lo in range(0, n, safe_rows):
+                g = x[lo:lo + safe_rows].T @ x[lo:lo + safe_rows]
+                g_obj = g.astype(object)
+                acc = g_obj if acc is None else acc + g_obj
         if acc is not None:
-            d = acc.shape[0]
+            if int(np.abs(acc).max()) >= (1 << 63):
+                raise OverflowError(
+                    "gram_matrix partial exceeds int64 — lower `scale` "
+                    "or pre-normalize the embedding column"
+                )
+            out = acc.astype(np.int64)
+            d = out.shape[0]
             ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ii.ravel(), pa.int32()),
                     pa.array(jj.ravel(), pa.int32()),
-                    pa.array(acc.ravel(), pa.int64()),
+                    pa.array(out.ravel(), pa.int64()),
                 ],
                 names=["i", "j", "g"],
             )

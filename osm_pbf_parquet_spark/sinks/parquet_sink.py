@@ -80,33 +80,57 @@ def compact_parquet_dataset(
     dominate. Rewrites the dataset into ~``target_file_mb`` files,
     preserving an optional hive partition column.
 
-    File count derives from the dataset's ACTUAL on-disk bytes (input
-    file sizes summed driver-side — a listing, not a data pass), then
-    one round-robin repartition → write. With a partition column the
-    write keeps hive layout; repartitioning by the partition column plus
-    a round-robin salt keeps each output partition's files balanced
-    instead of one-file-per-hive-partition hotspots.
+    Sizing and the row-count stat come from the driver-side listing +
+    parquet FOOTERS (metadata only — never a data pass); the only data
+    movement is the one repartition→write. LOCAL-filesystem paths only
+    (the listing is driver-local): fail fast on s3://hdfs://-style URIs
+    rather than silently sizing from an empty glob and funnelling the
+    dataset through one task.
+
+    With a partition column, rows repartition on (partition_col, salt)
+    where the salt range is the PER-HIVE-PARTITION file budget
+    (n_out / n_hive_partitions) — hashing (partition, salt) combos into
+    n_out tasks then makes each task hold ~one combo, so the write emits
+    ~n_out total files instead of files-per-task-per-partition
+    (~n_out × n_hive tiny files).
 
     Returns {"files_in", "files_out", "rows", "bytes_in"}.
     """
     import glob as _glob
 
+    import pyarrow.parquet as _pq
     from pyspark.sql import functions as F
 
+    if "://" in in_path and not in_path.startswith("file://"):
+        raise ValueError(
+            "compact_parquet_dataset lists files driver-side and supports "
+            f"local paths only; got {in_path!r}. On object stores, size "
+            "from the catalog/filesystem listing and run the same "
+            "repartition-write plan directly."
+        )
     files = [
         f for f in _glob.glob(os.path.join(in_path, "**", "*.parquet"),
                               recursive=True)
         if os.path.isfile(f)
     ]
+    if not files:
+        raise ValueError(f"no parquet files under {in_path!r}")
     bytes_in = sum(os.path.getsize(f) for f in files)
+    rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
     n_out = max(1, (bytes_in + target_file_mb * 1024 * 1024 - 1)
                 // (target_file_mb * 1024 * 1024))
     df = spark.read.parquet(in_path)
-    rows = df.count()
     if partition_col is not None:
-        # salt keeps files per hive partition balanced
+        n_hive = len(
+            {os.path.basename(os.path.dirname(f)) for f in files}
+        )
+        per_part = max(1, int(n_out) // max(n_hive, 1))
         salted = df.withColumn(
-            "_c", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(int(n_out)))
+            "_c",
+            F.pmod(
+                F.spark_partition_id() + F.monotonically_increasing_id(),
+                F.lit(per_part),
+            ),
         )
         (
             salted.repartition(int(n_out), partition_col, "_c")

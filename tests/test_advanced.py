@@ -248,7 +248,8 @@ def test_gram_matrix_supports_pca_eigensolve(spark):
         [r["embedding"] for r in df.select("embedding").collect()],
         dtype=np.float64,
     )
-    Xi = np.round(X * 1_000_000)
+    Xs = X * 1_000_000
+    Xi = np.sign(Xs) * np.floor(np.abs(Xs) + 0.5)
     top_ref = np.linalg.eigh(Xi.T @ Xi)[1][:, -1]
     assert abs(float(np.dot(top_engine, top_ref))) > 0.9999
 
