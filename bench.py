@@ -271,6 +271,12 @@ def main() -> None:
     big_extra: dict = {}
     try:
         _make_big_tier(spark)
+        # re-warm the Python worker pool before the tier's first
+        # pandas_udf user (minhash signatures) — same respawn-billing
+        # guard as the transcode legs
+        spark.range(spark.sparkContext.defaultParallelism * 1000).repartition(
+            spark.sparkContext.defaultParallelism
+        ).mapInArrow(lambda it: it, "id long").count()
         big_headline = [
             ("region_revenue", REL["region_revenue"][0]),
             ("decontaminate", PIPE["decontaminate"][0]),
