@@ -292,13 +292,12 @@ def main() -> None:
             ("bm25_topk", ADV["bm25_topk"][0]),
         ]
         for name, fn in big_headline:
-            # the two longest-running entries are the most exposed to the
-            # host's minutes-long contention windows (r5: minhash measured
-            # 5.4s and 14.3s in back-to-back solo runs) — give them one
-            # extra sample so min-of-N has a better shot at a quiet window
-            n_runs = 3 if name == "dedup_minhash_lsh" else 2
+            # min-of-3 for the WHOLE tier: the host's minutes-long
+            # contention windows outlast min-of-2 for any multi-second
+            # entry (r5 observed 5.5s-vs-46.7s minhash and 3.8s-vs-11.6s
+            # bm25 spreads); the extra ~15s of wall buys trustworthy mins
             timed(name, lambda fn=fn: fn(spark, BIG_DIR).count(),
-                  n_runs, big_timings, big_spreads)
+                  3, big_timings, big_spreads)
 
         big_workdir = tempfile.mkdtemp(prefix="bench_pbf_big_")
         try:
