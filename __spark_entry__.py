@@ -58,9 +58,9 @@ def _registry() -> dict[str, tuple]:
 # the tail — every registered query keeps at least one green CORRECTNESS row
 # across rounds.
 #
-# ROUND-5 ROTATION (final): positions 1-26 are the TWENTY-SIX queries
+# ROUND-5 ROTATION (final): positions 1-27 are the TWENTY-SEVEN queries
 # added this round — never driver-checked, all locally parity-green.
-# Positions 27-29 are the r4-new trio with no driver row yet. The rest of
+# Positions 28-30 are the r4-new trio with no driver row yet. The rest of
 # the 50-cap certifies code CHANGED this round: the PBF transcode path
 # (proto.py varint gather, native_sink.py encodings), functions/__init__
 # (z-order + geohash), osm_ops history semantics, the stream-oracle
@@ -73,7 +73,7 @@ def _registry() -> dict[str, tuple]:
 # entries against the same oracles every run.
 #
 _CHECK_FIRST = [
-    # --- the 26 queries ADDED in r5: never driver-checked ---
+    # --- the 27 queries ADDED in r5: never driver-checked ---
     "skyline_pareto",
     "scd2_intervals",
     "hll_distinct",
@@ -100,6 +100,7 @@ _CHECK_FIRST = [
     "mutual_information",
     "token_drift_js",
     "zscore_anomalies",
+    "tokenize_corpus",
     # --- r4-new trio, still no driver row (judge-verified green r4) ---
     "jsonl_roundtrip",
     "full_curation_pipeline",
@@ -132,9 +133,9 @@ _CHECK_FIRST = [
     #     similarity.py suite (PersistSet + appended operators) ---
     "cms_heavy_hitters",
     "ann_lsh_pairs",
-    "ann_ivf_topk",
     # ---- 50-cap falls here; below = r4-green, modules appended-only or
     #      untouched, swept by the local full-registry parity tests ----
+    "ann_ivf_topk",
     "ann_cosine_topk",
     "dedup_embedding",
     "semantic_dedup",

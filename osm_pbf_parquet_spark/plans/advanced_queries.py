@@ -1397,3 +1397,78 @@ FROM (
 ADVANCED_QUERIES.update({
     "zscore_anomalies": (q_zscore_anomalies, ORACLE_ZSCORE),
 })
+
+
+# --- corpus tokenization (vocab encode) -----------------------------------------
+
+
+def q_tokenize_corpus(spark, sf_dir):
+    """The tokenize-for-training flow end-to-end: build the vocabulary
+    (existing build_vocab operator), encode every document to ordered
+    token ids (OOV → -1), and pin the ID SEQUENCE byte-for-byte via an
+    md5 over the comma-joined ids — any vocab drift, ordering bug, or
+    OOV mishandling flips the hash. One posexplode + one broadcast
+    vocab join + one keyed collect, all bounded by doc length."""
+    from ..operators.text import build_vocab, with_tokens
+
+    docs = _pt(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, vocab_size=200, min_count=2).select(
+        "token", "token_id"
+    )
+    pos = with_tokens(docs).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token")
+    )
+    ids = pos.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos",
+        F.coalesce("token_id", F.lit(-1)).alias("tid"),
+    )
+    return (
+        ids.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.expr("CASE WHEN tid = -1 THEN 1 ELSE 0 END"))
+            .cast("long").alias("n_unk"),
+            F.expr(
+                "md5(concat_ws(',', transform("
+                "array_sort(collect_list(struct(pos, tid))), p -> p.tid)))"
+            ).alias("ids_md5"),
+        )
+    )
+
+
+ORACLE_TOKENIZE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS token
+  FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM toks
+      GROUP BY token HAVING count(*) >= 2),
+top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 200),
+vocab AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS INT)
+           AS token_id,
+         token
+  FROM top
+),
+pos AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS token,
+         unnest(range(len(regexp_extract_all(text, '{text.TOKEN_REGEX}'))))
+           AS pos
+  FROM documents
+),
+ids AS (
+  SELECT p.doc_id, p.pos, coalesce(v.token_id, -1) AS tid
+  FROM pos p LEFT JOIN vocab v ON p.token = v.token
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       md5(array_to_string(list(tid ORDER BY pos), ',')) AS ids_md5
+FROM ids GROUP BY doc_id
+"""
+
+
+ADVANCED_QUERIES.update({
+    "tokenize_corpus": (q_tokenize_corpus, ORACLE_TOKENIZE),
+})
