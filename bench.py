@@ -264,8 +264,8 @@ def main() -> None:
         timed(name, lambda fn=fn: fn(spark, SF_DIR).count(),
               3, timings, spreads)
 
-    # ---- big tier: 10× data, min-of-2 (multi-second runs are far less
-    # noise-dominated than the sub-second sf0.1 ones) ----
+    # ---- big tier: 10× data, min-of-3 (the host's contention windows
+    # outlast min-of-2 even for multi-second runs — see spreads) ----
     big_timings: dict[str, float] = {}
     big_spreads: dict[str, list[float]] = {}
     big_extra: dict = {}

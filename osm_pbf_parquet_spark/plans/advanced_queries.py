@@ -1409,13 +1409,11 @@ def q_tokenize_corpus(spark, sf_dir):
     md5 over the comma-joined ids — any vocab drift, ordering bug, or
     OOV mishandling flips the hash. One posexplode + one broadcast
     vocab join + one keyed collect, all bounded by doc length."""
-    from ..operators.text import build_vocab, with_tokens
-
     docs = _pt(spark, sf_dir, "documents")
-    vocab = build_vocab(docs, vocab_size=200, min_count=2).select(
+    vocab = text.build_vocab(docs, vocab_size=200, min_count=2).select(
         "token", "token_id"
     )
-    pos = with_tokens(docs).select(
+    pos = text.with_tokens(docs).select(
         "doc_id", F.posexplode("tokens").alias("pos", "token")
     )
     ids = pos.join(F.broadcast(vocab), "token", "left").select(
