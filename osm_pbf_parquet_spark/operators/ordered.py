@@ -129,9 +129,12 @@ def merge_upsert(
     highest-priority row per key — ONE shuffle on the merge key, same
     cost class as the join-based MERGE a table format would run, with
     no broadcast requirement on either side (both may be huge). If
-    several update rows share a key, ``updates`` must pre-dedupe (the
-    window would otherwise pick one arbitrarily; standard MERGE raises
-    there, we document instead)."""
+    several rows share a key WITHIN one side — duplicate update rows,
+    or a malformed target that was never key-unique — both sides must
+    pre-dedupe (standard MERGE raises there, we document instead); as
+    a safety net the window tiebreaks on a stable full-row hash, so
+    even then the survivor is deterministic across runs and task
+    retries rather than partition-order-dependent."""
     cols = target.columns
     if set(cols) != set(updates.columns):
         raise ValueError(
@@ -141,7 +144,9 @@ def merge_upsert(
     tagged = target.select(*cols).withColumn(
         "_prio", F.lit(0)
     ).unionByName(updates.select(*cols).withColumn("_prio", F.lit(1)))
-    w = Window.partitionBy(key_col).orderBy(F.desc("_prio"))
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc("_prio"), F.xxhash64(*cols)
+    )
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

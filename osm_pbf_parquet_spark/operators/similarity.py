@@ -718,7 +718,11 @@ def gram_matrix(
     2^62 / max|x_scaled|² for the batch), cross-batch accumulation uses
     arbitrary-precision Python ints (object dtype — d² adds per batch,
     negligible), and the final partial is range-checked before casting
-    back to int64 with a clear error instead of numpy's silent wrap."""
+    back to int64 with a clear error instead of numpy's silent wrap.
+    The cross-partition merge then sums in decimal(38,0) — exact far
+    past int64, still map-side combinable — and raises (raise_error)
+    on any merged cell outside int64 before the final cast, so the
+    no-silent-wrap guarantee holds end-to-end, not just per-partial."""
     import numpy as np
     import pyarrow as pa
 
@@ -764,6 +768,17 @@ def gram_matrix(
 
     vecs = df.select(F.expr(TO_DOUBLE.format(v=vec_col)).alias("v"))
     partials = vecs.mapInArrow(partial_gram, "i int, j int, g long")
-    return partials.groupBy("i", "j").agg(
-        F.sum("g").cast("long").alias("g")
+    merged = partials.groupBy("i", "j").agg(
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("_gd")
+    )
+    int64_max = (1 << 63) - 1
+    return merged.select(
+        "i", "j",
+        F.when(
+            F.abs(F.col("_gd")) > F.lit(int64_max).cast("decimal(38,0)"),
+            F.expr(
+                "raise_error('gram_matrix: merged cell exceeds int64 — "
+                "lower `scale` or pre-normalize the embedding column')"
+            ).cast("decimal(38,0)"),
+        ).otherwise(F.col("_gd")).cast("long").alias("g"),
     )

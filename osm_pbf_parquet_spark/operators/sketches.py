@@ -213,8 +213,13 @@ def histogram_quantiles(
     Returns one row per requested quantile: (q, est). Estimator: the
     smallest bin whose cumulative count reaches q·N, then
     ``lo + (q·N − cum_before)/bin_count · width`` interpolated within
-    it. The bin spine (≤ ``bins`` rows) is the only windowed frame —
-    dimension-sized, never over data."""
+    it; q=0 is special-cased to the exact minimum (the covering-bin
+    predicate ``q·N > cum_before`` can never match at zero). Quantiles
+    outside [0, 1] raise. The bin spine (≤ ``bins`` rows) is the only
+    windowed frame — dimension-sized, never over data."""
+    bad = [q for q in quantiles if not (0.0 <= float(q) <= 1.0)]
+    if bad:
+        raise ValueError(f"quantiles must lie in [0, 1]; got {bad}")
     spark = df.sparkSession
     vals = df.select(F.col(value_col).cast("double").alias("x")).where(
         F.col("x").isNotNull()
@@ -247,19 +252,23 @@ def histogram_quantiles(
     qs = spark.createDataFrame(
         [(float(q),) for q in quantiles], "q double"
     )
-    # covering bin: cum_before < qN <= cum (bin therefore non-empty)
+    # covering bin: cum_before < qN <= cum (bin therefore non-empty);
+    # q=0 anchors on the bin-0 spine row (always present) and emits lo
     hit = (
         cum.crossJoin(F.broadcast(qs))
         .crossJoin(F.broadcast(rng))
         .where(
-            (F.expr("q * n") > F.col("cum_before"))
+            (
+                (F.expr("q * n") > F.col("cum_before"))
+                | ((F.col("q") == 0.0) & (F.col("bin") == 0))
+            )
             & (F.expr("q * n") <= F.col("cum"))
         )
     )
     return hit.select(
         "q",
         F.expr(
-            "round(CASE WHEN hi = lo THEN lo ELSE "
+            "round(CASE WHEN hi = lo THEN lo WHEN q = 0.0 THEN lo ELSE "
             f"lo + (cast(bin AS DOUBLE) + (q * n - cum_before) / cnt) "
             f"* ((hi - lo) / {bins}) END, 6)"
         ).alias("est"),

@@ -456,7 +456,11 @@ def bm25_topk(
     combinable; corpus stats broadcast; top-k is TakeOrderedAndProject,
     never a global sort materialization.
     """
-    terms_sql = ", ".join(f"'{t}'" for t in query_terms)
+    # SQL-escape embedded quotes — caller-supplied terms must never be
+    # able to break out of the IN-list literal
+    terms_sql = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in query_terms
+    )
     # doc length as a PROJECTION (size of the token array), never an
     # explode→groupBy over every token: the all-token explode put ~60
     # rows/doc through a corpus-sized shuffle just to count them —

@@ -337,7 +337,9 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
-_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_TERMS_SQL = ", ".join(
+    "'" + t.replace("'", "''") + "'" for t in _BM25_TERMS
+)
 _BM25_TERM_SCORE = (
     "ln(1.0 + (CAST(s.n_docs AS DOUBLE) - s.df + 0.5) / (s.df + 0.5))"
     f" * (s.tf * (CAST({text.BM25_K1!r} AS DOUBLE) + 1.0))"
@@ -393,7 +395,7 @@ FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
 
 # --- histogram quantiles ------------------------------------------------------
 
-_HQ_QUANTILES = [0.25, 0.5, 0.75, 0.9, 0.99]
+_HQ_QUANTILES = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
 def q_histogram_quantiles(spark, sf_dir):
@@ -439,12 +441,14 @@ cum AS (
   FROM filled
 )
 SELECT q.q,
-       round(CASE WHEN r.hi = r.lo THEN r.lo ELSE
+       round(CASE WHEN r.hi = r.lo THEN r.lo
+           WHEN q.q = 0.0 THEN r.lo ELSE
            r.lo + (CAST(c.bin AS DOUBLE)
                    + (q.q * r.n - c.cum_before) / c.cnt)
                 * ((r.hi - r.lo) / {_HQ_BINS}) END, 6) AS est
 FROM cum c, (SELECT unnest([{_HQ_Q_SQL}]) AS q) q, rng r
-WHERE q.q * r.n > c.cum_before AND q.q * r.n <= c.cum
+WHERE (q.q * r.n > c.cum_before OR (q.q = 0.0 AND c.bin = 0))
+  AND q.q * r.n <= c.cum
 """
 
 

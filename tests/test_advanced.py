@@ -294,3 +294,120 @@ def test_salted_join_null_tiebreak_keeps_row(spark):
     dim = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
     out = salted_join(fact, dim, "k", "tb").collect()
     assert len(out) == 3  # all three fact rows survive
+
+
+# --- round-6 ADVICE-fix guards -----------------------------------------------
+
+
+def test_histogram_quantiles_q0_returns_min_and_validates(spark):
+    """q=0 must return the exact minimum (the covering-bin predicate
+    alone can never match it) and out-of-range quantiles must raise."""
+    from osm_pbf_parquet_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (3, 7, 11, 42)], "x double"
+    )
+    rows = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(df, "x", [0.0, 1.0]).collect()
+    }
+    assert rows[0.0] == 3.0
+    assert rows[1.0] == 42.0
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        histogram_quantiles(df, "x", [0.5, 1.5])
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        histogram_quantiles(df, "x", [-0.1])
+
+
+def test_gram_matrix_merged_overflow_raises(spark):
+    """Cross-partition merge overflow must raise, not wrap: two
+    partitions whose partials each fit int64 but whose SUM does not."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from osm_pbf_parquet_spark.operators.similarity import gram_matrix
+
+    # d=1, scale=1e9: 3.03e9^2 = 9.18e18 < 2^63-1 = 9.22e18 per row,
+    # but two rows in separate partitions merge to 1.84e19 > int64
+    df = spark.createDataFrame(
+        [([3.03],), ([3.03],)], "embedding array<double>"
+    ).repartition(2)
+    with pytest.raises(SparkRuntimeException, match="exceeds int64"):
+        gram_matrix(df, scale=1_000_000_000).collect()
+
+
+def test_gram_matrix_decimal_merge_is_exact(spark):
+    """The decimal(38,0) merge path returns the same int64 values as
+    plain summation when no overflow occurs."""
+    from osm_pbf_parquet_spark.operators.similarity import gram_matrix
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0, 4.0],)], "embedding array<double>"
+    ).repartition(2)
+    got = {
+        (r["i"], r["j"]): r["g"] for r in gram_matrix(df).collect()
+    }
+    s = 1_000_000
+    assert got[(0, 0)] == (1 * 1 + 3 * 3) * s * s
+    assert got[(0, 1)] == got[(1, 0)] == (1 * 2 + 3 * 4) * s * s
+    assert got[(1, 1)] == (2 * 2 + 4 * 4) * s * s
+
+
+def test_bm25_terms_with_quotes_are_escaped(spark):
+    """A query term containing a single quote must not break (or
+    inject into) the generated SQL."""
+    from osm_pbf_parquet_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "it's a test"), (2, "plain words here")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["it's", "plain"], k=5).collect()
+    assert {r["doc_id"] for r in out} <= {1, 2}
+    assert len(out) >= 1  # at least the 'plain' doc scores
+
+
+def test_merge_upsert_duplicate_keys_deterministic(spark):
+    """Duplicate keys WITHIN a side pick a hash-stable survivor: the
+    same result across repeated runs and different partitionings."""
+    from osm_pbf_parquet_spark.operators.ordered import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame([(2, "z")], "k long, v string")
+    runs = [
+        sorted(
+            merge_upsert(
+                target.repartition(n), updates, "k"
+            ).collect()
+        )
+        for n in (1, 3, 7)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    assert len(runs[0]) == 2  # one survivor per key
+
+
+def test_funnel_depths_ten_steps(spark):
+    """VERDICT #8: pin the join-chain behavior at 10 steps — plan
+    builds, executes, and strict-ordering semantics hold."""
+    from osm_pbf_parquet_spark.operators.ordered import funnel_depths
+
+    steps = [f"s{i}" for i in range(10)]
+    rows = []
+    # user A completes all 10 in order; user B stalls at step 4 (s3
+    # arrives BEFORE s2 — strictly-after violated); user C does 2
+    for i, s in enumerate(steps):
+        rows.append(("A", s, 100 + i))
+    for i, s in enumerate(steps[:3]):
+        rows.append(("B", s, 200 + i))
+    rows.append(("B", "s3", 150))  # too early: before B's s2 at 202
+    rows.append(("C", "s0", 300))
+    rows.append(("C", "s1", 301))
+    df = spark.createDataFrame(rows, "user string, etype string, ts long")
+    got = {
+        r["user"]: r["depth"]
+        for r in funnel_depths(df, steps, "user", "etype", "ts").collect()
+    }
+    assert got == {"A": 10, "B": 3, "C": 2}
