@@ -58,36 +58,43 @@ def _registry() -> dict[str, tuple]:
 # the tail — every registered query keeps at least one green CORRECTNESS row
 # across rounds.
 #
-# ROUND-5 ROTATION (final): positions 1-27 are the TWENTY-SEVEN queries
-# added this round — never driver-checked, all locally parity-green.
-# Positions 28-30 are the r4-new trio with no driver row yet. The rest of
-# the 50-cap certifies code CHANGED this round: the PBF transcode path
-# (proto.py varint gather, native_sink.py encodings), functions/__init__
-# (z-order + geohash), osm_ops history semantics, the stream-oracle
-# composition, dedup.py (h60 grams + hash-set jaccard verify, whose
-# minhash/jaccard/components oracles changed in lockstep), sketches.py
-# (HLL refactor beside CMS), and the similarity suite. kmeans/
-# embedding_quantize and the long-stable relational/stream/text tail sit
-# just past the cap: their modules are appended-to or untouched since
-# their last green row, and the local parity tests sweep ALL registry
-# entries against the same oracles every run.
+# ROUND-6 ROTATION: positions 1-5 are the queries whose EXECUTED CODE
+# changed this round (histogram_quantiles grew a q=0 row; gram_matrix's
+# merge now sums decimal(38,0) with an overflow raise; merge_upsert
+# gained a hash tiebreak; bm25_topk/hybrid_rrf escape query terms).
+# Positions 6-10 are the r5-verdict's five stale similarity queries whose
+# last green rows (r3/r4) predate similarity.py's r5 appends. The rest of
+# the cap sweeps every query routed through a module TOUCHED this round
+# at module granularity: all of plans/advanced_queries.py (the file holds
+# the changed histogram oracle + bm25 term list), the remaining
+# similarity.py routes, sketches.py routes, ordered.py routes, and the
+# text.py-routed pipeline set. The final slots take the r6-new queries.
+# Past the cap sit only long-stable entries whose modules are untouched
+# since their last green row — all still swept by the local parity tests
+# (which parametrize over the ENTIRE registry) every pytest run.
 #
 _CHECK_FIRST = [
-    # --- the 27 queries ADDED in r5: never driver-checked ---
+    # --- r6 behavior changes: must re-certify ---
+    "histogram_quantiles",
+    "gram_matrix",
+    "merge_upsert",
+    "bm25_topk",
+    "hybrid_rrf_search",
+    # --- r5-verdict #1: stale similarity greens (r3/r4 < module change) ---
+    "ann_cosine_topk",
+    "dedup_embedding",
+    "semantic_dedup",
+    "kmeans_clusters",
+    "embedding_quantize",
+    # --- rest of plans/advanced_queries.py (file touched this round) ---
     "skyline_pareto",
     "scd2_intervals",
     "hll_distinct",
     "negative_sampling",
     "embedding_outliers",
     "unigram_logprob",
-    "bm25_topk",
-    "histogram_quantiles",
     "grouped_split",
-    "hybrid_rrf_search",
-    "osm_geohash",
-    "stream_hll_distinct",
     "incremental_dedup",
-    "merge_upsert",
     "cogroup_reconcile",
     "text_entropy",
     "salted_join",
@@ -96,31 +103,37 @@ _CHECK_FIRST = [
     "table_checksum",
     "dataset_diff",
     "poisson_bootstrap",
-    "gram_matrix",
     "mutual_information",
     "token_drift_js",
     "zscore_anomalies",
     "tokenize_corpus",
-    # --- r4-new trio, still no driver row (judge-verified green r4) ---
-    "jsonl_roundtrip",
-    "full_curation_pipeline",
-    "osm_header_metadata",
-    # --- transcode path: pbf/proto.py (varint gather) + native_sink.py
-    #     (encodings) changed this round; greens must postdate ---
-    "osm_count_by_type",
-    "osm_datasource_nodes",
-    "osm_way_geometry",
-    "osm_latest_versions",
-    "osm_loc_on_ways",
-    "osm_filter_with_deps",
-    # --- r5-changed: functions/__init__ (z-order + geohash helpers),
-    #     osm_ops history semantics, analytic stream-oracle composition ---
-    "zorder_spatial",
-    "zorder_bbox_search",
-    "osm_relation_members",
+    # --- remaining similarity.py / sketches.py routes ---
+    "ann_lsh_pairs",
+    "ann_ivf_topk",
+    "cms_heavy_hitters",
+    "stream_hll_distinct",
+    # --- text.py-routed (only bm25_topk's body changed, but module-level
+    #     taint per the rotation rule; stream_quality_by_lang rides the
+    #     same quality scorer) ---
     "stream_quality_by_lang",
-    # --- r5-changed: dedup.py (h60 grams, hash-set jaccard verify —
-    #     minhash/jaccard/components oracles changed WITH it) ---
+    "text_stats",
+    "text_quality",
+    "text_lang_id",
+    "clean_corpus_pipeline",
+    "text_fingerprint",
+    "pii_scrub",
+    "text_repetition",
+    "full_curation_pipeline",
+    "tfidf_top_terms",
+    "line_corpus_dedup",
+    "vocab_build",
+    # --- r6-NEW queries insert HERE (slots to the 50-cap) ---
+    # ---- 50-cap falls around here; below = stable, modules untouched
+    #      this round, each with a prior green row and swept by the
+    #      full-registry local parity tests ----
+    "osm_tag_histogram",
+    "osm_count_by_type",
+    "osm_header_metadata",
     "decontaminate",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -128,22 +141,9 @@ _CHECK_FIRST = [
     "dedup_ngram_jaccard",
     "dedup_components",
     "duplicate_spans",
-    # --- r5-changed: sketches.py (HLL refactor beside CMS) and the
-    #     similarity.py suite (PersistSet + appended operators) ---
-    "cms_heavy_hitters",
-    "ann_lsh_pairs",
-    "ann_ivf_topk",
-    # ---- 50-cap falls here; below = r4-green, modules appended-only or
-    #      untouched, swept by the local full-registry parity tests;
-    #      osm_tag_histogram traded DOWN for ann_ivf_topk (six sibling
-    #      gates already certify the changed transcode path; similarity
-    #      .py otherwise had only ann_lsh_pairs above the cap) ----
-    "osm_tag_histogram",
-    "ann_cosine_topk",
-    "dedup_embedding",
-    "semantic_dedup",
-    "kmeans_clusters",
-    "embedding_quantize",
+    "jsonl_roundtrip",
+    "zorder_spatial",
+    "zorder_bbox_search",
     "pricing_summary",
     "top_revenue_orders",
     "region_revenue",
@@ -152,19 +152,9 @@ _CHECK_FIRST = [
     "running_total",
     "lag_lead_gap",
     "approx_sketches",
-    "multi_supplier_late_orders",
-    "rich_inactive_customers",
-    "nation_trade_volume",
-    "parts_supplier_diversity",
-    "ntile_quartiles",
     "stream_dedup_user_types",
     "stream_sessionize_stateful",
-    "stream_click_attribution",
-    "stream_enriched_counts",
     "stream_windowed_counts",
-    "text_stats",
-    "text_quality",
-    "text_lang_id",
 ]
 
 

@@ -327,7 +327,7 @@ def main() -> None:
         big_extra["big_error"] = f"{type(exc).__name__}: {exc}"
 
     big_total = round(sum(big_timings.values()), 3)
-    print(json.dumps({
+    payload = {
         # headline = big tier: the sf0.1 per-query values are ADVISORY
         # (sub-second, noise-dominated on this host); judge regressions on
         # big_queries / big_total, and read the spreads first — a max far
@@ -348,7 +348,31 @@ def main() -> None:
         "big_copies": BIG_COPIES,
         **big_extra,
         "wall_total": round(time.time() - t_start, 3),
-    }))
+    }
+    # Full-precision payload to a sidecar the judge can always read; the
+    # r5 line (queries + both spread maps) outgrew the driver's 2000-char
+    # stdout tail capture, so BENCH_r05's `parsed` came back null.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_payload.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+
+    def _r2(d):
+        return {k: [round(x, 2) for x in v] if isinstance(v, list)
+                else round(v, 2) for k, v in d.items()}
+
+    # The printed line must parse from a 2000-char tail: keep the
+    # contract keys + the big tier (the judged numbers, spreads intact),
+    # drop only the advisory sf0.1 spread map, and round to 2 decimals.
+    line = {k: v for k, v in payload.items() if k != "query_spread"}
+    line["queries"] = _r2(timings)
+    line["big_queries"] = _r2(big_timings)
+    line["big_spread"] = _r2(big_spreads)
+    line["payload"] = "BENCH_payload.json"
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1900:  # last resort: sf0.1 detail lives in the sidecar
+        line["queries"] = {"in": "BENCH_payload.json"}
+        out = json.dumps(line, separators=(",", ":"))
+    print(out)
 
 
 if __name__ == "__main__":
