@@ -13,3 +13,9 @@ def spark():
 
 SF_DIR = "/root/testdata/sf0.001"
 SF_DIR_001 = "/root/testdata/sf0.01"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end differential tests"
+    )

@@ -413,3 +413,248 @@ def write_synthetic_pbf_fast(path: str, n_nodes: int, n_ways: int = 0,
             write_blob(f, "OSMData",
                        encode_primitive_block([b"".join(entries)], st=st))
     return {"nodes": n_nodes, "ways": n_ways, "relations": n_rels}
+
+
+# --- mixed-encoding generator (Cook-Islands-shaped differential input) -------
+
+
+def encode_plain_node(st: StringTable, node: dict) -> bytes:
+    """Non-dense Node message (osmformat.proto:184-195): sint64 id,
+    packed keys/vals, Info, sint64 lat/lon in granularity units."""
+    body = bytearray()
+    body += _key(1, 0) + _varint(_zigzag(node["id"]))
+    tags = node.get("tags", {})
+    if tags:
+        body += _packed_uvarints(2, [st.add(k) for k in tags])
+        body += _packed_uvarints(3, [st.add(v) for v in tags.values()])
+    body += _len_field(4, encode_info(st, node))
+    body += _key(8, 0) + _varint(_zigzag(node["lat"]))
+    body += _key(9, 0) + _varint(_zigzag(node["lon"]))
+    return _len_field(1, bytes(body))  # PrimitiveGroup.nodes = 1
+
+
+def encode_way_with_locations(st: StringTable, way: dict) -> bytes:
+    """Way message carrying the optional LocationsOnWays lat/lon arrays
+    (packed delta sint64 fields 9/10, osmformat.proto:239-240)."""
+    body = bytearray()
+    body += _key(1, 0) + _varint(way["id"])
+    tags = way.get("tags", {})
+    if tags:
+        body += _packed_uvarints(2, [st.add(k) for k in tags])
+        body += _packed_uvarints(3, [st.add(v) for v in tags.values()])
+    body += _len_field(4, encode_info(st, way))
+    body += _packed_svarints(8, way["refs"], delta=True)
+    body += _packed_svarints(9, way["lats"], delta=True)
+    body += _packed_svarints(10, way["lons"], delta=True)
+    return _len_field(3, bytes(body))
+
+
+def write_mixed_pbf(path: str, n_dense: int = 9_000_000,
+                    n_history: int = 3_000, n_plain: int = 4_000,
+                    n_ways_loc: int = 2_000, n_ways: int = 2_000,
+                    n_rels: int = 500, nodes_per_block: int = 8000,
+                    seed: int = 1234) -> dict:
+    """A realistically-shaped multi-blob differential input: the
+    CI-runnable approximation of the reference's Geofabrik extract run
+    (``osm-pbf-parquet/test/test.sh:17-31`` + ``validate.py:57-217``)
+    that needs no network. One ~100 MB file (defaults) mixing every
+    wire/encoding variant the reference fixtures exercise and this
+    container can decode:
+
+    - bulk DENSE node blocks with blob compression cycling
+      zlib / raw / lzma (zstd needs the absent ``zstandard`` module —
+      its decode path stays covered by the import-gated unit test)
+    - a dense HISTORY block: every id twice (v1, then v2 with
+      visible=false for even ids — deleted-at-head — and visible=true
+      for odd), exercising dense-info delta decode with id repeats
+    - non-dense (plain Node message) blocks, one zlib + one raw
+    - ways WITH LocationsOnWays lat/lon arrays and ways without
+    - a relation block, plus header optional features
+      LocationsOnWays / HistoricalInformation
+
+    Returns the element counts the differential test pins. Element rows
+    total n_dense + 2*n_history + n_plain nodes.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    compress_cycle = ("zlib", "raw", "lzma")
+
+    def _block_compress(i: int):
+        # mostly zlib (planet-realistic), every 7th raw, every 97th lzma
+        if i % 97 == 5:
+            return "lzma"
+        if i % 7 == 3:
+            return False
+        return True
+
+    with open(path, "wb") as f:
+        write_blob(f, "OSMHeader", encode_header_block(
+            optional=("LocationsOnWays", "HistoricalInformation")))
+
+        # --- bulk dense blocks, vectorized (same wire shapes as the
+        #     fast writer), blob compression cycling ---
+        block_i = 0
+        for start in range(0, n_dense, nodes_per_block):
+            ids = np.arange(start + 1,
+                            min(start + nodes_per_block, n_dense) + 1,
+                            dtype=np.int64)
+            B = ids.size
+            lat = rng.integers(-9_000_000, 9_000_000, B) * 10
+            lon = rng.integers(-18_000_000, 18_000_000, B) * 10
+            tagged = ids % 7 == 0
+            names = [f"n{i}" for i in ids[tagged]]
+            strings = [""] + names + ["name", "amenity", "bench"] + [
+                f"user{u}" for u in range(20)]
+            st_payload = b"".join(
+                b"\x0a" + _varint(len(s)) + s
+                for s in (x.encode() for x in strings))
+            name_idx = np.arange(1, 1 + len(names), dtype=np.int64)
+            k_name, k_amen, v_bench = (len(names) + 1, len(names) + 2,
+                                       len(names) + 3)
+            user0 = len(names) + 4
+            kv_len = np.where(tagged, 5, 1)
+            kv_end = np.cumsum(kv_len)
+            kv = np.zeros(int(kv_end[-1]), dtype=np.int64)
+            t0 = kv_end[tagged] - 5
+            kv[t0] = k_name
+            kv[t0 + 1] = name_idx
+            kv[t0 + 2] = k_amen
+            kv[t0 + 3] = v_bench
+            di = (
+                _np_packed_field(1, rng.integers(1, 5, B), False, False)
+                + _np_packed_field(2, 1_500_000_000 + ids, True, True)
+                + _np_packed_field(3, 10_000 + ids % 97, True, True)
+                + _np_packed_field(4, ids % 1000, True, True)
+                + _np_packed_field(5, user0 + ids % 20, True, True)
+                + _np_packed_field(6, (ids % 113 != 0).astype(np.int64),
+                                   False, False)
+            )
+            body = (
+                _np_packed_field(1, ids, True, True)
+                + _len_field(5, di)
+                + _np_packed_field(8, lat, True, True)
+                + _np_packed_field(9, lon, True, True)
+                + _np_packed_field(10, kv, False, False)
+            )
+            block = _len_field(1, st_payload) + _len_field(2, _len_field(2, body))
+            write_blob(f, "OSMData", block, compress=_block_compress(block_i))
+            block_i += 1
+
+        # --- dense HISTORY block: each id appears twice (v1 then v2);
+        #     v2 of every even id is visible=false (deleted at head) ---
+        hist_ids = np.repeat(
+            np.arange(50_000_000, 50_000_000 + n_history, dtype=np.int64), 2)
+        H = hist_ids.size
+        versions = np.tile([1, 2], n_history)
+        visible = np.ones(H, dtype=np.int64)
+        visible[1::2] = (hist_ids[1::2] % 2).astype(np.int64)  # even ids deleted
+        ts = 1_400_000_000 + hist_ids % 1000 + versions * 3600
+        st_payload = b"\x0a\x00" + b"\x0a\x05histu"  # ["", "histu"]
+        di = (
+            _np_packed_field(1, versions, False, False)
+            + _np_packed_field(2, ts, True, True)
+            + _np_packed_field(3, 7_000 + versions, True, True)
+            + _np_packed_field(4, np.full(H, 99, dtype=np.int64), True, True)
+            + _np_packed_field(5, np.full(H, 1, dtype=np.int64), True, True)
+            + _np_packed_field(6, visible, False, False)
+        )
+        hl = rng.integers(-8_000_000, 8_000_000, H) * 10
+        ho = rng.integers(-17_000_000, 17_000_000, H) * 10
+        body = (
+            _np_packed_field(1, hist_ids, True, True)
+            + _len_field(5, di)
+            + _np_packed_field(8, hl, True, True)
+            + _np_packed_field(9, ho, True, True)
+        )
+        block = _len_field(1, st_payload) + _len_field(2, _len_field(2, body))
+        write_blob(f, "OSMData", block, compress="lzma")
+
+        # --- plain (non-dense) node blocks: one zlib, one raw ---
+        half = n_plain // 2
+        for bi, (lo, hi) in enumerate(((0, half), (half, n_plain))):
+            st = StringTable()
+            groups = b"".join(
+                encode_plain_node(st, {
+                    "id": 60_000_000 + j,
+                    "lat": int(rng.integers(-8_000_000, 8_000_000)) * 10,
+                    "lon": int(rng.integers(-17_000_000, 17_000_000)) * 10,
+                    "tags": {"power": "pole"} if j % 5 == 0 else {},
+                    "version": 1, "timestamp_s": 1_600_000_000 + j,
+                    "changeset": 42, "uid": 7, "user": "plainu",
+                    "visible": True,
+                })
+                for j in range(lo, hi)
+            )
+            write_blob(f, "OSMData",
+                       encode_primitive_block([groups], st=st),
+                       compress=(bi == 0))
+
+        # --- ways: with LocationsOnWays, then without ---
+        st = StringTable()
+        entries = []
+        for j in range(n_ways_loc):
+            nrefs = 4 + j % 5
+            refs = sorted(int(rng.integers(1, max(n_dense, 2)))
+                          for _ in range(nrefs))
+            entries.append(encode_way_with_locations(st, {
+                "id": 100_000 + j,
+                "refs": refs,
+                "lats": [int(rng.integers(-8_000_000, 8_000_000)) * 10
+                         for _ in range(nrefs)],
+                "lons": [int(rng.integers(-17_000_000, 17_000_000)) * 10
+                         for _ in range(nrefs)],
+                "tags": {"highway": "path"},
+                "version": 1, "timestamp_s": 1_610_000_000 + j,
+                "changeset": 9, "uid": 3, "user": "wayu", "visible": True,
+            }))
+        write_blob(f, "OSMData",
+                   encode_primitive_block([b"".join(entries)], st=st))
+
+        st = StringTable()
+        entries = []
+        for j in range(n_ways):
+            nrefs = 3 + j % 4
+            refs = sorted(int(rng.integers(1, max(n_dense, 2)))
+                          for _ in range(nrefs))
+            entries.append(encode_way(st, {
+                "id": 200_000 + j,
+                "refs": refs,
+                "tags": {"highway": "residential"} if j % 2 == 0 else {},
+                "version": 2, "timestamp_s": 1_620_000_000 + j,
+                "changeset": 11, "uid": 4, "user": "wayv", "visible": True,
+            }))
+        write_blob(f, "OSMData",
+                   encode_primitive_block([b"".join(entries)], st=st),
+                   compress=False)
+
+        # --- relations ---
+        st = StringTable()
+        entries = []
+        for j in range(n_rels):
+            entries.append(encode_relation(st, {
+                "id": 500_000 + j,
+                "members": [
+                    {"type": "way", "ref": 100_000 + j % max(n_ways_loc, 1),
+                     "role": "outer"},
+                    {"type": "node", "ref": 1 + j, "role": ""},
+                ],
+                "tags": {"type": "multipolygon"},
+                "version": 1, "timestamp_s": 1_650_000_000, "changeset": 6,
+                "uid": 2, "user": "relu", "visible": True,
+            }))
+        write_blob(f, "OSMData",
+                   encode_primitive_block([b"".join(entries)], st=st))
+
+    return {
+        "node_rows": n_dense + 2 * n_history + n_plain,
+        "dense": n_dense,
+        "history_ids": n_history,
+        "plain": n_plain,
+        "ways": n_ways_loc + n_ways,
+        "ways_loc": n_ways_loc,
+        "relations": n_rels,
+        "hidden": int(np.count_nonzero(
+            np.arange(50_000_000, 50_000_000 + n_history) % 2 == 0))
+        + (n_dense // 113),
+    }
