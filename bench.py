@@ -41,6 +41,11 @@ BIG_COPIES = 10
 BIG_DIR = os.path.join(tempfile.gettempdir(), f"spark_graft_bigtier_x{BIG_COPIES}")
 N_BIG_SKEW_ROWS = 5_000_000
 
+SOAK_COPIES = 50
+SOAK_DIR = os.path.join(
+    tempfile.gettempdir(), f"spark_graft_soak_x{SOAK_COPIES}"
+)
+
 
 def _make_big_tier(spark) -> None:
     """Materialize the 10× tier once (deterministic; cached across runs).
@@ -107,6 +112,57 @@ def _make_big_tier(spark) -> None:
     )
     with open(ready, "w"):
         pass
+
+
+def _make_soak_tier(spark) -> None:
+    """Materialize the 50× documents tier (cached): the single-pass soak
+    runs the capstone + the minhash dedup chain here once per round to
+    catch memory cliffs and AQE behavior shifts the 10× tier can't."""
+    from pyspark.sql import functions as F
+
+    ready = os.path.join(SOAK_DIR, "_READY")
+    if os.path.exists(ready):
+        return
+    shutil.rmtree(SOAK_DIR, ignore_errors=True)
+    os.makedirs(SOAK_DIR, exist_ok=True)
+    copies = F.explode(
+        F.sequence(F.lit(0), F.lit(SOAK_COPIES - 1))
+    ).alias("_c")
+    (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("*", copies)
+        .withColumn("doc_id", F.col("doc_id") + F.col("_c") * F.lit(1_000_000))
+        .withColumn(
+            "text",
+            F.concat("text", F.lit(" soakvariant"), F.col("_c").cast("string")),
+        )
+        .drop("_c")
+        .write.mode("overwrite")
+        .parquet(f"{SOAK_DIR}/documents.parquet")
+    )
+    with open(ready, "w"):
+        pass
+
+
+def _jvm_peak_rss_mb() -> int | None:
+    """Peak RSS (VmHWM) of the local-mode executor JVM — the process
+    whose memory a 50× soak would crash. Best-effort /proc scan."""
+    best = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as fh:
+                if fh.read().strip() != "java":
+                    continue
+            with open(f"/proc/{pid}/status") as fh:
+                for ln in fh:
+                    if ln.startswith("VmHWM:"):
+                        best = max(best, int(ln.split()[1]) // 1024)
+                        break
+        except OSError:
+            continue
+    return best or None
 
 
 def _q_skew_salted_distinct(spark, big_dir):
@@ -244,10 +300,13 @@ def main() -> None:
         from pbf_encoder import write_synthetic_pbf_fast
 
         warm = os.path.join(workdir, "warm.osm.pbf")
-        write_synthetic_pbf_fast(warm, n_nodes=50_000, n_ways=5_000, n_rels=500)
-        # blobs_per_task=1 fans the warm-up across every worker so ALL 32
-        # pay their one-time package-import inside the warm-up, not run 1
-        # (measured: first job 1.15s vs 0.20s steady for a tiny input)
+        # 280k nodes = 35 dense blocks (+ way/rel blobs) so blobs_per_task=1
+        # yields >32 tasks: EVERY worker slot pays its one-time package
+        # import inside the warm-up. The old 50k-node warm file had only 9
+        # data blobs, so 23 of 32 workers spawned cold INSIDE run 1 —
+        # measured 50.5 MB/s first-run vs 84 steady on the 531 MB input;
+        # with a 37-blob warm file the first run hits 88
+        write_synthetic_pbf_fast(warm, n_nodes=280_000, n_ways=5_000, n_rels=500)
         _bench_transcode(spark, warm, workdir, blobs_per_task=1)
         timed("pbf_transcode", lambda: _bench_transcode(spark, pbf, workdir),
               3, timings, spreads)
@@ -311,7 +370,9 @@ def main() -> None:
             # steady-state; isolated re-runs measure 77 MB/s at 4× — flat
             # vs the 130 MB input)
             warm2 = os.path.join(big_workdir, "warm.osm.pbf")
-            write_synthetic_pbf_fast(warm2, n_nodes=50_000, n_ways=5_000,
+            # ≥32 data blobs (see the small-tier warm-up note): re-spawns
+            # the FULL worker pool the idle reaper emptied, not 9/32 of it
+            write_synthetic_pbf_fast(warm2, n_nodes=280_000, n_ways=5_000,
                                      n_rels=500)
             _bench_transcode(spark, warm2, big_workdir, blobs_per_task=1)
             timed("pbf_transcode_4x",
@@ -325,6 +386,23 @@ def main() -> None:
             shutil.rmtree(big_workdir, ignore_errors=True)
     except Exception as exc:  # the sf0.1 line must survive a big-tier failure
         big_extra["big_error"] = f"{type(exc).__name__}: {exc}"
+
+    # --- 50× single-pass soak: capstone + the dedup chain (no min-of-N;
+    #     this row exists to catch memory cliffs / AQE shifts, not to be
+    #     a latency anchor) ---
+    soak: dict = {"copies": SOAK_COPIES}
+    try:
+        _make_soak_tier(spark)
+        spark.catalog.clearCache()
+        for name in ("full_curation_pipeline", "dedup_minhash_lsh",
+                     "duplicate_spans"):
+            t0 = time.time()
+            PIPE[name][0](spark, SOAK_DIR).count()
+            soak[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+        soak["jvm_peak_rss_mb"] = _jvm_peak_rss_mb()
+    except Exception as exc:
+        soak["soak_error"] = f"{type(exc).__name__}: {exc}"
 
     big_total = round(sum(big_timings.values()), 3)
     payload = {
@@ -347,6 +425,7 @@ def main() -> None:
         "big_total": big_total,
         "big_copies": BIG_COPIES,
         **big_extra,
+        "soak": soak,
         "wall_total": round(time.time() - t_start, 3),
     }
     # Full-precision payload to a sidecar the judge can always read; the
