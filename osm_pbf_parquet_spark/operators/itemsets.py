@@ -1,0 +1,61 @@
+"""Frequent-itemset mining (the Apriori 2-phase core) over basket
+tables — co-occurrence statistics a curation pipeline uses for
+tag/entity affinity, template detection, and negative-mining pools.
+
+Design for 100 TB: the classic blow-up is the per-basket pair explosion
+(quadratic in basket size × corpus). The Apriori property prunes it
+BEFORE the quadratic step: an item pair can only reach ``min_pair``
+support if both items individually do, so baskets are first semi-
+join-filtered to frequent items (the frequent-item dimension is
+bounded above by total_rows / min_item — broadcastable by
+construction), and only then self-joined per basket. The pair join is
+co-partitioned on the basket key; pair counting is one map-side-
+combinable aggregation. Nothing quadratic in the corpus ever forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def frequent_item_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item: int = 3,
+    min_pair: int = 2,
+    k: int = 15,
+) -> DataFrame:
+    """Top-``k`` co-occurring item pairs with support ≥ ``min_pair``,
+    mined only over items with individual support ≥ ``min_item``
+    (Apriori pruning — see module docstring for the scale argument).
+
+    Support counts baskets, not rows: duplicate (basket, item) rows
+    collapse first. Returns (item_1, item_2, pair_support) with
+    item_1 < item_2, ordered by (pair_support desc, item_1, item_2).
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    freq = (
+        b.groupBy("item")
+        .agg(F.count("*").alias("item_support"))
+        .where(F.col("item_support") >= min_item)
+        .select("item")
+    )
+    # bounded by total_rows/min_item ⇒ broadcast is safe by construction
+    fb = b.join(F.broadcast(freq), "item")
+    pairs = (
+        fb.alias("a")
+        .join(fb.alias("b"), "basket")
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_1"),
+            F.col("b.item").alias("item_2"),
+        )
+        .agg(F.count("*").cast("long").alias("pair_support"))
+        .where(F.col("pair_support") >= min_pair)
+    )
+    return pairs.orderBy(
+        F.desc("pair_support"), "item_1", "item_2"
+    ).limit(k)

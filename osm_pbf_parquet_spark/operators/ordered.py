@@ -258,3 +258,38 @@ def dataset_diff(
         .where(F.col("status").isNotNull())
         .select(*key_cols, "status")
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: P(next state | state) — the behavioral-LM statistic
+    (next-event prediction, funnel modeling, session synthesis) over an
+    interaction log.
+
+    Plan: ONE keyed window (lead over ``order_cols`` within ``key_col``
+    — state per key is a cursor, never a global sort), then one
+    map-side-combinable groupBy onto the state-pair grid (|states|²
+    rows, dimension-sized). Counts are exact BIGINTs; the probability
+    is one division of two exact integers. Orders deterministically by
+    (state, next_state)."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    trans = (
+        df.withColumn("_next", F.lead(state_col).over(w))
+        .where(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("state"),
+            F.col("_next").alias("next_state"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = Window.partitionBy("state")
+    return (
+        trans.withColumn("state_n", F.sum("n").over(totals).cast("long"))
+        .withColumn("p", F.round(F.col("n") / F.col("state_n"), 6))
+        .orderBy("state", "next_state")
+    )

@@ -191,6 +191,82 @@ def hll_finish(regs: DataFrame, exact: DataFrame, p: int = HLL_P) -> DataFrame:
     )
 
 
+def hll_distinct_by(
+    df: DataFrame, group_col: str, key_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Grouped HyperLogLog: one distinct-count estimate PER GROUP — the
+    sketch shape a 100 TB rollup actually needs (distinct users per
+    product, distinct domains per language) where per-group exact
+    COUNT(DISTINCT) would shuffle every (group, key) pair.
+
+    Same bit-exact register arithmetic as ``hll_distinct`` (the oracle
+    replays z_scaled per group as an exact BIGINT), but the reduce tail
+    avoids the register-spine join: untouched buckets all hold rank 0,
+    so z_scaled = Σ_present 2^(53-r) + (m − present)·2^53 and
+    v_empty = m − present follow from ONE groupBy over present buckets
+    (every present bucket has rank ≥ 1 by construction). Cost: one
+    map-side-combinable agg to (group, bucket) registers — ≤ m rows per
+    group — then one group-sized agg. The exact count here is gate
+    instrumentation; at scale you'd drop it."""
+    m = 1 << p
+    regs = (
+        hll_rank_projection_by(df, group_col, key_col, p)
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    agg = regs.groupBy("grp").agg(
+        (
+            F.sum(F.expr("cast(pow(2.0, 53 - r) AS BIGINT)"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << 53)
+        ).alias("z_scaled"),
+        (F.lit(m) - F.count("*")).alias("v_empty"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(key_col).cast("long").alias("exact_distinct")
+    )
+    est_raw = (
+        f"{HLL_ALPHA!r} * {m} * {m} * cast({1 << 53} AS DOUBLE) / z_scaled"
+    )
+    return (
+        agg.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("z_scaled").cast("long"),
+            F.col("v_empty").cast("long"),
+            "exact_distinct",
+            F.expr(
+                f"round(CASE WHEN ({est_raw}) <= 2.5 * {m} AND v_empty > 0 "
+                f"THEN {m} * ln(cast({m} AS DOUBLE) / v_empty) "
+                f"ELSE ({est_raw}) END, 6)"
+            ).alias("hll_estimate"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def hll_rank_projection_by(
+    df: DataFrame, group_col: str, key_col: str, p: int = HLL_P
+) -> DataFrame:
+    """(grp, bucket, rank) per row — ``hll_rank_projection`` with the
+    group key carried through."""
+    from .sampling import hash_mod_expr
+
+    m = 1 << p
+    sub_bits = HLL_HASH_BITS - p
+    h = hash_mod_expr(f"cast({key_col} AS string)", 1 << HLL_HASH_BITS)
+    return df.select(
+        F.col(group_col).alias("grp"),
+        F.expr(f"({h}) % {m}").alias("bucket"),
+        F.expr(f"({h}) div {m}").alias("w"),
+    ).withColumn(
+        "rank",
+        F.expr(
+            f"CASE WHEN w = 0 THEN {sub_bits + 1} "
+            f"ELSE {sub_bits} - length(bin(w)) + 1 END"
+        ),
+    ).drop("w")
+
+
 # --- equi-width histogram quantiles ------------------------------------------
 
 HIST_BINS = 1024

@@ -563,3 +563,48 @@ def char_entropy_stats(
             f"/ greatest(size({tokens}), 1), 6)"
         ).alias("type_token_ratio"),
     )
+
+
+def bigram_conditional(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` corpus bigrams with their conditional probability
+    P(w2 | w1) — the first statistics pass of n-gram LM training /
+    template detection over a pretraining corpus.
+
+    Plan: bigrams form per-row with ZERO joins or windows over the
+    corpus — ``arrays_zip`` of the token array against its own 1-shifted
+    slice, exploded (documents with <2 tokens vanish via empty slices).
+    ONE map-side-combinable groupBy counts pairs; the prefix totals
+    (denominators) come from a KEYED window over the vocabulary-sized
+    pair-count frame (never over corpus rows). All counts are exact
+    BIGINTs; P is a single division of two exact integers (IEEE-
+    identical across engines). Ties order by (count desc, w1, w2).
+    """
+    pairs = (
+        with_tokens(df, text_col)
+        .select(
+            F.expr("slice(tokens, 1, size(tokens) - 1)").alias("_a"),
+            F.expr("slice(tokens, 2, size(tokens) - 1)").alias("_b"),
+        )
+        .select(F.explode(F.arrays_zip("_a", "_b")).alias("bg"))
+        .select(
+            F.col("bg._a").alias("w1"), F.col("bg._b").alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("pair_n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("w1")
+    scored = pairs.withColumn(
+        "w1_n", F.sum("pair_n").over(w).cast("long")
+    ).withColumn(
+        "p_cond",
+        F.round(F.col("pair_n") / F.col("w1_n"), 6),
+    )
+    return scored.orderBy(F.desc("pair_n"), "w1", "w2").limit(k).select(
+        "w1", "w2", "pair_n", "w1_n", "p_cond"
+    )

@@ -1,0 +1,118 @@
+"""Round-6 mining queries vs DuckDB oracles at sf0.01, plus semantic
+checks (PageRank mass conservation/ordering, Apriori containment,
+grouped-HLL error bound, bigram probability algebra) no oracle covers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark.plans.mining_queries import MINING_QUERIES
+from osm_pbf_parquet_spark.plans.relational import t
+
+from oracle_harness import run_compare
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("name", sorted(MINING_QUERIES))
+def test_mining_oracle_parity(spark, name):
+    fn, oracle = MINING_QUERIES[name]
+    run_compare(spark, SF_DIR, name, fn, oracle)
+
+
+def test_pagerank_favors_high_indegree(spark):
+    """Semantic: on a star graph (everyone links to one hub), the hub
+    must out-rank every spoke, and ranks must be positive."""
+    from osm_pbf_parquet_spark.operators.graph import pagerank_power
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 20)], "src long, dst long"
+    )
+    rows = pagerank_power(edges, k=25).collect()
+    assert rows[0]["node"] == 0  # the hub wins
+    assert all(r["rank_scaled"] > 0 for r in rows)
+    spokes = {r["rank_scaled"] for r in rows if r["node"] != 0}
+    assert len(spokes) == 1  # symmetric spokes tie exactly (integer math)
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    """Integer arithmetic ⇒ bit-identical results however the edges are
+    partitioned (the property float PageRank lacks)."""
+    from osm_pbf_parquet_spark.operators.graph import pagerank_power
+
+    edges = [(i, (i * 7) % 23) for i in range(200) if i != (i * 7) % 23]
+    runs = []
+    for n in (1, 5, 32):
+        df = spark.createDataFrame(edges, "src long, dst long").repartition(n)
+        runs.append(sorted(tuple(r) for r in pagerank_power(df).collect()))
+    assert runs[0] == runs[1] == runs[2]
+
+
+def test_frequent_pairs_apriori_containment(spark):
+    """Every reported pair's items must individually meet the item
+    support floor (the Apriori invariant the pruning relies on)."""
+    from osm_pbf_parquet_spark.operators.itemsets import frequent_item_pairs
+
+    li = t(spark, SF_DIR, "lineitem")
+    pairs = frequent_item_pairs(li, "l_orderkey", "l_partkey",
+                                min_item=3, min_pair=2, k=15).collect()
+    assert pairs, "expected some co-occurring pairs at sf0.01"
+    item_support = {
+        r["l_partkey"]: r["n"]
+        for r in li.select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_partkey").agg(F.count("*").alias("n")).collect()
+    }
+    for p in pairs:
+        assert item_support[p["item_1"]] >= 3
+        assert item_support[p["item_2"]] >= 3
+        assert p["pair_support"] >= 2
+
+
+def test_grouped_hll_within_error_bound(spark):
+    """Each group's HLL estimate must sit within 5 standard errors of
+    its exact count (m=256 ⇒ rse 6.5%)."""
+    from osm_pbf_parquet_spark.operators.sketches import hll_distinct_by
+
+    rows = hll_distinct_by(
+        t(spark, SF_DIR, "events"), "event_type", "user_id"
+    ).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        rel = abs(r["hll_estimate"] - r["exact_distinct"]) / max(
+            r["exact_distinct"], 1
+        )
+        assert rel < 5 * 0.065, (r["event_type"], rel)
+
+
+def test_bigram_probabilities_form_distribution(spark):
+    """For every prefix w1 appearing in the output, P(w2|w1) must equal
+    pair_n/w1_n exactly and the full per-prefix distribution (recomputed
+    without the top-k cut) must sum to 1."""
+    from osm_pbf_parquet_spark.operators.text import bigram_conditional
+
+    docs = t(spark, SF_DIR, "documents").limit(500)
+    out = bigram_conditional(docs, k=10).collect()
+    assert out
+    for r in out:
+        assert r["p_cond"] == round(r["pair_n"] / r["w1_n"], 6)
+    full = bigram_conditional(docs, k=10**9)
+    sums = (full.groupBy("w1")
+            .agg(F.sum(F.col("pair_n") / F.col("w1_n")).alias("s"))
+            .collect())
+    for s in sums:
+        assert abs(s["s"] - 1.0) < 1e-9
+
+
+def test_markov_rows_cover_all_observed_transitions(spark):
+    """Transition matrix totals must reconcile: sum of n = total events
+    minus one per user (every non-final event transitions somewhere)."""
+    from osm_pbf_parquet_spark.operators.ordered import markov_transitions
+
+    ev = t(spark, SF_DIR, "events")
+    out = markov_transitions(ev, "user_id", "event_type",
+                             ["ts_us", "event_id"])
+    total_n = out.agg(F.sum("n")).collect()[0][0]
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total_n == n_events - n_users

@@ -233,3 +233,28 @@ def test_advanced_suite_no_cartesian_products(spark):
         assert plan.count("SinglePartition") <= cap, (
             name, plan.count("SinglePartition")
         )
+
+
+def test_mining_suite_plan_shapes(spark):
+    """r6 mining suite: no cartesian products; nested-loop joins only as
+    broadcast one-row attaches; bigram_lm must reach its pair counts
+    with NO join at all (self-zipped slices); frequent_itemsets must
+    broadcast the frequent-item dimension (Apriori pruning BEFORE the
+    quadratic step)."""
+    from osm_pbf_parquet_spark.plans.mining_queries import MINING_QUERIES
+
+    # pagerank: per-superstep 1-row n-frame attaches (one BNLJ per
+    # iteration + init); everything else ≤1
+    bnlj_ok = {"pagerank_suppliers": 4}
+    for name, (fn, _oracle) in MINING_QUERIES.items():
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        cap = bnlj_ok.get(name, 1)
+        assert plan.count("BroadcastNestedLoopJoin (") <= cap, name
+
+    bg = _plan(MINING_QUERIES["bigram_lm"][0](spark, SF_DIR))
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in bg, join
+
+    fi = _plan(MINING_QUERIES["frequent_itemsets"][0](spark, SF_DIR))
+    assert "BroadcastHashJoin" in fi
