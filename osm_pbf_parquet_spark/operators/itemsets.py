@@ -5,11 +5,13 @@ tag/entity affinity, template detection, and negative-mining pools.
 Design for 100 TB: the classic blow-up is the per-basket pair explosion
 (quadratic in basket size × corpus). The Apriori property prunes it
 BEFORE the quadratic step: an item pair can only reach ``min_pair``
-support if both items individually do, so baskets are first semi-
+support if both items individually do, so baskets are first
 join-filtered to frequent items (the frequent-item dimension is
-bounded above by total_rows / min_item — broadcastable by
-construction), and only then self-joined per basket. The pair join is
-co-partitioned on the basket key; pair counting is one map-side-
+bounded above by total_rows / min_item — small when ``min_item`` is
+set proportionally to the corpus, in which case AQE broadcasts the
+filter join; with a too-low floor it degrades to a keyed shuffle join,
+never a collect), and only then self-joined per basket. The pair join
+is co-partitioned on the basket key; pair counting is one map-side-
 combinable aggregation. Nothing quadratic in the corpus ever forms.
 """
 
@@ -43,8 +45,11 @@ def frequent_item_pairs(
         .where(F.col("item_support") >= min_item)
         .select("item")
     )
-    # bounded by total_rows/min_item ⇒ broadcast is safe by construction
-    fb = b.join(F.broadcast(freq), "item")
+    # bounded by total_rows/min_item — broadcastable ONLY when min_item
+    # is set proportionally to the corpus (a fixed min_item=3 at 100 TB
+    # leaves a huge dimension). No forced hint: AQE broadcasts it when
+    # it is small and falls back to a shuffle join when it is not.
+    fb = b.join(freq, "item")
     pairs = (
         fb.alias("a")
         .join(fb.alias("b"), "basket")

@@ -275,7 +275,9 @@ def markov_transitions(
     — state per key is a cursor, never a global sort), then one
     map-side-combinable groupBy onto the state-pair grid (|states|²
     rows, dimension-sized). Counts are exact BIGINTs; the probability
-    is one division of two exact integers. Orders deterministically by
+    is the 1e-6-floored integer ratio re-expressed as a double (round()
+    on quotient doubles hits .5 boundaries where Spark and DuckDB
+    systematically disagree). Orders deterministically by
     (state, next_state)."""
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     trans = (
@@ -290,6 +292,9 @@ def markov_transitions(
     totals = Window.partitionBy("state")
     return (
         trans.withColumn("state_n", F.sum("n").over(totals).cast("long"))
-        .withColumn("p", F.round(F.col("n") / F.col("state_n"), 6))
+        .withColumn(
+            "p",
+            F.expr("cast((n * 1000000) div state_n AS DOUBLE) / 1000000"),
+        )
         .orderBy("state", "next_state")
     )

@@ -139,22 +139,12 @@ def hll_rank_projection(df: DataFrame, key_col: str, p: int = HLL_P) -> DataFram
     """The sketch's map side: (bucket, rank) per row — a pure projection
     that runs UNCHANGED on a batch frame or a stream (the streaming gate
     feeds it to a complete-mode max aggregation; streaming/batch
-    unification for sketches)."""
-    from .sampling import hash_mod_expr
-
-    m = 1 << p
-    sub_bits = HLL_HASH_BITS - p  # substream width
-    h = hash_mod_expr(f"cast({key_col} AS string)", 1 << HLL_HASH_BITS)
-    return df.select(
-        F.expr(f"({h}) % {m}").alias("bucket"),
-        F.expr(f"({h}) div {m}").alias("w"),
-    ).withColumn(
-        "rank",
-        F.expr(
-            f"CASE WHEN w = 0 THEN {sub_bits + 1} "
-            f"ELSE {sub_bits} - length(bin(w)) + 1 END"
-        ),
-    ).drop("w")
+    unification for sketches). Thin wrapper over the grouped projection
+    with a constant group, so the parity-critical bucket/rank formula
+    exists exactly once."""
+    return hll_rank_projection_by(
+        df.withColumn("_hll_g", F.lit(0)), "_hll_g", key_col, p
+    ).drop("grp")
 
 
 def hll_finish(regs: DataFrame, exact: DataFrame, p: int = HLL_P) -> DataFrame:
@@ -247,8 +237,9 @@ def hll_distinct_by(
 def hll_rank_projection_by(
     df: DataFrame, group_col: str, key_col: str, p: int = HLL_P
 ) -> DataFrame:
-    """(grp, bucket, rank) per row — ``hll_rank_projection`` with the
-    group key carried through."""
+    """(grp, bucket, rank) per row — THE single definition of the
+    parity-critical bucket/rank formula (``hll_rank_projection`` wraps
+    it with a constant group; the DuckDB oracles replay it verbatim)."""
     from .sampling import hash_mod_expr
 
     m = 1 << p

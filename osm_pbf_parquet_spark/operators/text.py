@@ -576,18 +576,26 @@ def bigram_conditional(
 
     Plan: bigrams form per-row with ZERO joins or windows over the
     corpus — ``arrays_zip`` of the token array against its own 1-shifted
-    slice, exploded (documents with <2 tokens vanish via empty slices).
-    ONE map-side-combinable groupBy counts pairs; the prefix totals
-    (denominators) come from a KEYED window over the vocabulary-sized
-    pair-count frame (never over corpus rows). All counts are exact
-    BIGINTs; P is a single division of two exact integers (IEEE-
-    identical across engines). Ties order by (count desc, w1, w2).
+    slice, exploded (documents with <2 tokens vanish via empty slices;
+    the slice length is clamped to ≥0 because Spark's ``slice`` rejects
+    the -1 an empty tokenization would produce). ONE map-side-combinable
+    groupBy counts pairs; the prefix totals (denominators) come from a
+    KEYED window over the vocabulary-sized pair-count frame (never over
+    corpus rows). All counts are exact BIGINTs; P is the 1e-6-floored
+    exact-integer ratio re-expressed as a double — ``round()`` on a
+    quotient double lands on .5 boundaries where Spark and DuckDB
+    systematically disagree, while floor-scaled integer division is
+    identical everywhere. Ties order by (count desc, w1, w2).
     """
     pairs = (
         with_tokens(df, text_col)
         .select(
-            F.expr("slice(tokens, 1, size(tokens) - 1)").alias("_a"),
-            F.expr("slice(tokens, 2, size(tokens) - 1)").alias("_b"),
+            F.expr(
+                "slice(tokens, 1, greatest(size(tokens) - 1, 0))"
+            ).alias("_a"),
+            F.expr(
+                "slice(tokens, 2, greatest(size(tokens) - 1, 0))"
+            ).alias("_b"),
         )
         .select(F.explode(F.arrays_zip("_a", "_b")).alias("bg"))
         .select(
@@ -603,7 +611,9 @@ def bigram_conditional(
         "w1_n", F.sum("pair_n").over(w).cast("long")
     ).withColumn(
         "p_cond",
-        F.round(F.col("pair_n") / F.col("w1_n"), 6),
+        F.expr(
+            "cast((pair_n * 1000000) div w1_n AS DOUBLE) / 1000000"
+        ),
     )
     return scored.orderBy(F.desc("pair_n"), "w1", "w2").limit(k).select(
         "w1", "w2", "pair_n", "w1_n", "p_cond"

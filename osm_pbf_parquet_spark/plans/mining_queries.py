@@ -87,7 +87,7 @@ _FI_K = 15
 
 def q_frequent_itemsets(spark, sf_dir):
     """Top co-occurring part pairs within orders, Apriori-pruned to
-    items with support ≥ {_FI_MIN_ITEM} before the quadratic step."""
+    items with support >= 3 (_FI_MIN_ITEM) before the quadratic step."""
     li = _t(spark, sf_dir, "lineitem")
     return itemsets.frequent_item_pairs(
         li, "l_orderkey", "l_partkey",
@@ -195,7 +195,7 @@ sc AS (
   FROM pc
 )
 SELECT w1, w2, pair_n, w1_n,
-       round(CAST(pair_n AS DOUBLE) / w1_n, 6) AS p_cond
+       CAST((pair_n * 1000000) // w1_n AS DOUBLE) / 1000000 AS p_cond
 FROM sc ORDER BY pair_n DESC, w1, w2 LIMIT {_BG_K}
 """
 
@@ -231,7 +231,7 @@ sc AS (
   FROM tr
 )
 SELECT state, next_state, n, state_n,
-       round(CAST(n AS DOUBLE) / state_n, 6) AS p
+       CAST((n * 1000000) // state_n AS DOUBLE) / 1000000 AS p
 FROM sc ORDER BY state, next_state
 """
 

@@ -95,7 +95,7 @@ def test_bigram_probabilities_form_distribution(spark):
     out = bigram_conditional(docs, k=10).collect()
     assert out
     for r in out:
-        assert r["p_cond"] == round(r["pair_n"] / r["w1_n"], 6)
+        assert r["p_cond"] == (r["pair_n"] * 1_000_000 // r["w1_n"]) / 1e6
     full = bigram_conditional(docs, k=10**9)
     sums = (full.groupBy("w1")
             .agg(F.sum(F.col("pair_n") / F.col("w1_n")).alias("s"))
@@ -116,3 +116,18 @@ def test_markov_rows_cover_all_observed_transitions(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total_n == n_events - n_users
+
+
+def test_bigram_handles_empty_and_single_token_docs(spark):
+    """Review-found crash class: an empty tokenization made slice() see
+    length -1. Empty/1-token docs must contribute nothing, not throw."""
+    from osm_pbf_parquet_spark.operators.text import bigram_conditional
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "two words")],
+        "doc_id long, text string",
+    )
+    rows = bigram_conditional(df, k=10).collect()
+    assert [(r["w1"], r["w2"], r["pair_n"]) for r in rows] == [
+        ("two", "words", 1)
+    ]
