@@ -131,3 +131,125 @@ def test_bigram_handles_empty_and_single_token_docs(spark):
     assert [(r["w1"], r["w2"], r["pair_n"]) for r in rows] == [
         ("two", "words", 1)
     ]
+
+
+# --- property tests vs pure-Python references ---------------------------------
+
+
+def _py_pagerank(edges, iters=3, S=10**12):
+    """Driver-side integer PageRank reference (same arithmetic)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg = {}
+    dedup = sorted(set(edges))
+    for s, _ in dedup:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: S // n for v in nodes}
+    for _ in range(iters):
+        inflow = {}
+        for s, d in dedup:
+            inflow[d] = inflow.get(d, 0) + (rank[s] * 85) // (100 * deg[s])
+        base = (S * 15) // (100 * n)
+        rank = {v: base + inflow.get(v, 0) for v in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_pagerank_matches_python_reference(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    edges = list({
+        (rng.randrange(30), rng.randrange(30)) for _ in range(80)
+    })
+    edges = [(s, d) for s, d in edges if s != d]
+    from osm_pbf_parquet_spark.operators.graph import pagerank_power
+
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    got = {r["node"]: r["rank_scaled"]
+           for r in pagerank_power(df, k=10**6).collect()}
+    ref = _py_pagerank(edges)
+    assert got == ref
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_frequent_pairs_match_itertools_reference(spark, seed):
+    import itertools
+    import random
+    from collections import Counter
+
+    rng = random.Random(seed)
+    rows = [(b, rng.randrange(12)) for b in range(40) for _ in range(4)]
+    from osm_pbf_parquet_spark.operators.itemsets import frequent_item_pairs
+
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = [
+        (r["item_1"], r["item_2"], r["pair_support"])
+        for r in frequent_item_pairs(
+            df, "basket", "item", min_item=3, min_pair=2, k=10**6
+        ).collect()
+    ]
+    # reference: distinct items per basket, freq filter, pair counter
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    isup = Counter(i for items in baskets.values() for i in items)
+    keep = {i for i, c in isup.items() if c >= 3}
+    pc = Counter()
+    for items in baskets.values():
+        for a, b2 in itertools.combinations(sorted(i for i in items if i in keep), 2):
+            pc[(a, b2)] += 1
+    ref = sorted(
+        ((a, b2, c) for (a, b2), c in pc.items() if c >= 2),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )
+    assert got == ref
+
+
+def test_markov_matches_pandas_reference(spark):
+    import pandas as pd
+
+    ev = t(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    from osm_pbf_parquet_spark.operators.ordered import markov_transitions
+
+    got = {
+        (r["state"], r["next_state"]): (r["n"], r["state_n"], r["p"])
+        for r in markov_transitions(
+            ev, "user_id", "event_type", ["ts_us", "event_id"]
+        ).collect()
+    }
+    pdf = ev.toPandas().sort_values(["user_id", "ts_us", "event_id"])
+    pdf["nxt"] = pdf.groupby("user_id")["event_type"].shift(-1)
+    tr = pdf.dropna(subset=["nxt"]).groupby(["event_type", "nxt"]).size()
+    totals = tr.groupby(level=0).sum()
+    ref = {
+        (s, nx): (int(c), int(totals[s]),
+                  (int(c) * 1_000_000 // int(totals[s])) / 1e6)
+        for (s, nx), c in tr.items()
+    }
+    assert got == ref
+
+
+def test_grouped_hll_merges_like_global_hll(spark):
+    """Partition-merge property: each group's register set (and thus
+    z_scaled) must equal the global HLL run on just that group's rows —
+    grouping must not change any sketch content."""
+    from osm_pbf_parquet_spark.operators.sketches import (
+        hll_distinct,
+        hll_distinct_by,
+    )
+
+    ev = t(spark, SF_DIR, "events")
+    grouped = {
+        r["event_type"]: (r["z_scaled"], r["v_empty"], r["exact_distinct"])
+        for r in hll_distinct_by(ev, "event_type", "user_id").collect()
+    }
+    for etype, vals in list(grouped.items())[:2]:  # 2 groups: runtime cap
+        solo = hll_distinct(
+            ev.where(F.col("event_type") == etype), "user_id"
+        ).collect()[0]
+        assert vals == (
+            solo["z_scaled"], solo["v_empty"], solo["exact_distinct"]
+        ), etype
