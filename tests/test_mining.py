@@ -253,3 +253,44 @@ def test_grouped_hll_merges_like_global_hll(spark):
         assert vals == (
             solo["z_scaled"], solo["v_empty"], solo["exact_distinct"]
         ), etype
+
+
+def test_grouped_hll_projection_runs_on_a_stream(spark, tmp_path):
+    """Streaming/batch unification extends to the GROUPED sketch: the
+    (grp, bucket, rank) projection runs unchanged on a stream, the
+    per-(grp, bucket) register max aggregates in complete mode, and the
+    registers equal the batch run's on the same static input."""
+    from osm_pbf_parquet_spark.operators.sketches import (
+        hll_rank_projection_by,
+    )
+
+    src = t(spark, SF_DIR, "events").select("event_type", "user_id")
+    path = str(tmp_path / "ev")
+    src.write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema(
+        "event_type string, user_id long"
+    ).parquet(path)
+    regs_stream = (
+        hll_rank_projection_by(stream, "event_type", "user_id")
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    q = (
+        regs_stream.writeStream.format("memory")
+        .queryName("grouped_hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["grp"], r["bucket"]): r["r"]
+        for r in spark.sql("SELECT * FROM grouped_hll_regs").collect()
+    }
+    ref = {
+        (r["grp"], r["bucket"]): r["r"]
+        for r in hll_rank_projection_by(src, "event_type", "user_id")
+        .groupBy("grp", "bucket").agg(F.max("rank").alias("r")).collect()
+    }
+    assert got == ref
