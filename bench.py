@@ -165,6 +165,16 @@ def _jvm_peak_rss_mb() -> int | None:
     return best or None
 
 
+def _q_pagerank_big(spark, big_dir):
+    """Integer-exact PageRank over the 10× interaction graph: edge
+    extraction (orders ⋈ lineitem), distinct, 3 power supersteps."""
+    from osm_pbf_parquet_spark.plans.mining_queries import (
+        q_pagerank_suppliers,
+    )
+
+    return q_pagerank_suppliers(spark, big_dir)
+
+
 def _q_skew_salted_distinct(spark, big_dir):
     """Hot-key count(DISTINCT value): 2.5M of 5M rows share key=0. The
     salted two-phase plan (operators/skew.py) spreads the hot key's
@@ -349,6 +359,9 @@ def main() -> None:
             # the sketch at the table that actually scales
             ("hll_distinct", _q_hll_big),
             ("bm25_topk", ADV["bm25_topk"][0]),
+            # r6: integer PageRank on the 10x orders⋈lineitem edge
+            # extraction (6M lineitem rows → edge dedup → 3 supersteps)
+            ("pagerank_suppliers", _q_pagerank_big),
         ]
         for name, fn in big_headline:
             # min-of-3 for the WHOLE tier: the host's minutes-long
