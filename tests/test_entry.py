@@ -32,3 +32,27 @@ def test_oracle_keys_subset_of_queries():
 def test_each_query_runs(spark, name):
     df = entrymod.queries()[name](spark, SF)
     assert df.count() >= 0
+
+
+def test_check_first_names_all_resolve():
+    """A typo in _CHECK_FIRST silently loses the front-loading (the
+    ordering comprehension skips unknown names) — so pin that every
+    listed name exists in the registry, and that the gate-relevant
+    head has no duplicates."""
+    import __spark_entry__ as e
+
+    reg = set(e.queries())
+    missing = [n for n in e._CHECK_FIRST if n not in reg]
+    assert not missing, f"_CHECK_FIRST names not in registry: {missing}"
+    assert len(e._CHECK_FIRST) == len(set(e._CHECK_FIRST)), "duplicates"
+
+
+def test_r6_new_queries_inside_driver_cap():
+    """The correctness driver checks the first 50 entries; every query
+    that has never had a driver row must sit inside that window."""
+    import __spark_entry__ as e
+
+    head = list(e.queries())[:50]
+    for name in ("pagerank_suppliers", "frequent_itemsets", "hll_by_type",
+                 "bigram_lm", "markov_transitions"):
+        assert name in head, name

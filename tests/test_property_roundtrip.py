@@ -315,3 +315,133 @@ def test_way_unpacked_refs_scalar_fallback():
     got_a = [r["ref"] for r in _as_dict(a)["nds"][0]]
     got_b = [r["ref"] for r in _as_dict(b)["nds"][0]]
     assert got_a == refs and got_b == refs
+
+
+# --- r6 mixed-generator encoders: plain nodes + LocationsOnWays ---------------
+
+
+@st.composite
+def plain_node_lists(draw):
+    n = draw(st.integers(min_value=1, max_value=15))
+    ids = draw(st.lists(st.integers(-(2**40), 2**40), min_size=n,
+                        max_size=n, unique=True))
+    return [{
+        "id": ids[i],
+        "lat": draw(coord_raw),
+        "lon": draw(coord_raw),
+        "tags": draw(tags_dicts),
+        "version": draw(st.integers(1, 2**31 - 1)),
+        "timestamp_s": draw(st.integers(-(2**40), 2**40)),
+        "changeset": draw(st.integers(-(2**40), 2**40)),
+        "uid": draw(st.integers(-(2**31), 2**31 - 1)),
+        "user": draw(short_text),
+        "visible": draw(st.booleans()),
+    } for i in range(n)]
+
+
+@given(nodes=plain_node_lists(), gran=granularities, lat_off=offsets,
+       lon_off=offsets)
+@settings(max_examples=40, deadline=None)
+def test_plain_node_roundtrip(nodes, gran, lat_off, lon_off):
+    """Non-dense Node messages (the mixed differential's plain blocks)
+    roundtrip exactly: ids, coordinate math, tags, metadata."""
+    from pbf_encoder import encode_plain_node
+
+    st_ = StringTable()
+    group = b"".join(encode_plain_node(st_, n) for n in nodes)
+    payload = encode_primitive_block(
+        [group], granularity=gran, lat_offset=lat_off, lon_offset=lon_off,
+        st=st_,
+    )
+    batch = parse_block_to_batch(payload)
+    assert batch.num_rows == len(nodes)
+    got = _as_dict(batch)
+    for i, n in enumerate(nodes):
+        assert got["id"][i] == n["id"]
+        assert got["lat"][i] == _expected_coord(lat_off, gran, n["lat"])
+        assert got["lon"][i] == _expected_coord(lon_off, gran, n["lon"])
+        assert dict(got["tags"][i]) == n["tags"]
+        assert got["version"][i] == n["version"]
+        assert got["user"][i] == n["user"]
+        assert got["visible"][i] is n["visible"]
+
+
+@st.composite
+def loc_way_lists(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    ways = []
+    for j in range(n):
+        nrefs = draw(st.integers(min_value=1, max_value=6))
+        ways.append({
+            "id": draw(st.integers(1, 2**40)),
+            "refs": sorted(draw(st.lists(
+                st.integers(-(2**40), 2**40), min_size=nrefs,
+                max_size=nrefs))),
+            "lats": draw(st.lists(coord_raw, min_size=nrefs,
+                                  max_size=nrefs)),
+            "lons": draw(st.lists(coord_raw, min_size=nrefs,
+                                  max_size=nrefs)),
+            "tags": draw(tags_dicts),
+            "version": draw(st.integers(1, 2**31 - 1)),
+            "timestamp_s": draw(st.integers(-(2**40), 2**40)),
+            "changeset": draw(st.integers(-(2**40), 2**40)),
+            "uid": draw(st.integers(-(2**31), 2**31 - 1)),
+            "user": draw(short_text),
+            "visible": True,
+        })
+    return ways
+
+
+@given(ways=loc_way_lists(), gran=granularities, lat_off=offsets,
+       lon_off=offsets)
+@settings(max_examples=40, deadline=None)
+def test_way_with_locations_roundtrip(ways, gran, lat_off, lon_off):
+    """LocationsOnWays ways: the wide-schema decode must be unperturbed
+    by the extra packed fields 9/10 (refs/tags/meta exact), and
+    decode_way_locations must recover every per-vertex coordinate with
+    the same granularity/offset math as nodes."""
+    from osm_pbf_parquet_spark.pbf.decode import decode_way_locations
+
+    from pbf_encoder import encode_way_with_locations
+
+    st_ = StringTable()
+    group = b"".join(encode_way_with_locations(st_, w) for w in ways)
+    payload = encode_primitive_block(
+        [group], granularity=gran, lat_offset=lat_off, lon_offset=lon_off,
+        st=st_,
+    )
+    batch = parse_block_to_batch(payload)
+    assert batch.num_rows == len(ways)
+    got = _as_dict(batch)
+    for i, w in enumerate(ways):
+        assert got["id"][i] == w["id"]
+        assert [d["ref"] for d in got["nds"][i]] == w["refs"]
+        assert dict(got["tags"][i]) == w["tags"]
+        assert got["version"][i] == w["version"]
+
+    # per-vertex locations via the dedicated decoder (D5 path)
+    from osm_pbf_parquet_spark.pbf.proto import message_fields
+
+    block = message_fields(payload)
+    grp = block[2][0]
+    way_payloads = [v for fno, _w, v in _iter_group_ways(grp)]
+    assert len(way_payloads) == len(ways)
+    for wp, w in zip(way_payloads, ways):
+        refs, lats, lons = decode_way_locations(
+            wp, granularity=gran, lat_offset=lat_off, lon_offset=lon_off
+        )
+        assert list(refs) == w["refs"]
+        assert list(lats) == [
+            _expected_coord(lat_off, gran, v) for v in w["lats"]
+        ]
+        assert list(lons) == [
+            _expected_coord(lon_off, gran, v) for v in w["lons"]
+        ]
+
+
+def _iter_group_ways(group_payload):
+    from osm_pbf_parquet_spark.pbf.proto import iter_fields
+
+    for fno, wire, val in iter_fields(group_payload):
+        if fno == 3 and wire == 2:
+            yield fno, wire, val
