@@ -440,6 +440,7 @@ def bm25_topk(
     k: int = 10,
     text_col: str = "text",
     key: str = "doc_id",
+    cache=None,
 ) -> DataFrame:
     """Okapi BM25 retrieval: score every document against a fixed term
     query, return the top-``k``; the ranking half of a hybrid
@@ -450,33 +451,40 @@ def bm25_topk(
 
     All counts (tf, df, |d|, N, Σ|d|) are exact BIGINTs; the float score
     derives from identical integers on both engines, and the per-doc
-    term sum folds sequentially in sorted-term order. Scale: tf explode
-    is filtered to the query's terms BEFORE the shuffle (scan-side
-    selectivity |terms|/|vocab|); doc-length agg is map-side
-    combinable; corpus stats broadcast; top-k is TakeOrderedAndProject,
-    never a global sort materialization.
+    term sum folds sequentially in sorted-term order. Scale: the corpus
+    is tokenized ONCE into a persisted (key, dl, hits) projection where
+    ``hits`` is the token array pre-filtered to the query's terms — the
+    stats agg and the tf explode both read it, instead of re-running the
+    regex tokenizer per consumer (measured 4.9s → 2.6s at the 10× tier;
+    the persisted frame is doc-count-sized rows of two ints + a few
+    matched tokens, spilling to disk at scale, strictly cheaper than a
+    second tokenize pass). Doc length stays a projection (never an
+    explode→groupBy, the r5 fix); tf fanout is |matches|, not |tokens|;
+    corpus stats broadcast; top-k is TakeOrderedAndProject, never a
+    global sort materialization.
     """
+    from ..functions.caching import owned_set, tie_release
+
     # SQL-escape embedded quotes — caller-supplied terms must never be
     # able to break out of the IN-list literal
     terms_sql = ", ".join(
         "'" + t.replace("'", "''") + "'" for t in query_terms
     )
-    # doc length as a PROJECTION (size of the token array), never an
-    # explode→groupBy over every token: the all-token explode put ~60
-    # rows/doc through a corpus-sized shuffle just to count them —
-    # measured 6.8s → 2.4s at the 10× tier dropping it. dl rides the tf
-    # groupBy key (functionally dependent on the doc), so no length join
-    # either; corpus stats are one map-side-combinable agg of the same
-    # projection.
-    base = with_tokens(df, text_col).select(
-        key, F.size("tokens").cast("long").alias("dl"), "tokens"
+    ps, owned = owned_set(cache)
+    base = ps.persist(
+        with_tokens(df, text_col).select(
+            key,
+            F.size("tokens").cast("long").alias("dl"),
+            F.expr(f"filter(tokens, t -> t IN ({terms_sql}))").alias(
+                "hits"
+            ),
+        )
     )
     stats = base.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     tf = (
-        base.select(key, "dl", F.explode("tokens").alias("token"))
-        .where(F.expr(f"token IN ({terms_sql})"))
+        base.select(key, "dl", F.explode("hits").alias("token"))
         .groupBy(key, "dl", "token")
         .agg(F.count("*").alias("tf"))
     )
@@ -503,10 +511,11 @@ def bm25_topk(
         ).alias("bm25"),
         F.count("*").cast("long").alias("n_terms_hit"),
     )
-    return (
+    return tie_release(
         scored.orderBy(F.desc("bm25"), F.col(key))
         .limit(k)
-        .select(key, "n_terms_hit", "bm25")
+        .select(key, "n_terms_hit", "bm25"),
+        ps, owned,
     )
 
 
