@@ -53,6 +53,12 @@ def _registry() -> dict[str, tuple]:
         reg.update(MINING_QUERIES)
     except ImportError:
         pass
+    try:
+        from osm_pbf_parquet_spark.plans.quality_queries import QUALITY_QUERIES
+
+        reg.update(QUALITY_QUERIES)
+    except ImportError:
+        pass
     return _verification_order(reg)
 
 
@@ -124,13 +130,28 @@ _CHECK_FIRST = [
     "hll_by_type",
     "bigram_lm",
     "markov_transitions",
+    # --- r6-NEW quality & traversal suite (plans/quality_queries.py +
+    #     operators/{quality,fuzzy}.py new modules; bfs_hops and
+    #     triangle_count appended to graph.py — pagerank_suppliers above
+    #     re-certifies that module) ---
+    "shortest_hops",
+    "triangle_count",
+    "fuzzy_name_match",
+    "profile_table",
+    "dq_checks",
+    "mad_outliers",
+    "chi_square_assoc",
     # --- text.py-routed (only bm25_topk's body changed and
     #     bigram_conditional was appended — no other function's executed
     #     lines moved — but module-level taint per the rotation rule;
-    #     stream_quality_by_lang rides the same quality scorer). The last
-    #     entry (vocab_build) lands at position 51, one past the cap:
-    #     eleven sibling gates certify text.py this round and the local
-    #     full-registry parity sweep covers it on current code ---
+    #     stream_quality_by_lang rides the same quality scorer). The tail
+    #     from clean_corpus_pipeline on lands past the 50-cap: eleven
+    #     text.py sibling gates inside the cap certify the module this
+    #     round (bm25_topk, unigram_logprob, tokenize_corpus, bigram_lm,
+    #     text_entropy, stream_quality_by_lang, text_stats, text_quality,
+    #     text_lang_id + the curation pipelines swept locally), and the
+    #     local full-registry parity sweep runs ALL of them on current
+    #     code every pytest run ---
     "stream_quality_by_lang",
     "text_stats",
     "text_quality",

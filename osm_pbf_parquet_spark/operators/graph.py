@@ -111,3 +111,134 @@ def pagerank_power(
         .limit(k),
         ps, owned,
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    cache=None,
+) -> DataFrame:
+    """Multi-source bounded-depth BFS: minimum hop count from any source
+    to every reachable node within ``max_hops``.
+
+    The iterative-traversal analog of the reference's relation-member
+    resolution (``osm-pbf-parquet`` resolves one level of way→node refs;
+    this generalizes to K levels over an arbitrary edge list). Returns
+    (node BIGINT, hops INT) — first visit wins, which IS the minimum
+    because levels expand in hop order.
+
+    Scale: each level is one keyed equi-join (frontier ⋈ edges on the
+    source key) + a distinct + a LEFT ANTI against the visited set —
+    all co-partitioned shuffles on the node key; nothing is collected.
+    The frontier and visited set are persisted per level so level K+1
+    scans materialized blocks, not the re-derived lineage (which would
+    grow quadratically in depth). One driver-side ``isEmpty`` per level
+    exits early once the frontier drains — a boolean job, no rows move
+    to the driver. For depths beyond ~15 insert a ``localCheckpoint``
+    to keep the unioned visited-set plan bounded.
+
+    ``sources``' first column is the seed node id; ``edges`` is directed
+    (pass both directions for an undirected traversal).
+    """
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    e = ps.persist(
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        ).distinct()
+    )
+    visited = ps.persist(
+        sources.select(F.col(sources.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = ps.persist(
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+        )
+        if nxt.isEmpty():
+            break
+        visited = ps.persist(visited.unionByName(nxt))
+        frontier = nxt.select("node")
+    return tie_release(visited, ps, owned)
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst", cache=None
+) -> DataFrame:
+    """Exact triangle count of an undirected graph, degree-oriented.
+
+    Classic two-path + closing-edge plan: orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, join the
+    oriented list with itself to enumerate wedges a→b→c, then LEFT SEMI
+    against the oriented list on (a, c). The total (degree, id) order
+    makes each triangle appear exactly once AND bounds the wedge count
+    by sum(min-degree²) — the standard fix for power-law skew, where
+    orienting by id alone lets one hub node generate O(deg²) wedges.
+
+    Returns one row: (n_nodes, n_edges, n_triangles) all BIGINT. The
+    three scalars come from three bounded aggregations broadcast-joined
+    together — no driver collect.
+    """
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .distinct()
+    )
+    und = ps.persist(und)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = ps.persist(
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    lhs = oriented.select(F.col("a"), F.col("b").alias("mid"))
+    rhs = oriented.select(F.col("a").alias("mid"), F.col("b").alias("c"))
+    wedges = lhs.join(rhs, "mid").select("a", "c")
+    tri = (
+        wedges.join(
+            oriented.select(F.col("a"), F.col("b").alias("c")), ["a", "c"],
+            "left_semi",
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").cast("long").alias("n_edges"))
+    out = (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+    return tie_release(out, ps, owned)

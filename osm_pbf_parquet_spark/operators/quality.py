@@ -1,0 +1,216 @@
+"""Data-quality, profiling, and robust-statistics operators.
+
+The reference engine validates its own output with a differential
+checker (``osm-pbf-parquet/test/validate.py:57-217`` compares counts,
+nulls, and per-column values against a second implementation); this
+module generalizes that idea into reusable pipeline operators: one-pass
+column profiling, rule-based constraint validation with violation
+counts, median/MAD robust outlier flagging, and a chi-square
+independence table — the checks a training-data pipeline runs before
+and after every transform at corpus scale.
+
+All arithmetic is exact-integer (counts, cents, scaled devs) except
+explicitly-rounded final ratios, so a SQL oracle replays results
+bit-for-bit and task retries can never flip a verdict.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def profile_table(df: DataFrame, specs: list[tuple[str, str]]) -> DataFrame:
+    """One-pass column profile: rows, nulls, distincts, min/max.
+
+    ``specs`` is ``[(column, kind)]`` with kind ∈ {"int", "money",
+    "str", "ts"}; kind picks a canonical ORDERABLE representation for
+    min/max (BIGINT for numerics — money as cents, timestamps as epoch
+    µs — raw string for text) which is stringified only after the
+    aggregate, so min/max are computed with numeric, not lexicographic,
+    ordering.
+
+    Scale: ONE aggregation pass. The multiple ``count(DISTINCT)``
+    columns lower to a single Expand + hash-aggregate (input amplified
+    ×(len(specs)+1) map-side, still one shuffle of partial aggregates,
+    no raw-row shuffle). For hundreds of columns or approximate-is-fine
+    profiling, swap ``approx_count_distinct`` in — exact is the default
+    because the oracle demands it.
+
+    Returns (col_name, n_rows, n_null, n_distinct, min_repr, max_repr)
+    — one row per spec, counts BIGINT, reprs STRING.
+    """
+
+    def canon(c: str, kind: str):
+        col = F.col(c)
+        if kind == "money":
+            return F.round(col * 100).cast("long")
+        if kind == "ts":
+            return F.unix_micros(col.cast("timestamp"))
+        if kind == "int":
+            return col.cast("long")
+        return col.cast("string")
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c, kind in specs:
+        v = canon(c, kind)
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__nd"),
+            F.min(v).cast("string").alias(f"{c}__mn"),
+            F.max(v).cast("string").alias(f"{c}__mx"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n, {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c, _ in specs
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(specs)}, {stack_args}) as "
+            "(col_name, n_rows, n_null, n_distinct, min_repr, max_repr)"
+        )
+    )
+
+
+def dq_counts(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """Rule-based constraint validation: violation counts in ONE pass.
+
+    ``rules`` is ``[(rule_name, violation_predicate)]``; every predicate
+    is evaluated as a conditional aggregate over the same scan, so N
+    rules cost one table pass and one 1-row shuffle — never N passes.
+    Cross-table rules (FK orphans, temporal consistency) are expressed
+    by passing a pre-joined frame and writing the predicate over it
+    (e.g. LEFT-join the parent and test ``parent_key IS NULL``).
+
+    Returns (rule, n_violations, n_checked) — one row per rule, BIGINT.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for name, pred in rules:
+        aggs.append(
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"v_{name}")
+        )
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', v_{name}, __n" for name, _ in rules)
+    return row.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_args}) as (rule, n_violations, n_checked)"
+        )
+    )
+
+
+def _group_median2x(df: DataFrame, group: list[str], val: str,
+                    out: str) -> DataFrame:
+    """Per-group exact twice-median of a BIGINT column: lo-middle +
+    hi-middle by position (×2 so even-count midpoints stay integral —
+    no interpolation, no floats). One partitioned window sort per call;
+    ties in ``val`` are interchangeable for the selected VALUE, so no
+    tiebreak column is needed for determinism of the output."""
+    w = Window.partitionBy(*group).orderBy(val)
+    wn = Window.partitionBy(*group)
+    ranked = df.select(
+        *group, val,
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    lo = F.expr("(__n + 1) div 2")
+    hi = F.expr("__n div 2 + 1")
+    return (
+        ranked.filter((F.col("__rn") == lo) | (F.col("__rn") == hi))
+        .groupBy(*group)
+        .agg(
+            F.sum(
+                F.col(val)
+                * F.when(lo == hi, 2).otherwise(1)
+            ).cast("long").alias(out),
+            F.max("__n").cast("long").alias(f"{out}_n"),
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group: list[str],
+    cents: str,
+    k: int = 8,
+) -> DataFrame:
+    """Robust per-group outlier counts via median/MAD, integer-exact.
+
+    Flags x as an outlier when |x − median| > k·MAD, computed entirely
+    in scaled integers: ``med_x2`` is twice the group median (so even
+    counts stay integral), ``dev_x2 = |2x − med_x2|`` is twice each
+    deviation, ``mad_x4`` twice ITS median (4× the MAD), and the flag
+    test ``2·dev_x2 > k·mad_x4`` is the exact inequality — no float
+    enters, so the oracle matches bit-for-bit and a re-run can never
+    flip a count. ``cents`` must already be a BIGINT (money ×100 etc.).
+
+    Scale: two partitioned window sorts (value rank, then deviation
+    rank) plus two keyed joins of per-group 1-row stats — no global
+    sort, no collect. Groups sort independently; for the FEW-huge-groups
+    shape (a handful of groups holding the whole corpus) prefer the
+    range-bucketed quantile pattern in ``sketches.histogram_quantiles``
+    — this operator targets many-moderate-groups (the window sort for
+    one group is one task's work).
+
+    Returns (group…, n, med_x2, mad_x4, n_outliers).
+    """
+    base = df.select(*group, F.col(cents).cast("long").alias("__x"))
+    med = _group_median2x(base, group, "__x", "med_x2")
+    dev = base.join(med, group).select(
+        *group, "med_x2", F.col("med_x2_n").alias("n"),
+        F.abs(F.col("__x") * 2 - F.col("med_x2")).alias("__dev2"),
+    )
+    mad = _group_median2x(dev.select(*group, "__dev2"), group, "__dev2",
+                          "mad_x4").drop("mad_x4_n")
+    return (
+        dev.join(mad, group)
+        .groupBy(*group)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med_x2").alias("med_x2"),
+            F.max("mad_x4").alias("mad_x4"),
+            F.sum(
+                F.when(F.col("__dev2") * 2 > F.lit(k) * F.col("mad_x4"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+def chi_square_cells(df: DataFrame, a: str, b: str,
+                     round_to: int | None = None) -> DataFrame:
+    """Chi-square independence table for two categorical columns.
+
+    Per-cell contribution to the χ² statistic, computed from exact
+    integer counts: with O the observed cell count, Rᵃ/Cᵇ the marginal
+    totals and N the grand total, the cell term (O − RC/N)²/(RC/N)
+    rearranges to (O·N − R·C)² / (N·R·C) — numerator and denominator
+    are exact BIGINTs (valid to N ≈ 3·10⁹ per chunk before O·N
+    overflows; shard the contingency build beyond that), and only the
+    final single division is floating point — IEEE-deterministic given
+    identical integer inputs, so cross-engine parity holds per row with
+    no order-dependent sums and no rounding (pass ``round_to`` to
+    truncate for display). The full statistic is the (small, bounded)
+    sum of ``contrib``.
+
+    Scale: one groupBy over the raw rows builds the contingency cells;
+    marginals are windowed sums OVER THE CELLS (bounded: |A|·|B| rows),
+    not the raw data. No collect, no cross join.
+    """
+    cells = df.groupBy(a, b).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    wa = Window.partitionBy(a)
+    wb = Window.partitionBy(b)
+    wn = Window.partitionBy()
+    with_m = cells.select(
+        a, b, "observed",
+        F.sum("observed").over(wa).cast("long").alias("row_total"),
+        F.sum("observed").over(wb).cast("long").alias("col_total"),
+        F.sum("observed").over(wn).cast("long").alias("grand_total"),
+    )
+    num = F.col("observed") * F.col("grand_total") - F.col("row_total") * F.col("col_total")
+    den = F.col("grand_total") * F.col("row_total") * F.col("col_total")
+    contrib = (num.cast("double") * num.cast("double")) / den.cast("double")
+    if round_to is not None:
+        contrib = F.round(contrib, round_to)
+    return with_m.select(
+        a, b, "observed", "row_total", "col_total", contrib.alias("contrib"),
+    )

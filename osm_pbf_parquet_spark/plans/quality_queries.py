@@ -1,0 +1,373 @@
+"""Round-6 quality & traversal suite: bounded graph traversal (the
+recursive-query capability), exact triangle counting, blocked fuzzy
+string matching, one-pass column profiling, rule-based data-quality
+validation, robust MAD outliers, and chi-square independence — each a
+(Spark plan, DuckDB oracle) gate pair over the shared test tables.
+
+Reference context: the reference validates its output with a
+differential checker (``osm-pbf-parquet/test/validate.py:57-217``) and
+resolves reference graphs one level deep (way→node, relation→member);
+profile/dq generalize the former into reusable operators, bfs/triangles
+the latter into arbitrary-depth traversal. The oracle side exercises
+DuckDB's recursive CTEs — the one query class the suite didn't cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.fuzzy import blocked_levenshtein_topk
+from ..operators.graph import bfs_hops, triangle_count
+from ..operators.quality import (
+    chi_square_cells,
+    dq_counts,
+    mad_outliers,
+    profile_table,
+)
+from .relational import t as _t
+
+
+# --- bounded BFS (recursive traversal) ----------------------------------------
+
+_BFS_HOPS = 3
+_BFS_NATION = 0
+
+
+def q_shortest_hops(spark, sf_dir):
+    """Minimum hop count from nation-0 suppliers over the undirected
+    customer↔supplier interaction graph (who traded with whom), depth 3.
+    Node ids: customers even (2c), suppliers odd (2s+1). The oracle is a
+    recursive CTE; the engine side is level-synchronous frontier joins."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eb = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = eb.unionByName(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == _BFS_NATION)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    return bfs_hops(edges, sources, max_hops=_BFS_HOPS)
+
+
+ORACLE_SHORTEST_HOPS = f"""
+WITH RECURSIVE eb AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+walk(node, hops) AS (
+  SELECT s_suppkey * 2 + 1, 0 FROM supplier WHERE s_nationkey = {_BFS_NATION}
+  UNION
+  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON w.node = e.src
+  WHERE w.hops < {_BFS_HOPS}
+)
+SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node
+"""
+
+
+# --- triangle counting ----------------------------------------------------------
+
+_TRI_MIN_SUP = 2
+
+
+def q_triangle_count(spark, sf_dir):
+    """Triangles in the part co-purchase graph (parts co-occurring in
+    ≥2 orders). Edge build reuses the Apriori item-support prefilter
+    (lossless: pair support ≤ item support); counting is degree-oriented
+    so wedge enumeration is bounded by min-degrees even on power-law
+    graphs."""
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    freq = (
+        b.groupBy("item").agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= _TRI_MIN_SUP).select("item")
+    )
+    fb = b.join(freq, "item")
+    a = fb.select(F.col("basket"), F.col("item").alias("u"))
+    c = fb.select(F.col("basket"), F.col("item").alias("v"))
+    edges = (
+        a.join(c, "basket")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= _TRI_MIN_SUP)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+ORACLE_TRIANGLE_COUNT = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+freq AS (SELECT item FROM b GROUP BY item HAVING count(*) >= {_TRI_MIN_SUP}),
+fb AS (SELECT b.basket, b.item FROM b JOIN freq USING (item)),
+e AS (
+  SELECT a.item AS u, c.item AS v FROM fb a JOIN fb c
+  ON a.basket = c.basket AND a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUP}
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes
+       FROM (SELECT u FROM e UNION SELECT v FROM e)),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e x JOIN e y ON x.v = y.u JOIN e z ON z.u = x.u AND z.v = y.v)
+SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri
+"""
+
+
+# --- blocked fuzzy match --------------------------------------------------------
+
+_FZ_K = 25
+_FZ_LEN = 15
+
+
+def q_fuzzy_name_match(spark, sf_dir):
+    """Top-25 most-similar part-name pairs within brand blocks by exact
+    Levenshtein distance — entity-resolution candidate generation with
+    a lossless length prefilter; ties broken on keys."""
+    return blocked_levenshtein_topk(
+        _t(spark, sf_dir, "part"), "p_partkey", "p_name", "p_brand",
+        k=_FZ_K, max_len_diff=_FZ_LEN,
+    )
+
+
+ORACLE_FUZZY_NAME_MATCH = f"""
+WITH p AS (
+  SELECT a.p_partkey AS key_1, b.p_partkey AS key_2,
+         a.p_name AS name_1, b.p_name AS name_2,
+         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE abs(length(a.p_name) - length(b.p_name)) <= {_FZ_LEN}
+)
+SELECT * FROM p ORDER BY distance, key_1, key_2 LIMIT {_FZ_K}
+"""
+
+
+# --- one-pass column profiling ---------------------------------------------------
+
+_PROFILE_SPECS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def q_profile_table(spark, sf_dir):
+    """Full column profile of ``orders`` in one aggregation pass:
+    rows/nulls/exact-distincts/min/max per column, numerics canonicalized
+    to BIGINT (cents, epoch µs) before ordering."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return profile_table(_t(spark, sf_dir, "orders"), _PROFILE_SPECS)
+
+
+def _profile_oracle_row(col: str, kind: str) -> str:
+    if kind == "money":
+        v = f"CAST(round({col} * 100) AS BIGINT)"
+    elif kind == "ts":
+        v = f"epoch_us({col})"
+    elif kind == "int":
+        v = f"CAST({col} AS BIGINT)"
+    else:
+        v = col
+    return f"""SELECT '{col}' AS col_name,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(coalesce(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+  CAST(min({v}) AS VARCHAR) AS min_repr,
+  CAST(max({v}) AS VARCHAR) AS max_repr
+FROM orders"""
+
+
+ORACLE_PROFILE_TABLE = "\nUNION ALL\n".join(
+    _profile_oracle_row(c, k) for c, k in _PROFILE_SPECS
+)
+
+
+# --- rule-based data-quality validation ------------------------------------------
+
+
+def q_dq_checks(spark, sf_dir):
+    """Constraint-violation counts: five lineitem rules (incl. the
+    cross-table temporal rule ship-before-order and FK orphans via one
+    LEFT join) in one pass, plus two dimension-table balance rules —
+    three scans total for seven rules."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey, "left")
+    line_rules = dq_counts(lo, [
+        ("ship_before_order", F.col("l_shipdate") < F.col("o_orderdate")),
+        ("fk_orphan_lineitem", F.col("o_orderkey").isNull()),
+        ("nonpositive_qty", F.col("l_quantity") <= 0),
+        ("discount_range", (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        ("negative_tax", F.col("l_tax") < 0),
+    ])
+    cust_rules = dq_counts(
+        _t(spark, sf_dir, "customer"),
+        [("neg_acctbal_customer", F.col("c_acctbal") < 0)],
+    )
+    supp_rules = dq_counts(
+        _t(spark, sf_dir, "supplier"),
+        [("neg_acctbal_supplier", F.col("s_acctbal") < 0)],
+    )
+    return line_rules.unionByName(cust_rules).unionByName(supp_rules)
+
+
+ORACLE_DQ_CHECKS = """
+WITH lo AS (
+  SELECT l.*, o.o_orderkey AS ok, o.o_orderdate AS od
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT 'ship_before_order' AS rule,
+       CAST(coalesce(sum(CASE WHEN l_shipdate < od THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations,
+       CAST(count(*) AS BIGINT) AS n_checked FROM lo
+UNION ALL
+SELECT 'fk_orphan_lineitem',
+       CAST(coalesce(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM lo
+UNION ALL
+SELECT 'nonpositive_qty',
+       CAST(coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM lo
+UNION ALL
+SELECT 'discount_range',
+       CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM lo
+UNION ALL
+SELECT 'negative_tax',
+       CAST(coalesce(sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM lo
+UNION ALL
+SELECT 'neg_acctbal_customer',
+       CAST(coalesce(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'neg_acctbal_supplier',
+       CAST(coalesce(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM supplier
+"""
+
+
+# --- robust MAD outliers ----------------------------------------------------------
+
+_MAD_K = 8
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Per-(segment, priority) robust outlier counts on order totals:
+    |x − median| > 8·MAD, entirely in scaled integers (med×2, MAD×4) so
+    no interpolation or float enters the verdict."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return mad_outliers(base, ["seg", "prio"], "cents", k=_MAD_K)
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH base AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r1 AS (
+  SELECT seg, prio, x,
+         row_number() OVER (PARTITION BY seg, prio ORDER BY x) AS rn,
+         count(*) OVER (PARTITION BY seg, prio) AS n
+  FROM base
+),
+med AS (
+  SELECT seg, prio,
+         CAST(sum(x * CASE WHEN (n + 1) // 2 = n // 2 + 1 THEN 2 ELSE 1 END) AS BIGINT) AS med_x2,
+         CAST(max(n) AS BIGINT) AS n
+  FROM r1 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY 1, 2
+),
+dev AS (
+  SELECT b.seg, b.prio, m.med_x2, m.n, abs(b.x * 2 - m.med_x2) AS d2
+  FROM base b JOIN med m ON b.seg = m.seg AND b.prio = m.prio
+),
+r2 AS (
+  SELECT seg, prio, d2,
+         row_number() OVER (PARTITION BY seg, prio ORDER BY d2) AS rn,
+         count(*) OVER (PARTITION BY seg, prio) AS nn
+  FROM dev
+),
+mad AS (
+  SELECT seg, prio,
+         CAST(sum(d2 * CASE WHEN (nn + 1) // 2 = nn // 2 + 1 THEN 2 ELSE 1 END) AS BIGINT) AS mad_x4
+  FROM r2 WHERE rn = (nn + 1) // 2 OR rn = nn // 2 + 1 GROUP BY 1, 2
+)
+SELECT d.seg, d.prio, CAST(max(d.n) AS BIGINT) AS n,
+       CAST(max(d.med_x2) AS BIGINT) AS med_x2,
+       CAST(max(m.mad_x4) AS BIGINT) AS mad_x4,
+       CAST(sum(CASE WHEN d.d2 * 2 > {_MAD_K} * m.mad_x4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.seg = m.seg AND d.prio = m.prio
+GROUP BY d.seg, d.prio
+"""
+
+
+# --- chi-square independence -------------------------------------------------------
+
+_CHI_HOUR_US = 3_600_000_000
+
+
+def q_chi_square_assoc(spark, sf_dir):
+    """Chi-square table for event_type × hour-of-day: exact BIGINT
+    contingency + marginals; the single per-cell division is the only
+    float op and is IEEE-identical cross-engine (both sides divide the
+    same int64-derived doubles), so no rounding is needed."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(ts_us div {_CHI_HOUR_US}) % 24").cast("long").alias("hour"),
+    )
+    return chi_square_cells(e, "event_type", "hour")
+
+
+ORACLE_CHI_SQUARE = f"""
+WITH d AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // {_CHI_HOUR_US}) % 24 AS BIGINT) AS hour
+  FROM events
+),
+cells AS (
+  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS observed
+  FROM d GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, hour, observed,
+         CAST(sum(observed) OVER (PARTITION BY event_type) AS BIGINT) AS row_total,
+         CAST(sum(observed) OVER (PARTITION BY hour) AS BIGINT) AS col_total,
+         CAST(sum(observed) OVER () AS BIGINT) AS grand_total
+  FROM cells
+)
+SELECT event_type, hour, observed, row_total, col_total,
+       (CAST(observed * grand_total - row_total * col_total AS DOUBLE)
+        * CAST(observed * grand_total - row_total * col_total AS DOUBLE))
+       / CAST(grand_total * row_total * col_total AS DOUBLE) AS contrib
+FROM m
+"""
+
+
+QUALITY_QUERIES = {
+    "shortest_hops": (q_shortest_hops, ORACLE_SHORTEST_HOPS),
+    "triangle_count": (q_triangle_count, ORACLE_TRIANGLE_COUNT),
+    "fuzzy_name_match": (q_fuzzy_name_match, ORACLE_FUZZY_NAME_MATCH),
+    "profile_table": (q_profile_table, ORACLE_PROFILE_TABLE),
+    "dq_checks": (q_dq_checks, ORACLE_DQ_CHECKS),
+    "mad_outliers": (q_mad_outliers, ORACLE_MAD_OUTLIERS),
+    "chi_square_assoc": (q_chi_square_assoc, ORACLE_CHI_SQUARE),
+}

@@ -1,0 +1,242 @@
+"""Round-6 quality & traversal suite: DuckDB-oracle parity at sf0.01,
+pure-Python property references for the graph/robust-stat kernels (the
+checks an oracle that shares the algorithm cannot provide), and physical
+plan audits for the scale-critical shapes."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark.operators.fuzzy import blocked_levenshtein_topk
+from osm_pbf_parquet_spark.operators.graph import bfs_hops, triangle_count
+from osm_pbf_parquet_spark.operators.quality import (
+    chi_square_cells,
+    mad_outliers,
+)
+from osm_pbf_parquet_spark.plans.quality_queries import QUALITY_QUERIES
+
+from oracle_harness import run_compare
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("name", sorted(QUALITY_QUERIES))
+def test_quality_oracle_parity(spark, name):
+    fn, oracle = QUALITY_QUERIES[name]
+    run_compare(spark, SF_DIR, name, fn, oracle)
+
+
+# --- BFS vs pure-Python reference ---------------------------------------------
+
+
+def _py_bfs(edges, sources, max_hops):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    hops = {s: 0 for s in sources}
+    frontier = set(sources)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            nxt |= adj.get(n, set())
+        nxt -= hops.keys()
+        for n in nxt:
+            hops[n] = h
+        frontier = nxt
+    return hops
+
+
+def test_bfs_matches_python_reference(spark):
+    rng = random.Random(7)
+    edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(300)})
+    sources = [0, 1, 2]
+    expect = _py_bfs(edges, sources, 4)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(e, s, max_hops=4).collect()}
+    assert got == expect
+
+
+def test_bfs_early_exit_on_drained_frontier(spark):
+    """An isolated source must return just itself at hop 0, however deep
+    the requested bound (the isEmpty early-exit path)."""
+    e = spark.createDataFrame([(10, 11)], "src long, dst long")
+    s = spark.createDataFrame([(99,)], "node long")
+    rows = bfs_hops(e, s, max_hops=10).collect()
+    assert [(r["node"], r["hops"]) for r in rows] == [(99, 0)]
+
+
+# --- triangle counting vs brute force -------------------------------------------
+
+
+def _py_triangles(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    es = set(und)
+    tri = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes[nodes.index(b) + 1:]:
+                if (a, c) in es and (b, c) in es:
+                    tri += 1
+    return len(nodes), len(und), tri
+
+
+def test_triangles_match_bruteforce(spark):
+    rng = random.Random(13)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(120)})
+    nn, ne, nt = _py_triangles(edges)
+    row = triangle_count(
+        spark.createDataFrame(edges, "src long, dst long")
+    ).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (nn, ne, nt)
+
+
+def test_triangles_complete_graph(spark):
+    """K5 has C(5,3)=10 triangles; duplicate + reversed input edges must
+    not change the count (canonicalization)."""
+    edges = [(a, b) for a in range(5) for b in range(5) if a != b]
+    row = triangle_count(
+        spark.createDataFrame(edges, "src long, dst long")
+    ).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (5, 10, 10)
+
+
+# --- MAD outliers vs pure-Python reference ---------------------------------------
+
+
+def _py_mad(vals, k):
+    sv = sorted(vals)
+    n = len(sv)
+    lo, hi = (n + 1) // 2 - 1, n // 2
+    med2 = sv[lo] + sv[hi]
+    devs = sorted(abs(2 * v - med2) for v in vals)
+    mad4 = devs[lo] + devs[hi]
+    return med2, mad4, sum(1 for v in vals if abs(2 * v - med2) * 2 > k * mad4)
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 100])
+def test_mad_matches_python_reference(spark, n):
+    rng = random.Random(n)
+    vals = [rng.randrange(-1000, 10000) for _ in range(n)]
+    med2, mad4, nout = _py_mad(vals, 8)
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, x long")
+    row = mad_outliers(df, ["g"], "x", k=8).collect()[0]
+    assert (row["n"], row["med_x2"], row["mad_x4"], row["n_outliers"]) == (
+        n, med2, mad4, nout,
+    )
+
+
+def test_mad_constant_group_flags_nothing(spark):
+    """All-equal values: MAD=0 and every deviation is 0, so 0 outliers
+    (0 > 0 is false) — the degenerate case must not divide or NaN."""
+    df = spark.createDataFrame([("g", 5)] * 9, "g string, x long")
+    row = mad_outliers(df, ["g"], "x").collect()[0]
+    assert (row["med_x2"], row["mad_x4"], row["n_outliers"]) == (10, 0, 0)
+
+
+# --- fuzzy matching: Spark levenshtein = classic DP -------------------------------
+
+
+def _py_lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_builtin_is_classic(spark):
+    cases = [("kitten", "sitting"), ("", "abc"), ("flaw", "lawn"),
+             ("red widget", "red gadget"), ("same", "same")]
+    df = spark.createDataFrame(cases, "a string, b string")
+    got = df.select(F.levenshtein("a", "b").alias("d")).collect()
+    assert [r["d"] for r in got] == [_py_lev(a, b) for a, b in cases]
+
+
+def test_fuzzy_topk_respects_block_and_tiebreak(spark):
+    """Pairs only form within a block; k-cut ties break on keys."""
+    rows = [(1, "alpha", "A"), (2, "alphb", "A"), (3, "alpha", "B"),
+            (4, "alphz", "A"), (5, "alpha", "A")]
+    df = spark.createDataFrame(rows, "k long, name string, blk string")
+    got = blocked_levenshtein_topk(df, "k", "name", "blk", k=3).collect()
+    assert [(r["key_1"], r["key_2"], r["distance"]) for r in got] == [
+        (1, 5, 0), (1, 2, 1), (1, 4, 1),
+    ]
+
+
+# --- chi-square semantics ----------------------------------------------------------
+
+
+def test_chi_square_independent_uniform_is_zero(spark):
+    """A perfectly balanced contingency (independent uniform margins)
+    has zero chi-square contribution in every cell."""
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = chi_square_cells(df, "a", "b").collect()
+    assert len(got) == 4
+    assert all(r["contrib"] == 0.0 and r["observed"] == 10 for r in got)
+
+
+# --- physical plan audits -----------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_quality_plans_no_cartesian(spark):
+    """None of the suite may lower to a cartesian/nested-loop join over
+    data-sized inputs (the 1-row stat broadcasts in triangle_count and
+    profile stacking are exempt by construction: BroadcastNestedLoopJoin
+    against a 1-row aggregate is a constant join)."""
+    for name, (fn, _o) in QUALITY_QUERIES.items():
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+
+def _n_scans(plan: str) -> int:
+    # each scan appears once as a "(N) Scan parquet" detail header
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def test_profile_is_single_pass(spark):
+    """One Expand-based aggregation: exactly one scan of orders (the
+    exact multi-distinct rewrite: Expand ×(cols+1), two shuffles of
+    partial aggregates, never N per-column passes)."""
+    plan = _plan(QUALITY_QUERIES["profile_table"][0](spark, SF_DIR))
+    assert _n_scans(plan) == 1
+    assert "Expand" in plan
+
+
+def test_dq_lineitem_rules_share_one_scan(spark):
+    """Five lineitem rules must not cost five scans: the conditional
+    aggregates share one pass over the joined frame."""
+    plan = _plan(QUALITY_QUERIES["dq_checks"][0](spark, SF_DIR))
+    # lineitem + orders + customer + supplier = 4 scans total
+    assert _n_scans(plan) == 4
+
+
+def test_mad_windows_are_partitioned(spark):
+    """No global (unpartitioned) window over data rows: every window
+    spec in the MAD plan partitions by the group keys. (The only
+    unpartitioned window in the suite is chi-square's, which runs over
+    bounded contingency CELLS, not raw rows.)"""
+    plan = _plan(QUALITY_QUERIES["mad_outliers"][0](spark, SF_DIR))
+    specs = [s for s in plan.split("windowspecdefinition(")[1:]]
+    assert specs, "expected window specs in the MAD plan"
+    for s in specs:
+        assert s.split(",")[0].endswith("seg") or "seg" in s.split(")")[0], (
+            "unpartitioned window spec found: " + s[:120]
+        )
