@@ -141,6 +141,9 @@ _CHECK_FIRST = [
     "dq_checks",
     "mad_outliers",
     "chi_square_assoc",
+    "ewma_smooth",
+    "hll_set_ops",
+    "stream_dq_monitor",
     # --- text.py-routed (only bm25_topk's body changed and
     #     bigram_conditional was appended — no other function's executed
     #     lines moved — but module-level taint per the rotation rule;

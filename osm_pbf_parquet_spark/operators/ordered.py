@@ -298,3 +298,64 @@ def markov_transitions(
         )
         .orderBy("state", "next_state")
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window_last: int = 16,
+) -> DataFrame:
+    """Per-key exponential smoothing (α = 1/2) over the trailing
+    ``window_last`` observations, integer-exact.
+
+    EWMA is inherently recursive (S_k = x_k/2 + S_{k-1}/2, S_1 = x_1),
+    which engines can't express as one associative aggregate — but
+    scaling by 2^k linearizes it exactly: U_k = S_k·2^k satisfies
+    U_k = 2·x_1 + Σ_{i=2..k} 2^(i-1)·x_i, a plain weighted sum. Keeping
+    U as a BIGINT over a bounded trailing window (2^(W-1)·|x| must fit
+    int64 — W=16 leaves 10^14 headroom for cent-scaled values) makes the
+    smoothed state exact, order-independent, and SQL-replayable; the
+    single final division U/2^k is one IEEE-deterministic float op.
+    The trailing-window cut is also what bounds memory at 100 TB: state
+    per key is W rows, never the full history.
+
+    Plan: one keyed window (row_number DESC) cuts the trailing W rows,
+    a second renumbers them ascending, one groupBy sums the weighted
+    values — two partitioned window sorts + one map-side-combinable
+    agg, no global sort, no collect. ``value_col`` must be integral
+    (cents, counts); ties in ``order_cols`` must be broken by a unique
+    column for a deterministic trailing cut.
+
+    Returns (key, n_used, ewma_u, ewma) where ewma_u = EWMA·2^n_used
+    exactly and ewma = the double quotient.
+    """
+    wd = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    recent = (
+        df.select(key_col, *order_cols, F.col(value_col).cast("long").alias("__x"))
+        .withColumn("__rd", F.row_number().over(wd))
+        .filter(F.col("__rd") <= window_last)
+    )
+    wa = Window.partitionBy(key_col).orderBy(*order_cols)
+    seq = recent.withColumn("__i", F.row_number().over(wa))
+    weighted = seq.select(
+        key_col,
+        F.expr(
+            "CASE WHEN __i = 1 THEN __x * 2L "
+            "ELSE __x * shiftleft(1L, __i - 1) END"
+        ).alias("__w"),
+    )
+    return (
+        weighted.groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_used"),
+             F.sum("__w").cast("long").alias("ewma_u"))
+        .select(
+            key_col, "n_used", "ewma_u",
+            F.expr(
+                "cast(ewma_u AS DOUBLE) / cast(shiftleft(1L, n_used) AS DOUBLE)"
+            ).alias("ewma"),
+        )
+    )

@@ -72,29 +72,40 @@ def profile_table(df: DataFrame, specs: list[tuple[str, str]]) -> DataFrame:
     )
 
 
-def dq_counts(df: DataFrame, rules: list[tuple[str, "F.Column"]]) -> DataFrame:
+def dq_counts(
+    df: DataFrame,
+    rules: list[tuple[str, "F.Column"]],
+    group_by: list[str] | None = None,
+) -> DataFrame:
     """Rule-based constraint validation: violation counts in ONE pass.
 
     ``rules`` is ``[(rule_name, violation_predicate)]``; every predicate
     is evaluated as a conditional aggregate over the same scan, so N
-    rules cost one table pass and one 1-row shuffle — never N passes.
-    Cross-table rules (FK orphans, temporal consistency) are expressed
-    by passing a pre-joined frame and writing the predicate over it
-    (e.g. LEFT-join the parent and test ``parent_key IS NULL``).
+    rules cost one table pass and one group-count-sized shuffle — never
+    N passes. Cross-table rules (FK orphans, temporal consistency) are
+    expressed by passing a pre-joined frame and writing the predicate
+    over it (e.g. LEFT-join the parent and test ``parent_key IS NULL``).
 
-    Returns (rule, n_violations, n_checked) — one row per rule, BIGINT.
+    ``group_by`` segments the counts (e.g. a tumbling event-time window
+    for a streaming DQ monitor — the conditional aggregates are
+    map-side combinable, so the same call works under ``readStream``).
+
+    Returns (group…, rule, n_violations, n_checked) — one row per
+    (group, rule), counts BIGINT.
     """
+    group_by = group_by or []
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for name, pred in rules:
         aggs.append(
             F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"v_{name}")
         )
-    row = df.agg(*aggs)
+    row = df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
     stack_args = ", ".join(f"'{name}', v_{name}, __n" for name, _ in rules)
     return row.select(
+        *group_by,
         F.expr(
             f"stack({len(rules)}, {stack_args}) as (rule, n_violations, n_checked)"
-        )
+        ),
     )
 
 

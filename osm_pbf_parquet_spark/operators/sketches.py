@@ -422,3 +422,95 @@ def poisson_bootstrap_mean(
             ).alias("mean_value"),
         )
     )
+
+
+def hll_set_algebra(
+    df: DataFrame,
+    key_col: str,
+    a_pred,
+    b_pred,
+    p: int = HLL_P,
+    cache=None,
+) -> DataFrame:
+    """Sketch SET ALGEBRA: |A|, |B|, |A∪B| from HLL registers and
+    |A∩B| by inclusion-exclusion — the property that makes sketches
+    composable at 100 TB: the union estimate needs NO second data pass,
+    because the union sketch is the register-wise MAX of the two
+    sides' registers (merge is associative, so pre-computed per-side
+    sketches combine after the fact — cross-day overlap, cross-table
+    audience intersection — without touching raw rows again).
+
+    Plan: rows matching either predicate are tagged (a row matching
+    both feeds both sketches), ONE map-side-combinable groupBy builds
+    the (side, bucket) registers; the union registers are a second
+    bounded agg OVER THE ≤2·2^p REGISTER ROWS, not the data. Exact
+    counts (gate instrumentation) come from one conditional
+    count-distinct pass. All register math is the engine-wide
+    deterministic md5 arithmetic, so the oracle replays every register
+    of all three sketches bit-for-bit.
+
+    Returns one row:
+    (z_a, v_a, exact_a, est_a, z_b, v_b, exact_b, est_b,
+     z_union, v_union, exact_union, est_union,
+     est_intersection, exact_intersection) — est_intersection is the
+    fixed-order composition of the three ROUNDED estimates, so it is
+    engine-stable (may be negative for small/noisy sketches, as
+    inclusion-exclusion on estimates is unbiased, not clamped).
+    """
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    tagged = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.explode(
+                F.array(
+                    F.when(a_pred, F.lit("a")), F.when(b_pred, F.lit("b"))
+                )
+            ).alias("side"),
+        )
+        .filter(F.col("side").isNotNull())
+    )
+    regs = ps.persist(
+        hll_rank_projection_by(tagged, "side", "__k", p)
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    regs_a = regs.filter(F.col("grp") == "a").select("bucket", "r")
+    regs_b = regs.filter(F.col("grp") == "b").select("bucket", "r")
+    regs_u = regs.groupBy("bucket").agg(F.max("r").alias("r"))
+    exacts = ps.persist(
+        df.agg(
+            F.countDistinct(F.when(a_pred, F.col(key_col)))
+            .cast("long").alias("ea"),
+            F.countDistinct(F.when(b_pred, F.col(key_col)))
+            .cast("long").alias("eb"),
+            F.countDistinct(F.when(a_pred | b_pred, F.col(key_col)))
+            .cast("long").alias("eu"),
+        )
+    )
+
+    def fin(r, exact_col, tag):
+        f = hll_finish(r, exacts.select(F.col(exact_col).alias("exact_distinct")), p)
+        return f.select(
+            F.col("z_scaled").alias(f"z_{tag}"),
+            F.col("v_empty").alias(f"v_{tag}"),
+            F.col("exact_distinct").alias(f"exact_{tag}"),
+            F.col("hll_estimate").alias(f"est_{tag}"),
+        )
+
+    out = (
+        fin(regs_a, "ea", "a")
+        .crossJoin(F.broadcast(fin(regs_b, "eb", "b")))
+        .crossJoin(F.broadcast(fin(regs_u, "eu", "union")))
+        .select(
+            "*",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+            ).alias("est_intersection"),
+            (
+                F.col("exact_a") + F.col("exact_b") - F.col("exact_union")
+            ).cast("long").alias("exact_intersection"),
+        )
+    )
+    return tie_release(out, ps, owned)

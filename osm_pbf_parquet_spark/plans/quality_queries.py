@@ -362,6 +362,187 @@ FROM m
 """
 
 
+# --- EWMA smoothing (time-series family) --------------------------------------
+
+_EWMA_W = 16
+
+
+def q_ewma_smooth(spark, sf_dir):
+    """Per-user exponential smoothing (α=1/2) of event values over the
+    trailing 16 observations — the recursive filter linearized to an
+    exact integer weighted sum (U = EWMA·2^n), so the oracle replays it
+    with plain window arithmetic."""
+    from ..operators.ordered import ewma_smooth
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ewma_smooth(e, "user_id", ["ts_us", "event_id"], "cents",
+                       window_last=_EWMA_W)
+
+
+ORACLE_EWMA = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+rd AS (
+  SELECT user_id, tsu, event_id, x,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY tsu DESC, event_id DESC
+         ) AS rdn
+  FROM base
+),
+rc AS (
+  SELECT user_id, x,
+         row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS i
+  FROM rd WHERE rdn <= {_EWMA_W}
+),
+w AS (
+  SELECT user_id,
+         CASE WHEN i = 1 THEN x * 2 ELSE x * (1::BIGINT << (i - 1)) END AS wv
+  FROM rc
+)
+SELECT user_id, CAST(count(*) AS INT) AS n_used,
+       CAST(sum(wv) AS BIGINT) AS ewma_u,
+       CAST(sum(wv) AS DOUBLE)
+         / CAST((1::BIGINT << CAST(count(*) AS INT)) AS DOUBLE) AS ewma
+FROM w GROUP BY user_id
+"""
+
+
+# --- HLL set algebra ---------------------------------------------------------------
+
+
+def q_hll_set_ops(spark, sf_dir):
+    """Audience overlap from sketches: click users vs purchase users —
+    |A|, |B|, |A∪B| via register-wise-max merge (no second data pass)
+    and |A∩B| by inclusion-exclusion; the oracle replays all three
+    register sets bit-for-bit."""
+    from ..operators.sketches import hll_set_algebra
+
+    e = _t(spark, sf_dir, "events")
+    return hll_set_algebra(
+        e, "user_id",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    )
+
+
+def _hll_oracle_parts():
+    from ..operators.sketches import HLL_ALPHA, HLL_HASH_BITS, HLL_P
+    from ..operators.sampling import duck_hash_mod
+
+    m = 1 << HLL_P
+    sub = HLL_HASH_BITS - HLL_P
+    hv = duck_hash_mod("CAST(user_id AS VARCHAR)", 1 << HLL_HASH_BITS)
+    fin = lambda src, tag: f"""
+f{tag} AS (
+  SELECT CAST(sum(CAST(pow(2.0, 53 - r) AS BIGINT))
+              + ({m} - count(*)) * {1 << 53} AS BIGINT) AS z_{tag},
+         CAST({m} - count(*) AS BIGINT) AS v_{tag}
+  FROM {src}
+)"""
+    est = lambda tag: (
+        f"CAST({HLL_ALPHA!r} AS DOUBLE) * {m} * {m}"
+        f" * CAST({1 << 53} AS DOUBLE) / z_{tag}"
+    )
+    rnd = lambda tag: (
+        f"round(CASE WHEN ({est(tag)}) <= 2.5 * {m} AND v_{tag} > 0 "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / v_{tag}) "
+        f"ELSE ({est(tag)}) END, 6)"
+    )
+    return m, sub, hv, fin, rnd
+
+
+def _build_hll_set_ops_oracle() -> str:
+    m, sub, hv, fin, rnd = _hll_oracle_parts()
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS side,
+         {hv} AS hvv
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+b AS (SELECT side, hvv % {m} AS bucket, hvv // {m} AS w FROM s),
+rk AS (
+  SELECT side, bucket,
+         CASE WHEN w = 0 THEN {sub + 1}
+              ELSE {sub} - length(bin(w)) + 1 END AS rank
+  FROM b
+),
+regs AS (SELECT side, bucket, max(rank) AS r FROM rk GROUP BY 1, 2),
+regs_u AS (SELECT bucket, max(r) AS r FROM regs GROUP BY 1),
+{fin("(SELECT r FROM regs WHERE side = 'a')", "a")},
+{fin("(SELECT r FROM regs WHERE side = 'b')", "b")},
+{fin("regs_u", "union")},
+ex AS (
+  SELECT CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS exact_a,
+         CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS exact_b,
+         CAST(count(DISTINCT CASE WHEN event_type IN ('click', 'purchase') THEN user_id END) AS BIGINT) AS exact_union
+  FROM events
+),
+est AS (
+  SELECT z_a, v_a, exact_a, {rnd("a")} AS est_a,
+         z_b, v_b, exact_b, {rnd("b")} AS est_b,
+         z_union, v_union, exact_union, {rnd("union")} AS est_union
+  FROM fa, fb, funion, ex
+)
+SELECT *, round(est_a + est_b - est_union, 6) AS est_intersection,
+       CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_intersection
+FROM est
+"""
+
+
+# --- streaming DQ monitor ----------------------------------------------------------
+
+_DQ_WIN_US = 21_600_000_000  # 6 hours
+
+
+def q_stream_dq_monitor(spark, sf_dir):
+    """Data-quality rules ON A STREAM: per 6-hour tumbling event-time
+    window, violation counts for three rules — the conditional
+    aggregates are map-side combinable so the batch operator runs
+    unchanged under readStream (streaming/batch unification); on static
+    input the result is exactly the batch GROUP BY the oracle pins."""
+    from ..operators.quality import dq_counts
+    from .analytic_queries import _event_stream, _run_stream_to_table
+
+    s = _event_stream(spark, sf_dir)
+    w = (
+        s.withColumn("win", F.window("event_time", "6 hours"))
+        .withColumn("window_start", F.col("win.start"))
+    )
+    dq = dq_counts(w, [
+        ("high_value", F.col("value") > 300),
+        ("nonpositive_value", F.col("value") <= 0),
+        ("null_props", F.col("props").isNull()),
+    ], group_by=["window_start"])
+    return _run_stream_to_table(spark, dq, "stream_dq_result", "complete")
+
+
+ORACLE_STREAM_DQ = f"""
+WITH w AS (
+  SELECT make_timestamp(epoch_us(ts) // {_DQ_WIN_US} * {_DQ_WIN_US}) AS window_start,
+         value, props
+  FROM events
+),
+g AS (
+  SELECT window_start, CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN value > 300 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_high,
+         CAST(coalesce(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_nonpos,
+         CAST(coalesce(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_nullp
+  FROM w GROUP BY window_start
+)
+SELECT window_start, 'high_value' AS rule, v_high AS n_violations, n AS n_checked FROM g
+UNION ALL
+SELECT window_start, 'nonpositive_value', v_nonpos, n FROM g
+UNION ALL
+SELECT window_start, 'null_props', v_nullp, n FROM g
+"""
+
+
 QUALITY_QUERIES = {
     "shortest_hops": (q_shortest_hops, ORACLE_SHORTEST_HOPS),
     "triangle_count": (q_triangle_count, ORACLE_TRIANGLE_COUNT),
@@ -370,4 +551,7 @@ QUALITY_QUERIES = {
     "dq_checks": (q_dq_checks, ORACLE_DQ_CHECKS),
     "mad_outliers": (q_mad_outliers, ORACLE_MAD_OUTLIERS),
     "chi_square_assoc": (q_chi_square_assoc, ORACLE_CHI_SQUARE),
+    "ewma_smooth": (q_ewma_smooth, ORACLE_EWMA),
+    "hll_set_ops": (q_hll_set_ops, _build_hll_set_ops_oracle()),
+    "stream_dq_monitor": (q_stream_dq_monitor, ORACLE_STREAM_DQ),
 }

@@ -240,3 +240,70 @@ def test_mad_windows_are_partitioned(spark):
         assert s.split(",")[0].endswith("seg") or "seg" in s.split(")")[0], (
             "unpartitioned window spec found: " + s[:120]
         )
+
+
+# --- EWMA vs pure-Python recursion -------------------------------------------------
+
+
+def _py_ewma(vals, w):
+    tail = vals[-w:]
+    s = tail[0]
+    for x in tail[1:]:
+        s = (x + s) / 2.0
+    return len(tail), s
+
+
+@pytest.mark.parametrize("n", [1, 3, 16, 40])
+def test_ewma_matches_recursive_definition(spark, n):
+    """The scaled-integer linearization must equal the literal
+    recursion S_k = (x_k + S_{k-1})/2 on the trailing window."""
+    from osm_pbf_parquet_spark.operators.ordered import ewma_smooth
+
+    rng = random.Random(n)
+    vals = [rng.randrange(0, 50000) for _ in range(n)]
+    df = spark.createDataFrame(
+        [("u", i, v) for i, v in enumerate(vals)], "k string, t long, x long"
+    )
+    row = ewma_smooth(df, "k", ["t"], "x", window_last=16).collect()[0]
+    k, s = _py_ewma(vals, 16)
+    assert row["n_used"] == k
+    assert row["ewma"] == pytest.approx(s, abs=1e-9)
+    # exactness: U = EWMA * 2^k exactly
+    assert row["ewma_u"] == round(s * (1 << k))
+
+
+def test_hll_set_algebra_disjoint_and_identical(spark):
+    """Disjoint sides: exact intersection 0 and union = |A|+|B|.
+    Identical sides: union registers equal each side's, so
+    est_union = est_a = est_b and est_intersection = est_a."""
+    from osm_pbf_parquet_spark.operators.sketches import hll_set_algebra
+
+    disj = spark.createDataFrame(
+        [(i, "a") for i in range(300)] + [(i + 1000, "b") for i in range(200)],
+        "k long, t string",
+    )
+    r = hll_set_algebra(disj, "k", F.col("t") == "a", F.col("t") == "b").collect()[0]
+    assert (r["exact_a"], r["exact_b"], r["exact_union"]) == (300, 200, 500)
+    assert r["exact_intersection"] == 0
+
+    same = spark.createDataFrame(
+        [(i, t) for i in range(250) for t in ("a", "b")], "k long, t string"
+    )
+    r = hll_set_algebra(same, "k", F.col("t") == "a", F.col("t") == "b").collect()[0]
+    assert r["z_a"] == r["z_b"] == r["z_union"]
+    assert r["est_intersection"] == r["est_a"]
+    assert r["exact_intersection"] == 250
+
+
+def test_grouped_dq_counts_segment_by_window(spark):
+    """group_by segments the counts; per-group n_checked is the group
+    size and violations stay within their group."""
+    from osm_pbf_parquet_spark.operators.quality import dq_counts
+
+    df = spark.createDataFrame(
+        [("w1", 5), ("w1", 50), ("w2", 7), ("w2", 8), ("w2", 90)],
+        "win string, v long",
+    )
+    out = dq_counts(df, [("big", F.col("v") > 40)], group_by=["win"]).collect()
+    got = {r["win"]: (r["n_violations"], r["n_checked"]) for r in out}
+    assert got == {"w1": (1, 2), "w2": (1, 3)}
