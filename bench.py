@@ -243,6 +243,7 @@ def main() -> None:
     from osm_pbf_parquet_spark.plans.pipeline_queries import PIPELINE_QUERIES as PIPE
     from osm_pbf_parquet_spark.plans.sampling_queries import SAMPLING_QUERIES as SAMP
     from osm_pbf_parquet_spark.plans.advanced_queries import ADVANCED_QUERIES as ADV
+    from osm_pbf_parquet_spark.plans.quality_queries import QUALITY_QUERIES as QUAL
 
     spark = get_spark("bench")
     # warm the JVM + parquet footers with a trivial action
@@ -362,6 +363,12 @@ def main() -> None:
             # r6: integer PageRank on the 10x orders⋈lineitem edge
             # extraction (6M lineitem rows → edge dedup → 3 supersteps)
             ("pagerank_suppliers", _q_pagerank_big),
+            # r6: bounded BFS over the same 10x edge extraction (3
+            # frontier-join levels + visited anti-joins, per-level persist)
+            ("shortest_hops", QUAL["shortest_hops"][0]),
+            # r6: integer median/MAD on 1.5M orders joined to the 1x
+            # customer dim — two partitioned window sorts, 25 groups
+            ("mad_outliers", QUAL["mad_outliers"][0]),
         ]
         for name, fn in big_headline:
             # min-of-3 for the WHOLE tier: the host's minutes-long
