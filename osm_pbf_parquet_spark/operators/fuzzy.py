@@ -38,15 +38,19 @@ def blocked_levenshtein_topk(
     no global sort). Ties break on (distance, key₁, key₂) so the result
     set is unique.
 
+    ``key`` may be any orderable type (numeric id, uuid string…) but
+    must be unique — the ``key_1 < key_2`` pair dedup and the tiebreak
+    rely on it; the column keeps its native type in the output.
+
     Returns (key_1, key_2, name_1, name_2, distance).
     """
     a = df.select(
-        F.col(key).cast("long").alias("key_1"),
+        F.col(key).alias("key_1"),
         F.col(name).alias("name_1"),
         F.col(block).alias("__b"),
     )
     b = df.select(
-        F.col(key).cast("long").alias("key_2"),
+        F.col(key).alias("key_2"),
         F.col(name).alias("name_2"),
         F.col(block).alias("__b"),
     )

@@ -152,12 +152,17 @@ def bfs_hops(
             F.col(dst).cast("long").alias("dst"),
         ).distinct()
     )
-    visited = ps.persist(
+    level0 = ps.persist(
         sources.select(F.col(sources.columns[0]).cast("long").alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0).cast("int"))
     )
-    frontier = visited.select("node")
+    # visited stays a LAZY union over the persisted per-level frames —
+    # persisting the cumulative union itself would re-cache level h's
+    # rows (K−h+1) times; the anti-join scans the same materialized
+    # blocks through the union at identical cost
+    visited = level0
+    frontier = level0.select("node")
     for h in range(1, max_hops + 1):
         nxt = ps.persist(
             frontier.join(e, frontier["node"] == e["src"])
@@ -168,7 +173,7 @@ def bfs_hops(
         )
         if nxt.isEmpty():
             break
-        visited = ps.persist(visited.unionByName(nxt))
+        visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
     return tie_release(visited, ps, owned)
 

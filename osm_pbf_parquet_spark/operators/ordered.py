@@ -314,8 +314,9 @@ def ewma_smooth(
     which engines can't express as one associative aggregate — but
     scaling by 2^k linearizes it exactly: U_k = S_k·2^k satisfies
     U_k = 2·x_1 + Σ_{i=2..k} 2^(i-1)·x_i, a plain weighted sum. Keeping
-    U as a BIGINT over a bounded trailing window (2^(W-1)·|x| must fit
-    int64 — W=16 leaves 10^14 headroom for cent-scaled values) makes the
+    U as a BIGINT over a bounded trailing window (the weights total
+    exactly 2^W, so 2^W·max|x| must fit int64 — W=16 leaves 10^13
+    headroom for cent-scaled values) makes the
     smoothed state exact, order-independent, and SQL-replayable; the
     single final division U/2^k is one IEEE-deterministic float op.
     The trailing-window cut is also what bounds memory at 100 TB: state

@@ -19,6 +19,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _bt(ident: str) -> str:
+    """Backtick-quote an identifier for use inside an expr string, so
+    column/rule names with spaces, dots, or quotes parse correctly."""
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def _lit(s: str) -> str:
+    """Single-quoted SQL string literal with embedded quotes escaped."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def profile_table(df: DataFrame, specs: list[tuple[str, str]]) -> DataFrame:
     """One-pass column profile: rows, nulls, distincts, min/max.
 
@@ -40,8 +51,7 @@ def profile_table(df: DataFrame, specs: list[tuple[str, str]]) -> DataFrame:
     — one row per spec, counts BIGINT, reprs STRING.
     """
 
-    def canon(c: str, kind: str):
-        col = F.col(c)
+    def canon(col, kind: str):
         if kind == "money":
             return F.round(col * 100).cast("long")
         if kind == "ts":
@@ -52,17 +62,19 @@ def profile_table(df: DataFrame, specs: list[tuple[str, str]]) -> DataFrame:
 
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for c, kind in specs:
-        v = canon(c, kind)
+        v = canon(df[c], kind)
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            F.sum(F.when(df[c].isNull(), 1).otherwise(0))
             .cast("long").alias(f"{c}__nn"),
-            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__nd"),
+            F.count_distinct(df[c]).cast("long").alias(f"{c}__nd"),
             F.min(v).cast("string").alias(f"{c}__mn"),
             F.max(v).cast("string").alias(f"{c}__mx"),
         ]
     row = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __n, {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c, _ in specs
+        f"{_lit(c)}, __n, {_bt(c + '__nn')}, {_bt(c + '__nd')}, "
+        f"{_bt(c + '__mn')}, {_bt(c + '__mx')}"
+        for c, _ in specs
     )
     return row.select(
         F.expr(
@@ -100,7 +112,9 @@ def dq_counts(
             F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"v_{name}")
         )
     row = df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
-    stack_args = ", ".join(f"'{name}', v_{name}, __n" for name, _ in rules)
+    stack_args = ", ".join(
+        f"{_lit(name)}, {_bt('v_' + name)}, __n" for name, _ in rules
+    )
     return row.select(
         *group_by,
         F.expr(

@@ -438,9 +438,11 @@ def _hll_oracle_parts():
     m = 1 << HLL_P
     sub = HLL_HASH_BITS - HLL_P
     hv = duck_hash_mod("CAST(user_id AS VARCHAR)", 1 << HLL_HASH_BITS)
+    # coalesce: a side with ZERO matching rows must yield the all-empty
+    # sketch (z = m·2^53, v = m) like Spark's spine fill, not NULL
     fin = lambda src, tag: f"""
 f{tag} AS (
-  SELECT CAST(sum(CAST(pow(2.0, 53 - r) AS BIGINT))
+  SELECT CAST(coalesce(sum(CAST(pow(2.0, 53 - r) AS BIGINT)), 0)
               + ({m} - count(*)) * {1 << 53} AS BIGINT) AS z_{tag},
          CAST({m} - count(*) AS BIGINT) AS v_{tag}
   FROM {src}

@@ -237,7 +237,10 @@ def test_mad_windows_are_partitioned(spark):
     specs = [s for s in plan.split("windowspecdefinition(")[1:]]
     assert specs, "expected window specs in the MAD plan"
     for s in specs:
-        assert s.split(",")[0].endswith("seg") or "seg" in s.split(")")[0], (
+        # attributes render as seg#NN — the partition list is everything
+        # before the frame spec; both group keys must appear in it
+        head = s.split("specifiedwindowframe")[0]
+        assert "seg#" in head and "prio#" in head, (
             "unpartitioned window spec found: " + s[:120]
         )
 
@@ -307,3 +310,43 @@ def test_grouped_dq_counts_segment_by_window(spark):
     out = dq_counts(df, [("big", F.col("v") > 40)], group_by=["win"]).collect()
     got = {r["win"]: (r["n_violations"], r["n_checked"]) for r in out}
     assert got == {"w1": (1, 2), "w2": (1, 3)}
+
+
+def test_hll_set_algebra_empty_side(spark):
+    """A side whose predicate matches nothing must yield the all-empty
+    sketch (z = m·2^53, v = m, est 0.0) — and the composed intersection
+    stays finite, matching the oracle's coalesce'd finish."""
+    from osm_pbf_parquet_spark.operators.sketches import HLL_P, hll_set_algebra
+
+    m = 1 << HLL_P
+    df = spark.createDataFrame([(i, "a") for i in range(100)], "k long, t string")
+    r = hll_set_algebra(df, "k", F.col("t") == "a", F.col("t") == "zzz").collect()[0]
+    assert (r["z_b"], r["v_b"], r["exact_b"], r["est_b"]) == (m << 53, m, 0, 0.0)
+    assert r["exact_intersection"] == 0
+    assert r["est_intersection"] is not None
+
+
+def test_profile_and_dq_accept_exotic_identifiers(spark):
+    """Column/rule names with spaces and quotes must not break the
+    stack()/alias expression plumbing."""
+    from osm_pbf_parquet_spark.operators.quality import dq_counts, profile_table
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], ["order id", "o'clock"])
+    prof = {r["col_name"]: (r["n_null"], r["n_distinct"])
+            for r in profile_table(
+                df, [("order id", "int"), ("o'clock", "str")]).collect()}
+    assert prof == {"order id": (0, 2), "o'clock": (1, 1)}
+    dq = dq_counts(df, [("it's big", F.col("order id") > 1)]).collect()
+    assert (dq[0]["rule"], dq[0]["n_violations"], dq[0]["n_checked"]) == ("it's big", 1, 2)
+
+
+def test_fuzzy_topk_string_keys(spark):
+    """Non-numeric keys keep their native type and still pair/tiebreak
+    correctly (regression: a cast-to-long silently NULLed string keys
+    and returned an empty result)."""
+    rows = [("u1", "alpha", "A"), ("u2", "alphb", "A"), ("u3", "alpha", "A")]
+    df = spark.createDataFrame(rows, "k string, name string, blk string")
+    got = blocked_levenshtein_topk(df, "k", "name", "blk", k=2).collect()
+    assert [(r["key_1"], r["key_2"], r["distance"]) for r in got] == [
+        ("u1", "u3", 0), ("u1", "u2", 1),
+    ]
