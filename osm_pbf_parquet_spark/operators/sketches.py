@@ -514,3 +514,74 @@ def hll_set_algebra(
         )
     )
     return tie_release(out, ps, owned)
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[tuple[int, int]],
+    bins: int = 1024,
+) -> DataFrame:
+    """EXACT order statistics of a corpus-sized integer column without a
+    global sort — the selection complement to ``histogram_quantiles``
+    (which interpolates): two-pass distributed k-th element.
+
+    Pass 1 computes (min, max, n); every row gets an integer bin
+    ``(x − lo)·bins div (hi − lo + 1)`` — pure BIGINT arithmetic, no
+    float. Pass 2 is ONE map-side-combinable bin-count aggregation; the
+    cumulative scan runs over the ≤``bins``-row bin spine (bounded,
+    never over data). Each quantile, given as an exact RATIONAL
+    (q_num, q_den) so the target rank k = (n−1)·q_num div q_den + 1 is
+    integer-exact, selects its covering bin, and only THAT bin's rows
+    (~n/bins on non-degenerate distributions) are ranked by a window
+    partitioned per quantile to pick the element at offset
+    k − cum_before. Worst case (one mega-bin: near-constant column) the
+    final rank is one partition's sort — recurse on the bin or fall
+    back to ``histogram_quantiles`` if that shape is expected.
+
+    Returns one row per quantile:
+    (q_num, q_den, q, n, target_rank, value) — the VALUE is an actual
+    element of the column (quantile_disc semantics), so the result is
+    exact and ties are irrelevant to it.
+    """
+    vals = df.select(F.col(value_col).cast("long").alias("x")).where(
+        F.col("x").isNotNull()
+    )
+    rng = vals.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.count("*").cast("long").alias("n"),
+    )
+    binned = vals.crossJoin(F.broadcast(rng)).select(
+        "x",
+        F.expr(f"(x - lo) * {bins} div (hi - lo + 1)").alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(F.count("*").cast("long").alias("c"))
+    # bounded spine: ≤`bins` rows — the only ordered window in the plan
+    wspine = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    spine = counts.select(
+        "bin", "c", (F.sum("c").over(wspine) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(wspine).alias("cum"),
+    )
+    spark = df.sparkSession
+    qframe = (
+        spark.createDataFrame(qs, "q_num long, q_den long")
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "q_num", "q_den", "n",
+            F.expr("(n - 1) * q_num div q_den + 1").alias("k"),
+        )
+    )
+    cover = qframe.join(
+        spine, (F.col("cum_before") < F.col("k")) & (F.col("k") <= F.col("cum"))
+    ).select("q_num", "q_den", "n", "k", "bin", "cum_before")
+    sel = binned.join(F.broadcast(cover), "bin")
+    wq = Window.partitionBy("q_num", "q_den").orderBy("x")
+    return (
+        sel.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == F.col("k") - F.col("cum_before"))
+        .select(
+            "q_num", "q_den",
+            F.expr("cast(q_num AS DOUBLE) / q_den").alias("q"),
+            "n", F.col("k").alias("target_rank"), F.col("x").alias("value"),
+        )
+    )

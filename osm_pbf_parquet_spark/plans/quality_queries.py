@@ -545,6 +545,80 @@ SELECT window_start, 'null_props', v_nullp, n FROM g
 """
 
 
+# --- exact distributed quantiles ---------------------------------------------------
+
+_EQ_QS = [(1, 4), (1, 2), (9, 10), (99, 100)]
+
+
+def q_exact_quantiles(spark, sf_dir):
+    """Exact k-th-element quantiles of lineitem price cents via two-pass
+    integer bucket selection (no global sort; only the covering bin's
+    rows are ranked). Quantiles are exact rationals so the target ranks
+    are integer arithmetic end-to-end."""
+    from ..operators.sketches import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return exact_quantiles(li, "cents", _EQ_QS)
+
+
+ORACLE_EXACT_QUANTILES = f"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+qs(q_num, q_den) AS (VALUES {", ".join(f"({a}, {b})" for a, b in _EQ_QS)}),
+sel AS (
+  SELECT CAST(q_num AS BIGINT) AS q_num, CAST(q_den AS BIGINT) AS q_den,
+         CAST(q_num AS DOUBLE) / q_den AS q, nn.n,
+         (nn.n - 1) * q_num // q_den + 1 AS k
+  FROM qs, nn
+)
+SELECT s.q_num, s.q_den, s.q, s.n,
+       CAST(s.k AS BIGINT) AS target_rank, r.x AS value
+FROM sel s JOIN r ON r.rn = s.k
+"""
+
+
+# --- hashing-trick featurization ----------------------------------------------------
+
+_FH_DIM = 64
+
+
+def q_feature_hashing(spark, sf_dir):
+    """Signed hashing-trick featurizer over the document corpus: sparse
+    (doc, dim, value) cells from exact integer sign sums — fixed 64-dim
+    output regardless of vocabulary size."""
+    from ..operators.features import feature_hashing
+
+    return feature_hashing(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", dim=_FH_DIM
+    )
+
+
+def _build_feature_hashing_oracle() -> str:
+    from ..operators.sampling import duck_hash_mod
+    from ..operators.text import TOKEN_REGEX
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_REGEX}')) AS term
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {duck_hash_mod("term", _FH_DIM)} AS dim,
+         1 - 2 * ({duck_hash_mod("term || ':s'", 2)}) AS sign
+  FROM toks
+)
+SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS value
+FROM h GROUP BY doc_id, dim
+"""
+
+
 QUALITY_QUERIES = {
     "shortest_hops": (q_shortest_hops, ORACLE_SHORTEST_HOPS),
     "triangle_count": (q_triangle_count, ORACLE_TRIANGLE_COUNT),
@@ -556,4 +630,6 @@ QUALITY_QUERIES = {
     "ewma_smooth": (q_ewma_smooth, ORACLE_EWMA),
     "hll_set_ops": (q_hll_set_ops, _build_hll_set_ops_oracle()),
     "stream_dq_monitor": (q_stream_dq_monitor, ORACLE_STREAM_DQ),
+    "exact_quantiles": (q_exact_quantiles, ORACLE_EXACT_QUANTILES),
+    "feature_hashing": (q_feature_hashing, _build_feature_hashing_oracle()),
 }

@@ -350,3 +350,51 @@ def test_fuzzy_topk_string_keys(spark):
     assert [(r["key_1"], r["key_2"], r["distance"]) for r in got] == [
         ("u1", "u3", 0), ("u1", "u2", 1),
     ]
+
+
+def test_exact_quantiles_match_sorted_reference(spark):
+    """Two-pass bucket selection must equal direct sorted indexing for
+    every rational q, including q=0 and q=1."""
+    from osm_pbf_parquet_spark.operators.sketches import exact_quantiles
+
+    rng = random.Random(42)
+    vals = [rng.randrange(-10**6, 10**6) for _ in range(5001)]
+    qs = [(0, 1), (1, 4), (1, 2), (3, 4), (1, 1)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {(r["q_num"], r["q_den"]): (r["value"], r["target_rank"])
+           for r in exact_quantiles(df, "v", qs).collect()}
+    sv = sorted(vals)
+    n = len(sv)
+    for qn, qd in qs:
+        k = (n - 1) * qn // qd + 1
+        assert got[(qn, qd)] == (sv[k - 1], k), (qn, qd)
+
+
+def test_exact_quantiles_heavy_ties(spark):
+    """A near-constant column (one mega-bin) still selects the exact
+    element — the documented worst case degrades to one partition's
+    sort, not a wrong answer."""
+    from osm_pbf_parquet_spark.operators.sketches import exact_quantiles
+
+    vals = [5] * 900 + [7] * 100
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {tuple((r["q_num"], r["q_den"])): r["value"]
+           for r in exact_quantiles(df, "v", [(1, 2), (95, 100)]).collect()}
+    assert got == {(1, 2): 5, (95, 100): 7}
+
+
+def test_feature_hashing_deterministic_and_bounded(spark):
+    """Dims stay in [0, dim); repeated tokens accumulate their sign
+    (|value| for a doc of one repeated token = its count); results are
+    partitioning-independent."""
+    from osm_pbf_parquet_spark.operators.features import feature_hashing
+
+    df = spark.createDataFrame(
+        [(1, "zap zap zap"), (2, "one two three four")], "doc_id long, text string"
+    )
+    rows = feature_hashing(df, "doc_id", "text", dim=8).collect()
+    assert all(0 <= r["dim"] < 8 for r in rows)
+    doc1 = [r for r in rows if r["doc_id"] == 1]
+    assert len(doc1) == 1 and abs(doc1[0]["value"]) == 3
+    again = feature_hashing(df.repartition(7), "doc_id", "text", dim=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
