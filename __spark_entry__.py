@@ -110,7 +110,6 @@ _CHECK_FIRST = [
     "funnel_depths",
     "table_checksum",
     "dataset_diff",
-    "poisson_bootstrap",
     "token_drift_js",
     "zscore_anomalies",
     "tokenize_corpus",
@@ -141,6 +140,7 @@ _CHECK_FIRST = [
     "stream_dq_monitor",
     "exact_quantiles",
     "feature_hashing",
+    "group_regression",
     # --- text.py-routed (only bm25_topk's body changed and
     #     bigram_conditional was appended — no other function's executed
     #     lines moved — but module-level taint per the rotation rule;
@@ -155,13 +155,14 @@ _CHECK_FIRST = [
     #      names above land at exactly 1-50 — verified in
     #      test_entry's registry-order check). Everything below is
     #      covered by the local full-registry parity sweep on current
-    #      code every pytest run. The first five are
+    #      code every pytest run. The first six are
     #      plan-file-taint-only (advanced_queries.py was edited; these
     #      queries' operator modules are untouched since their r5
     #      driver-green rows — sampling.py, functions/udx.py, skew.py —
     #      or their executed code lives wholly in the plan file with
-    #      16 sibling gates of that file inside the cap; ordered.py's
-    #      cohort_retention has six ordered.py siblings in-cap). The
+    #      15 sibling gates of that file inside the cap; ordered.py's
+    #      cohort_retention has six ordered.py siblings in-cap;
+    #      poisson_bootstrap's sketches.py has seven). The
     #      text.py-routed composites (clean_corpus, full_curation, …)
     #      ride the same helpers the four in-cap text gates certify ----
     "grouped_split",
@@ -169,6 +170,7 @@ _CHECK_FIRST = [
     "salted_join",
     "cohort_retention",
     "mutual_information",
+    "poisson_bootstrap",
     "clean_corpus_pipeline",
     "text_fingerprint",
     "pii_scrub",

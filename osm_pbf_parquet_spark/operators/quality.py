@@ -239,3 +239,63 @@ def chi_square_cells(df: DataFrame, a: str, b: str,
     return with_m.select(
         a, b, "observed", "row_total", "col_total", contrib.alias("contrib"),
     )
+
+
+def group_regression(
+    df: DataFrame,
+    group: list[str],
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line from EXACT integer
+    moments — slope/intercept per group in one aggregation pass.
+
+    The five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact: x
+    and y must be integral (epoch days, cents); the first-order sums
+    stay BIGINT while the second-order sums accumulate in decimal(38,0)
+    so corpus-scale groups can't overflow (n·Σxy for 10⁹-row groups of
+    cent-scaled values needs ~10²⁸ ≪ 10³⁸). The normal-equation
+    combination n·Σxy − Σx·Σy and n·Σx² − (Σx)² happens in the same
+    exact decimal domain; only the FINAL slope/intercept divisions are
+    floating point — a fixed three-flop composition of
+    identically-rounded inputs, so results are bit-reproducible and
+    SQL-replayable (DuckDB mirrors with HUGEINT sums).
+
+    Scale: one map-side-combinable groupBy — no window, no join, no
+    second pass. Degenerate groups (n=1, or zero x-variance) return
+    NULL slope/intercept rather than a division error.
+
+    Returns (group…, n, slope, intercept).
+    """
+    base = df.select(
+        *group,
+        F.col(x).cast("long").alias("__x"),
+        F.col(y).cast("long").alias("__y"),
+    )
+    d = "decimal(38,0)"
+    agg = base.groupBy(*group).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("sx"),
+        F.sum("__y").cast("long").alias("sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(d)).alias("sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(d)).alias("sxx"),
+    )
+    cov = F.col("n").cast(d) * F.col("sxy") - (
+        F.col("sx").cast(d) * F.col("sy").cast(d)
+    )
+    var = F.col("n").cast(d) * F.col("sxx") - (
+        F.col("sx").cast(d) * F.col("sx").cast(d)
+    )
+    slope = F.when(
+        var != F.lit(0).cast(d),
+        cov.cast("double") / var.cast("double"),
+    )
+    return agg.select(
+        *group, "n",
+        slope.alias("slope"),
+        F.when(
+            slope.isNotNull(),
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+        ).alias("intercept"),
+    )

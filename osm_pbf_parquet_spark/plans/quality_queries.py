@@ -545,6 +545,55 @@ SELECT window_start, 'null_props', v_nullp, n FROM g
 """
 
 
+# --- per-group OLS trend ------------------------------------------------------------
+
+
+def q_group_regression(spark, sf_dir):
+    """Per-segment OLS trend of order value (cents) over order date
+    (epoch days): exact BIGINT/decimal(38,0) moments in ONE combinable
+    aggregation; only the final slope/intercept divisions are floats
+    (fixed three-flop composition — bit-reproducible)."""
+    from ..operators.quality import group_regression
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return group_regression(base, ["seg"], "day", "cents")
+
+
+ORACLE_GROUP_REGRESSION = """
+WITH base AS (
+  SELECT c_mktsegment AS seg,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+m AS (
+  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM base GROUP BY seg
+),
+s AS (
+  SELECT seg, n, sx, sy,
+         n * sxy - sx * sy AS cov, n * sxx - sx * sx AS var
+  FROM m
+)
+SELECT seg, n,
+       CASE WHEN var <> 0
+            THEN CAST(cov AS DOUBLE) / CAST(var AS DOUBLE) END AS slope,
+       CASE WHEN var <> 0
+            THEN (CAST(sy AS DOUBLE)
+                  - (CAST(cov AS DOUBLE) / CAST(var AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept
+FROM s
+"""
+
+
 # --- exact distributed quantiles ---------------------------------------------------
 
 _EQ_QS = [(1, 4), (1, 2), (9, 10), (99, 100)]
@@ -632,4 +681,5 @@ QUALITY_QUERIES = {
     "stream_dq_monitor": (q_stream_dq_monitor, ORACLE_STREAM_DQ),
     "exact_quantiles": (q_exact_quantiles, ORACLE_EXACT_QUANTILES),
     "feature_hashing": (q_feature_hashing, _build_feature_hashing_oracle()),
+    "group_regression": (q_group_regression, ORACLE_GROUP_REGRESSION),
 }

@@ -54,5 +54,11 @@ def test_r6_new_queries_inside_driver_cap():
 
     head = list(e.queries())[:50]
     for name in ("pagerank_suppliers", "frequent_itemsets", "hll_by_type",
-                 "bigram_lm", "markov_transitions"):
+                 "bigram_lm", "markov_transitions",
+                 # quality & traversal suite (r6, never driver-checked)
+                 "shortest_hops", "triangle_count", "fuzzy_name_match",
+                 "profile_table", "dq_checks", "mad_outliers",
+                 "chi_square_assoc", "ewma_smooth", "hll_set_ops",
+                 "stream_dq_monitor", "exact_quantiles", "feature_hashing",
+                 "group_regression"):
         assert name in head, name

@@ -398,3 +398,40 @@ def test_feature_hashing_deterministic_and_bounded(spark):
     assert len(doc1) == 1 and abs(doc1[0]["value"]) == 3
     again = feature_hashing(df.repartition(7), "doc_id", "text", dim=8).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_group_regression_recovers_known_line(spark):
+    """Points on an exact line y = 3x + 17 must return slope 3.0 and
+    intercept 17.0 exactly (integer moments, zero residual); a single
+    point and a zero-variance group return NULL slope/intercept."""
+    from osm_pbf_parquet_spark.operators.quality import group_regression
+
+    pts = [("g", x, 3 * x + 17) for x in range(-50, 200, 7)]
+    df = spark.createDataFrame(
+        pts + [("one", 5, 99), ("flat", 4, 10), ("flat", 4, 20)],
+        "g string, x long, y long",
+    )
+    rows = {r["g"]: r for r in group_regression(df, ["g"], "x", "y").collect()}
+    assert rows["g"]["slope"] == 3.0 and rows["g"]["intercept"] == 17.0
+    assert rows["one"]["slope"] is None and rows["one"]["intercept"] is None
+    assert rows["flat"]["slope"] is None
+
+
+def test_group_regression_matches_numpy(spark):
+    """Noisy data: exact-moment OLS must agree with numpy.polyfit to
+    float precision."""
+    import numpy as np
+
+    from osm_pbf_parquet_spark.operators.quality import group_regression
+
+    rng = random.Random(9)
+    xs = [rng.randrange(0, 10000) for _ in range(500)]
+    ys = [2 * x + rng.randrange(-1000, 1000) for x in xs]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    r = group_regression(df, ["g"], "x", "y").collect()[0]
+    slope, intercept = np.polyfit(np.array(xs, dtype=float),
+                                  np.array(ys, dtype=float), 1)
+    assert r["slope"] == pytest.approx(slope, rel=1e-9)
+    assert r["intercept"] == pytest.approx(intercept, rel=1e-6)
