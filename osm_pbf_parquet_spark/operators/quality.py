@@ -252,14 +252,20 @@ def group_regression(
 
     The five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact: x
     and y must be integral (epoch days, cents); the first-order sums
-    stay BIGINT while the second-order sums accumulate in decimal(38,0)
-    so corpus-scale groups can't overflow (n·Σxy for 10⁹-row groups of
-    cent-scaled values needs ~10²⁸ ≪ 10³⁸). The normal-equation
-    combination n·Σxy − Σx·Σy and n·Σx² − (Σx)² happens in the same
-    exact decimal domain; only the FINAL slope/intercept divisions are
-    floating point — a fixed three-flop composition of
-    identically-rounded inputs, so results are bit-reproducible and
-    SQL-replayable (DuckDB mirrors with HUGEINT sums).
+    stay BIGINT while the per-row products and second-order sums are
+    computed ENTIRELY in decimal(38,0) — operands cast before the
+    multiply, so even single rows with |x·y| beyond int64 (epoch-µs ×
+    cents) cannot wrap, and 10⁹-row groups of cent-scaled values need
+    only ~10²⁸ ≪ 10³⁸. The normal-equation combination n·Σxy − Σx·Σy
+    and n·Σx² − (Σx)² happens in the same exact decimal domain; only
+    the FINAL slope/intercept divisions are floating point — a fixed
+    three-flop composition of identically-rounded inputs, so results
+    are bit-reproducible and SQL-replayable (DuckDB mirrors with
+    HUGEINT sums).
+
+    Rows where either coordinate is NULL are excluded entirely (n
+    counts complete pairs only — mixing samples between n and the sums
+    would silently bias the fit).
 
     Scale: one map-side-combinable groupBy — no window, no join, no
     second pass. Degenerate groups (n=1, or zero x-variance) return
@@ -267,18 +273,18 @@ def group_regression(
 
     Returns (group…, n, slope, intercept).
     """
+    d = "decimal(38,0)"
     base = df.select(
         *group,
         F.col(x).cast("long").alias("__x"),
         F.col(y).cast("long").alias("__y"),
-    )
-    d = "decimal(38,0)"
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
     agg = base.groupBy(*group).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__x").cast("long").alias("sx"),
         F.sum("__y").cast("long").alias("sy"),
-        F.sum((F.col("__x") * F.col("__y")).cast(d)).alias("sxy"),
-        F.sum((F.col("__x") * F.col("__x")).cast(d)).alias("sxx"),
+        F.sum(F.col("__x").cast(d) * F.col("__y").cast(d)).alias("sxy"),
+        F.sum(F.col("__x").cast(d) * F.col("__x").cast(d)).alias("sxx"),
     )
     cov = F.col("n").cast(d) * F.col("sxy") - (
         F.col("sx").cast(d) * F.col("sy").cast(d)

@@ -521,39 +521,73 @@ def exact_quantiles(
     value_col: str,
     qs: list[tuple[int, int]],
     bins: int = 1024,
+    cache=None,
 ) -> DataFrame:
     """EXACT order statistics of a corpus-sized integer column without a
     global sort — the selection complement to ``histogram_quantiles``
-    (which interpolates): two-pass distributed k-th element.
+    (which interpolates): distributed k-th element by bucket pruning.
 
-    Pass 1 computes (min, max, n); every row gets an integer bin
-    ``(x − lo)·bins div (hi − lo + 1)`` — pure BIGINT arithmetic, no
-    float. Pass 2 is ONE map-side-combinable bin-count aggregation; the
+    Pass 1 computes (min, max, n); every row gets a bin from a MONOTONE
+    bucketing function — computed in doubles so a full-int64-range
+    column cannot overflow the arithmetic (the bucketing needs only
+    monotonicity and determinism, not exactness: the same function
+    assigns the bin in both the counting and the selection branch, and
+    the chosen ELEMENT is exact regardless of how rows distribute over
+    bins). Pass 2 is ONE map-side-combinable bin-count aggregation; the
     cumulative scan runs over the ≤``bins``-row bin spine (bounded,
     never over data). Each quantile, given as an exact RATIONAL
-    (q_num, q_den) so the target rank k = (n−1)·q_num div q_den + 1 is
-    integer-exact, selects its covering bin, and only THAT bin's rows
-    (~n/bins on non-degenerate distributions) are ranked by a window
-    partitioned per quantile to pick the element at offset
-    k − cum_before. Worst case (one mega-bin: near-constant column) the
-    final rank is one partition's sort — recurse on the bin or fall
-    back to ``histogram_quantiles`` if that shape is expected.
+    (q_num, q_den) — validated to 0 ≤ q_num/q_den ≤ 1 and de-duplicated
+    — yields the integer-exact target rank k = (n−1)·q_num div q_den
+    + 1, selects its covering bin, and only THAT bin's rows (~n/bins on
+    non-degenerate distributions) are ranked by a window partitioned
+    per quantile to pick the element at offset k − cum_before. Worst
+    case (one mega-bin: near-constant column) the final rank is one
+    partition's sort — recurse on the bin or fall back to
+    ``histogram_quantiles`` if that shape is expected.
+
+    The binned projection is persisted (PersistSet lifecycle, like the
+    sibling sketches) so the count and selection branches scan one
+    materialization instead of re-reading the source twice.
 
     Returns one row per quantile:
     (q_num, q_den, q, n, target_rank, value) — the VALUE is an actual
     element of the column (quantile_disc semantics), so the result is
     exact and ties are irrelevant to it.
     """
+    from ..functions.caching import owned_set, tie_release
+
+    qs = list(dict.fromkeys(qs))
+    bad = [(a, b) for a, b in qs if b <= 0 or a < 0 or a > b]
+    if bad:
+        raise ValueError(f"quantiles must satisfy 0 <= q_num/q_den <= 1: {bad}")
+    ps, owned = owned_set(cache)
     vals = df.select(F.col(value_col).cast("long").alias("x")).where(
         F.col("x").isNotNull()
     )
-    rng = vals.agg(
-        F.min("x").alias("lo"), F.max("x").alias("hi"),
-        F.count("*").cast("long").alias("n"),
+    rng = ps.persist(
+        vals.agg(
+            F.min("x").alias("lo"), F.max("x").alias("hi"),
+            F.count("*").cast("long").alias("n"),
+        )
     )
-    binned = vals.crossJoin(F.broadcast(rng)).select(
-        "x",
-        F.expr(f"(x - lo) * {bins} div (hi - lo + 1)").alias("bin"),
+    # monotone, overflow-free: double conversion of int64 is monotone,
+    # as are subtraction/scale by positive constants and floor; clamp
+    # absorbs the rounding edge at x = hi
+    binned = ps.persist(
+        vals.crossJoin(F.broadcast(rng)).select(
+            "x",
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("x").cast("double") - F.col("lo").cast("double"))
+                        * bins
+                        / (F.col("hi").cast("double") - F.col("lo").cast("double") + 1.0)
+                    ),
+                ),
+            ).cast("long").alias("bin"),
+        )
     )
     counts = binned.groupBy("bin").agg(F.count("*").cast("long").alias("c"))
     # bounded spine: ≤`bins` rows — the only ordered window in the plan
@@ -576,12 +610,13 @@ def exact_quantiles(
     ).select("q_num", "q_den", "n", "k", "bin", "cum_before")
     sel = binned.join(F.broadcast(cover), "bin")
     wq = Window.partitionBy("q_num", "q_den").orderBy("x")
-    return (
+    return tie_release(
         sel.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") == F.col("k") - F.col("cum_before"))
         .select(
             "q_num", "q_den",
             F.expr("cast(q_num AS DOUBLE) / q_den").alias("q"),
             "n", F.col("k").alias("target_rank"), F.col("x").alias("value"),
-        )
+        ),
+        ps, owned,
     )

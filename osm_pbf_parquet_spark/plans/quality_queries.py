@@ -575,8 +575,9 @@ WITH base AS (
 m AS (
   SELECT seg, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx
-  FROM base GROUP BY seg
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM base WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY seg
 ),
 s AS (
   SELECT seg, n, sx, sy,

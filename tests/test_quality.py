@@ -237,12 +237,18 @@ def test_mad_windows_are_partitioned(spark):
     specs = [s for s in plan.split("windowspecdefinition(")[1:]]
     assert specs, "expected window specs in the MAD plan"
     for s in specs:
-        # attributes render as seg#NN — the partition list is everything
-        # before the frame spec; both group keys must appear in it
-        head = s.split("specifiedwindowframe")[0]
-        assert "seg#" in head and "prio#" in head, (
-            "unpartitioned window spec found: " + s[:120]
-        )
+        # spec renders as (part1#N, part2#N, order#N ASC ..., frame):
+        # the PARTITION list is the leading comma-tokens with no
+        # ASC/DESC marker — ordering columns must not satisfy the check
+        part_cols = []
+        for tok in s.split(","):
+            if (" ASC" in tok or " DESC" in tok
+                    or "specifiedwindowframe" in tok):
+                break
+            part_cols.append(tok)
+        assert any("seg#" in t for t in part_cols) and any(
+            "prio#" in t for t in part_cols
+        ), "window not partitioned by (seg, prio): " + s[:120]
 
 
 # --- EWMA vs pure-Python recursion -------------------------------------------------
@@ -435,3 +441,46 @@ def test_group_regression_matches_numpy(spark):
                                   np.array(ys, dtype=float), 1)
     assert r["slope"] == pytest.approx(slope, rel=1e-9)
     assert r["intercept"] == pytest.approx(intercept, rel=1e-6)
+
+
+def test_group_regression_null_pairs_excluded(spark):
+    """Rows with a NULL coordinate must not count toward n or skew the
+    fit: points on y=x plus a NULL-y row still give slope exactly 1."""
+    from osm_pbf_parquet_spark.operators.quality import group_regression
+
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 2), ("g", 3, None), ("g", 4, 4)],
+        "g string, x long, y long",
+    )
+    r = group_regression(df, ["g"], "x", "y").collect()[0]
+    assert r["n"] == 3 and r["slope"] == 1.0 and r["intercept"] == 0.0
+
+
+def test_group_regression_huge_values_no_wrap(spark):
+    """Per-row products beyond int64 (epoch-micros x) must not wrap:
+    y = 2x over x ~ 1.7e18 still recovers slope 2 exactly."""
+    from osm_pbf_parquet_spark.operators.quality import group_regression
+
+    base = 1_700_000_000_000_000_000
+    # exact line (y fits long but x*y ~ 1.7e24 >> 2^63)
+    pts = [("g", base + i, 1_000_000 + 3 * i) for i in range(5)]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    r = group_regression(df, ["g"], "x", "y").collect()[0]
+    assert r["slope"] == 3.0
+
+
+def test_exact_quantiles_full_int64_range_and_dup_qs(spark):
+    """Bucketing a full-range column must not overflow (min near -2^62,
+    max near 2^62), and duplicate quantile specs must collapse rather
+    than corrupt ranks."""
+    from osm_pbf_parquet_spark.operators.sketches import exact_quantiles
+
+    vals = [-(2**62), -(2**40), -17, 0, 5, 12, 2**40, 2**62]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = exact_quantiles(df, "v", [(1, 2), (1, 2), (0, 1), (1, 1)]).collect()
+    got = {(r["q_num"], r["q_den"]): r["value"] for r in rows}
+    assert len(rows) == 3  # dup collapsed
+    sv = sorted(vals)
+    assert got == {(0, 1): sv[0], (1, 2): sv[(len(sv) - 1) // 2], (1, 1): sv[-1]}
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", [(3, 2)]).collect()
