@@ -109,8 +109,6 @@ _CHECK_FIRST = [
     "text_entropy",
     "funnel_depths",
     "table_checksum",
-    "dataset_diff",
-    "token_drift_js",
     "zscore_anomalies",
     "tokenize_corpus",
     # --- remaining similarity.py / sketches.py routes ---
@@ -124,6 +122,8 @@ _CHECK_FIRST = [
     "hll_by_type",
     "bigram_lm",
     "markov_transitions",
+    "cooccurrence_topk",
+    "kcore_parts",
     # --- r6-NEW quality & traversal suite (plans/quality_queries.py +
     #     operators/{quality,fuzzy}.py new modules; bfs_hops and
     #     triangle_count appended to graph.py — pagerank_suppliers above
@@ -155,14 +155,14 @@ _CHECK_FIRST = [
     #      names above land at exactly 1-50 — verified in
     #      test_entry's registry-order check). Everything below is
     #      covered by the local full-registry parity sweep on current
-    #      code every pytest run. The first six are
+    #      code every pytest run. The first eight are
     #      plan-file-taint-only (advanced_queries.py was edited; these
     #      queries' operator modules are untouched since their r5
     #      driver-green rows — sampling.py, functions/udx.py, skew.py —
     #      or their executed code lives wholly in the plan file with
-    #      15 sibling gates of that file inside the cap; ordered.py's
-    #      cohort_retention has six ordered.py siblings in-cap;
-    #      poisson_bootstrap's sketches.py has seven). The
+    #      13 sibling gates of that file inside the cap; ordered.py's
+    #      cohort_retention/dataset_diff have six ordered.py siblings
+    #      in-cap; poisson_bootstrap's sketches.py has seven). The
     #      text.py-routed composites (clean_corpus, full_curation, …)
     #      ride the same helpers the four in-cap text gates certify ----
     "grouped_split",
@@ -171,6 +171,8 @@ _CHECK_FIRST = [
     "cohort_retention",
     "mutual_information",
     "poisson_bootstrap",
+    "token_drift_js",
+    "dataset_diff",
     "clean_corpus_pipeline",
     "text_fingerprint",
     "pii_scrub",

@@ -247,3 +247,58 @@ def triangle_count(
         .select("n_nodes", "n_edges", "n_triangles")
     )
     return tie_release(out, ps, owned)
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    cache=None,
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of removing
+    nodes with degree < ``k`` (degree recomputed over survivors each
+    round). Like ``pagerank_power``'s fixed supersteps, the round bound
+    makes the operator a deterministic, SQL-replayable plan — run more
+    rounds (or loop until a round removes nothing, one ``count()`` per
+    round) for the full fixpoint; each round only shrinks the node set,
+    so partial peeling is a sound over-approximation of the true core.
+
+    Scale per round: two LEFT SEMI joins filter the edge list to
+    surviving endpoints (keyed, co-partitioned) + one combinable degree
+    aggregation; the survivor set is persisted so the next round scans
+    a materialization. Nothing is collected.
+
+    Returns the surviving (node, deg) after the final round — deg is
+    the degree WITHIN the surviving subgraph (≥ k for every row once
+    converged).
+    """
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .distinct()
+    )
+    e = ps.persist(
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    alive = None  # None = all nodes alive (first pass degrees over e itself)
+    deg = None
+    for _ in range(rounds):  # one degree pass + filter per peel round
+        ee = e
+        if alive is not None:
+            au = alive.select(F.col("node").alias("u"))
+            av = alive.select(F.col("node").alias("v"))
+            ee = e.join(au, "u", "left_semi").join(av, "v", "left_semi")
+        deg = ee.groupBy(F.col("u").alias("node")).agg(
+            F.count("*").cast("long").alias("deg")
+        )
+        alive = ps.persist(deg.where(F.col("deg") >= k).select("node"))
+    survivors = deg.where(F.col("deg") >= k)
+    return tie_release(survivors, ps, owned)

@@ -64,3 +64,61 @@ def frequent_item_pairs(
     return pairs.orderBy(
         F.desc("pair_support"), "item_1", "item_2"
     ).limit(k)
+
+
+def cooccurrence_cosine_topk(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Item-item cosine similarity from co-occurrence — the classic
+    item-based collaborative-filtering primitive: with Γᵢ the basket
+    set of item i, sim(i, j) = |Γᵢ∩Γⱼ| / √(|Γᵢ|·|Γⱼ|) (cosine of the
+    binary basket-incidence vectors).
+
+    All counts are exact BIGINTs from the same Apriori-pruned pair
+    pipeline as ``frequent_item_pairs`` (items below ``min_item``
+    support are out of scope by contract — they cannot affect any
+    surviving pair's numerator OR denominator, since degrees are taken
+    before pruning); the only float work is one division by one square
+    root per pair — IEEE-deterministic, so the top-k cut is
+    reproducible cross-engine, with (item_1, item_2) tie-breaks.
+
+    Scale: the pair explosion is bounded exactly as in the module
+    docstring; degree annotation is two keyed joins against the
+    item-degree dimension; the global top-k lowers to
+    TakeOrderedAndProject. Returns (item_1, item_2, co_count, n_1,
+    n_2, cosine) ordered by (cosine desc, item_1, item_2).
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    deg = b.groupBy("item").agg(F.count("*").cast("long").alias("n"))
+    freq = deg.where(F.col("n") >= min_item)
+    fb = b.join(freq.select("item"), "item")
+    pairs = (
+        fb.alias("a")
+        .join(fb.alias("b"), "basket")
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_1"),
+            F.col("b.item").alias("item_2"),
+        )
+        .agg(F.count("*").cast("long").alias("co_count"))
+    )
+    d1 = freq.select(F.col("item").alias("item_1"), F.col("n").alias("n_1"))
+    d2 = freq.select(F.col("item").alias("item_2"), F.col("n").alias("n_2"))
+    scored = (
+        pairs.join(d1, "item_1")
+        .join(d2, "item_2")
+        .select(
+            "item_1", "item_2", "co_count", "n_1", "n_2",
+            (
+                F.col("co_count").cast("double")
+                / F.sqrt((F.col("n_1") * F.col("n_2")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), "item_1", "item_2").limit(k)

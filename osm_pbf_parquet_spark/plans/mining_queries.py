@@ -236,10 +236,112 @@ FROM sc ORDER BY state, next_state
 """
 
 
+# --- item-item cosine co-occurrence (collaborative filtering) -----------------
+
+_CF_MIN_ITEM = 2
+_CF_K = 20
+
+
+def q_cooccurrence_topk(spark, sf_dir):
+    """Top part pairs by cosine similarity of their order-incidence
+    vectors (item-based CF): exact co-occurrence and degree counts,
+    one IEEE division+sqrt per pair, key tiebreaks."""
+    li = _t(spark, sf_dir, "lineitem")
+    return itemsets.cooccurrence_cosine_topk(
+        li, "l_orderkey", "l_partkey", min_item=_CF_MIN_ITEM, k=_CF_K,
+    )
+
+
+ORACLE_COOCCURRENCE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+deg AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n FROM b
+  GROUP BY item HAVING count(*) >= {_CF_MIN_ITEM}
+),
+fb AS (SELECT b.basket, b.item FROM b JOIN deg USING (item)),
+p AS (
+  SELECT a.item AS item_1, c.item AS item_2,
+         CAST(count(*) AS BIGINT) AS co_count
+  FROM fb a JOIN fb c ON a.basket = c.basket AND a.item < c.item
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT p.item_1, p.item_2, p.co_count, d1.n AS n_1, d2.n AS n_2,
+         CAST(p.co_count AS DOUBLE) / sqrt(CAST(d1.n * d2.n AS DOUBLE)) AS cosine
+  FROM p JOIN deg d1 ON p.item_1 = d1.item JOIN deg d2 ON p.item_2 = d2.item
+)
+SELECT * FROM s ORDER BY cosine DESC, item_1, item_2 LIMIT {_CF_K}
+"""
+
+
+# --- bounded k-core decomposition ----------------------------------------------
+
+_KC_K = 3
+_KC_ROUNDS = 4
+_KC_MIN_SUP = 2
+
+
+def q_kcore_parts(spark, sf_dir):
+    """4-round 3-core peel of the part co-purchase graph (support ≥ 2):
+    the dense backbone left after repeatedly shedding weakly-connected
+    parts; the oracle unrolls the same synchronous peeling."""
+    from ..operators.graph import kcore_peel
+
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("basket"),
+                F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    a = b.select(F.col("basket"), F.col("item").alias("u"))
+    c = b.select(F.col("basket"), F.col("item").alias("v"))
+    edges = (
+        a.join(c, "basket")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= _KC_MIN_SUP)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return kcore_peel(edges, k=_KC_K, rounds=_KC_ROUNDS)
+
+
+def _kc_round_sql(prev_alive: str, out_deg: str, out_alive: str) -> str:
+    return f"""{out_deg} AS (
+  SELECT e.u AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM e JOIN {prev_alive} x ON e.u = x.node JOIN {prev_alive} y ON e.v = y.node
+  GROUP BY 1
+),
+{out_alive} AS (SELECT node FROM {out_deg} WHERE deg >= {_KC_K})"""
+
+
+ORACLE_KCORE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+e0 AS (
+  SELECT a.item AS u, c.item AS v FROM b a JOIN b c
+  ON a.basket = c.basket AND a.item < c.item
+  GROUP BY 1, 2 HAVING count(*) >= {_KC_MIN_SUP}
+),
+e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+d1 AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+a1 AS (SELECT node FROM d1 WHERE deg >= {_KC_K}),
+{_kc_round_sql("a1", "d2", "a2")},
+{_kc_round_sql("a2", "d3", "a3")},
+{_kc_round_sql("a3", "d4", "a4")}
+SELECT node, deg FROM d4 WHERE deg >= {_KC_K}
+"""
+
+
 MINING_QUERIES = {
     "pagerank_suppliers": (q_pagerank_suppliers, ORACLE_PAGERANK),
     "frequent_itemsets": (q_frequent_itemsets, ORACLE_FREQUENT_ITEMSETS),
     "hll_by_type": (q_hll_by_type, ORACLE_HLL_BY_TYPE),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
     "markov_transitions": (q_markov_transitions, ORACLE_MARKOV),
+    "cooccurrence_topk": (q_cooccurrence_topk, ORACLE_COOCCURRENCE),
+    "kcore_parts": (q_kcore_parts, ORACLE_KCORE),
 }

@@ -55,6 +55,7 @@ def test_r6_new_queries_inside_driver_cap():
     head = list(e.queries())[:50]
     for name in ("pagerank_suppliers", "frequent_itemsets", "hll_by_type",
                  "bigram_lm", "markov_transitions",
+                 "cooccurrence_topk", "kcore_parts",
                  # quality & traversal suite (r6, never driver-checked)
                  "shortest_hops", "triangle_count", "fuzzy_name_match",
                  "profile_table", "dq_checks", "mad_outliers",

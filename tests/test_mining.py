@@ -294,3 +294,48 @@ def test_grouped_hll_projection_runs_on_a_stream(spark, tmp_path):
         .groupBy("grp", "bucket").agg(F.max("rank").alias("r")).collect()
     }
     assert got == ref
+
+
+def test_cooccurrence_cosine_bounds_and_symmetry(spark):
+    """Cosine must lie in (0, 1]; an item paired with itself in every
+    basket (perfect overlap) scores exactly 1.0."""
+    from osm_pbf_parquet_spark.operators.itemsets import cooccurrence_cosine_topk
+
+    rows = ([("b%d" % i, "x") for i in range(4)]
+            + [("b%d" % i, "y") for i in range(4)]
+            + [("b0", "z"), ("b1", "z")])
+    df = spark.createDataFrame(rows, "basket string, item string")
+    got = cooccurrence_cosine_topk(df, "basket", "item", min_item=2, k=10).collect()
+    top = got[0]
+    assert (top["item_1"], top["item_2"], top["cosine"]) == ("x", "y", 1.0)
+    assert all(0 < r["cosine"] <= 1.0 for r in got)
+    # z co-occurs with each of x,y in 2 of their 4 baskets: 2/sqrt(2*4)
+    zrows = {(r["item_1"], r["item_2"]): r["cosine"] for r in got}
+    import math
+    assert zrows[("x", "z")] == 2 / math.sqrt(8)
+
+
+def test_kcore_peels_to_dense_backbone(spark):
+    """K5 with pendant chains: the 4-core is exactly the K5 (every
+    survivor at degree 4); a k above the max clique degree empties."""
+    from osm_pbf_parquet_spark.operators.graph import kcore_peel
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chains = [(0, 100), (100, 101), (1, 200), (200, 201), (201, 202)]
+    df = spark.createDataFrame(k5 + chains, "src long, dst long")
+    rows = kcore_peel(df, k=4, rounds=4).collect()
+    assert sorted((r["node"], r["deg"]) for r in rows) == [
+        (0, 4), (1, 4), (2, 4), (3, 4), (4, 4)]
+    assert kcore_peel(df, k=5, rounds=4).count() == 0
+
+
+def test_kcore_monotone_rounds(spark):
+    """More peel rounds can only shrink the survivor set (each round's
+    alive set is a subset of the previous)."""
+    from osm_pbf_parquet_spark.operators.graph import kcore_peel
+
+    rng = __import__("random").Random(3)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(200)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sizes = [kcore_peel(df, k=3, rounds=r).count() for r in (1, 2, 4)]
+    assert sizes[0] >= sizes[1] >= sizes[2]
