@@ -360,3 +360,21 @@ def ewma_smooth(
             ).alias("ewma"),
         )
     )
+
+
+def scd2_snapshot(intervals: DataFrame, at, ts_col_from: str = "valid_from",
+                  ts_col_to: str = "valid_to") -> DataFrame:
+    """Point-in-time reconstruction (time travel) over an SCD-2 interval
+    table: the rows valid AT ``at`` — i.e. ``valid_from <= at`` and
+    (``valid_to`` IS NULL or ``at < valid_to``). Composes with
+    ``scd2_intervals``: snapshot(intervals(log), t) equals the latest
+    change per key at or before t.
+
+    Scale: a pure filter — no shuffle, no window; on a parquet-backed
+    interval table both bounds push down to row-group pruning (cluster
+    the write by valid_from for the zone-map win).
+    """
+    return intervals.where(
+        (F.col(ts_col_from) <= F.lit(at))
+        & (F.col(ts_col_to).isNull() | (F.lit(at) < F.col(ts_col_to)))
+    )

@@ -484,3 +484,25 @@ def test_exact_quantiles_full_int64_range_and_dup_qs(spark):
     assert got == {(0, 1): sv[0], (1, 2): sv[(len(sv) - 1) // 2], (1, 1): sv[-1]}
     with pytest.raises(ValueError):
         exact_quantiles(df, "v", [(3, 2)]).collect()
+
+
+def test_scd2_snapshot_reconstructs_point_in_time(spark):
+    """snapshot(intervals(log), t) = latest change per key at/before t;
+    exactly one row per key with history at t, none for keys whose
+    first change is after t."""
+    from osm_pbf_parquet_spark.operators.ordered import (
+        scd2_intervals, scd2_snapshot,
+    )
+
+    log = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "b", 20, 2), (1, "c", 30, 3),
+         (2, "x", 25, 4), (3, "q", 5, 5), (3, "q", 15, 6)],
+        "k long, attr string, ts long, eid long",
+    )
+    iv = scd2_intervals(log, "k", "attr", "ts", "eid")
+    snap = {r["k"]: r["attr"]
+            for r in scd2_snapshot(iv, 22).collect()}
+    # at t=22: key1 on 'b' (20<=22<30), key2 'x' (25>22? no -> absent),
+    # key3 'q' (5<=22, no close)
+    assert snap == {1: "b", 3: "q"}
+    assert {r["k"] for r in scd2_snapshot(iv, 25).collect()} == {1, 2, 3}
