@@ -109,7 +109,7 @@ _CHECK_FIRST = [
     "text_entropy",
     "funnel_depths",
     "table_checksum",
-    "zscore_anomalies",
+    "dataset_diff",
     "tokenize_corpus",
     # --- remaining similarity.py / sketches.py routes ---
     "ann_lsh_pairs",
@@ -159,12 +159,15 @@ _CHECK_FIRST = [
     #      plan-file-taint-only (advanced_queries.py was edited; these
     #      queries' operator modules are untouched since their r5
     #      driver-green rows — sampling.py, functions/udx.py, skew.py —
-    #      or their executed code lives wholly in the plan file with
+    #      or their executed code lives wholly in the plan file
+    #      (mutual_information, token_drift_js, zscore_anomalies) with
     #      13 sibling gates of that file inside the cap; ordered.py's
-    #      cohort_retention/dataset_diff have six ordered.py siblings
-    #      in-cap; poisson_bootstrap's sketches.py has seven). The
-    #      text.py-routed composites (clean_corpus, full_curation, …)
-    #      ride the same helpers the four in-cap text gates certify ----
+    #      cohort_retention has seven ordered.py siblings in-cap
+    #      (dataset_diff stays IN-cap: its operator module ordered.py
+    #      gained scd2_snapshot this round); poisson_bootstrap's
+    #      sketches.py has seven in-cap). The text.py-routed composites
+    #      (clean_corpus, full_curation, …) ride the same helpers the
+    #      four in-cap text gates certify ----
     "grouped_split",
     "cogroup_reconcile",
     "salted_join",
@@ -172,7 +175,7 @@ _CHECK_FIRST = [
     "mutual_information",
     "poisson_bootstrap",
     "token_drift_js",
-    "dataset_diff",
+    "zscore_anomalies",
     "clean_corpus_pipeline",
     "text_fingerprint",
     "pii_scrub",

@@ -178,6 +178,20 @@ def bfs_hops(
     return tie_release(visited, ps, owned)
 
 
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected edge set: drop self-loops, order each edge
+    (u < v), dedupe — THE single definition of what an undirected edge
+    is for this module's operators."""
+    return (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
+        )
+        .distinct()
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst", cache=None
 ) -> DataFrame:
@@ -198,15 +212,7 @@ def triangle_count(
     from ..functions.caching import owned_set, tie_release
 
     ps, owned = owned_set(cache)
-    und = (
-        edges.filter(F.col(src) != F.col(dst))
-        .select(
-            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
-            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
-        )
-        .distinct()
-    )
-    und = ps.persist(und)
+    und = ps.persist(_undirected(edges, src, dst))
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -270,21 +276,20 @@ def kcore_peel(
     aggregation; the survivor set is persisted so the next round scans
     a materialization. Nothing is collected.
 
-    Returns the surviving (node, deg) after the final round — deg is
-    the degree WITHIN the surviving subgraph (≥ k for every row once
-    converged).
+    Returns the surviving (node, deg) after the final round. ``deg`` is
+    each survivor's degree within the PREVIOUS round's alive set (the
+    subgraph its final filter was evaluated against); once peeling has
+    converged — a round that removes nothing — that equals the degree
+    within the surviving subgraph itself, ≥ k for every row. On a
+    non-converged bounded peel, treat deg as an upper bound.
     """
     from ..functions.caching import owned_set, tie_release
 
+    if rounds < 1 or k < 1:
+        raise ValueError(f"kcore_peel needs rounds >= 1 and k >= 1; "
+                         f"got rounds={rounds}, k={k}")
     ps, owned = owned_set(cache)
-    und = (
-        edges.filter(F.col(src) != F.col(dst))
-        .select(
-            F.least(F.col(src), F.col(dst)).cast("long").alias("u"),
-            F.greatest(F.col(src), F.col(dst)).cast("long").alias("v"),
-        )
-        .distinct()
-    )
+    und = _undirected(edges, src, dst)
     e = ps.persist(
         und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )

@@ -13,11 +13,57 @@ filter join; with a too-low floor it degrades to a keyed shuffle join,
 never a collect), and only then self-joined per basket. The pair join
 is co-partitioned on the basket key; pair counting is one map-side-
 combinable aggregation. Nothing quadratic in the corpus ever forms.
+
+Both public operators (``frequent_item_pairs``,
+``cooccurrence_cosine_topk``) and the k-core edge build share the one
+``basket_pairs`` pipeline, so the scale guarantees live in a single
+place.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def basket_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item: int,
+) -> tuple[DataFrame, DataFrame]:
+    """THE shared Apriori-pruned pair pipeline (see module docstring):
+    dedupe (basket, item), count item supports, drop items below
+    ``min_item``, self-join per basket, count pairs.
+
+    Returns ``(pairs, deg)``: pairs = (item_1 < item_2, co_count
+    BIGINT) over surviving items only; deg = (item, n BIGINT) supports
+    of the surviving items (taken BEFORE the pair join, so they are
+    true basket-set sizes).
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    deg = (
+        b.groupBy("item")
+        .agg(F.count("*").cast("long").alias("n"))
+        .where(F.col("n") >= min_item)
+    )
+    # bounded by total_rows/min_item — broadcastable ONLY when min_item
+    # is set proportionally to the corpus (a fixed min_item=3 at 100 TB
+    # leaves a huge dimension). No forced hint: AQE broadcasts it when
+    # it is small and falls back to a shuffle join when it is not.
+    fb = b.join(deg.select("item"), "item")
+    pairs = (
+        fb.alias("a")
+        .join(fb.alias("b"), "basket")
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_1"),
+            F.col("b.item").alias("item_2"),
+        )
+        .agg(F.count("*").cast("long").alias("co_count"))
+    )
+    return pairs, deg
 
 
 def frequent_item_pairs(
@@ -36,34 +82,13 @@ def frequent_item_pairs(
     collapse first. Returns (item_1, item_2, pair_support) with
     item_1 < item_2, ordered by (pair_support desc, item_1, item_2).
     """
-    b = baskets.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
-    freq = (
-        b.groupBy("item")
-        .agg(F.count("*").alias("item_support"))
-        .where(F.col("item_support") >= min_item)
-        .select("item")
+    pairs, _deg = basket_pairs(baskets, basket_col, item_col, min_item)
+    return (
+        pairs.where(F.col("co_count") >= min_pair)
+        .select("item_1", "item_2", F.col("co_count").alias("pair_support"))
+        .orderBy(F.desc("pair_support"), "item_1", "item_2")
+        .limit(k)
     )
-    # bounded by total_rows/min_item — broadcastable ONLY when min_item
-    # is set proportionally to the corpus (a fixed min_item=3 at 100 TB
-    # leaves a huge dimension). No forced hint: AQE broadcasts it when
-    # it is small and falls back to a shuffle join when it is not.
-    fb = b.join(freq, "item")
-    pairs = (
-        fb.alias("a")
-        .join(fb.alias("b"), "basket")
-        .where(F.col("a.item") < F.col("b.item"))
-        .groupBy(
-            F.col("a.item").alias("item_1"),
-            F.col("b.item").alias("item_2"),
-        )
-        .agg(F.count("*").cast("long").alias("pair_support"))
-        .where(F.col("pair_support") >= min_pair)
-    )
-    return pairs.orderBy(
-        F.desc("pair_support"), "item_1", "item_2"
-    ).limit(k)
 
 
 def cooccurrence_cosine_topk(
@@ -78,38 +103,24 @@ def cooccurrence_cosine_topk(
     set of item i, sim(i, j) = |Γᵢ∩Γⱼ| / √(|Γᵢ|·|Γⱼ|) (cosine of the
     binary basket-incidence vectors).
 
-    All counts are exact BIGINTs from the same Apriori-pruned pair
-    pipeline as ``frequent_item_pairs`` (items below ``min_item``
-    support are out of scope by contract — they cannot affect any
-    surviving pair's numerator OR denominator, since degrees are taken
-    before pruning); the only float work is one division by one square
-    root per pair — IEEE-deterministic, so the top-k cut is
-    reproducible cross-engine, with (item_1, item_2) tie-breaks.
+    All counts are exact BIGINTs from the shared ``basket_pairs``
+    pipeline (items below ``min_item`` support are out of scope by
+    contract — they cannot affect any surviving pair's numerator OR
+    denominator, since degrees are taken before pruning); the degree
+    product is computed in DOUBLES (n₁·n₂ can pass 2⁶³ when both items
+    sit in billions of baskets — a BIGINT product would wrap to NaN
+    cosines that SORT FIRST under desc), and the division + sqrt are
+    IEEE-deterministic, so the top-k cut is reproducible cross-engine,
+    with (item_1, item_2) tie-breaks.
 
-    Scale: the pair explosion is bounded exactly as in the module
-    docstring; degree annotation is two keyed joins against the
-    item-degree dimension; the global top-k lowers to
-    TakeOrderedAndProject. Returns (item_1, item_2, co_count, n_1,
-    n_2, cosine) ordered by (cosine desc, item_1, item_2).
+    Scale: inherits ``basket_pairs``' bounds; degree annotation is two
+    keyed joins against the item-degree dimension; the global top-k
+    lowers to TakeOrderedAndProject. Returns (item_1, item_2, co_count,
+    n_1, n_2, cosine) ordered by (cosine desc, item_1, item_2).
     """
-    b = baskets.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
-    deg = b.groupBy("item").agg(F.count("*").cast("long").alias("n"))
-    freq = deg.where(F.col("n") >= min_item)
-    fb = b.join(freq.select("item"), "item")
-    pairs = (
-        fb.alias("a")
-        .join(fb.alias("b"), "basket")
-        .where(F.col("a.item") < F.col("b.item"))
-        .groupBy(
-            F.col("a.item").alias("item_1"),
-            F.col("b.item").alias("item_2"),
-        )
-        .agg(F.count("*").cast("long").alias("co_count"))
-    )
-    d1 = freq.select(F.col("item").alias("item_1"), F.col("n").alias("n_1"))
-    d2 = freq.select(F.col("item").alias("item_2"), F.col("n").alias("n_2"))
+    pairs, deg = basket_pairs(baskets, basket_col, item_col, min_item)
+    d1 = deg.select(F.col("item").alias("item_1"), F.col("n").alias("n_1"))
+    d2 = deg.select(F.col("item").alias("item_2"), F.col("n").alias("n_2"))
     scored = (
         pairs.join(d1, "item_1")
         .join(d2, "item_2")
@@ -117,7 +128,9 @@ def cooccurrence_cosine_topk(
             "item_1", "item_2", "co_count", "n_1", "n_2",
             (
                 F.col("co_count").cast("double")
-                / F.sqrt((F.col("n_1") * F.col("n_2")).cast("double"))
+                / F.sqrt(
+                    F.col("n_1").cast("double") * F.col("n_2").cast("double")
+                )
             ).alias("cosine"),
         )
     )

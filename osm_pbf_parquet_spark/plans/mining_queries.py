@@ -269,7 +269,8 @@ p AS (
 ),
 s AS (
   SELECT p.item_1, p.item_2, p.co_count, d1.n AS n_1, d2.n AS n_2,
-         CAST(p.co_count AS DOUBLE) / sqrt(CAST(d1.n * d2.n AS DOUBLE)) AS cosine
+         CAST(p.co_count AS DOUBLE)
+           / sqrt(CAST(d1.n AS DOUBLE) * CAST(d2.n AS DOUBLE)) AS cosine
   FROM p JOIN deg d1 ON p.item_1 = d1.item JOIN deg d2 ON p.item_2 = d2.item
 )
 SELECT * FROM s ORDER BY cosine DESC, item_1, item_2 LIMIT {_CF_K}
@@ -286,24 +287,19 @@ _KC_MIN_SUP = 2
 def q_kcore_parts(spark, sf_dir):
     """4-round 3-core peel of the part co-purchase graph (support ≥ 2):
     the dense backbone left after repeatedly shedding weakly-connected
-    parts; the oracle unrolls the same synchronous peeling."""
+    parts; the oracle unrolls the same synchronous peeling. The edge
+    list comes from the shared Apriori-pruned ``basket_pairs`` pipeline
+    (item support ≥ 2 prefilter — lossless for support-≥-2 pairs, and
+    the bound that keeps the per-basket self-join from going quadratic
+    in the corpus)."""
     from ..operators.graph import kcore_peel
 
-    b = (
-        _t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("basket"),
-                F.col("l_partkey").alias("item"))
-        .distinct()
+    pairs, _deg = itemsets.basket_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_item=_KC_MIN_SUP,
     )
-    a = b.select(F.col("basket"), F.col("item").alias("u"))
-    c = b.select(F.col("basket"), F.col("item").alias("v"))
-    edges = (
-        a.join(c, "basket")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= _KC_MIN_SUP)
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    edges = pairs.filter(F.col("co_count") >= _KC_MIN_SUP).select(
+        F.col("item_1").alias("src"), F.col("item_2").alias("dst")
     )
     return kcore_peel(edges, k=_KC_K, rounds=_KC_ROUNDS)
 

@@ -339,3 +339,13 @@ def test_kcore_monotone_rounds(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     sizes = [kcore_peel(df, k=3, rounds=r).count() for r in (1, 2, 4)]
     assert sizes[0] >= sizes[1] >= sizes[2]
+
+
+def test_kcore_rejects_bad_args(spark):
+    from osm_pbf_parquet_spark.operators.graph import kcore_peel
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        kcore_peel(df, k=3, rounds=0)
+    with pytest.raises(ValueError):
+        kcore_peel(df, k=0, rounds=1)
