@@ -1,0 +1,268 @@
+"""Model/label evaluation operators for training-data pipelines:
+distributed ROC-AUC, Cohen's kappa (inter-annotator agreement),
+calibration (reliability) bins, and per-group Welch's t-test for A/B
+experiment readouts.
+
+Reference context: the reference engine validates transcode output with
+a differential checker (``osm-pbf-parquet/test/validate.py:57-217``);
+these operators generalize that "score the produced labels against a
+reference" capability into reusable, exactly-oracled evaluation
+primitives a curation pipeline runs at corpus scale (did the lang-id
+model agree with the annotators? is the quality classifier calibrated?
+did the A/B arm move the metric?).
+
+Determinism: every operator reduces the data to EXACT integer
+sufficient statistics (BIGINT / decimal(38,0) sums of pre-scaled
+values) before any floating-point division, so results are
+IEEE-deterministic and order-independent — the DuckDB oracles match
+value-hash-exactly, not within tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["roc_auc", "cohens_kappa", "calibration_bins", "welch_ttest"]
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    coarse_width: int = 1024,
+) -> DataFrame:
+    """Exact ROC-AUC by rank statistics, distributed with no global sort.
+
+    ``score_col`` must be an INTEGER score (callers scale floats
+    deterministically, e.g. ``floor((s+1)*500000)`` — the bounded score
+    domain is what makes the prefix structure data-size independent);
+    ``label_col`` is 0/1. Uses the pair-counting identity
+
+        AUC = (C + T/2) / (npos * nneg)
+            = (2C + T) / (2 * npos * nneg)
+
+    with C the count of (pos, neg) pairs where score_pos > score_neg and
+    T the tied pairs. Both come from per-distinct-score (pos, neg)
+    counts plus a prefix sum of negatives over ascending score.
+
+    Scale: one groupBy collapses the corpus to ≤ |score domain| rows.
+    The prefix sum is TWO-LEVEL — a window over coarse buckets
+    (score div coarse_width: domain-bounded row count, NOT data-bounded)
+    plus a per-bucket local window of ≤ coarse_width rows — so no
+    single-partition window ever sees more than ``coarse_width`` rows
+    regardless of corpus size. Pair counts are summed in decimal(38,0):
+    2C ≤ n²/2 wraps int64 past n ≈ 6·10⁹, decimal carries to 10¹⁹ rows.
+    """
+    s = (
+        df.groupBy(F.col(score_col).cast("long").alias("_s"))
+        .agg(
+            F.sum(F.col(label_col).cast("long")).alias("_pos"),
+            (F.count(F.lit(1)) - F.sum(F.col(label_col).cast("long"))).alias(
+                "_neg"
+            ),
+        )
+        .withColumn("_b", F.expr(f"_s div {int(coarse_width)}"))
+    )
+    bucket_tot = s.groupBy("_b").agg(F.sum("_neg").alias("_bneg"))
+    # domain-sized window: one row per coarse bucket, never over data
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "_b", F.coalesce(F.sum("_bneg").over(wb), F.lit(0)).alias("_boff")
+    )
+    wl = Window.partitionBy("_b").orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    with_cum = (
+        s.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "_cumneg",
+            F.coalesce(F.sum("_neg").over(wl), F.lit(0)) + F.col("_boff"),
+        )
+    )
+    dec = "decimal(38,0)"
+    agg = with_cum.agg(
+        F.sum(
+            (F.lit(2) * F.col("_pos") * F.col("_cumneg")).cast(dec)
+            + (F.col("_pos") * F.col("_neg")).cast(dec)
+        ).alias("_c2t"),
+        F.sum("_pos").cast("long").alias("npos"),
+        F.sum("_neg").cast("long").alias("nneg"),
+    )
+    return agg.select(
+        (F.col("npos") + F.col("nneg")).alias("n"),
+        "npos",
+        "nneg",
+        # degenerate corpora (a single class) have no defined AUC: NULL,
+        # not an IEEE Inf/NaN that would poison downstream aggregates
+        F.when(
+            (F.col("npos") > 0) & (F.col("nneg") > 0),
+            F.round(
+                F.col("_c2t").cast("double")
+                / (
+                    F.lit(2).cast("double")
+                    * F.col("npos").cast("double")
+                    * F.col("nneg").cast("double")
+                ),
+                9,
+            ),
+        ).alias("auc"),
+    )
+
+
+def cohens_kappa(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Cohen's kappa between two categorical label columns (e.g. a
+    human-annotated language vs the lang-id model's prediction).
+
+    With N the row count, D the diagonal (agreement) count and
+    S = Σ_k row_k·col_k the chance-agreement cross term over categories,
+
+        kappa = (p_o − p_e) / (1 − p_e) = (N·D − S) / (N² − S)
+
+    — numerator and denominator exact BIGINTs (valid to N ≈ 3·10⁹, same
+    bound as ``quality.chi_square_cells``; shard beyond), one final
+    float division. Scale: two map-side-combinable groupBys over the
+    data produce category-bounded marginal tables; the cross term is a
+    join of those two tiny tables — never a shuffle of the corpus
+    beyond the two aggs.
+    """
+    n_agree = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col(a) == F.col(b), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("agree"),
+    )
+    ra = df.groupBy(F.col(a).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_r")
+    )
+    cb = df.groupBy(F.col(b).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    cross = (
+        ra.join(cb, "_k", "inner")  # absent categories contribute 0
+        .agg(F.coalesce(F.sum(F.col("_r") * F.col("_c")), F.lit(0))
+             .cast("long").alias("_s"))
+    )
+    joined = n_agree.crossJoin(F.broadcast(cross))  # 1×1 rows
+    return joined.select(
+        "n",
+        "agree",
+        F.round(
+            (F.col("n") * F.col("agree") - F.col("_s")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("_s")).cast("double"),
+            9,
+        ).alias("kappa"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: bucket a
+    pre-scaled integer score (``score_col`` in [0, scale]) into ``bins``
+    equal-width bins and report per-bin count, empirical positive rate,
+    and mean predicted score — the calibration curve's points.
+
+    Exactness: the bin id and the score sum are integer arithmetic;
+    the two divisions (pos/n, sum/(n·scale)) are single IEEE ops on
+    exact inputs. Scale: ONE map-side-combinable groupBy with ``bins``
+    output rows; nothing else touches the data.
+    """
+    width = scale // bins
+    b = F.least(
+        F.expr(f"cast({score_col} as bigint) div {width}"), F.lit(bins - 1)
+    ).cast("int")
+    out = df.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("positives"),
+        F.sum(F.col(score_col).cast("long")).alias("_ssum"),
+    )
+    return out.select(
+        "bin",
+        "n",
+        "positives",
+        F.round(
+            F.col("positives").cast("double") / F.col("n").cast("double"), 9
+        ).alias("pos_rate"),
+        F.round(
+            F.col("_ssum").cast("double")
+            / (F.col("n").cast("double") * F.lit(float(scale))),
+            9,
+        ).alias("mean_score"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_scaled_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group Welch's unequal-variance t-test between arms 0 and 1 of
+    an experiment (arm assignment is the caller's deterministic hash —
+    see ``sampling.hash_mod_expr``). ``value_scaled_col`` is the metric
+    pre-scaled to BIGINT (v·scale); its square must fit int64, i.e.
+    |v| < 3·10⁹/scale — document or re-scale beyond.
+
+    ONE map-side-combinable groupBy produces exact per-arm sufficient
+    statistics (n, Σv, Σv² — sums in decimal(38,0), overflow-raising
+    rather than wrapping); means, variances, the t statistic and the
+    Welch–Satterthwaite df are then scalar float ops on exact inputs,
+    identical either engine. Groups with an empty or singleton arm get
+    NULL t/df rather than an error.
+    """
+    dec = "decimal(38,0)"
+    v = F.col(value_scaled_col).cast("long")
+    is1 = F.col(arm_col) == 1
+    agg = df.groupBy(group_col).agg(
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum(F.when(~is1, v).cast(dec)), F.lit(0).cast(dec))
+        .alias("_s0"),
+        F.coalesce(F.sum(F.when(is1, v).cast(dec)), F.lit(0).cast(dec))
+        .alias("_s1"),
+        F.coalesce(F.sum(F.when(~is1, v * v).cast(dec)), F.lit(0).cast(dec))
+        .alias("_q0"),
+        F.coalesce(F.sum(F.when(is1, v * v).cast(dec)), F.lit(0).cast(dec))
+        .alias("_q1"),
+    )
+    sc = F.lit(float(scale))
+    mean0 = F.col("_s0").cast("double") / (F.col("n0").cast("double") * sc)
+    mean1 = F.col("_s1").cast("double") / (F.col("n1").cast("double") * sc)
+    # sample variance in ORIGINAL units: (Σv² − (Σv)²/n) / (n−1) / scale²
+    var0 = (
+        F.col("_q0").cast("double")
+        - F.col("_s0").cast("double") * F.col("_s0").cast("double")
+        / F.col("n0").cast("double")
+    ) / ((F.col("n0").cast("double") - F.lit(1.0)) * sc * sc)
+    var1 = (
+        F.col("_q1").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1").cast("double")
+        / F.col("n1").cast("double")
+    ) / ((F.col("n1").cast("double") - F.lit(1.0)) * sc * sc)
+    se0 = var0 / F.col("n0").cast("double")
+    se1 = var1 / F.col("n1").cast("double")
+    ok = (F.col("n0") > 1) & (F.col("n1") > 1)
+    t = F.when(ok, (mean0 - mean1) / F.sqrt(se0 + se1))
+    dof = F.when(
+        ok,
+        (se0 + se1) * (se0 + se1)
+        / (
+            se0 * se0 / (F.col("n0").cast("double") - F.lit(1.0))
+            + se1 * se1 / (F.col("n1").cast("double") - F.lit(1.0))
+        ),
+    )
+    return agg.select(
+        group_col,
+        "n0",
+        "n1",
+        F.round(mean0, 9).alias("mean0"),
+        F.round(mean1, 9).alias("mean1"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+    )

@@ -61,5 +61,8 @@ def test_r6_new_queries_inside_driver_cap():
                  "profile_table", "dq_checks", "mad_outliers",
                  "chi_square_assoc", "ewma_smooth", "hll_set_ops",
                  "stream_dq_monitor", "exact_quantiles", "feature_hashing",
-                 "group_regression"):
+                 "group_regression",
+                 # evaluation suite (r6 session 3, never driver-checked)
+                 "auc_score", "kappa_lang_agreement", "calibration_curve",
+                 "ab_welch_by_type", "scd2_snapshot"):
         assert name in head, name
