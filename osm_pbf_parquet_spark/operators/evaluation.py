@@ -51,9 +51,11 @@ def roc_auc(
     (score div coarse_width: domain-bounded row count, NOT data-bounded)
     plus a per-bucket local window of ≤ coarse_width rows — so no
     single-partition window ever sees more than ``coarse_width`` rows
-    regardless of corpus size. Pair counts are summed in decimal(38,0):
-    2C ≤ n²/2 wraps int64 past n ≈ 6·10⁹, decimal carries to 10¹⁹ rows.
+    regardless of corpus size. Pair counts are computed AND summed in
+    decimal (operands cast before the multiply): 2C ≤ n²/2 wraps int64
+    past n ≈ 6·10⁹; decimal(38,0) carries to n ≈ 10¹⁸ rows.
     """
+    w = int(coarse_width)
     s = (
         df.groupBy(F.col(score_col).cast("long").alias("_s"))
         .agg(
@@ -62,7 +64,9 @@ def roc_auc(
                 "_neg"
             ),
         )
-        .withColumn("_b", F.expr(f"_s div {int(coarse_width)}"))
+        # FLOOR division (pmod remainder is non-negative), not `div`'s
+        # truncate-toward-zero: buckets stay monotone for negative scores
+        .withColumn("_b", F.expr(f"(_s - pmod(_s, {w})) div {w}"))
     )
     bucket_tot = s.groupBy("_b").agg(F.sum("_neg").alias("_bneg"))
     # domain-sized window: one row per coarse bucket, never over data
@@ -80,11 +84,16 @@ def roc_auc(
             F.coalesce(F.sum("_neg").over(wl), F.lit(0)) + F.col("_boff"),
         )
     )
-    dec = "decimal(38,0)"
+    # cast operands to decimal BEFORE multiplying: pos·cumneg wraps int64
+    # past n ≈ 6·10⁹ even though each factor fits (the per-term product,
+    # not just the sum, must leave the int64 domain). decimal(19,0)
+    # operands → decimal(38,0) products: exact to n ≈ 10¹⁸ rows.
+    d19 = "decimal(19,0)"
     agg = with_cum.agg(
         F.sum(
-            (F.lit(2) * F.col("_pos") * F.col("_cumneg")).cast(dec)
-            + (F.col("_pos") * F.col("_neg")).cast(dec)
+            F.lit(2).cast(d19) * F.col("_pos").cast(d19)
+            * F.col("_cumneg").cast(d19)
+            + F.col("_pos").cast(d19) * F.col("_neg").cast(d19)
         ).alias("_c2t"),
         F.sum("_pos").cast("long").alias("npos"),
         F.sum("_neg").cast("long").alias("nneg"),
@@ -179,7 +188,9 @@ def calibration_bins(
     out = df.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col(label_col).cast("long")).alias("positives"),
-        F.sum(F.col(score_col).cast("long")).alias("_ssum"),
+        # decimal sum: a BIGINT sum of scale-sized scores wraps past
+        # ~9·10¹⁸/scale rows per bin; decimal(38,0) never will
+        F.sum(F.col(score_col).cast("decimal(19,0)")).alias("_ssum"),
     )
     return out.select(
         "bin",
@@ -206,8 +217,8 @@ def welch_ttest(
     """Per-group Welch's unequal-variance t-test between arms 0 and 1 of
     an experiment (arm assignment is the caller's deterministic hash —
     see ``sampling.hash_mod_expr``). ``value_scaled_col`` is the metric
-    pre-scaled to BIGINT (v·scale); its square must fit int64, i.e.
-    |v| < 3·10⁹/scale — document or re-scale beyond.
+    pre-scaled to BIGINT (v·scale); squares are formed on decimal(19,0)
+    operands, so any int64-ranged input is exact — no overflow bound.
 
     ONE map-side-combinable groupBy produces exact per-arm sufficient
     statistics (n, Σv, Σv² — sums in decimal(38,0), overflow-raising
@@ -218,6 +229,9 @@ def welch_ttest(
     """
     dec = "decimal(38,0)"
     v = F.col(value_scaled_col).cast("long")
+    # square on decimal operands: v*v in int64 wraps silently past |v| ~ 3e9
+    vq = F.col(value_scaled_col).cast("decimal(19,0)")
+    sq = vq * vq
     is1 = F.col(arm_col) == 1
     agg = df.groupBy(group_col).agg(
         F.sum(F.when(~is1, 1).otherwise(0)).cast("long").alias("n0"),
@@ -226,9 +240,9 @@ def welch_ttest(
         .alias("_s0"),
         F.coalesce(F.sum(F.when(is1, v).cast(dec)), F.lit(0).cast(dec))
         .alias("_s1"),
-        F.coalesce(F.sum(F.when(~is1, v * v).cast(dec)), F.lit(0).cast(dec))
+        F.coalesce(F.sum(F.when(~is1, sq).cast(dec)), F.lit(0).cast(dec))
         .alias("_q0"),
-        F.coalesce(F.sum(F.when(is1, v * v).cast(dec)), F.lit(0).cast(dec))
+        F.coalesce(F.sum(F.when(is1, sq).cast(dec)), F.lit(0).cast(dec))
         .alias("_q1"),
     )
     sc = F.lit(float(scale))
