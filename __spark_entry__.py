@@ -65,6 +65,12 @@ def _registry() -> dict[str, tuple]:
         reg.update(EVAL_QUERIES)
     except ImportError:
         pass
+    try:
+        from osm_pbf_parquet_spark.plans.media_queries import MEDIA_QUERIES
+
+        reg.update(MEDIA_QUERIES)
+    except ImportError:
+        pass
     return _verification_order(reg)
 
 
@@ -100,6 +106,10 @@ _CHECK_FIRST = [
     "calibration_curve",
     "ab_welch_by_type",
     "scd2_snapshot",
+    # --- r6-NEW media-dedup gates (operators/phash.py +
+    #     plans/media_queries.py, new modules): never driver-checked ---
+    "image_dhash",
+    "image_near_dup_pairs",
     # --- r6 behavior changes: must re-certify ---
     "histogram_quantiles",
     "gram_matrix",
@@ -123,8 +133,6 @@ _CHECK_FIRST = [
     "text_entropy",
     "funnel_depths",
     "table_checksum",
-    "dataset_diff",
-    "tokenize_corpus",
     # --- remaining sketches.py route ---
     "stream_hll_distinct",
     # --- r6-NEW queries: never driver-checked ---
@@ -173,7 +181,12 @@ _CHECK_FIRST = [
     #      histogram_quantiles; three sketch gates in-cap), and
     #      text_stats/text_lang_id (with_language certified by in-cap
     #      kappa_lang_agreement; four text-routed gates in-cap). These
-    #      five head the r7 rotation if their modules stay untouched.
+    #      five head the r7 rotation if their modules stay untouched —
+    #      as do dataset_diff and tokenize_corpus, displaced for the two
+    #      media-dedup gates (dataset_diff: ordered.py keeps SIX in-cap
+    #      siblings incl. the new scd2_snapshot; tokenize_corpus:
+    #      advanced_queries.py keeps twelve in-cap siblings and its
+    #      text-tokenizer helpers ride in-cap bm25_topk).
     #      The next eight below are
     #      plan-file-taint-only (advanced_queries.py was edited; these
     #      queries' operator modules are untouched since their r5
@@ -192,6 +205,8 @@ _CHECK_FIRST = [
     "cms_heavy_hitters",
     "text_stats",
     "text_lang_id",
+    "dataset_diff",
+    "tokenize_corpus",
     "grouped_split",
     "cogroup_reconcile",
     "salted_join",
