@@ -193,13 +193,12 @@ _CHECK_FIRST = [
     #      driver-green rows — sampling.py, functions/udx.py, skew.py —
     #      or their executed code lives wholly in the plan file
     #      (mutual_information, token_drift_js, zscore_anomalies) with
-    #      13 sibling gates of that file inside the cap; ordered.py's
-    #      cohort_retention has seven ordered.py siblings in-cap
-    #      (dataset_diff stays IN-cap: its operator module ordered.py
-    #      gained scd2_snapshot this round); poisson_bootstrap's
-    #      sketches.py has seven in-cap). The text.py-routed composites
-    #      (clean_corpus, full_curation, …) ride the same helpers the
-    #      four in-cap text gates certify ----
+    #      sibling gates of that file inside the cap; ordered.py's
+    #      cohort_retention and dataset_diff have six ordered.py
+    #      siblings in-cap (incl. the new scd2_snapshot);
+    #      poisson_bootstrap's sketches.py has in-cap siblings). The
+    #      text.py-routed composites (clean_corpus, full_curation, …)
+    #      ride the same helpers the in-cap text gates certify ----
     "ann_lsh_pairs",
     "ann_ivf_topk",
     "cms_heavy_hitters",

@@ -44,7 +44,10 @@ def roc_auc(
 
     with C the count of (pos, neg) pairs where score_pos > score_neg and
     T the tied pairs. Both come from per-distinct-score (pos, neg)
-    counts plus a prefix sum of negatives over ascending score.
+    counts plus a prefix sum of negatives over ascending score. Rows
+    with a NULL score or label are EXCLUDED up front (a NULL score has
+    no rank; without the filter the NULL bucket key would silently
+    vanish at the offsets join and undercount n).
 
     Scale: one groupBy collapses the corpus to ≤ |score domain| rows.
     The prefix sum is TWO-LEVEL — a window over coarse buckets
@@ -56,6 +59,9 @@ def roc_auc(
     past n ≈ 6·10⁹; decimal(38,0) carries to n ≈ 10¹⁸ rows.
     """
     w = int(coarse_width)
+    df = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     s = (
         df.groupBy(F.col(score_col).cast("long").alias("_s"))
         .agg(
@@ -153,13 +159,19 @@ def cohens_kappa(df: DataFrame, a: str, b: str) -> DataFrame:
              .cast("long").alias("_s"))
     )
     joined = n_agree.crossJoin(F.broadcast(cross))  # 1×1 rows
+    # degenerate input (either rater constant => N² == S) has no defined
+    # kappa: NULL, not an ANSI DIVIDE_BY_ZERO abort
+    den = (F.col("n") * F.col("n") - F.col("_s")).cast("double")
     return joined.select(
         "n",
         "agree",
-        F.round(
-            (F.col("n") * F.col("agree") - F.col("_s")).cast("double")
-            / (F.col("n") * F.col("n") - F.col("_s")).cast("double"),
-            9,
+        F.when(
+            den != 0,
+            F.round(
+                (F.col("n") * F.col("agree") - F.col("_s")).cast("double")
+                / den,
+                9,
+            ),
         ).alias("kappa"),
     )
 
@@ -224,8 +236,9 @@ def welch_ttest(
     statistics (n, Σv, Σv² — sums in decimal(38,0), overflow-raising
     rather than wrapping); means, variances, the t statistic and the
     Welch–Satterthwaite df are then scalar float ops on exact inputs,
-    identical either engine. Groups with an empty or singleton arm get
-    NULL t/df rather than an error.
+    identical either engine. Degenerate groups degrade to NULLs, never
+    errors: an empty arm → NULL mean, a singleton arm → NULL t/df, and
+    two zero-variance arms → NULL t/df (0/0 is undefined).
     """
     dec = "decimal(38,0)"
     v = F.col(value_scaled_col).cast("long")
@@ -246,29 +259,43 @@ def welch_ttest(
         .alias("_q1"),
     )
     sc = F.lit(float(scale))
-    mean0 = F.col("_s0").cast("double") / (F.col("n0").cast("double") * sc)
-    mean1 = F.col("_s1").cast("double") / (F.col("n1").cast("double") * sc)
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    # every division is WHEN-guarded: under Spark 4's default ANSI mode a
+    # single empty/singleton/zero-variance arm would otherwise abort the
+    # WHOLE query with DIVIDE_BY_ZERO (CaseWhen short-circuits, so the
+    # guarded branch never evaluates); DuckDB yields NULL for the same
+    # divisions, so guard-to-NULL is also what keeps oracle parity
+    mean0 = F.when(F.col("n0") > 0, F.col("_s0").cast("double") / (n0d * sc))
+    mean1 = F.when(F.col("n1") > 0, F.col("_s1").cast("double") / (n1d * sc))
     # sample variance in ORIGINAL units: (Σv² − (Σv)²/n) / (n−1) / scale²
-    var0 = (
-        F.col("_q0").cast("double")
-        - F.col("_s0").cast("double") * F.col("_s0").cast("double")
-        / F.col("n0").cast("double")
-    ) / ((F.col("n0").cast("double") - F.lit(1.0)) * sc * sc)
-    var1 = (
-        F.col("_q1").cast("double")
-        - F.col("_s1").cast("double") * F.col("_s1").cast("double")
-        / F.col("n1").cast("double")
-    ) / ((F.col("n1").cast("double") - F.lit(1.0)) * sc * sc)
-    se0 = var0 / F.col("n0").cast("double")
-    se1 = var1 / F.col("n1").cast("double")
+    var0 = F.when(
+        F.col("n0") > 1,
+        (
+            F.col("_q0").cast("double")
+            - F.col("_s0").cast("double") * F.col("_s0").cast("double") / n0d
+        ) / ((n0d - F.lit(1.0)) * sc * sc),
+    )
+    var1 = F.when(
+        F.col("n1") > 1,
+        (
+            F.col("_q1").cast("double")
+            - F.col("_s1").cast("double") * F.col("_s1").cast("double") / n1d
+        ) / ((n1d - F.lit(1.0)) * sc * sc),
+    )
+    se0 = var0 / n0d  # NULL-propagating, n0 > 1 inside the guard
+    se1 = var1 / n1d
+    sesum = se0 + se1
+    # zero-variance-both-arms has no defined t (0/0): NULL, not a crash.
+    # A NULL sesum makes the condition NULL -> else-branch NULL, so the
+    # ok-guard composes with the variance guards.
     ok = (F.col("n0") > 1) & (F.col("n1") > 1)
-    t = F.when(ok, (mean0 - mean1) / F.sqrt(se0 + se1))
+    t = F.when(ok & (sesum > 0), (mean0 - mean1) / F.sqrt(sesum))
     dof = F.when(
-        ok,
-        (se0 + se1) * (se0 + se1)
+        ok & (sesum > 0),
+        sesum * sesum
         / (
-            se0 * se0 / (F.col("n0").cast("double") - F.lit(1.0))
-            + se1 * se1 / (F.col("n1").cast("double") - F.lit(1.0))
+            se0 * se0 / (n0d - F.lit(1.0))
+            + se1 * se1 / (n1d - F.lit(1.0))
         ),
     )
     return agg.select(

@@ -47,6 +47,12 @@ def dhash_bits(pixels: bytes, width: int, height: int) -> tuple[int, int]:
     """28-bit (for 8×4) difference hash from row-major RGB bytes: bit
     y·(w−1)+x set iff luma(y, x+1) > luma(y, x). Returns (hash, n_bits).
     Pure integer ops — shared by the operator and the tests."""
+    if (width - 1) * height > 63:
+        raise ValueError(
+            f"dhash geometry {width}x{height} needs {(width - 1) * height} "
+            "bits > 63: shifts past the int64 hash are undefined — use a "
+            "smaller grid or split the hash into multiple columns"
+        )
     px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3)
     px = px.astype(np.int64)
     luma = (
@@ -81,6 +87,7 @@ def dhash_near_pairs(
     max_distance: int = 3,
     key: str = "doc_id",
     hash_col: str = "dhash",
+    cache=None,
 ) -> DataFrame:
     """Near-duplicate image pairs by banded Hamming join: split the
     fingerprint into ``bands`` bit-bands; candidates share ≥1 exact band;
@@ -93,13 +100,27 @@ def dhash_near_pairs(
 
     Scale: the only wide op is the equi-join on (band index, band bits) —
     candidate volume is Σ per-bucket n², the SimHash economics; never an
-    all-pairs comparison.
+    all-pairs comparison. The input is persisted before the self-join so
+    an expensive upstream (the real image decode) runs once, not once
+    per branch.
+
+    NOTE: intentionally parallel to ``dedup.simhash_dedup``'s banded
+    core (same pigeonhole guarantee, same join shape) but kept
+    self-contained: folding both onto one helper means editing
+    dedup.py, whose six driver-green gates would all need
+    re-certification under the module-taint rotation rule — consolidate
+    when dedup.py next rotates into the driver cap anyway.
     """
     if max_distance >= bands:
         raise ValueError(
             f"max_distance={max_distance} needs < bands={bands} for exact "
             "recall (pigeonhole); raise bands or lower the threshold"
         )
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    hashes = ps.persist(hashes)
+    hashes.count()  # populate before the self-join branches race it
     width = (n_bits + bands - 1) // bands
     mask = (1 << width) - 1
     bandvals = hashes.select(
@@ -124,12 +145,13 @@ def dhash_near_pairs(
         .distinct()
     )
     dist = F.expr("bit_count(_h ^ _h2)").cast("int")
-    return (
+    return tie_release(
         pairs.withColumn("hamming", dist)
         .where(F.col("hamming") <= max_distance)
         .select(
             F.col("_k").alias("doc_a"),
             F.col("_k2").alias("doc_b"),
             "hamming",
-        )
+        ),
+        ps, owned,
     )

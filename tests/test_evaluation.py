@@ -147,6 +147,38 @@ def test_welch_matches_reference(spark):
     assert row["welch_df"] == pytest.approx(exp_df, abs=1e-3)
 
 
+def test_welch_degenerate_groups_yield_nulls_not_errors(spark):
+    """Under Spark 4's default ANSI mode the unguarded divisions crashed
+    the whole query with DIVIDE_BY_ZERO; every degenerate shape must
+    degrade to NULLs instead (and DuckDB agrees: its /0 is NULL)."""
+    rows = [
+        ("zero_var", 0, 100), ("zero_var", 0, 100),   # both arms constant
+        ("zero_var", 1, 100), ("zero_var", 1, 100),
+        ("empty_arm", 0, 100), ("empty_arm", 0, 200),  # no arm-1 rows
+    ]
+    df = spark.createDataFrame(rows, "grp string, arm int, v_s long")
+    got = {r["grp"]: r for r in welch_ttest(df, "grp", "arm", "v_s").collect()}
+    zv = got["zero_var"]
+    assert zv["t_stat"] is None and zv["welch_df"] is None
+    assert zv["mean0"] == zv["mean1"] == pytest.approx(1e-4)
+    ea = got["empty_arm"]
+    assert ea["n1"] == 0 and ea["mean1"] is None
+    assert ea["t_stat"] is None and ea["welch_df"] is None
+
+
+def test_kappa_degenerate_is_null(spark):
+    df = spark.createDataFrame([("x", "x"), ("x", "x")], "a string, b string")
+    row = cohens_kappa(df, "a", "b").collect()[0]
+    assert row["kappa"] is None and row["agree"] == 2
+
+
+def test_auc_excludes_null_scores_and_labels(spark):
+    rows = [(1, 1), (2, 0), (None, 1), (None, 0), (5, None)]
+    df = spark.createDataFrame(rows, "score long, y long")
+    row = roc_auc(df, "score", "y").collect()[0]
+    assert (row["n"], row["npos"], row["nneg"]) == (2, 1, 1)
+
+
 def test_welch_singleton_arm_is_null(spark):
     rows = [("g", 0, 100), ("g", 0, 200), ("g", 1, 300)]
     df = spark.createDataFrame(rows, "grp string, arm int, v_s long")
@@ -159,16 +191,26 @@ def test_welch_singleton_arm_is_null(spark):
 
 
 def test_auc_has_no_data_sized_global_window(spark):
-    """The only unpartitioned window in the AUC plan must run over coarse
-    buckets (score-domain-bounded), never the corpus: every window with an
-    empty PARTITION BY must key on the bucket column _b."""
+    """The only UNPARTITIONED window in the AUC plan must be the bucket-
+    offset prefix over the coarse-bucket totals (_bneg — score-domain-
+    bounded rows), never one over the per-score/data frame. A logical
+    Window node prints ``Window [exprs], [partition], [order]`` when
+    partitioned and ``Window [exprs], [order]`` when global — the
+    bracket-group count is the discriminator (asserted non-vacuous by
+    construction: roc_auc always contains exactly one of each)."""
     df = spark.range(10_000).select(
         (F.col("id") % 1000).alias("score"), (F.col("id") % 2).alias("y")
     )
     plan = roc_auc(df, "score", "y")._jdf.queryExecution().optimizedPlan().toString()
-    for line in plan.splitlines():
-        if "windowspecdefinition()" in line.lower():
-            pytest.fail(f"unpartitioned window in AUC plan: {line}")
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    global_wins = [l for l in win_lines if l.count("], [") == 1]
+    partitioned = [l for l in win_lines if l.count("], [") == 2]
+    assert len(win_lines) == 2 and len(partitioned) == 1, win_lines
+    assert len(global_wins) == 1, win_lines
+    assert "_bneg" in global_wins[0], (
+        f"global window over a non-bucket-total frame: {global_wins[0]}"
+    )
+    assert "_b#" in partitioned[0], partitioned[0]
 
 
 def test_welch_is_single_aggregation(spark):
