@@ -105,6 +105,7 @@ _CHECK_FIRST = [
     "kappa_lang_agreement",
     "calibration_curve",
     "ab_welch_by_type",
+    "stream_ab_monitor",
     "scd2_snapshot",
     # --- r6-NEW media-dedup gates (operators/phash.py +
     #     plans/media_queries.py, new modules): never driver-checked ---
@@ -168,7 +169,6 @@ _CHECK_FIRST = [
     #     helper; with_language's direct row now comes from
     #     kappa_lang_agreement at position 2) ---
     "stream_quality_by_lang",
-    "text_quality",
     # ---- cap boundary (the driver checks the FIRST 50 entries; the
     #      names above land at exactly 1-50 — verified in
     #      test_entry's registry-order check). Everything below is
@@ -186,7 +186,10 @@ _CHECK_FIRST = [
     #      media-dedup gates (dataset_diff: ordered.py keeps SIX in-cap
     #      siblings incl. the new scd2_snapshot; tokenize_corpus:
     #      advanced_queries.py keeps twelve in-cap siblings and its
-    #      text-tokenizer helpers ride in-cap bm25_topk).
+    #      text-tokenizer helpers ride in-cap bm25_topk; text_quality:
+    #      displaced for the 10th streaming gate stream_ab_monitor —
+    #      its with_quality helper stays certified by in-cap
+    #      stream_quality_by_lang, which runs the same scorer).
     #      The next eight below are
     #      plan-file-taint-only (advanced_queries.py was edited; these
     #      queries' operator modules are untouched since their r5
@@ -206,6 +209,7 @@ _CHECK_FIRST = [
     "text_lang_id",
     "dataset_diff",
     "tokenize_corpus",
+    "text_quality",
     "grouped_split",
     "cogroup_reconcile",
     "salted_join",

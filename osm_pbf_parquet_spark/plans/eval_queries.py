@@ -151,25 +151,26 @@ def q_ab_welch(spark, sf_dir):
     return evaluation.welch_ttest(e, "event_type", "arm", "v_s", scale=_SCALE)
 
 
-ORACLE_AB_WELCH = f"""
+def _welch_oracle(group_col: str, base_select: str) -> str:
+    """Welch-t oracle body over an arbitrary grouping column; the base
+    CTE must yield (``group_col``, arm, v_s)."""
+    g = group_col
+    return f"""
 WITH base AS (
-  SELECT event_type,
-         CAST({_DUCK_ARM} AS INT) AS arm,
-         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS v_s
-  FROM events
+{base_select}
 ),
 agg AS (
-  SELECT event_type,
+  SELECT {g},
          CAST(SUM(CASE WHEN arm <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
          CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
          SUM(CASE WHEN arm <> 1 THEN v_s ELSE 0 END) AS s0,
          SUM(CASE WHEN arm = 1 THEN v_s ELSE 0 END) AS s1,
          SUM(CASE WHEN arm <> 1 THEN v_s * v_s ELSE 0 END) AS q0,
          SUM(CASE WHEN arm = 1 THEN v_s * v_s ELSE 0 END) AS q1
-  FROM base GROUP BY event_type
+  FROM base GROUP BY {g}
 ),
 stats AS (
-  SELECT event_type, n0, n1,
+  SELECT {g}, n0, n1,
          CAST(s0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * CAST(1000000 AS DOUBLE))
            AS mean0,
          CAST(s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(1000000 AS DOUBLE))
@@ -188,7 +189,7 @@ ses AS (
   SELECT *, var0 / CAST(n0 AS DOUBLE) AS se0, var1 / CAST(n1 AS DOUBLE) AS se1
   FROM stats
 )
-SELECT event_type, n0, n1,
+SELECT {g}, n0, n1,
        ROUND(mean0, 9) AS mean0,
        ROUND(mean1, 9) AS mean1,
        CASE WHEN n0 > 1 AND n1 > 1
@@ -200,6 +201,49 @@ SELECT event_type, n0, n1,
                  6) END AS welch_df
 FROM ses
 """
+
+
+ORACLE_AB_WELCH = _welch_oracle("event_type", f"""  SELECT event_type,
+         CAST({_DUCK_ARM} AS INT) AS arm,
+         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS v_s
+  FROM events""")
+
+
+_AB_WIN_US = 21_600_000_000  # 6 hours
+
+
+def q_stream_ab_monitor(spark, sf_dir):
+    """A/B experiment monitoring ON A STREAM: per 6-hour tumbling
+    event-time window, the Welch t-test between hash-assigned arms —
+    the batch ``welch_ttest`` operator runs unchanged under readStream
+    because its sufficient statistics are one map-side-combinable agg
+    (streaming/batch unification, 10th streaming gate). On static input
+    the result equals the batch GROUP BY the oracle pins."""
+    from .analytic_queries import _event_stream, _run_stream_to_table
+
+    s = _event_stream(spark, sf_dir)
+    w = (
+        s.withColumn("win", F.window("event_time", "6 hours"))
+        .withColumn("window_start", F.col("win.start"))
+        .select(
+            "window_start",
+            F.expr(_SPARK_ARM).cast("int").alias("arm"),
+            F.expr("cast(floor(value * cast(1000000 as double)) as bigint)")
+            .alias("v_s"),
+        )
+    )
+    res = evaluation.welch_ttest(w, "window_start", "arm", "v_s", scale=_SCALE)
+    return _run_stream_to_table(spark, res, "stream_ab_result", "complete")
+
+
+ORACLE_STREAM_AB = _welch_oracle(
+    "window_start",
+    f"""  SELECT make_timestamp(epoch_us(ts) // {_AB_WIN_US} * {_AB_WIN_US})
+           AS window_start,
+         CAST({_DUCK_ARM} AS INT) AS arm,
+         CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS v_s
+  FROM events""",
+)
 
 
 # point-in-time literal inside every SF's event range (2024-01-16 UTC, µs)
@@ -240,5 +284,6 @@ EVAL_QUERIES = {
     "kappa_lang_agreement": (q_kappa_lang, _oracle_kappa()),
     "calibration_curve": (q_calibration_bins, ORACLE_CALIBRATION),
     "ab_welch_by_type": (q_ab_welch, ORACLE_AB_WELCH),
+    "stream_ab_monitor": (q_stream_ab_monitor, ORACLE_STREAM_AB),
     "scd2_snapshot": (q_scd2_snapshot, _oracle_scd2_snapshot()),
 }

@@ -64,7 +64,7 @@ def test_r6_new_queries_inside_driver_cap():
                  "group_regression",
                  # evaluation suite (r6 session 3, never driver-checked)
                  "auc_score", "kappa_lang_agreement", "calibration_curve",
-                 "ab_welch_by_type", "scd2_snapshot",
+                 "ab_welch_by_type", "stream_ab_monitor", "scd2_snapshot",
                  # media-dedup gates (r6 session 3, never driver-checked)
                  "image_dhash", "image_near_dup_pairs"):
         assert name in head, name
