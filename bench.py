@@ -244,6 +244,7 @@ def main() -> None:
     from osm_pbf_parquet_spark.plans.sampling_queries import SAMPLING_QUERIES as SAMP
     from osm_pbf_parquet_spark.plans.advanced_queries import ADVANCED_QUERIES as ADV
     from osm_pbf_parquet_spark.plans.quality_queries import QUALITY_QUERIES as QUAL
+    from osm_pbf_parquet_spark.plans.media_queries import MEDIA_QUERIES as MEDIA
 
     spark = get_spark("bench")
     # warm the JVM + parquet footers with a trivial action
@@ -369,6 +370,10 @@ def main() -> None:
             # r6: integer median/MAD on 1.5M orders joined to the 1x
             # customer dim — two partitioned window sorts, 25 groups
             ("mad_outliers", QUAL["mad_outliers"][0]),
+            # r6: perceptual dedup over 50k synthesized images — real
+            # PPM decode + dHash in mapInPandas, then the banded
+            # Hamming self-join (Arrow-batch + join-path anchor)
+            ("image_near_dup_pairs", MEDIA["image_near_dup_pairs"][0]),
         ]
         for name, fn in big_headline:
             # min-of-3 for the WHOLE tier: the host's minutes-long

@@ -139,8 +139,11 @@ def cohens_kappa(df: DataFrame, a: str, b: str) -> DataFrame:
     float division. Scale: two map-side-combinable groupBys over the
     data produce category-bounded marginal tables; the cross term is a
     join of those two tiny tables — never a shuffle of the corpus
-    beyond the two aggs.
+    beyond the two aggs. Rows where either rater's label is NULL are
+    EXCLUDED (an unlabeled item is not an agreement sample; keeping
+    them would deflate p_o through never-true NULL equality).
     """
+    df = df.where(F.col(a).isNotNull() & F.col(b).isNotNull())
     n_agree = df.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(
@@ -191,8 +194,12 @@ def calibration_bins(
     Exactness: the bin id and the score sum are integer arithmetic;
     the two divisions (pos/n, sum/(n·scale)) are single IEEE ops on
     exact inputs. Scale: ONE map-side-combinable groupBy with ``bins``
-    output rows; nothing else touches the data.
+    output rows; nothing else touches the data. NULL scores/labels are
+    excluded (same policy as ``roc_auc`` — a NULL score has no bin).
     """
+    df = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
     width = scale // bins
     b = F.least(
         F.expr(f"cast({score_col} as bigint) div {width}"), F.lit(bins - 1)
