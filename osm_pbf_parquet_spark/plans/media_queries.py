@@ -16,7 +16,9 @@ def q_image_dhash(spark, sf_dir):
     """Per-image 28-bit difference hash via the real PPM decoder
     (mapInPandas, no shuffle)."""
     media = multimodal.attach_ppm_payload(_t(spark, sf_dir, "documents"))
-    return phash.image_dhash(media)
+    return phash.image_dhash(
+        media, repartition_to=spark.sparkContext.defaultParallelism
+    )
 
 
 # Rebuild the decoder's view from the same md5 hex: pixel p has RGB at
@@ -65,7 +67,9 @@ def q_image_near_dup_pairs(spark, sf_dir):
     decoder's fingerprints (exact recall at distance ≤ 3 with 4 bands —
     pigeonhole); the oracle is the direct all-pairs comparison."""
     media = multimodal.attach_ppm_payload(_t(spark, sf_dir, "documents"))
-    hashes = phash.image_dhash(media)
+    hashes = phash.image_dhash(
+        media, repartition_to=spark.sparkContext.defaultParallelism
+    )
     return phash.dhash_near_pairs(hashes, n_bits=28, bands=4, max_distance=3)
 
 
