@@ -62,10 +62,16 @@ def pagerank_power(
     from ..functions.caching import owned_set, tie_release
 
     ps, owned = owned_set(cache)
-    e = edges.select(
-        F.col(src).cast("long").alias("src"),
-        F.col(dst).cast("long").alias("dst"),
-    ).distinct()
+    # persist the canonical edge set FIRST: it is the expensive upstream
+    # (callers typically feed a join-extracted, distinct-ed edge list),
+    # and materializing edeg/base below otherwise re-derives it up to 4×
+    # (join side + out-degree, then both union arms of the node spine)
+    e = ps.persist(
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        ).distinct()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
