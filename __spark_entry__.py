@@ -71,6 +71,14 @@ def _registry() -> dict[str, tuple]:
         reg.update(MEDIA_QUERIES)
     except ImportError:
         pass
+    try:
+        from osm_pbf_parquet_spark.plans.tokenizer_queries import (
+            TOKENIZER_QUERIES,
+        )
+
+        reg.update(TOKENIZER_QUERIES)
+    except ImportError:
+        pass
     return _verification_order(reg)
 
 
@@ -111,6 +119,14 @@ _CHECK_FIRST = [
     #     plans/media_queries.py, new modules): never driver-checked ---
     "image_dhash",
     "image_near_dup_pairs",
+    # --- r6-NEW tokenizer/eval/series gates (operators/bpe.py +
+    #     plans/tokenizer_queries.py are new modules; ndcg_at_k and
+    #     autocorr_lags also re-certify evaluation.py's and quality.py's
+    #     r6 appends): never driver-checked ---
+    "bpe_train_merges",
+    "bpe_token_vocab",
+    "ndcg_at_k",
+    "autocorr_lags",
     # --- r6 behavior changes: must re-certify ---
     "histogram_quantiles",
     "gram_matrix",
@@ -123,15 +139,19 @@ _CHECK_FIRST = [
     "semantic_dedup",
     "kmeans_clusters",
     "embedding_quantize",
-    # --- rest of plans/advanced_queries.py (file touched this round) ---
+    # --- rest of plans/advanced_queries.py (file touched this round).
+    #     negative_sampling / embedding_outliers / unigram_logprob /
+    #     text_entropy were displaced below the cap for the four new
+    #     gates above: their taint is plan-file-level only (the file's
+    #     r6 edits touched the histogram oracle + bm25 term list, both
+    #     separately in-cap), their operator-module siblings keep
+    #     multiple in-cap rows (similarity.py: 7; text.py: bm25_topk +
+    #     stream_quality_by_lang), and each holds an r5 driver-green
+    #     row on unchanged executed lines ---
     "skyline_pareto",
     "scd2_intervals",
     "hll_distinct",
-    "negative_sampling",
-    "embedding_outliers",
-    "unigram_logprob",
     "incremental_dedup",
-    "text_entropy",
     "funnel_depths",
     "table_checksum",
     # --- remaining sketches.py route ---
@@ -202,6 +222,10 @@ _CHECK_FIRST = [
     #      poisson_bootstrap's sketches.py has in-cap siblings). The
     #      text.py-routed composites (clean_corpus, full_curation, …)
     #      ride the same helpers the in-cap text gates certify ----
+    "negative_sampling",
+    "embedding_outliers",
+    "unigram_logprob",
+    "text_entropy",
     "ann_lsh_pairs",
     "ann_ivf_topk",
     "cms_heavy_hitters",

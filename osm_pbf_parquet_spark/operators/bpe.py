@@ -1,0 +1,194 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merges).
+
+The classic subword-tokenizer learner (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") run as a sequence
+of Catalyst plans: a training-data pipeline needs to LEARN the merge
+table from the corpus it curates, not just apply a shipped vocabulary
+(``text.build_vocab`` / ``tokenize_corpus`` cover the apply side).
+
+Design for 100 TB: the corpus collapses to a **word-frequency table**
+with ONE map-side-combinable shuffle (vocabulary-sized from then on —
+millions of rows regardless of corpus bytes). Each merge round is then
+
+  1. one map-side-combinable aggregation over the vocabulary (adjacent
+     pair counts, weighted by word frequency),
+  2. a 1-row ``TakeOrderedAndProject`` for the arg-max pair (count DESC,
+     pair ASC — deterministic tie-break),
+  3. a broadcast of that single row cross-joined back for the rewrite —
+     a narrow map, no shuffle.
+
+Nothing is collected to the driver; rounds unroll into one lineage with
+the word table persisted per round (the pagerank_power pattern,
+``graph.py``). Greedy left-to-right non-overlapping merge application —
+the BPE contract — is expressed with ``replace()``: every token is
+wrapped as ``•tok•`` and tokens are concatenated, so the pair
+``(a, b)`` appears exactly as the substring ``•a••b•`` and its merged
+form is ``•ab•``. Both Spark's and ANSI ``replace`` scan left-to-right
+and continue AFTER each replacement, which is precisely the greedy BPE
+semantics (``'•x••x••x•' → '•xx••x•'``, merging the leftmost pair of a
+run first). Words are restricted to ``[a-z]+`` so the marker byte can
+never collide with token text.
+
+Integer-exact throughout (counts only), so a SQL oracle replays the
+training bit-for-bit. Reference context: the reference engine
+(osm-pbf-parquet) ships no tokenizer; this extends the engine's
+LLM-pipeline surface alongside ``text.py``'s vocab/tokenize operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SEP = "•"  # '•' — never appears in [a-z]+ word text
+
+_PAIRS_EXPR = (
+    "transform(sequence(1, size(_toks) - 1), "
+    "i -> struct(_toks[i-1] AS a, _toks[i] AS b))"
+)
+
+
+def word_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (w, cnt) word-frequency table: lowercase ``[a-z]+`` runs.
+
+    The one corpus-sized shuffle of BPE training; everything after is
+    vocabulary-sized."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def initial_encoding(words: DataFrame) -> DataFrame:
+    """Add the char-level ``enc`` column: 'low' → ``•l••o••w•``."""
+    return words.withColumn(
+        "enc",
+        F.concat(
+            F.lit(SEP),
+            F.array_join(F.split(F.col("w"), ""), SEP + SEP),
+            F.lit(SEP),
+        ),
+    )
+
+
+def _pair_counts(enc_words: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the encoded vocabulary, weighted by word
+    frequency. One map-side-combinable agg; single-token words drop out."""
+    toks = enc_words.withColumn(
+        "_toks",
+        F.split(F.expr(f"trim(BOTH '{SEP}' FROM enc)"), SEP + SEP),
+    ).filter(F.size("_toks") > 1)
+    return (
+        toks.select("cnt", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("pair_cnt"))
+    )
+
+
+def _apply_merge(enc_words: DataFrame, top1: DataFrame) -> DataFrame:
+    """Rewrite every word's encoding with the winning pair merged —
+    broadcast 1-row join + narrow map, greedy-left semantics via
+    ``replace`` (see module docstring). LEFT join on TRUE rather than a
+    cross join so an exhausted pair table (degenerate corpus: every word
+    already a single token) passes encodings through unchanged instead
+    of wiping the vocabulary."""
+    return enc_words.join(
+        F.broadcast(top1.select("a", "b")), F.lit(True), "left"
+    ).select(
+        "w",
+        "cnt",
+        F.when(F.col("a").isNull(), F.col("enc"))
+        .otherwise(
+            F.expr(
+                f"replace(enc, '{SEP}' || a || '{SEP}{SEP}' || b || '{SEP}', "
+                f"'{SEP}' || a || b || '{SEP}')"
+            )
+        )
+        .alias("enc"),
+    )
+
+
+def _train(words: DataFrame, rounds: int, ps) -> tuple[list[DataFrame], DataFrame]:
+    """Run ``rounds`` merge rounds; returns (per-round 1-row merge frames,
+    final encoded vocabulary). Caller owns the persist set."""
+    enc = ps.persist(initial_encoding(words))
+    merges: list[DataFrame] = []
+    for step in range(1, rounds + 1):
+        top1 = ps.persist(
+            _pair_counts(enc)
+            .orderBy(F.desc("pair_cnt"), "a", "b")
+            .limit(1)
+        )
+        merges.append(top1.select(F.lit(step).alias("step"), "a", "b", "pair_cnt"))
+        enc = ps.persist(_apply_merge(enc, top1))
+    return merges, enc
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+    cache=None,
+) -> DataFrame:
+    """Learn ``rounds`` BPE merges from a document corpus.
+
+    Returns one row per merge in training order:
+    (step, left_tok, right_tok, merged, pair_cnt) — the merge table a
+    tokenizer ships. Ties in pair count break lexicographically on
+    (left, right), so training is fully deterministic.
+    """
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    merges, _enc = _train(word_frequency_table(docs, text_col), rounds, ps)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return tie_release(
+        out.select(
+            F.col("step").cast("int").alias("step"),
+            F.col("a").alias("left_tok"),
+            F.col("b").alias("right_tok"),
+            F.concat("a", "b").alias("merged"),
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+        ),
+        ps,
+        owned,
+    )
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+    k: int = 20,
+    cache=None,
+) -> DataFrame:
+    """Train ``rounds`` merges, apply them, and return the top-``k``
+    resulting subword tokens by corpus frequency: (token, total_cnt).
+
+    The apply side of the learned tokenizer — segment frequencies are
+    what vocabulary-size / coverage decisions read. Ties break on token
+    text; the token explode is vocabulary-sized (never corpus-sized).
+    """
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    _merges, enc = _train(word_frequency_table(docs, text_col), rounds, ps)
+    toks = enc.select(
+        "cnt",
+        F.explode(
+            F.split(F.expr(f"trim(BOTH '{SEP}' FROM enc)"), SEP + SEP)
+        ).alias("token"),
+    )
+    return tie_release(
+        toks.groupBy("token")
+        .agg(F.sum("cnt").alias("total_cnt"))
+        .orderBy(F.desc("total_cnt"), "token")
+        .limit(k),
+        ps,
+        owned,
+    )

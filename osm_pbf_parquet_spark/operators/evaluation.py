@@ -314,3 +314,91 @@ def welch_ttest(
         F.round(t, 6).alias("t_stat"),
         F.round(dof, 6).alias("welch_df"),
     )
+
+
+# --- ranking quality ---------------------------------------------------------
+
+NDCG_SCALE = 2**40
+# 1/log2(p+1) discount at positions 1..k, pre-scaled to exact BIGINTs.
+# Both the Spark plan and the SQL oracle consume the SAME literal table,
+# so DCG is a pure integer dot product — no libm log in either engine.
+
+
+def ndcg_discounts(k: int) -> list[int]:
+    import math
+
+    return [round(NDCG_SCALE / math.log2(p + 1)) for p in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    scored: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query nDCG@k — the standard ranking-quality metric for the
+    engine's retrieval operators (BM25, ANN, hybrid RRF).
+
+    ``scored`` has one row per (query, candidate item) with the system's
+    ``score_col`` and the ground-truth ``rel_col`` gain; both must be
+    integral so ranking and DCG are exact. Two row_number windows over
+    the SAME partition key (one shuffle): the system ranking
+    (score DESC, item ASC) and the ideal ranking (relevance DESC,
+    item ASC). DCG@k = Σ rel·D[pos] with D the pre-scaled integer
+    discount table (``ndcg_discounts``), so per-query DCG/IDCG are
+    exact BIGINTs and nDCG is reported as an integer permille
+    (1000·DCG div IDCG) — bit-reproducible, value-hash oracle-able.
+
+    Queries whose top-k ideal relevance is all zero return NULL
+    ndcg_permille (0/0). Overflow bound: k·max_rel·2⁴⁰ < 2⁶³ → max_rel
+    ≲ 8·10⁵ at k=10; pre-bucket coarser gains if above.
+
+    Scale: windows partition by query id — query-parallel, no global
+    sort, no join. Returns (query, dcg_scaled, idcg_scaled,
+    ndcg_permille).
+    """
+    disc = ndcg_discounts(k)
+    arr = "array(" + ", ".join(f"{d}L" for d in disc) + ")"
+    sys_w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(item_col).asc()
+    )
+    ideal_w = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(item_col).asc()
+    )
+    ranked = scored.select(
+        query_col,
+        F.col(rel_col).cast("long").alias("__rel"),
+        F.row_number().over(sys_w).alias("__rn"),
+        F.row_number().over(ideal_w).alias("__rr"),
+    )
+    gain = ranked.groupBy(query_col).agg(
+        F.sum(
+            F.when(
+                F.col("__rn") <= k,
+                F.col("__rel") * F.expr(f"element_at({arr}, __rn)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg_scaled"),
+        F.sum(
+            F.when(
+                F.col("__rr") <= k,
+                F.col("__rel") * F.expr(f"element_at({arr}, __rr)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("idcg_scaled"),
+    )
+    return gain.select(
+        query_col,
+        "dcg_scaled",
+        "idcg_scaled",
+        F.when(
+            F.col("idcg_scaled") > 0,
+            F.expr("(1000 * dcg_scaled) div idcg_scaled"),
+        )
+        .cast("long")
+        .alias("ndcg_permille"),
+    )

@@ -305,3 +305,81 @@ def group_regression(
             / F.col("n").cast("double"),
         ).alias("intercept"),
     )
+
+
+def autocorr_lags(
+    df: DataFrame,
+    group: list[str],
+    order: list[str],
+    v: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-group lag-k autocorrelation (Pearson ACF at lags 1..max_lag)
+    from EXACT integer moments — the seasonality/persistence diagnostic
+    a time-series pipeline runs per entity.
+
+    ``v`` must be integral (cents, counts). For each lag k the pairs
+    (x_t, x_{t-k}) are formed with ONE window pass (all ``max_lag`` lag
+    columns share a single window spec → one shuffle on the group key),
+    then unpivoted and reduced to the six sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) per (group, lag). Products are computed
+    in decimal(38,0) with operands cast BEFORE the multiply (the
+    ``group_regression`` discipline), so the combination n·Σxy − Σx·Σy
+    is exact; only the final r = cov/√(varx·vary) is floating point — a
+    fixed flop composition of identically-rounded inputs, so the result
+    is bit-reproducible and SQL-replayable. Exactness bound: with
+    |v| ≤ V and n rows in a group, |n·Σxy| ≤ n²·V²; decimal(38,0)
+    requires n²·V² < 10³⁸ — e.g. V=10⁵ → n ≤ ~3·10¹⁴ rows per group;
+    chunk longer series by time window before calling.
+
+    Degenerate series (zero variance on either side, or fewer than 2
+    pairs) return NULL acf rather than a division error. NULL ``v``
+    rows are excluded pairwise.
+
+    Scale: window shuffle is on the group key (entity-parallel); the
+    moment reduction is map-side combinable. No collect, no cross join.
+
+    Returns (group…, lag, n_pairs, acf).
+    """
+    from pyspark.sql import Window
+
+    d = "decimal(38,0)"
+    w = Window.partitionBy(*group).orderBy(*order)
+    base = df.select(
+        *group, *order, F.col(v).cast("long").alias("__x")
+    )
+    lagged = base.select(
+        *group,
+        "__x",
+        *[F.lag("__x", k).over(w).alias(f"__y{k}") for k in range(1, max_lag + 1)],
+    )
+    stack = ", ".join(f"{k}, __y{k}" for k in range(1, max_lag + 1))
+    pairs = lagged.select(
+        *group,
+        "__x",
+        F.expr(f"stack({max_lag}, {stack}) AS (lag, __y)"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    agg = pairs.groupBy(*group, "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("__x").cast("long").alias("sx"),
+        F.sum("__y").cast("long").alias("sy"),
+        F.sum(F.col("__x").cast(d) * F.col("__y").cast(d)).alias("sxy"),
+        F.sum(F.col("__x").cast(d) * F.col("__x").cast(d)).alias("sxx"),
+        F.sum(F.col("__y").cast(d) * F.col("__y").cast(d)).alias("syy"),
+    )
+    n = F.col("n_pairs").cast(d)
+    cov = n * F.col("sxy") - F.col("sx").cast(d) * F.col("sy").cast(d)
+    varx = n * F.col("sxx") - F.col("sx").cast(d) * F.col("sx").cast(d)
+    vary = n * F.col("syy") - F.col("sy").cast(d) * F.col("sy").cast(d)
+    zero = F.lit(0).cast(d)
+    acf = F.when(
+        (F.col("n_pairs") > 1) & (varx > zero) & (vary > zero),
+        cov.cast("double")
+        / F.sqrt(varx.cast("double") * vary.cast("double")),
+    )
+    return agg.select(
+        *group,
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        acf.alias("acf"),
+    )

@@ -279,6 +279,75 @@ WHERE valid_from <= {_SNAPSHOT_AT}
 """
 
 
+_NDCG_K = 10
+
+
+def q_ndcg_at_k(spark, sf_dir):
+    """Ranking-quality readout: per nation, rank its suppliers by total
+    shipped quantity (the "system" ranking — one exact BIGINT agg) and
+    judge against part-diversity relevance (distinct parts supplied).
+    nDCG@10 per nation from the integer discount table — the metric a
+    retrieval pipeline runs over BM25/ANN/RRF output."""
+    from ..operators.evaluation import ndcg_at_k
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per_sup = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.countDistinct("l_partkey").alias("rel"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "l_suppkey", "qty", "rel")
+    )
+    return ndcg_at_k(per_sup, "n_name", "l_suppkey", "qty", "rel", k=_NDCG_K)
+
+
+def _oracle_ndcg() -> str:
+    from ..operators.evaluation import ndcg_discounts
+
+    disc = ", ".join(str(d) for d in ndcg_discounts(_NDCG_K))
+    return f"""
+WITH per_sup AS (
+  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS rel
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT n_name, rel,
+         row_number() OVER (
+           PARTITION BY n_name ORDER BY qty DESC, l_suppkey
+         ) AS rn,
+         row_number() OVER (
+           PARTITION BY n_name ORDER BY rel DESC, l_suppkey
+         ) AS rr
+  FROM per_sup
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+g AS (
+  SELECT n_name,
+         CAST(sum(CASE WHEN rn <= {_NDCG_K}
+                       THEN rel * ([{disc}])[rn] ELSE 0 END) AS BIGINT)
+           AS dcg_scaled,
+         CAST(sum(CASE WHEN rr <= {_NDCG_K}
+                       THEN rel * ([{disc}])[rr] ELSE 0 END) AS BIGINT)
+           AS idcg_scaled
+  FROM ranked GROUP BY n_name
+)
+SELECT n_name, dcg_scaled, idcg_scaled,
+       CASE WHEN idcg_scaled > 0
+            THEN CAST((1000 * dcg_scaled) // idcg_scaled AS BIGINT)
+       END AS ndcg_permille
+FROM g
+"""
+
+
 EVAL_QUERIES = {
     "auc_score": (q_auc_score, ORACLE_AUC),
     "kappa_lang_agreement": (q_kappa_lang, _oracle_kappa()),
@@ -286,4 +355,5 @@ EVAL_QUERIES = {
     "ab_welch_by_type": (q_ab_welch, ORACLE_AB_WELCH),
     "stream_ab_monitor": (q_stream_ab_monitor, ORACLE_STREAM_AB),
     "scd2_snapshot": (q_scd2_snapshot, _oracle_scd2_snapshot()),
+    "ndcg_at_k": (q_ndcg_at_k, _oracle_ndcg()),
 }

@@ -669,6 +669,67 @@ FROM h GROUP BY doc_id, dim
 """
 
 
+_ACF_MAX_LAG = 3
+
+
+def q_autocorr_lags(spark, sf_dir):
+    """Per-event-type lag-1..3 autocorrelation of the cent-scaled value
+    series (ordered by event time) — exact integer moments, one window
+    shuffle on the series key, final Pearson ratio as the only float op."""
+    from ..operators.quality import autocorr_lags
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "ts_us", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return autocorr_lags(
+        e, ["event_type"], ["ts_us", "event_id"], "cents",
+        max_lag=_ACF_MAX_LAG,
+    )
+
+
+ORACLE_AUTOCORR = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) AS tsu, event_id,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+lagged AS (
+  SELECT event_type, x,
+         lag(x, 1) OVER w AS y1,
+         lag(x, 2) OVER w AS y2,
+         lag(x, 3) OVER w AS y3
+  FROM base WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id)
+),
+pairs AS (
+  SELECT event_type, 1 AS lag, x, y1 AS y FROM lagged
+  UNION ALL SELECT event_type, 2, x, y2 FROM lagged
+  UNION ALL SELECT event_type, 3, x, y3 FROM lagged
+),
+m AS (
+  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, lag, n_pairs,
+         n_pairs * sxy - sx * sy AS cov,
+         n_pairs * sxx - sx * sx AS varx,
+         n_pairs * syy - sy * sy AS vary
+  FROM m
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+       CASE WHEN n_pairs > 1 AND varx > 0 AND vary > 0
+            THEN CAST(cov AS DOUBLE)
+                 / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE))
+       END AS acf
+FROM s
+"""
+
+
 QUALITY_QUERIES = {
     "shortest_hops": (q_shortest_hops, ORACLE_SHORTEST_HOPS),
     "triangle_count": (q_triangle_count, ORACLE_TRIANGLE_COUNT),
@@ -683,4 +744,5 @@ QUALITY_QUERIES = {
     "exact_quantiles": (q_exact_quantiles, ORACLE_EXACT_QUANTILES),
     "feature_hashing": (q_feature_hashing, _build_feature_hashing_oracle()),
     "group_regression": (q_group_regression, ORACLE_GROUP_REGRESSION),
+    "autocorr_lags": (q_autocorr_lags, ORACLE_AUTOCORR),
 }

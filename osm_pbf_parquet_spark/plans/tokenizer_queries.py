@@ -1,0 +1,92 @@
+"""Tokenizer-training gates: distributed BPE merge learning and the
+resulting subword vocabulary, each with a DuckDB oracle that replays the
+greedy merge rounds bit-for-bit (the pagerank/kcore unrolled-round
+oracle pattern — see ``operators/bpe.py`` for the encoding trick that
+makes ``replace()`` exactly greedy-left BPE in both engines).
+"""
+
+from __future__ import annotations
+
+from ..operators.bpe import SEP, bpe_train, bpe_vocab
+from .relational import t as _t
+
+_ROUNDS = 3
+_VOCAB_K = 20
+
+
+def q_bpe_train_merges(spark, sf_dir):
+    """Learn 3 BPE merges from the documents corpus: one corpus-sized
+    word-count shuffle, then vocabulary-sized rounds (pair-count agg +
+    1-row argmax broadcast + narrow rewrite per round)."""
+    return bpe_train(_t(spark, sf_dir, "documents"), rounds=_ROUNDS)
+
+
+def q_bpe_token_vocab(spark, sf_dir):
+    """Apply the 3 learned merges and return the top-20 subword tokens
+    by corpus frequency — the vocabulary readout of the trained
+    tokenizer."""
+    return bpe_vocab(_t(spark, sf_dir, "documents"), rounds=_ROUNDS, k=_VOCAB_K)
+
+
+def _bpe_round_sql(prev: str, r: int) -> str:
+    """One unrolled merge round: pair counts from e{prev}, deterministic
+    argmax m{r}, greedy rewrite e{r}."""
+    return f"""p{r} AS (
+  SELECT toks[i] AS a, toks[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+  FROM {prev},
+       LATERAL (SELECT string_split(trim(enc, '{SEP}'), '{SEP}{SEP}') AS toks) _t,
+       LATERAL unnest(generate_series(1, len(toks) - 1)) AS _g(i)
+  GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b, pair_cnt FROM p{r} ORDER BY pair_cnt DESC, a, b LIMIT 1),
+e{r} AS (
+  SELECT w, cnt,
+         CASE WHEN a IS NULL THEN enc
+              ELSE replace(enc, '{SEP}' || a || '{SEP}{SEP}' || b || '{SEP}',
+                           '{SEP}' || a || b || '{SEP}') END AS enc
+  FROM {prev} LEFT JOIN m{r} ON TRUE
+)"""
+
+
+_BPE_BASE_SQL = f"""
+words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) > 0 GROUP BY w
+),
+e0 AS (
+  SELECT w, cnt,
+         '{SEP}' || array_to_string(string_split(w, ''), '{SEP}{SEP}')
+              || '{SEP}' AS enc
+  FROM words
+),
+{_bpe_round_sql("e0", 1)},
+{_bpe_round_sql("e1", 2)},
+{_bpe_round_sql("e2", 3)}"""
+
+
+ORACLE_BPE_TRAIN = f"""
+WITH {_BPE_BASE_SQL}
+SELECT CAST(step AS INTEGER) AS step, left_tok, right_tok,
+       left_tok || right_tok AS merged, pair_cnt
+FROM (
+  SELECT 1 AS step, a AS left_tok, b AS right_tok, pair_cnt FROM m1
+  UNION ALL SELECT 2, a, b, pair_cnt FROM m2
+  UNION ALL SELECT 3, a, b, pair_cnt FROM m3
+)
+"""
+
+ORACLE_BPE_VOCAB = f"""
+WITH {_BPE_BASE_SQL}
+SELECT token, CAST(sum(cnt) AS BIGINT) AS total_cnt FROM (
+  SELECT cnt, unnest(string_split(trim(enc, '{SEP}'), '{SEP}{SEP}')) AS token
+  FROM e3
+) GROUP BY token ORDER BY total_cnt DESC, token LIMIT {_VOCAB_K}
+"""
+
+
+TOKENIZER_QUERIES = {
+    "bpe_train_merges": (q_bpe_train_merges, ORACLE_BPE_TRAIN),
+    "bpe_token_vocab": (q_bpe_token_vocab, ORACLE_BPE_VOCAB),
+}

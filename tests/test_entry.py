@@ -66,5 +66,9 @@ def test_r6_new_queries_inside_driver_cap():
                  "auc_score", "kappa_lang_agreement", "calibration_curve",
                  "ab_welch_by_type", "stream_ab_monitor", "scd2_snapshot",
                  # media-dedup gates (r6 session 3, never driver-checked)
-                 "image_dhash", "image_near_dup_pairs"):
+                 "image_dhash", "image_near_dup_pairs",
+                 # tokenizer/eval/series gates (r6 session 4, never
+                 # driver-checked)
+                 "bpe_train_merges", "bpe_token_vocab", "ndcg_at_k",
+                 "autocorr_lags"):
         assert name in head, name

@@ -222,3 +222,38 @@ def test_welch_is_single_aggregation(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.lower().count("aggregate") == 1, plan
+
+
+# --- nDCG@k: pure-Python reference -------------------------------------------
+
+
+def test_ndcg_matches_python_reference(spark):
+    import math
+
+    from osm_pbf_parquet_spark.operators.evaluation import ndcg_at_k
+
+    random.seed(7)
+    rows = []
+    for q in ["q1", "q2", "q3"]:
+        for item in range(1, 30):
+            rows.append((q, item, random.randint(0, 50), random.randint(0, 5)))
+    # q4: all-zero relevance → NULL ndcg
+    rows += [("q4", i, i, 0) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["q", "item", "score", "rel"])
+    got = {
+        r.q: (r.dcg_scaled, r.idcg_scaled, r.ndcg_permille)
+        for r in ndcg_at_k(df, "q", "item", "score", "rel", k=10).collect()
+    }
+
+    scale = 2**40
+    disc = [round(scale / math.log2(p + 1)) for p in range(1, 11)]
+    by_q = {}
+    for q, item, score, rel in rows:
+        by_q.setdefault(q, []).append((item, score, rel))
+    for q, cand in by_q.items():
+        sys_rank = sorted(cand, key=lambda t: (-t[1], t[0]))[:10]
+        ideal = sorted(cand, key=lambda t: (-t[2], t[0]))[:10]
+        dcg = sum(rel * disc[p] for p, (_, _, rel) in enumerate(sys_rank))
+        idcg = sum(rel * disc[p] for p, (_, _, rel) in enumerate(ideal))
+        nd = (1000 * dcg) // idcg if idcg > 0 else None
+        assert got[q] == (dcg, idcg, nd), q

@@ -506,3 +506,38 @@ def test_scd2_snapshot_reconstructs_point_in_time(spark):
     # key3 'q' (5<=22, no close)
     assert snap == {1: "b", 3: "q"}
     assert {r["k"] for r in scd2_snapshot(iv, 25).collect()} == {1, 2, 3}
+
+
+# --- autocorrelation: numpy reference ----------------------------------------
+
+
+def test_autocorr_matches_numpy(spark):
+    import numpy as np
+
+    from osm_pbf_parquet_spark.operators.quality import autocorr_lags
+
+    rng = np.random.default_rng(11)
+    rows = []
+    series = {}
+    for g in ["a", "b"]:
+        vals = rng.integers(0, 1000, size=60).tolist()
+        series[g] = vals
+        rows += [(g, i, int(v)) for i, v in enumerate(vals)]
+    # constant series → NULL acf at every lag
+    rows += [("c", i, 5) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "pos", "v"])
+    got = {
+        (r.g, r.lag): (r.n_pairs, r.acf)
+        for r in autocorr_lags(df, ["g"], ["pos"], "v", max_lag=3).collect()
+    }
+    for g, vals in series.items():
+        for k in (1, 2, 3):
+            x = np.array(vals[k:], dtype=float)
+            y = np.array(vals[:-k], dtype=float)
+            ref = np.corrcoef(x, y)[0, 1]
+            n, acf = got[(g, k)]
+            assert n == len(vals) - k
+            assert abs(acf - ref) < 1e-12, (g, k, acf, ref)
+    for k in (1, 2, 3):
+        n, acf = got[("c", k)]
+        assert n == 10 - k and acf is None
