@@ -258,3 +258,52 @@ def test_mining_suite_plan_shapes(spark):
 
     fi = _plan(MINING_QUERIES["frequent_itemsets"][0](spark, SF_DIR))
     assert "BroadcastHashJoin" in fi
+
+
+def test_bpe_rounds_are_broadcast_one_row_attaches(spark):
+    """BPE training: the ONLY nested-loop joins are the per-round 1-row
+    argmax attaches (exactly `rounds` of them, broadcast); no cartesian
+    product; the corpus→word-count reduction is map-side combinable; the
+    per-round argmax is TakeOrderedAndProject, never a global sort."""
+    from osm_pbf_parquet_spark.plans.tokenizer_queries import (
+        q_bpe_token_vocab,
+        q_bpe_train_merges,
+    )
+
+    import re
+
+    for fn, nl_max in ((q_bpe_train_merges, 3), (q_bpe_token_vocab, 3)):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan
+        # unique node ids — the formatted tree prints shared (persisted)
+        # lineage once per consumer before runtime cache collapses it
+        nlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+        assert len(nlj) <= nl_max
+        # every nested-loop join must be a broadcast 1-row attach: its
+        # build side is a BroadcastExchange over a TakeOrderedAndProject
+        assert "TakeOrderedAndProject" in plan
+        assert "partial_count" in plan or "partial_sum" in plan
+        assert "SinglePartition" not in plan
+
+
+def test_ndcg_windows_partition_by_query_key(spark):
+    """nDCG: both rank windows must partition by the query key — never a
+    global (single-partition) sort over candidates."""
+    from osm_pbf_parquet_spark.plans.eval_queries import q_ndcg_at_k
+
+    plan = _plan(q_ndcg_at_k(spark, SF_DIR))
+    assert "hashpartitioning(n_name" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_autocorr_single_series_shuffle(spark):
+    """ACF: all lag columns ride ONE window spec — exactly one exchange
+    on the series key below the moment aggregation; the unpivot adds no
+    shuffle; the moment agg is map-side combinable."""
+    from osm_pbf_parquet_spark.plans.quality_queries import q_autocorr_lags
+
+    plan = _plan(q_autocorr_lags(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert plan.count("hashpartitioning(event_type") <= 2  # window + agg
+    assert "partial_sum" in plan
