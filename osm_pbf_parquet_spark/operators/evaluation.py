@@ -191,18 +191,28 @@ def calibration_bins(
     equal-width bins and report per-bin count, empirical positive rate,
     and mean predicted score — the calibration curve's points.
 
-    Exactness: the bin id and the score sum are integer arithmetic;
-    the two divisions (pos/n, sum/(n·scale)) are single IEEE ops on
-    exact inputs. Scale: ONE map-side-combinable groupBy with ``bins``
-    output rows; nothing else touches the data. NULL scores/labels are
-    excluded (same policy as ``roc_auc`` — a NULL score has no bin).
+    Exactness: the bin id is ``least(score·bins div scale, bins−1)`` —
+    exact equal-width edges for ANY (scale, bins), including when
+    ``bins`` does not divide ``scale`` (the naive ``score div
+    (scale//bins)`` silently widens the top bin by the remainder). The
+    score sum is integer arithmetic; the two divisions (pos/n,
+    sum/(n·scale)) are single IEEE ops on exact inputs. Scale: ONE
+    map-side-combinable groupBy with ``bins`` output rows; nothing else
+    touches the data. NULL scores/labels are excluded (same policy as
+    ``roc_auc`` — a NULL score has no bin). Requires scale·bins < 2⁶³
+    so the bin product cannot wrap (raises otherwise).
     """
+    if scale * bins >= 2**63:
+        raise ValueError(
+            f"scale*bins must stay below 2^63 for exact integer bin "
+            f"edges; got scale={scale}, bins={bins}"
+        )
     df = df.where(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     )
-    width = scale // bins
     b = F.least(
-        F.expr(f"cast({score_col} as bigint) div {width}"), F.lit(bins - 1)
+        F.expr(f"cast({score_col} as bigint) * {bins} div {scale}"),
+        F.lit(bins - 1),
     ).cast("int")
     out = df.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),

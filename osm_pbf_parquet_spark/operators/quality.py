@@ -208,14 +208,18 @@ def chi_square_cells(df: DataFrame, a: str, b: str,
     Per-cell contribution to the χ² statistic, computed from exact
     integer counts: with O the observed cell count, Rᵃ/Cᵇ the marginal
     totals and N the grand total, the cell term (O − RC/N)²/(RC/N)
-    rearranges to (O·N − R·C)² / (N·R·C) — numerator and denominator
-    are exact BIGINTs (valid to N ≈ 3·10⁹ per chunk before O·N
-    overflows; shard the contingency build beyond that), and only the
-    final single division is floating point — IEEE-deterministic given
-    identical integer inputs, so cross-engine parity holds per row with
-    no order-dependent sums and no rounding (pass ``round_to`` to
-    truncate for display). The full statistic is the (small, bounded)
-    sum of ``contrib``.
+    rearranges to (O·N − R·C)² / (N·R·C) — the NUMERATOR is an exact
+    BIGINT (valid to N ≈ 3·10⁹ per chunk before O·N overflows; shard
+    the contingency build beyond that). The DENOMINATOR is the product
+    of the three marginals each cast to double BEFORE multiplying:
+    N·R·C reaches N³ in the worst case, which wraps int64 around
+    N ≈ 2·10⁶ — far below the numerator's bound — so it must never be
+    formed in integer arithmetic. Each marginal ≤ N < 2⁵³ is exactly
+    representable as a double and the two IEEE multiplications are
+    deterministic left-to-right in both engines, so cross-engine parity
+    holds per row with no order-dependent sums and no rounding (pass
+    ``round_to`` to truncate for display). The full statistic is the
+    (small, bounded) sum of ``contrib``.
 
     Scale: one groupBy over the raw rows builds the contingency cells;
     marginals are windowed sums OVER THE CELLS (bounded: |A|·|B| rows),
@@ -232,8 +236,14 @@ def chi_square_cells(df: DataFrame, a: str, b: str,
         F.sum("observed").over(wn).cast("long").alias("grand_total"),
     )
     num = F.col("observed") * F.col("grand_total") - F.col("row_total") * F.col("col_total")
-    den = F.col("grand_total") * F.col("row_total") * F.col("col_total")
-    contrib = (num.cast("double") * num.cast("double")) / den.cast("double")
+    # marginals cast to double BEFORE the product: N·R·C in BIGINT wraps
+    # silently (non-ANSI) around N ~ 2e6 — see docstring
+    den = (
+        F.col("grand_total").cast("double")
+        * F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+    )
+    contrib = (num.cast("double") * num.cast("double")) / den
     if round_to is not None:
         contrib = F.round(contrib, round_to)
     return with_m.select(

@@ -465,10 +465,16 @@ def bm25_topk(
     """
     from ..functions.caching import owned_set, tie_release
 
-    # SQL-escape embedded quotes — caller-supplied terms must never be
-    # able to break out of the IN-list literal
+    # SQL-escape embedded quotes AND backslashes — caller-supplied terms
+    # must never be able to break out of the IN-list literal. Spark's
+    # default lexer treats backslash as an escape inside single-quoted
+    # literals (unlike DuckDB), so a term ending in '\' would otherwise
+    # escape the closing quote and a crafted pair of terms could inject
+    # expression text. Backslashes are doubled FIRST, then quotes are
+    # backslash-escaped (same scheme as quality._lit).
     terms_sql = ", ".join(
-        "'" + t.replace("'", "''") + "'" for t in query_terms
+        "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for t in query_terms
     )
     ps, owned = owned_set(cache)
     base = ps.persist(

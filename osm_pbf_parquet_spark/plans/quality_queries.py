@@ -357,9 +357,14 @@ m AS (
 SELECT event_type, hour, observed, row_total, col_total,
        (CAST(observed * grand_total - row_total * col_total AS DOUBLE)
         * CAST(observed * grand_total - row_total * col_total AS DOUBLE))
-       / CAST(grand_total * row_total * col_total AS DOUBLE) AS contrib
+       / (CAST(grand_total AS DOUBLE) * CAST(row_total AS DOUBLE)
+          * CAST(col_total AS DOUBLE)) AS contrib
 FROM m
 """
+# NOTE: the denominator casts each marginal to DOUBLE before multiplying,
+# mirroring quality.chi_square_cells — N·R·C formed in BIGINT wraps
+# (Spark, non-ANSI) or aborts (DuckDB) around N ~ 2e6, so both engines
+# take the identical left-to-right IEEE-double product instead.
 
 
 # --- EWMA smoothing (time-series family) --------------------------------------

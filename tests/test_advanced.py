@@ -368,6 +368,27 @@ def test_bm25_terms_with_quotes_are_escaped(spark):
     assert len(out) >= 1  # at least the 'plain' doc scores
 
 
+def test_bm25_terms_with_backslashes_are_escaped(spark):
+    """Spark's default lexer treats backslash as an escape inside
+    string literals: a term ending in '\\' used to escape the closing
+    quote (PARSE_SYNTAX_ERROR), and a crafted pair could inject
+    expression text. Both must now parse and match literally."""
+    from osm_pbf_parquet_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "path\\to file"), (2, "plain words here")],
+        "doc_id long, text string",
+    )
+    # trailing backslash, lone backslash, and a quote+backslash combo
+    for terms in (["a\\"], ["\\"], ["it'\\s", "plain"]):
+        out = bm25_topk(df, terms, k=5).collect()
+        assert {r["doc_id"] for r in out} <= {1, 2}
+    # a term that IS a backslash-containing token must still match
+    # (tokenizer permitting) without altering other terms' results
+    out = bm25_topk(df, ["plain", "x\\y"], k=5).collect()
+    assert any(r["doc_id"] == 2 for r in out)
+
+
 def test_merge_upsert_duplicate_keys_deterministic(spark):
     """Duplicate keys WITHIN a side pick a hash-stable survivor: the
     same result across repeated runs and different partitionings."""

@@ -115,6 +115,31 @@ def test_calibration_bin_edges(spark):
     assert got == {0: (2, 0), 1: (1, 1), 9: (2, 2)}
 
 
+def test_calibration_uneven_bins_have_exact_edges(spark):
+    """bins that do not divide scale: edges must be the exact
+    equal-width boundaries (score·bins div scale), not the drifted
+    score div (scale//bins) — e.g. scale=10, bins=3 puts score 9 in
+    bin 2 (9·3 div 10), where the naive width=3 rule put it in bin 2
+    only by the top-bin clamp absorbing scores 9 and 10 alike while
+    score 3 landed in bin 1 instead of bin 0 (3·3 div 10 = 0)."""
+    rows = [(0, 0), (3, 0), (4, 1), (6, 0), (7, 1), (9, 1), (10, 1)]
+    df = spark.createDataFrame(rows, "score long, y long")
+    got = {
+        r["bin"]: r["n"]
+        for r in calibration_bins(df, "score", "y", bins=3, scale=10)
+        .collect()
+    }
+    # exact thirds of [0,10]: [0,10/3) -> {0,3}, [10/3,20/3) -> {4,6},
+    # [20/3,10] -> {7,9,10 (clamped)}
+    assert got == {0: 2, 1: 2, 2: 3}
+
+
+def test_calibration_overflowing_scale_bins_raises(spark):
+    df = spark.createDataFrame([(1, 1)], "score long, y long")
+    with pytest.raises(ValueError, match="2\\^63"):
+        calibration_bins(df, "score", "y", bins=1024, scale=2**60)
+
+
 # --- Welch t-test vs pure-Python -----------------------------------------------
 
 

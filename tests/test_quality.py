@@ -187,6 +187,29 @@ def test_chi_square_independent_uniform_is_zero(spark):
     assert all(r["contrib"] == 0.0 and r["observed"] == 10 for r in got)
 
 
+def test_chi_square_denominator_survives_int64_wrap(spark):
+    """N·R·C wraps int64 around N ~ 2e6 (the denominator used to be a
+    BIGINT product, yielding NEGATIVE contributions under non-ANSI
+    Spark). Two perfectly dependent cells of n rows each give
+    contrib = n/2 per cell exactly; with n = 1.7e6 the integer product
+    2n³ ≈ 9.8e18 exceeds int64, so this pins the double-domain fix."""
+    n = 1_700_000
+    df = (
+        spark.range(n)
+        .select(F.lit("x").alias("a"), F.lit("u").alias("b"))
+        .unionAll(
+            spark.range(n).select(
+                F.lit("y").alias("a"), F.lit("v").alias("b")
+            )
+        )
+    )
+    got = chi_square_cells(df, "a", "b").collect()
+    assert len(got) == 2
+    for r in got:
+        assert r["contrib"] > 0  # the wrapped BIGINT gave negatives
+        assert abs(r["contrib"] - n / 2) < 1e-3
+
+
 # --- physical plan audits -----------------------------------------------------------
 
 
