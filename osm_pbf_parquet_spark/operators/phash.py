@@ -97,74 +97,28 @@ def dhash_near_pairs(
     hash_col: str = "dhash",
     cache=None,
 ) -> DataFrame:
-    """Near-duplicate image pairs by banded Hamming join: split the
-    fingerprint into ``bands`` bit-bands; candidates share ≥1 exact band;
-    survivors have popcount(xor) ≤ ``max_distance``.
-
-    Recall is EXACT (not approximate) when ``max_distance < bands``: by
-    pigeonhole, ≤ bands−1 differing bits cannot touch every band, so
-    every qualifying pair shares an intact band — which is what lets a
-    direct all-pairs oracle match the banded plan value-for-value.
-
-    Scale: the only wide op is the equi-join on (band index, band bits) —
-    candidate volume is Σ per-bucket n², the SimHash economics; never an
-    all-pairs comparison. The input is persisted before the self-join so
-    an expensive upstream (the real image decode) runs once, not once
-    per branch.
-
-    NOTE: intentionally parallel to ``dedup.simhash_dedup``'s banded
-    core (same pigeonhole guarantee, same join shape) but kept
-    self-contained: folding both onto one helper means editing
-    dedup.py, whose six driver-green gates would all need
-    re-certification under the module-taint rotation rule — consolidate
-    when dedup.py next rotates into the driver cap anyway.
+    """Near-duplicate image pairs via the shared banded-Hamming core
+    ``dedup.banded_hamming_pairs`` (one implementation for the text
+    SimHash and image dHash paths): split the fingerprint into
+    ``bands`` bit-bands; candidates share ≥1 exact band; survivors have
+    popcount(xor) ≤ ``max_distance``. Recall is EXACT when
+    ``max_distance < bands`` (pigeonhole — see the core's docstring),
+    the only wide op is the (band, bits) equi-join, and the Hamming
+    verify runs inside the join probe so candidates never reach the
+    distinct's shuffle (50k-image tier: ~39M candidates → 72k
+    survivors; 19.0s → 2.5s warm together with the parallelized
+    decode). The input is persisted before the self-join so an
+    expensive upstream (the real image decode) runs once, not once per
+    branch.
     """
-    if max_distance >= bands:
-        raise ValueError(
-            f"max_distance={max_distance} needs < bands={bands} for exact "
-            "recall (pigeonhole); raise bands or lower the threshold"
-        )
     from ..functions.caching import owned_set, tie_release
+    from .dedup import _pigeonhole_guard, banded_hamming_pairs
 
+    _pigeonhole_guard(bands, max_distance)  # before touching the frame
     ps, owned = owned_set(cache)
     hashes = ps.persist(hashes)
+    pairs = banded_hamming_pairs(
+        hashes, key, hash_col, n_bits, bands, max_distance
+    )
     hashes.count()  # populate before the self-join branches race it
-    width = (n_bits + bands - 1) // bands
-    mask = (1 << width) - 1
-    bandvals = hashes.select(
-        F.col(key).alias("_k"),
-        F.col(hash_col).alias("_h"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(f"shiftright({hash_col}, {i * width}) & {mask}")
-                    for i in range(bands)
-                ]
-            )
-        ).alias("_band", "_bits"),
-    )
-    right = bandvals.select(
-        F.col("_k").alias("_k2"), F.col("_h").alias("_h2"),
-        F.col("_band").alias("_band2"), F.col("_bits").alias("_bits2"),
-    )
-    # the Hamming verify lives IN the join condition: candidate pairs
-    # (Σ per-bucket n² of them — for a 28-bit hash the 128-value bands
-    # make buckets n/512, so candidates dwarf survivors) are filtered
-    # during the probe and never materialize into the distinct's
-    # shuffle (50k-image tier: ~39M candidates → 72k survivors; 19.0s →
-    # 2.5s warm together with the parallelized decode).
-    pairs = bandvals.join(
-        right,
-        (F.col("_band") == F.col("_band2"))
-        & (F.col("_bits") == F.col("_bits2"))
-        & (F.col("_k") < F.col("_k2"))
-        & (F.expr("bit_count(_h ^ _h2)") <= max_distance),
-    )
-    return tie_release(
-        pairs.select(
-            F.col("_k").alias("doc_a"),
-            F.col("_k2").alias("doc_b"),
-            F.expr("bit_count(_h ^ _h2)").cast("int").alias("hamming"),
-        ).distinct(),
-        ps, owned,
-    )
+    return tie_release(pairs, ps, owned)
