@@ -21,6 +21,7 @@ def blocked_levenshtein_topk(
     block: str,
     k: int = 25,
     max_len_diff: int = 15,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Top-k most-similar within-block pairs by edit distance.
 
@@ -38,6 +39,16 @@ def blocked_levenshtein_topk(
     no global sort). Ties break on (distance, key₁, key₂) so the result
     set is unique.
 
+    BOUND: the bounded-block contract is the caller's to honor — a
+    skewed blocking key silently goes quadratic. Pass
+    ``max_block_rows`` to make that loud instead: the plan audits block
+    cardinalities (one extra map-side-combinable count on the blocking
+    key) and the job FAILS naming the offending block if any exceeds
+    the cap, the same raise-don't-degrade treatment ``basket_pairs``'
+    mega-basket guard uses. Candidate volume is then
+    ≤ n_blocks·cap²/2 by construction. Default None preserves the
+    documented contract for curated blocking keys.
+
     ``key`` may be any orderable type (numeric id, uuid string…) but
     must be unique — the ``key_1 < key_2`` pair dedup and the tiebreak
     rely on it; the column keeps its native type in the output.
@@ -49,6 +60,30 @@ def blocked_levenshtein_topk(
         F.col(name).alias("name_1"),
         F.col(block).alias("__b"),
     )
+    if max_block_rows is not None:
+        sizes = a.groupBy("__b").agg(
+            F.count("*").cast("long").alias("_bn")
+        )
+        a = (
+            a.join(sizes, "__b")
+            .where(
+                F.assert_true(
+                    F.col("_bn") <= F.lit(max_block_rows),
+                    F.concat(
+                        F.lit("blocked_levenshtein_topk: block "),
+                        F.col("__b").cast("string"),
+                        F.lit(" has "),
+                        F.col("_bn").cast("string"),
+                        F.lit(
+                            f" rows > max_block_rows={max_block_rows}; "
+                            "the within-block self-join would go "
+                            "quadratic — choose a finer blocking key"
+                        ),
+                    ),
+                ).isNull()
+            )
+            .drop("_bn")
+        )
     b = df.select(
         F.col(key).alias("key_2"),
         F.col(name).alias("name_2"),

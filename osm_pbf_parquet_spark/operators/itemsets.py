@@ -30,6 +30,7 @@ def basket_pairs(
     basket_col: str,
     item_col: str,
     min_item: int,
+    max_basket_items: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """THE shared Apriori-pruned pair pipeline (see module docstring):
     dedupe (basket, item), count item supports, drop items below
@@ -39,6 +40,18 @@ def basket_pairs(
     BIGINT) over surviving items only; deg = (item, n BIGINT) supports
     of the surviving items (taken BEFORE the pair join, so they are
     true basket-set sizes).
+
+    BOUND: Apriori pruning bounds WHICH items pair, not how many pairs
+    one basket emits — a single pathological mega-basket of s frequent
+    items still yields s·(s−1)/2 pairs that no support floor can prune.
+    Pass ``max_basket_items`` to make that loud: the plan then audits
+    per-basket sizes AFTER the frequent-item filter (one extra
+    map-side-combinable count, co-partitioned with the pair join) and
+    the job FAILS with the offending basket named if any exceeds the
+    cap — the same raise-don't-wrap treatment the dhash geometry and
+    gram-matrix overflow guards use. With the cap, pair volume is
+    ≤ n_baskets·cap²/2 by construction. Default None preserves the
+    documented-unbounded contract for trusted inputs.
     """
     b = baskets.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
@@ -53,6 +66,30 @@ def basket_pairs(
     # leaves a huge dimension). No forced hint: AQE broadcasts it when
     # it is small and falls back to a shuffle join when it is not.
     fb = b.join(deg.select("item"), "item")
+    if max_basket_items is not None:
+        sizes = fb.groupBy("basket").agg(
+            F.count("*").cast("long").alias("_bsz")
+        )
+        fb = (
+            fb.join(sizes, "basket")
+            .where(
+                F.assert_true(
+                    F.col("_bsz") <= F.lit(max_basket_items),
+                    F.concat(
+                        F.lit("basket_pairs: basket "),
+                        F.col("basket").cast("string"),
+                        F.lit(" has "),
+                        F.col("_bsz").cast("string"),
+                        F.lit(
+                            f" frequent items > max_basket_items="
+                            f"{max_basket_items}; its pair fan-out is "
+                            "quadratic and Apriori cannot prune it"
+                        ),
+                    ),
+                ).isNull()
+            )
+            .drop("_bsz")
+        )
     pairs = (
         fb.alias("a")
         .join(fb.alias("b"), "basket")

@@ -349,3 +349,28 @@ def test_kcore_rejects_bad_args(spark):
         kcore_peel(df, k=3, rounds=0)
     with pytest.raises(ValueError):
         kcore_peel(df, k=0, rounds=1)
+
+
+def test_basket_pairs_mega_basket_guard(spark):
+    """One pathological basket whose items are all frequent defeats
+    Apriori pruning (quadratic fan-out). With max_basket_items the job
+    must FAIL naming the basket; without it the documented-unbounded
+    contract still computes."""
+    from osm_pbf_parquet_spark.operators.itemsets import basket_pairs
+
+    # 12 items, each in 2 baskets (so all pass min_item=2), and basket 0
+    # holds all 12 -> 66 pairs from one basket
+    rows = [(0, i) for i in range(12)] + [(i + 1, i) for i in range(12)]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    pairs, _ = basket_pairs(df, "basket", "item", min_item=2)
+    assert pairs.count() == 66  # unbounded contract unchanged
+    pairs, _ = basket_pairs(
+        df, "basket", "item", min_item=2, max_basket_items=8
+    )
+    with pytest.raises(Exception, match="max_basket_items=8"):
+        pairs.count()
+    # a cap that every basket satisfies changes nothing
+    pairs, _ = basket_pairs(
+        df, "basket", "item", min_item=2, max_basket_items=12
+    )
+    assert pairs.count() == 66

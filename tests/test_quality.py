@@ -564,3 +564,20 @@ def test_autocorr_matches_numpy(spark):
     for k in (1, 2, 3):
         n, acf = got[("c", k)]
         assert n == 10 - k and acf is None
+
+
+def test_fuzzy_skewed_block_guard(spark):
+    """A skewed blocking key silently goes quadratic; with
+    max_block_rows the job must FAIL naming the block, and a satisfied
+    cap must not change the result."""
+    rows = [(i, f"name{i}", "big" if i < 6 else "ok") for i in range(8)]
+    df = spark.createDataFrame(rows, "k long, name string, blk string")
+    baseline = blocked_levenshtein_topk(df, "k", "name", "blk", k=5).collect()
+    with pytest.raises(Exception, match="max_block_rows=4"):
+        blocked_levenshtein_topk(
+            df, "k", "name", "blk", k=5, max_block_rows=4
+        ).collect()
+    got = blocked_levenshtein_topk(
+        df, "k", "name", "blk", k=5, max_block_rows=6
+    ).collect()
+    assert got == baseline
