@@ -27,6 +27,27 @@ import weakref
 
 from pyspark.sql import DataFrame
 
+# Spark's CacheManager keys cache entries by PLAN EQUALITY, not by
+# DataFrame instance: unpersist() on frame A evicts the entry of any
+# OTHER still-live frame B with the same canonicalized plan (verified:
+# persist+count df1, persist an identical df2, df1.unpersist() →
+# df2.storageLevel drops to uncached). Without the refcount below, two
+# sequential runs of the same operator on the same input silently race
+# WHENEVER the first result outlives the second run's persist calls (a
+# driver or notebook holding results across runs — observed directly as
+# pagerank's supersteps recomputing the whole edge chain uncached in
+# the plan-audit repro): releasing run 1's set evicts run 2's freshly
+# persisted intermediates. Prompt-release patterns (bench's
+# thunk-scoped results, whose finalizer fires before the next rep
+# persists) were never exposed. ``_LIVE`` counts live persists per
+# semantic plan so only the LAST release of a plan actually
+# unpersists. ``semanticHash``
+# collisions (32-bit) at worst leak one entry until session end;
+# an external ``spark.catalog.clearCache()`` at worst strands a count,
+# making a later release skip one unpersist — both bounded, neither
+# affects results.
+_LIVE: dict[int, int] = {}
+
 
 class PersistSet:
     """Tracks DataFrames persisted on a caller's behalf.
@@ -40,15 +61,27 @@ class PersistSet:
     """
 
     def __init__(self) -> None:
-        self._dfs: list[DataFrame] = []
+        self._dfs: list[tuple[DataFrame, int | None]] = []
 
     def persist(self, df: DataFrame) -> DataFrame:
-        self._dfs.append(df.persist())
+        try:
+            key = df.semanticHash()
+        except Exception:
+            key = None
+        if key is not None:
+            _LIVE[key] = _LIVE.get(key, 0) + 1
+        self._dfs.append((df.persist(), key))
         return df
 
     def release(self) -> None:
         dfs, self._dfs = self._dfs, []
-        for df in dfs:
+        for df, key in dfs:
+            if key is not None:
+                left = _LIVE.get(key, 1) - 1
+                if left > 0:
+                    _LIVE[key] = left
+                    continue  # an identical plan is still live elsewhere
+                _LIVE.pop(key, None)
             try:
                 df.unpersist()
             except Exception:
