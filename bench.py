@@ -12,7 +12,11 @@ decontaminate re-timed at 1.08s idle), unable to distinguish a good plan
 from a lucky run — so the sub-second sf0.1 values are advisory only.
 Every query carries its [min, max] run spread: a max several times the
 min IS the host-contention detector — treat such numbers as noise, not
-regressions.
+regressions. r7 adds contention-outlier rejection: reps slower than
+1.5× the best rep are discarded from the published spread and re-run
+(bounded attempts); every raw rep, rejected or not, is recorded in the
+sidecar's raw_reps/big_raw_reps so nothing is hidden. The headline min
+is always over ALL reps.
 
 The headline set spans the engine's surfaces: PBF scan→parquet transcode
 (the reference's product), the TPC-H-shaped relational core, windows/asof,
@@ -287,16 +291,34 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    raw_reps: dict[str, list[float]] = {}
 
-    def timed(name: str, thunk, n: int, into: dict, spread_into: dict) -> None:
-        runs = []
-        for _ in range(n):
+    # r6-verdict ask #3: min-of-3 under this host's minutes-long
+    # contention windows is a noisy estimator — 8/14 big anchors spread
+    # >1.6×, indistinguishable from a real regression. A rep whose wall
+    # exceeds OUTLIER_X × the best rep is a contention hit, not the
+    # engine: discard it from the published spread (NEVER from the raw
+    # record in the sidecar) and re-run, bounded by EXTRA_ATTEMPTS. The
+    # min is over ALL reps, so rejection can only tighten the spread,
+    # never move the headline number. If the extra attempts are also
+    # contended the spread stays honestly wide.
+    OUTLIER_X = 1.5
+    EXTRA_ATTEMPTS = 3
+
+    def timed(name: str, thunk, n: int, into: dict, spread_into: dict,
+              raw_into: dict) -> None:
+        raw: list[float] = []
+        while True:
             t0 = time.time()
             thunk()
-            runs.append(time.time() - t0)
+            raw.append(time.time() - t0)
             spark.catalog.clearCache()
-        into[name] = round(min(runs), 3)
-        spread_into[name] = [round(min(runs), 3), round(max(runs), 3)]
+            clean = [r for r in raw if r <= OUTLIER_X * min(raw)]
+            if len(clean) >= n or len(raw) >= n + EXTRA_ATTEMPTS:
+                break
+        into[name] = round(min(raw), 3)
+        spread_into[name] = [round(min(clean), 3), round(max(clean), 3)]
+        raw_into[name] = [round(r, 3) for r in raw]
 
     workdir = tempfile.mkdtemp(prefix="bench_pbf_")
     try:
@@ -321,7 +343,7 @@ def main() -> None:
         write_synthetic_pbf_fast(warm, n_nodes=280_000, n_ways=5_000, n_rels=500)
         _bench_transcode(spark, warm, workdir, blobs_per_task=1)
         timed("pbf_transcode", lambda: _bench_transcode(spark, pbf, workdir),
-              3, timings, spreads)
+              3, timings, spreads, raw_reps)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -333,12 +355,13 @@ def main() -> None:
         # NOT warm-cache: clearCache() drops persisted intermediates.
         # count() forces the full plan without driver-side materialization.
         timed(name, lambda fn=fn: fn(spark, SF_DIR).count(),
-              3, timings, spreads)
+              3, timings, spreads, raw_reps)
 
     # ---- big tier: 10× data, min-of-3 (the host's contention windows
     # outlast min-of-2 even for multi-second runs — see spreads) ----
     big_timings: dict[str, float] = {}
     big_spreads: dict[str, list[float]] = {}
+    big_raw_reps: dict[str, list[float]] = {}
     big_extra: dict = {}
     try:
         _make_big_tier(spark)
@@ -381,7 +404,7 @@ def main() -> None:
             # entry (r5 observed 5.5s-vs-46.7s minhash and 3.8s-vs-11.6s
             # bm25 spreads); the extra ~15s of wall buys trustworthy mins
             timed(name, lambda fn=fn: fn(spark, BIG_DIR).count(),
-                  3, big_timings, big_spreads)
+                  3, big_timings, big_spreads, big_raw_reps)
 
         big_workdir = tempfile.mkdtemp(prefix="bench_pbf_big_")
         try:
@@ -402,7 +425,7 @@ def main() -> None:
             _bench_transcode(spark, warm2, big_workdir, blobs_per_task=1)
             timed("pbf_transcode_4x",
                   lambda: _bench_transcode(spark, big_pbf, big_workdir),
-                  3, big_timings, big_spreads)
+                  3, big_timings, big_spreads, big_raw_reps)
             big_extra["big_transcode_input_mb"] = round(big_mb, 1)
             big_extra["big_transcode_mb_per_s"] = round(
                 big_mb / big_timings["pbf_transcode_4x"], 1
@@ -467,7 +490,8 @@ def main() -> None:
     # The printed line must parse from a 2000-char tail: keep the
     # contract keys + the big tier (the judged numbers, spreads intact),
     # drop only the advisory sf0.1 spread map, and round to 2 decimals.
-    line = {k: v for k, v in payload.items() if k != "query_spread"}
+    line = {k: v for k, v in payload.items()
+            if k not in ("query_spread", "raw_reps", "big_raw_reps")}
     line["queries"] = _r2(timings)
     line["big_queries"] = _r2(big_timings)
     line["big_spread"] = _r2(big_spreads)
