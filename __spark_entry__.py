@@ -79,6 +79,14 @@ def _registry() -> dict[str, tuple]:
         reg.update(TOKENIZER_QUERIES)
     except ImportError:
         pass
+    try:
+        from osm_pbf_parquet_spark.plans.stream_dedup_queries import (
+            STREAM_DEDUP_QUERIES,
+        )
+
+        reg.update(STREAM_DEDUP_QUERIES)
+    except ImportError:
+        pass
     return _verification_order(reg)
 
 

@@ -737,3 +737,97 @@ def incremental_minhash_dedup(
             "jaccard",
         )
     )
+
+
+def incremental_minhash_dedup_stream(
+    incoming: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.8,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+    k: int = SHINGLE_K,
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """STREAMING form of ``incremental_minhash_dedup``: flag documents
+    arriving ON A STREAM that near-duplicate the persisted corpus
+    signature table — the warehouse steady state run continuously
+    instead of per-batch. Same rows as the batch operator on the same
+    input (one per flagged doc: key, dup_of, jaccard), so the two share
+    one oracle.
+
+    Restructured stream-safe, three deliberate departures from the
+    batch plan:
+
+    1. Gram-hash arrays RIDE the banded explode (bands× wider shuffle
+       rows) instead of the batch op's candidates-rejoin-signatures
+       step — that re-join's probe side derives from the stream, which
+       would make it a stream-stream join (watermark-range machinery,
+       unbounded buffering on the signature side). Stream ⋈ static is
+       the only join left.
+    2. NO candidate distinct: a pair matching on m bands is scored m
+       times with the IDENTICAL jaccard and collapses in the final
+       aggregation — trading ≤ bands× duplicate verify arithmetic for
+       ZERO deduplication state.
+    3. Best-match per incoming doc via a lexicographic
+       max(struct(jaccard, −old_id)) stateful aggregation — identical
+       argmax semantics to the batch row_number over (jaccard DESC,
+       old_id ASC), which streams do not support. State: one small row
+       per flagged doc.
+
+    ``watermark=(col, delay)`` attaches an event-time watermark on the
+    incoming side before signatures are computed, so update-mode
+    deployments can evict state for emitted keys; the gate runs
+    complete-mode into a memory sink, where the result equals the batch
+    operator row-for-row.
+    """
+    if watermark is not None:
+        incoming = incoming.withWatermark(*watermark)
+    inc_sigs = minhash_signatures(incoming, text_col, n_hashes, k).select(
+        key, "gram_hashes", "minhash"
+    )
+    rows = n_hashes // bands
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows})))"
+    )
+    a = inc_sigs.withColumn("_bands", F.expr(band_expr)).select(
+        F.col(key).alias("new_id"),
+        F.col("gram_hashes").alias("gh_a"),
+        F.posexplode("_bands").alias("band_idx", "band_sig"),
+    )
+    b = corpus_sigs.withColumn("_bands", F.expr(band_expr)).select(
+        F.col(key).alias("old_id"),
+        F.col("gram_hashes").alias("gh_b"),
+        F.posexplode("_bands").alias("band_idx", "band_sig"),
+    )
+    scored = (
+        a.join(b, ["band_idx", "band_sig"])
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("gh_a", "gh_b"))
+                / F.size(F.array_union("gh_a", "gh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = (
+        scored.groupBy(F.col("new_id").alias(key))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard").alias("j"),
+                    (-F.col("old_id")).alias("neg"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            key,
+            (-F.col("_b.neg")).alias("dup_of"),
+            F.col("_b.j").alias("jaccard"),
+        )
+    )
+    return best

@@ -221,3 +221,71 @@ def test_stream_checkpoint_exactly_once_resume(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 15
     assert got.filter("id >= 100").count() == 5
+
+
+# --- r7: streaming incremental dedup (11th streaming gate) ---------------------
+
+
+def test_stream_incremental_dedup_equals_batch(spark):
+    """The streaming restructuring (signatures on the banded explode, no
+    candidate distinct, max-struct argmax) must reproduce the batch
+    operator's rows EXACTLY on the same input — the streaming/batch
+    unification guarantee the shared oracle rests on."""
+    from osm_pbf_parquet_spark.plans.advanced_queries import ADVANCED_QUERIES
+    from osm_pbf_parquet_spark.plans.stream_dedup_queries import (
+        q_stream_incremental_dedup,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = sorted(
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in q_stream_incremental_dedup(spark, sf).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in ADVANCED_QUERIES["incremental_dedup"][0](spark, sf).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_incremental_dedup_oracle_parity(spark):
+    from osm_pbf_parquet_spark.plans.stream_dedup_queries import (
+        STREAM_DEDUP_QUERIES,
+    )
+
+    from oracle_harness import run_compare
+
+    fn, oracle = STREAM_DEDUP_QUERIES["stream_incremental_dedup"]
+    run_compare(
+        spark, "/root/testdata/sf0.01", "stream_incremental_dedup", fn, oracle
+    )
+
+
+def test_stream_incremental_dedup_is_actually_streaming(spark):
+    """The gate must execute through a real streaming query (readStream
+    → memory sink), not silently fall back to batch: the pre-sink frame
+    is a streaming DataFrame."""
+    from osm_pbf_parquet_spark.functions.caching import PersistSet
+    from osm_pbf_parquet_spark.operators import dedup
+    from osm_pbf_parquet_spark.plans.stream_dedup_queries import _doc_stream
+
+    sf = "/root/testdata/sf0.01"
+    incoming = (
+        _doc_stream(spark, sf)
+        .where(F.col("doc_id") % 5 == 0)
+        .withColumn("ingest_time", F.timestamp_seconds(F.col("doc_id")))
+    )
+    assert incoming.isStreaming
+    corpus = spark.read.parquet(f"{sf}/documents.parquet").where(
+        F.col("doc_id") % 5 != 0
+    )
+    with PersistSet() as ps:
+        sigs = ps.persist(
+            dedup.minhash_signatures(corpus).select(
+                "doc_id", "gram_hashes", "minhash"
+            )
+        )
+        flagged = dedup.incremental_minhash_dedup_stream(
+            incoming, sigs, watermark=("ingest_time", "1 hour")
+        )
+        assert flagged.isStreaming
