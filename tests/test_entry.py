@@ -47,28 +47,47 @@ def test_check_first_names_all_resolve():
     assert len(e._CHECK_FIRST) == len(set(e._CHECK_FIRST)), "duplicates"
 
 
-def test_r6_new_queries_inside_driver_cap():
-    """The correctness driver checks the first 50 entries; every query
-    that has never had a driver row must sit inside that window."""
+def test_r7_rotation_inside_driver_cap():
+    """The correctness driver checks the first 50 entries. r7's
+    must-cover set: the never-checked r7 gate, the r6 verdict's 12
+    named displacements (ask #1), and every query tainted by an r7
+    module/plan edit that was not explicitly displaced (the 9
+    displacements and their rationale live in __spark_entry__'s
+    rotation comment)."""
     import __spark_entry__ as e
 
     head = list(e.queries())[:50]
-    for name in ("pagerank_suppliers", "frequent_itemsets", "hll_by_type",
-                 "bigram_lm", "markov_transitions",
-                 "cooccurrence_topk", "kcore_parts",
-                 # quality & traversal suite (r6, never driver-checked)
-                 "shortest_hops", "triangle_count", "fuzzy_name_match",
-                 "profile_table", "dq_checks", "mad_outliers",
-                 "chi_square_assoc", "ewma_smooth", "hll_set_ops",
-                 "stream_dq_monitor", "exact_quantiles", "feature_hashing",
-                 "group_regression",
-                 # evaluation suite (r6 session 3, never driver-checked)
-                 "auc_score", "kappa_lang_agreement", "calibration_curve",
-                 "ab_welch_by_type", "stream_ab_monitor", "scd2_snapshot",
-                 # media-dedup gates (r6 session 3, never driver-checked)
-                 "image_dhash", "image_near_dup_pairs",
-                 # tokenizer/eval/series gates (r6 session 4, never
-                 # driver-checked)
-                 "bpe_train_merges", "bpe_token_vocab", "ndcg_at_k",
-                 "autocorr_lags"):
+    assert len(head) == 50
+    must = (
+        # never driver-checked (r7-new)
+        "stream_incremental_dedup",
+        # the r6 verdict's 12 named displacements — all must retire
+        "negative_sampling", "embedding_outliers", "unigram_logprob",
+        "text_entropy", "ann_lsh_pairs", "ann_ivf_topk",
+        "cms_heavy_hitters", "text_stats", "text_lang_id", "dataset_diff",
+        "tokenize_corpus", "text_quality",
+        # r7 ADVICE-fix certifications
+        "chi_square_assoc", "bm25_topk", "calibration_curve",
+        # banded-Hamming fold (dedup.py + phash.py)
+        "dedup_simhash", "image_dhash", "image_near_dup_pairs",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_components", "duplicate_spans", "decontaminate",
+        "incremental_dedup",
+        # quadratic guards (itemsets.py / fuzzy.py)
+        "frequent_itemsets", "cooccurrence_topk", "kcore_parts",
+        "fuzzy_name_match",
+        # text.py-routed module taint
+        "hybrid_rrf_search", "kappa_lang_agreement",
+        "stream_quality_by_lang", "clean_corpus_pipeline",
+        "text_fingerprint", "pii_scrub", "text_repetition",
+        "full_curation_pipeline", "tfidf_top_terms", "line_corpus_dedup",
+        "vocab_build", "token_drift_js",
+        # quality.py / quality_queries.py-routed module taint
+        "profile_table", "dq_checks", "mad_outliers", "autocorr_lags",
+        "group_regression", "stream_dq_monitor", "shortest_hops",
+        "triangle_count",
+    )
+    for name in must:
         assert name in head, name
+    # exactly the cap: nothing above pushed a must-cover entry out
+    assert len(must) == 50
