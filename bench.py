@@ -470,6 +470,8 @@ def main() -> None:
         "transcode_mb_per_s": round(in_mb / timings["pbf_transcode"], 1),
         "big_queries": big_timings,
         "big_spread": big_spreads,
+        "raw_reps": raw_reps,
+        "big_raw_reps": big_raw_reps,
         "big_total": big_total,
         "big_copies": BIG_COPIES,
         **big_extra,
