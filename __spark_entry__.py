@@ -87,6 +87,14 @@ def _registry() -> dict[str, tuple]:
         reg.update(STREAM_DEDUP_QUERIES)
     except ImportError:
         pass
+    try:
+        from osm_pbf_parquet_spark.plans.selection_queries import (
+            SELECTION_QUERIES,
+        )
+
+        reg.update(SELECTION_QUERIES)
+    except ImportError:
+        pass
     return _verification_order(reg)
 
 
@@ -100,10 +108,13 @@ def _registry() -> dict[str, tuple]:
 #
 # ROUND-7 ROTATION (replaces the r6 comment below). The r7 must-cover set
 # was computed mechanically (git file mtimes × CORRECTNESS_r1-r6 greens ×
-# per-query file attribution): 53 entries tainted by r7 edits + the r6
-# verdict's 12 named displacements (6 of which overlap the 53) = 59
+# per-query file attribution — see tools/taint_ledger.py, which rebuilds
+# this set from the repo + CORRECTNESS history and verifies the cap):
+# 53 entries tainted by r7 edits + the r6 verdict's 12 named
+# displacements (6 of which overlap the 53) + 4 r7-NEW never-checked
+# gates (stream_incremental_dedup + the three selection gates) = 62
 # candidates for 50 slots. ALL TWELVE r6-named displacements are in-cap
-# (verdict ask #1 delivered). The 9 entries displaced to fit — listed
+# (verdict ask #1 delivered). The 12 entries displaced to fit — listed
 # first below the cap — were chosen strictly from the weakest taint class:
 # r6-driver-green, executed operator lines untouched by the r7 edit, with
 # an in-cap sibling certifying the changed lines of the shared file
@@ -115,8 +126,16 @@ def _registry() -> dict[str, tuple]:
 #
 _CHECK_FIRST = [
     # ---- positions 1-50: the driver cap ----
-    # never driver-checked (r7-new gate)
+    # never driver-checked (r7-new gates). The three selection gates
+    # displaced shortest_hops/triangle_count/autocorr_lags to the r8
+    # head list — the weakest in-cap taint class (quality_queries.py
+    # ORACLE-CONSTANT-only plan edit, same isolation rationale as the
+    # four already-displaced ewma/quantiles/hll/feature entries, with
+    # chi_square_assoc certifying the changed lines in-cap).
     "stream_incremental_dedup",
+    "dsir_importance",
+    "temperature_mixture",
+    "split_leakage",
     # r7 ADVICE-fix certifications (behavior/oracle changed this round)
     "chi_square_assoc",
     "bm25_topk",
@@ -169,18 +188,21 @@ _CHECK_FIRST = [
     "profile_table",
     "dq_checks",
     "mad_outliers",
-    "autocorr_lags",
     "group_regression",
     "stream_dq_monitor",
-    "shortest_hops",
-    "triangle_count",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
     #      full-registry parity tests on current code every pytest run.
     #
-    #      NEXT NINE: the r7 displacements (see the rotation note above
+    #      NEXT TWELVE: the r7 displacements (see the rotation note above
     #      for the per-file isolation rationale) — these HEAD THE R8 CAP
     #      if their files stay untouched:
+    #      quality_queries.py-routed, r6-green, oracle-constant-only plan
+    #      edit (chi_square_assoc certifies in-cap); operators untouched
+    #      (displaced by the three r7-new selection gates):
+    "shortest_hops",
+    "triangle_count",
+    "autocorr_lags",
     #      evaluation.py-routed, r6-green, calibration-only module edit
     #      (calibration_curve + kappa_lang_agreement certify in-cap):
     "auc_score",

@@ -1,0 +1,246 @@
+"""Data-selection operators for training-corpus curation: DSIR
+importance weighting, temperature-based domain mixture weights, and a
+train/test split leakage audit.
+
+These sit downstream of the dedup/quality suites and upstream of the
+sampling suite: score or weight documents/domains, then feed the weights
+to ``sampling.weighted_mixture`` / ``sampling.hash_split``.
+
+Reference context: the reference engine (osm-pbf-parquet) is a one-shot
+ETL (osm-pbf-parquet/src/main.rs) with no selection surface; these are
+the corpus-level selection steps a 100 TB training-data pipeline runs on
+the warehouse the reference only ingests into.
+
+Published bases: DSIR — Xie et al., "Data Selection for Language Models
+via Importance Resampling" (NeurIPS 2023): hashed n-gram features, a
+smoothed bag-of-buckets language model for the target and raw corpora,
+and log-likelihood-ratio importance weights. Temperature mixing —
+multilingual sampling with p_i ∝ (n_i/N)^alpha (Conneau & Lample 2019,
+XLM; alpha≈0.3 in mBERT/XLM-R practice).
+
+Determinism: every cross-row reduction is an exact BIGINT sum; floats
+appear only in per-bucket scalar ops (one ln / one pow), immediately
+floor-scaled to BIGINT at fixed precision so a SQL oracle replays every
+value exactly (see each docstring's seam note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .sampling import hash_mod_expr
+
+#: hashed-feature dimensionality for the DSIR bucket LM (the paper uses
+#: 10⁴ buckets at web scale; 128 keeps the sf-tier lambda table readable
+#: while exercising the identical plan shape)
+DSIR_BUCKETS = 128
+#: fixed-point scale for per-bucket log-ratios (nanonats)
+DSIR_SCALE = 10**9
+#: fixed-point scale for the pre-normalization temperature masses
+TEMP_SCALE = 10**12
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: str,
+    key: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    cache=None,
+) -> DataFrame:
+    """Per-document DSIR importance weight: the log-likelihood ratio of
+    the document's hashed-unigram bag under a smoothed target-corpus
+    bucket LM vs the raw-corpus bucket LM. Documents that "look like"
+    the target rows (``target_pred``, a SQL boolean over ``df``'s
+    columns, e.g. ``"lang = 'en'"``) score high; resampling by this
+    weight is the DSIR selection step.
+
+    Output: one row per document with ≥1 token — ``(key,
+    dsir_nano BIGINT)`` where dsir_nano = Σ_buckets c_doc[b]·λ[b] in
+    nanonats, λ[b] = ln p̂_target[b] − ln p̂_raw[b] with Laplace
+    smoothing (+1 per bucket). Exactness: λ is ONE ln of ONE IEEE
+    division of exactly-computed doubles, floor-scaled to BIGINT
+    nanonats (floor, never cast: DuckDB CAST rounds, Spark truncates);
+    the per-document reduction is then an exact integer sum —
+    order-independent, so cross-engine parity holds. The only seam is
+    ln's last ulp landing within 1e-9 of a floor boundary (~2e-7
+    probability per bucket, deterministic per dataset).
+
+    Plan/scale: tokenize → bucket (pure projection, the engine-wide md5
+    hash) → ONE corpus-wide map-side-combinable groupBy to (doc,
+    is_target, bucket) counts, persisted; BOTH distributions are then
+    ``buckets``-row aggregates OVER that frame (one pass computes
+    target and raw via a conditional sum — no second scan, no spine:
+    a bucket absent from the raw corpus cannot appear in any document,
+    so it contributes to no weight); λ is a ``buckets``-row broadcast
+    attach; the final per-doc sum re-aggregates the persisted counts.
+    One corpus-sized shuffle total, no Python, no collect.
+    """
+    from ..functions.caching import owned_set, tie_release
+    from .text import with_tokens
+
+    toks = with_tokens(df, text_col).select(
+        F.col(key),
+        F.expr(target_pred).alias("_is_t"),
+        F.explode("tokens").alias("_term"),
+    )
+    ps, owned = owned_set(cache)
+    dbc = ps.persist(
+        toks.select(
+            key,
+            "_is_t",
+            F.expr(hash_mod_expr("_term", buckets)).alias("_bucket"),
+        )
+        .groupBy(key, "_is_t", "_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    dist = dbc.groupBy("_bucket").agg(
+        F.sum("_c").cast("long").alias("_raw_ct"),
+        F.coalesce(
+            F.sum(F.when(F.col("_is_t"), F.col("_c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("_tgt_ct"),
+    )
+    tot = dist.agg(
+        F.sum("_raw_ct").cast("long").alias("_traw"),
+        F.sum("_tgt_ct").cast("long").alias("_ttgt"),
+    )
+    # smoothed counts added in EXACT integer arithmetic, each factor
+    # cast to double only then (the BIGINT cross-product would wrap —
+    # same discipline as quality.chi_square_cells); ln(a·b/(c·d)) with
+    # IEEE-identical operand order in the oracle
+    num = (F.col("_tgt_ct") + F.lit(1)).cast("double") * (
+        F.col("_traw") + F.lit(buckets)
+    ).cast("double")
+    den = (F.col("_raw_ct") + F.lit(1)).cast("double") * (
+        F.col("_ttgt") + F.lit(buckets)
+    ).cast("double")
+    lam = (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            "_bucket",
+            F.floor(
+                F.log(num / den) * F.lit(DSIR_SCALE).cast("double")
+            )
+            .cast("long")
+            .alias("_lam_nano"),
+        )
+    )
+    out = (
+        dbc.join(F.broadcast(lam), "_bucket")
+        .groupBy(key)
+        .agg(
+            F.sum(F.col("_c") * F.col("_lam_nano"))
+            .cast("long")
+            .alias("dsir_nano")
+        )
+    )
+    return tie_release(out, ps, owned)
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-sampled domain mixture weights: w_i ∝ (n_i/N)^alpha,
+    the standard multilingual rebalancing (alpha < 1 upsamples the tail
+    so low-resource domains are not drowned; alpha = 1 is proportional,
+    alpha = 0 uniform). Output: one row per group — ``(group_col,
+    n_docs BIGINT, w_ppm BIGINT, expected_docs BIGINT)`` with w_ppm the
+    normalized weight in parts-per-million and expected_docs =
+    w_ppm·N div 10⁶ the per-domain budget under resampling to the same
+    corpus size.
+
+    Exactness: pow is the single float op per group, floor-scaled to
+    TEMP_SCALE fixed-point mass immediately; the normalization is then
+    EXACT integer arithmetic (BIGINT sum + floor division), so weights
+    are identical cross-engine regardless of group enumeration order —
+    a double normalization would sum masses in engine-dependent order.
+    mass ≤ TEMP_SCALE and mass·10⁶ ≤ 10¹⁸ < 2⁶³, no overflow.
+
+    Plan/scale: ONE map-side-combinable count by group (output rows =
+    |domains|, tiny), then two 1-row broadcast attaches (corpus total,
+    mass total). Nothing else touches the data.
+    """
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("_n"))
+    mass = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            "_n",
+            F.floor(
+                F.pow(
+                    F.col("n_docs").cast("double") / F.col("_n").cast("double"),
+                    F.lit(alpha).cast("double"),
+                )
+                * F.lit(TEMP_SCALE).cast("double")
+            )
+            .cast("long")
+            .alias("_mass"),
+        )
+    )
+    mtot = mass.agg(F.sum("_mass").cast("long").alias("_mtot"))
+    return (
+        mass.crossJoin(F.broadcast(mtot))
+        .select(
+            group_col,
+            "n_docs",
+            F.expr("_mass * 1000000 div _mtot").cast("long").alias("w_ppm"),
+            F.expr("(_mass * 1000000 div _mtot) * _n div 1000000")
+            .cast("long")
+            .alias("expected_docs"),
+        )
+    )
+
+
+def split_leakage(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    weights=None,
+    salt: str = "split-v1",
+    cache=None,
+) -> DataFrame:
+    """Train/test split leakage audit: near-duplicate document pairs
+    (MinHash-LSH at ``threshold``) that CROSS a hash-split boundary —
+    each one is a test document whose near-copy sits in train, i.e. an
+    eval-contamination path the split alone cannot prevent. The
+    composition every training pipeline should run after splitting:
+    dedup finds the pairs, the split assigns sides, leakage = pairs
+    whose sides differ.
+
+    Output: ``(doc_a, doc_b, jaccard, split_a, split_b)`` — one row per
+    leaking pair, empty iff the split is leak-free at the threshold.
+
+    Plan/scale: the pair search is ``dedup.minhash_lsh_dedup`` (banded
+    bucket join, never all-pairs); the split sides are then PURE
+    PROJECTIONS of the pair keys (``sampling.hash_split`` applied to
+    doc_a and doc_b — split membership is a deterministic hash of the
+    key, so NO join back to the corpus is needed: zero shuffles added
+    on top of the dedup itself).
+    """
+    from .dedup import minhash_lsh_dedup
+    from .sampling import hash_split
+
+    pairs = minhash_lsh_dedup(
+        df, text_col=text_col, key=key, threshold=threshold, cache=cache
+    )
+    kwargs = {"salt": salt}
+    if weights is not None:
+        kwargs["weights"] = weights
+    sided = hash_split(pairs, key="doc_a", **kwargs).withColumnRenamed(
+        "split", "split_a"
+    ).drop("bucket")
+    sided = hash_split(sided, key="doc_b", **kwargs).withColumnRenamed(
+        "split", "split_b"
+    ).drop("bucket")
+    return sided.where(F.col("split_a") != F.col("split_b")).select(
+        "doc_a", "doc_b", "jaccard", "split_a", "split_b"
+    )

@@ -1,0 +1,152 @@
+"""Round-7 data-selection suite: DSIR importance weights, temperature
+mixture weights, and the split-leakage audit — the selection steps
+between the dedup/quality suites and the sampling suite, each a
+(Spark plan, DuckDB oracle) gate pair over the shared test tables.
+
+Reference context: the reference engine (osm-pbf-parquet/src/main.rs)
+ingests; selection of WHAT to train on from the ingested warehouse is
+delegated to external engines — these gates make it first-class.
+Published bases in ``operators/selection.py``'s module docstring (DSIR:
+Xie et al. 2023; temperature mixing: Conneau & Lample 2019).
+"""
+
+from __future__ import annotations
+
+from ..operators import selection
+from ..operators.sampling import duck_hash_mod
+from ..operators.text import TOKEN_REGEX
+from .relational import t as _t
+
+
+# --- DSIR importance weights ----------------------------------------------------
+
+_DSIR_TARGET = "lang = 'en'"
+
+
+def q_dsir_importance(spark, sf_dir):
+    """Hashed-unigram DSIR log-likelihood-ratio weight per document,
+    target = English docs: positive nanonat weights mean
+    more-target-like than the raw corpus."""
+    return selection.dsir_importance(
+        _t(spark, sf_dir, "documents"), _DSIR_TARGET
+    )
+
+
+def _oracle_dsir() -> str:
+    b = selection.DSIR_BUCKETS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ({_DSIR_TARGET}) AS is_t,
+         unnest(regexp_extract_all(text, '{TOKEN_REGEX}')) AS term
+  FROM documents
+),
+dbc AS (
+  SELECT doc_id, is_t, {duck_hash_mod("term", b)} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT bucket, CAST(sum(c) AS BIGINT) AS raw_ct,
+         CAST(coalesce(sum(c) FILTER (WHERE is_t), 0) AS BIGINT) AS tgt_ct
+  FROM dbc GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(raw_ct) AS BIGINT) AS traw,
+         CAST(sum(tgt_ct) AS BIGINT) AS ttgt
+  FROM dist
+),
+lam AS (
+  SELECT bucket,
+         CAST(floor(ln(
+           (CAST(tgt_ct + 1 AS DOUBLE) * CAST(traw + {b} AS DOUBLE))
+           / (CAST(raw_ct + 1 AS DOUBLE) * CAST(ttgt + {b} AS DOUBLE))
+         ) * CAST({selection.DSIR_SCALE} AS DOUBLE)) AS BIGINT) AS lam_nano
+  FROM dist, tot
+)
+SELECT doc_id, CAST(sum(c * lam_nano) AS BIGINT) AS dsir_nano
+FROM dbc JOIN lam USING (bucket)
+GROUP BY doc_id
+"""
+
+
+# --- temperature mixture weights --------------------------------------------------
+
+_TEMP_ALPHA = 0.3
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Per-language temperature-sampled mixture weights (alpha = 0.3)
+    over the document corpus: ppm weights + expected per-language doc
+    budget under resampling to the same corpus size."""
+    return selection.temperature_weights(
+        _t(spark, sf_dir, "documents"), "lang", alpha=_TEMP_ALPHA
+    )
+
+
+def _oracle_temperature() -> str:
+    return f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM counts),
+mass AS (
+  SELECT lang, n_docs, n,
+         CAST(floor(pow(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE),
+                        CAST({_TEMP_ALPHA!r} AS DOUBLE))
+                    * CAST({selection.TEMP_SCALE} AS DOUBLE)) AS BIGINT)
+           AS m
+  FROM counts, tot
+),
+mtot AS (SELECT CAST(sum(m) AS BIGINT) AS mt FROM mass)
+SELECT lang, n_docs,
+       CAST((m * 1000000) // mt AS BIGINT) AS w_ppm,
+       CAST((((m * 1000000) // mt) * n) // 1000000 AS BIGINT)
+         AS expected_docs
+FROM mass, mtot
+"""
+
+
+# --- split leakage audit ----------------------------------------------------------
+
+
+def q_split_leakage(spark, sf_dir):
+    """Near-duplicate pairs (MinHash-LSH, jaccard ≥ 0.8) that cross the
+    deterministic train/val/test hash-split boundary — each row is an
+    eval-contamination path the split alone cannot prevent."""
+    return selection.split_leakage(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_split_leakage() -> str:
+    # the pair search IS dedup_minhash_lsh's oracle, verbatim — one
+    # definition pinning both gates; the split sides replay
+    # sampling.hash_split's published bucket thresholds
+    from ..operators.sampling import HASH_BUCKETS
+    from .pipeline_queries import _oracle_minhash
+
+    def side(col: str) -> str:
+        bucket = duck_hash_mod(
+            f"CAST({col} AS VARCHAR) || ':' || 'split-v1'", HASH_BUCKETS
+        )
+        train = int(round(0.8 * HASH_BUCKETS))
+        val = int(round(0.9 * HASH_BUCKETS))
+        return (
+            f"CASE WHEN {bucket} < {train} THEN 'train' "
+            f"WHEN {bucket} < {val} THEN 'val' ELSE 'test' END"
+        )
+
+    return f"""
+WITH pr AS ({_oracle_minhash()})
+SELECT doc_a, doc_b, jaccard, split_a, split_b FROM (
+  SELECT doc_a, doc_b, jaccard,
+         {side('doc_a')} AS split_a,
+         {side('doc_b')} AS split_b
+  FROM pr
+) WHERE split_a <> split_b
+"""
+
+
+SELECTION_QUERIES = {
+    "dsir_importance": (q_dsir_importance, _oracle_dsir()),
+    "temperature_mixture": (q_temperature_mixture, _oracle_temperature()),
+    "split_leakage": (q_split_leakage, _oracle_split_leakage()),
+}

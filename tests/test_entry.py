@@ -51,7 +51,7 @@ def test_r7_rotation_inside_driver_cap():
     """The correctness driver checks the first 50 entries. r7's
     must-cover set: the never-checked r7 gate, the r6 verdict's 12
     named displacements (ask #1), and every query tainted by an r7
-    module/plan edit that was not explicitly displaced (the 9
+    module/plan edit that was not explicitly displaced (the 12
     displacements and their rationale live in __spark_entry__'s
     rotation comment)."""
     import __spark_entry__ as e
@@ -61,6 +61,7 @@ def test_r7_rotation_inside_driver_cap():
     must = (
         # never driver-checked (r7-new)
         "stream_incremental_dedup",
+        "dsir_importance", "temperature_mixture", "split_leakage",
         # the r6 verdict's 12 named displacements — all must retire
         "negative_sampling", "embedding_outliers", "unigram_logprob",
         "text_entropy", "ann_lsh_pairs", "ann_ivf_topk",
@@ -83,9 +84,11 @@ def test_r7_rotation_inside_driver_cap():
         "full_curation_pipeline", "tfidf_top_terms", "line_corpus_dedup",
         "vocab_build", "token_drift_js",
         # quality.py / quality_queries.py-routed module taint
-        "profile_table", "dq_checks", "mad_outliers", "autocorr_lags",
-        "group_regression", "stream_dq_monitor", "shortest_hops",
-        "triangle_count",
+        # (shortest_hops/triangle_count/autocorr_lags displaced to the
+        # r8 head list by the three r7-new selection gates — weakest
+        # taint class, see the rotation comment)
+        "profile_table", "dq_checks", "mad_outliers",
+        "group_regression", "stream_dq_monitor",
     )
     for name in must:
         assert name in head, name

@@ -1,0 +1,150 @@
+"""Selection suite (r7): oracle parity, semantic units, and physical-plan
+audits for DSIR importance weights, temperature mixture weights, and the
+split-leakage audit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark.operators import selection
+from osm_pbf_parquet_spark.plans.selection_queries import SELECTION_QUERIES
+
+from oracle_harness import run_compare
+
+SF_DIR = "/root/testdata/sf0.01"
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.mark.parametrize("name", sorted(SELECTION_QUERIES))
+def test_selection_oracle_parity(spark, name):
+    fn, oracle = SELECTION_QUERIES[name]
+    run_compare(spark, SF_DIR, name, fn, oracle)
+
+
+# --- DSIR ----------------------------------------------------------------------
+
+
+def test_dsir_target_docs_score_higher(spark):
+    """The point of the weight: documents drawn from the target
+    distribution must average a higher log-likelihood ratio than the
+    rest of the raw corpus."""
+    docs = _docs(spark, SF_DIR)
+    w = selection.dsir_importance(docs, "lang = 'en'")
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_nano").alias("m"))
+        .collect()
+    }
+    # the separation, not the sign, is the invariant: with Laplace
+    # smoothing over 128 buckets and shared vocabulary across languages
+    # even target docs can score negative in absolute nanonats
+    assert means[True] > means[False]
+
+
+def test_dsir_empty_text_docs_absent(spark):
+    """A document with no tokens has no bag — it gets no row (both
+    engines drop it at the explode/unnest), never a spurious 0."""
+    rows = [(1, "alpha beta gamma"), (2, ""), (3, "alpha alpha")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.when(F.col("doc_id") == 1, "en").otherwise("fr")
+    )
+    out = selection.dsir_importance(df, "lang = 'en'")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3}
+
+
+def test_dsir_plan_one_corpus_shuffle_no_cartesian(spark):
+    df = SELECTION_QUERIES["dsir_importance"][0](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the 1-row totals attach is the only nested-loop node; the lambda
+    # attach must be a broadcast HASH join on the bucket key
+    assert plan.count("BroadcastNestedLoopJoin (") <= 1
+    assert "BroadcastHashJoin" in plan
+
+
+# --- temperature mixture ---------------------------------------------------------
+
+
+def test_temperature_weights_normalize_and_upsample_tail(spark):
+    docs = _docs(spark, SF_DIR)
+    out = {
+        r["lang"]: r
+        for r in selection.temperature_weights(docs, "lang", 0.3).collect()
+    }
+    total_ppm = sum(r["w_ppm"] for r in out.values())
+    # floor-division loses < 1 ppm per group, never overshoots
+    assert 1_000_000 - len(out) <= total_ppm <= 1_000_000
+    n = {k: r["n_docs"] for k, r in out.items()}
+    total = sum(n.values())
+    smallest = min(n, key=n.get)
+    biggest = max(n, key=n.get)
+    # alpha < 1 moves mass from the head to the tail
+    assert out[smallest]["w_ppm"] > n[smallest] * 1_000_000 // total
+    assert out[biggest]["w_ppm"] < n[biggest] * 1_000_000 // total
+    # expected_docs is the ppm share of the corpus
+    for k, r in out.items():
+        assert r["expected_docs"] == r["w_ppm"] * total // 1_000_000
+
+
+def test_temperature_alpha_one_is_proportional(spark):
+    docs = _docs(spark, SF_SMALL)
+    out = selection.temperature_weights(docs, "lang", 1.0).collect()
+    total = sum(r["n_docs"] for r in out)
+    for r in out:
+        exact = r["n_docs"] * 1_000_000 // total
+        # fixed-point pow/floor seam can shave at most 1 ppm
+        assert abs(r["w_ppm"] - exact) <= 1
+
+
+# --- split leakage ----------------------------------------------------------------
+
+
+def test_split_leakage_rows_are_cross_split_near_dups(spark):
+    from osm_pbf_parquet_spark.operators.dedup import minhash_lsh_dedup
+    from osm_pbf_parquet_spark.operators.sampling import hash_split
+
+    docs = _docs(spark, SF_DIR)
+    leaks = selection.split_leakage(docs).collect()
+    assert leaks, "sf0.01 corpus is known to contain cross-split near-dups"
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_dedup(docs, threshold=0.8).collect()
+    }
+    split = {
+        r["doc_id"]: r["split"] for r in hash_split(docs).collect()
+    }
+    for r in leaks:
+        assert (r["doc_a"], r["doc_b"]) in pairs
+        assert r["jaccard"] == pairs[(r["doc_a"], r["doc_b"])]
+        assert r["split_a"] == split[r["doc_a"]]
+        assert r["split_b"] == split[r["doc_b"]]
+        assert r["split_a"] != r["split_b"]
+
+
+def test_split_leakage_adds_no_corpus_scan(spark):
+    """Split sides are hash projections of the pair keys — the plan must
+    scan the corpus exactly as many times as the dedup itself, never
+    join back to documents for the split column."""
+    from osm_pbf_parquet_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _docs(spark, SF_SMALL)
+    base = _plan(minhash_lsh_dedup(docs, threshold=0.8))
+    audited = _plan(selection.split_leakage(docs))
+    # ≤, not ==: extending the dedup plan can only REUSE scans (the
+    # persisted signature frame), never add a corpus re-scan
+    assert audited.count("Scan parquet") <= base.count("Scan parquet")
+    assert "CartesianProduct" not in audited
