@@ -113,16 +113,16 @@ def _registry() -> dict[str, tuple]:
 # committed evidence, tests/test_taint_ledger.py keeps it honest):
 #
 #   4 never-checked r7-new gates (stream_incremental_dedup + the three
-#   selection gates) + 35 LINE-tainted queries — queries that EXECUTE a
+#   selection gates) + 36 LINE-tainted queries — queries that EXECUTE a
 #   line changed after their latest green, dominated by the r7
 #   caching.py refcount fix whose changed lines every PersistSet
-#   consumer runs — = 39 must-cover, ALL IN-CAP. Zero line-level
+#   consumer runs — = 40 must-cover, ALL IN-CAP. Zero line-level
 #   displacements.
 #
-# The remaining 11 slots: the 7 of the r6 verdict's 12 named
+# The remaining 10 slots: the 7 of the r6 verdict's 12 named
 # displacements that the line ledger proves clear (kept in-cap anyway —
 # ask #1 named them explicitly; the other 5 are line-tainted and in-cap
-# above), plus 4 from the oldest file-level backlog (sampling_queries
+# above), plus 3 from the oldest file-level backlog (sampling_queries
 # r4 block). Entries whose FILES changed this round but whose executed
 # lines / oracle / plan fingerprint did not are machine-verified clear
 # per-query in TAINT_LEDGER.json (per_query[q].files_changed_lines_clear)
@@ -181,6 +181,8 @@ _CHECK_FIRST = [
     # their greens — the old backlog's two genuinely-executing entries)
     "sample_hash_split",
     "sample_weighted_mixture",
+    # line-tainted: executes the r7 _band_sig_expr consolidation lines
+    "incremental_dedup",
     # the r6 verdict's named displacements that the line ledger proves
     # clear — in-cap regardless (ask #1 named all 12; the other 5 are
     # line-tainted above)
@@ -196,7 +198,6 @@ _CHECK_FIRST = [
     "sample_stratified_cap",
     "sample_length_buckets",
     "sample_uniform_n",
-    "sample_pack_sequences",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
     #      full-registry parity tests on current code every pytest run,
@@ -234,7 +235,9 @@ _CHECK_FIRST = [
     "dedup_components",
     "duplicate_spans",
     "decontaminate",
-    "incremental_dedup",
+    # oldest-backlog fill displaced by incremental_dedup's band-expr
+    # consolidation taint — heads the r8 fill list
+    "sample_pack_sequences",
     # ---- older file-level ledger (pre-r7 plan-file edits outliving
     #      r3-r5 greens), line-ledger-verified clear. Freshness rotation
     #      continues: r8 takes the analytic_queries.py block, r9 the

@@ -193,17 +193,24 @@ def minhash_signatures(
     return base.withColumn("minhash", F.expr(sig))
 
 
+def _band_sig_expr(bands: int, rows: int) -> str:
+    """THE band-signature encoding shared by every banded-minhash
+    consumer (batch LSH, batch incremental, streaming incremental):
+    band b = comma-joined slice of the minhash array. One definition so
+    the three paths — which share oracles — can never drift."""
+    return (
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows})))"
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, key: str = "doc_id", bands: int = LSH_BANDS,
     n_hashes: int = N_MINHASH,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band signature become candidate pairs.
     The band explode is narrow; the self-join shuffles on (band_idx, sig)."""
-    rows = n_hashes // bands
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows})))"
-    )
+    band_expr = _band_sig_expr(bands, n_hashes // bands)
     banded = (
         sigs.withColumn("_bands", F.expr(band_expr))
         .select(key, F.posexplode("_bands").alias("band_idx", "band_sig"))
@@ -685,11 +692,7 @@ def incremental_minhash_dedup(
     inc_sigs = minhash_signatures(incoming, text_col, n_hashes, k).select(
         key, "gram_hashes", "minhash"
     )
-    rows = n_hashes // bands
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows})))"
-    )
+    band_expr = _band_sig_expr(bands, n_hashes // bands)
 
     def banded(sigs: DataFrame, out: str) -> DataFrame:
         return (
@@ -787,11 +790,7 @@ def incremental_minhash_dedup_stream(
     inc_sigs = minhash_signatures(incoming, text_col, n_hashes, k).select(
         key, "gram_hashes", "minhash"
     )
-    rows = n_hashes // bands
-    band_expr = (
-        f"transform(sequence(0, {bands - 1}), b -> "
-        f"concat_ws(',', slice(minhash, b * {rows} + 1, {rows})))"
-    )
+    band_expr = _band_sig_expr(bands, n_hashes // bands)
     a = inc_sigs.withColumn("_bands", F.expr(band_expr)).select(
         F.col(key).alias("new_id"),
         F.col("gram_hashes").alias("gh_a"),

@@ -226,11 +226,18 @@ def split_leakage(
     key, so NO join back to the corpus is needed: zero shuffles added
     on top of the dedup itself).
     """
+    from ..functions.caching import owned_set, tie_release
     from .dedup import minhash_lsh_dedup
     from .sampling import hash_split
 
+    # own the PersistSet HERE and tie its release to the frame this
+    # function RETURNS: passing cache=None down would tie the dedup's
+    # release to the intermediate `pairs` object, which is dropped on
+    # return — unpersisting the signature table before the caller's
+    # action runs (the LSH branches would then recompute it uncached)
+    ps, owned = owned_set(cache)
     pairs = minhash_lsh_dedup(
-        df, text_col=text_col, key=key, threshold=threshold, cache=cache
+        df, text_col=text_col, key=key, threshold=threshold, cache=ps
     )
     kwargs = {"salt": salt}
     if weights is not None:
@@ -241,6 +248,7 @@ def split_leakage(
     sided = hash_split(sided, key="doc_b", **kwargs).withColumnRenamed(
         "split", "split_b"
     ).drop("bucket")
-    return sided.where(F.col("split_a") != F.col("split_b")).select(
+    out = sided.where(F.col("split_a") != F.col("split_b")).select(
         "doc_a", "doc_b", "jaccard", "split_a", "split_b"
     )
+    return tie_release(out, ps, owned)

@@ -51,10 +51,10 @@ def test_r7_rotation_inside_driver_cap():
     """The correctness driver checks the first 50 entries. r7's
     must-cover set is the LINE-LEVEL one computed by
     tools/taint_ledger.py (committed as TAINT_LEDGER.json): 4
-    never-checked gates + 35 queries executing a line changed after
+    never-checked gates + 36 queries executing a line changed after
     their latest green — all in-cap, zero line-level displacements —
     plus the r6 verdict's 12 named entries (5 overlap the line-tainted
-    set) and 4 oldest-backlog fills."""
+    set) and 3 oldest-backlog fills."""
     import __spark_entry__ as e
 
     head = list(e.queries())[:50]
@@ -81,13 +81,15 @@ def test_r7_rotation_inside_driver_cap():
         "kmeans_clusters", "embedding_quantize",
         # sampling.py hash-helper lines (line-tainted, old backlog)
         "sample_hash_split", "sample_weighted_mixture",
+        # executes the r7 _band_sig_expr consolidation lines
+        "incremental_dedup",
         # the r6 verdict's 12 named displacements — all must retire
         # (the 5 line-tainted ones are above)
         "negative_sampling", "embedding_outliers", "unigram_logprob",
         "text_entropy", "text_lang_id", "tokenize_corpus", "text_quality",
         # fill: oldest file-level backlog, machine-verified lines-clear
         "sample_stratified_cap", "sample_length_buckets",
-        "sample_uniform_n", "sample_pack_sequences",
+        "sample_uniform_n",
     )
     for name in must:
         assert name in head, name

@@ -50,10 +50,11 @@ Run at round end, after the last engine edit, before the driver gate:
 
     python tools/taint_ledger.py          # rewrites TAINT_LEDGER.json
 
-Exit 0 = the cap covers every must-cover query or, if they exceed the
-cap, every displaced entry is lines-clear-class. ``tests/
-test_taint_ledger.py`` validates the committed JSON against the live
-registry order so CI catches a stale ledger.
+Exit 0 = the cap covers EVERY must-cover query (never-checked and
+line-tainted alike); any must-cover entry below the cap is a problem —
+there is no acceptable displacement class for line-level taint.
+``tests/test_taint_ledger.py`` validates the committed JSON against the
+live registry order so CI catches a stale ledger.
 """
 
 from __future__ import annotations
@@ -196,6 +197,12 @@ def build_ledger() -> dict:
     _changed: dict[tuple[int, str], set[int]] = {}
 
     def changed(g: int, path: str) -> set[int]:
+        if g not in bounds:
+            # a green newer than the last boundary commit (the driver
+            # wrote CORRECTNESS_r{g}.json but the round-g artifact
+            # commit doesn't exist yet) certifies the working tree
+            # itself: nothing can have changed since
+            return set()
         key = (g, path)
         if key not in _changed:
             _changed[key] = changed_lines_since(bounds[g], path)
@@ -264,10 +271,16 @@ def build_ledger() -> dict:
     for q in never:
         if q not in cap_names:
             problems.append(f"never-checked query below the cap: {q}")
-    if len(must_cover) <= CAP and displaced:
+    # ANY must-cover entry below the cap is a problem — when must-cover
+    # exceeds the cap there is no acceptable displacement class (every
+    # must-cover entry is never-checked or line-tainted by definition);
+    # the only fix is shrinking the taint set or splitting the round
+    displaced_tainted = [q for q in displaced if q not in never]
+    if displaced_tainted:
         problems.append(
-            f"cap has room ({len(must_cover)} must-cover <= {CAP}) but "
-            f"displaced: {displaced}"
+            f"line-tainted queries below the driver cap "
+            f"({len(must_cover)} must-cover vs cap {CAP}): "
+            f"{displaced_tainted}"
         )
 
     return {
