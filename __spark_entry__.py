@@ -112,17 +112,17 @@ def _registry() -> dict[str, tuple]:
 # lines since each query's green boundary; TAINT_LEDGER.json is the
 # committed evidence, tests/test_taint_ledger.py keeps it honest):
 #
-#   4 never-checked r7-new gates (stream_incremental_dedup + the three
+#   6 never-checked r7-new gates (stream_incremental_dedup + the five
 #   selection gates) + 36 LINE-tainted queries — queries that EXECUTE a
 #   line changed after their latest green, dominated by the r7
 #   caching.py refcount fix whose changed lines every PersistSet
-#   consumer runs — = 40 must-cover, ALL IN-CAP. Zero line-level
+#   consumer runs — = 42 must-cover, ALL IN-CAP. Zero line-level
 #   displacements.
 #
-# The remaining 10 slots: the 7 of the r6 verdict's 12 named
+# The remaining 8 slots: the 7 of the r6 verdict's 12 named
 # displacements that the line ledger proves clear (kept in-cap anyway —
 # ask #1 named them explicitly; the other 5 are line-tainted and in-cap
-# above), plus 3 from the oldest file-level backlog (sampling_queries
+# above), plus 1 from the oldest file-level backlog (sampling_queries
 # r4 block). Entries whose FILES changed this round but whose executed
 # lines / oracle / plan fingerprint did not are machine-verified clear
 # per-query in TAINT_LEDGER.json (per_query[q].files_changed_lines_clear)
@@ -138,6 +138,8 @@ _CHECK_FIRST = [
     "dsir_importance",
     "temperature_mixture",
     "split_leakage",
+    "dedup_resolve",
+    "ccnet_buckets",
     # line-tainted: r7 ADVICE-fix certifications
     "chi_square_assoc",
     "bm25_topk",
@@ -196,8 +198,6 @@ _CHECK_FIRST = [
     # fill: oldest file-level backlog (sampling_queries.py r4 block),
     # machine-verified lines-clear
     "sample_stratified_cap",
-    "sample_length_buckets",
-    "sample_uniform_n",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
     #      full-registry parity tests on current code every pytest run,
@@ -235,9 +235,12 @@ _CHECK_FIRST = [
     "dedup_components",
     "duplicate_spans",
     "decontaminate",
-    # oldest-backlog fill displaced by incremental_dedup's band-expr
-    # consolidation taint — heads the r8 fill list
+    # oldest-backlog fills displaced by later r7 gates (incremental_dedup
+    # band-expr taint; dedup_resolve/ccnet_buckets never-checked) — they
+    # head the r8 fill list
     "sample_pack_sequences",
+    "sample_length_buckets",
+    "sample_uniform_n",
     # ---- older file-level ledger (pre-r7 plan-file edits outliving
     #      r3-r5 greens), line-ledger-verified clear. Freshness rotation
     #      continues: r8 takes the analytic_queries.py block, r9 the

@@ -26,7 +26,7 @@ value exactly (see each docstring's seam note).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .sampling import hash_mod_expr
 
@@ -252,3 +252,103 @@ def split_leakage(
         "doc_a", "doc_b", "jaccard", "split_a", "split_b"
     )
     return tie_release(out, ps, owned)
+
+
+def resolve_duplicates(
+    components: DataFrame,
+    quality_df: DataFrame,
+    key: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Canonical-document selection — the RESOLUTION step after
+    duplicate clustering: within each near-dup cluster keep the
+    highest-quality document (ties on quality break to the smallest
+    key, so the choice is unique and deterministic), mark the rest
+    dropped with a pointer to their keeper. This is what turns the
+    dedup suite's pair/cluster detectors into an actionable keep/drop
+    decision: ``df.join(resolve, key).where(~keep)`` is the drop list.
+
+    Input: ``components`` = ``dedup.duplicate_components`` output
+    (key, canonical_id, component_size); ``quality_df`` = any frame
+    with (key, quality_col), e.g. ``text.quality_score``. Docs in no
+    cluster are implicit keepers (absent here, as in components).
+
+    Output: (key, canonical_id, component_size, quality, kept_id,
+    keep) — one row per clustered doc.
+
+    Plan/scale: one equi-join on the doc key, then ONE window over
+    canonical_id (keyed by cluster — cluster sizes are small by
+    near-dup geometry, never data-sized) computing the keeper as
+    first_value over (quality DESC, key ASC) with an explicit
+    unbounded frame; no second join, no collect.
+    """
+    j = components.join(quality_df.select(key, quality_col), key)
+    w = (
+        Window.partitionBy("canonical_id")
+        .orderBy(F.col(quality_col).desc(), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    kept = F.first(F.col(key)).over(w)
+    return j.select(
+        key,
+        "canonical_id",
+        "component_size",
+        quality_col,
+        kept.alias("kept_id"),
+        (F.col(key) == kept).alias("keep"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: score every
+    document with the corpus-trained unigram LM
+    (``text.unigram_logprob_score``), then split each language into
+    head / middle / tail tertiles by score rank — head = most fluent
+    third, the slice CCNet keeps by default, tail = the noise/boiler
+    slice. Per-language (not global) bucketing is the point: absolute
+    perplexity is not comparable across languages.
+
+    Output: (key, group_col, avg_neg_logprob, ppl_bucket) — bucket
+    edges are EXACT integer rank arithmetic (rank·3 ≤ n), ties on the
+    rounded score break by key, so membership is deterministic and
+    SQL-replayable.
+
+    Plan/scale: the LM scoring is one broadcast-vocab join + keyed
+    fold (see the scorer's docstring); bucketing adds ONE shuffle on
+    the language key (row_number + count share the window spec). Same
+    few-huge-groups caveat as ``quality.mad_outliers``: a single
+    language dominating the corpus makes its partition's window sort
+    the bottleneck — pre-shard by a salt and merge ranks, or bucket
+    against sampled quantile thresholds, when one group ≫ executor
+    memory.
+    """
+    from .text import unigram_logprob_score
+
+    scores = unigram_logprob_score(df, text_col, key).select(
+        key, "avg_neg_logprob"
+    )
+    j = scores.join(df.select(key, group_col), key)
+    w = Window.partitionBy(group_col)
+    ranked = j.select(
+        key,
+        group_col,
+        "avg_neg_logprob",
+        F.row_number()
+        .over(w.orderBy("avg_neg_logprob", key))
+        .alias("_rn"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+    return ranked.select(
+        key,
+        group_col,
+        "avg_neg_logprob",
+        F.when(F.col("_rn") * 3 <= F.col("_n"), "head")
+        .when(F.col("_rn") * 3 <= 2 * F.col("_n"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

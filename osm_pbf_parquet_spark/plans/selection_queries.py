@@ -145,8 +145,74 @@ SELECT doc_a, doc_b, jaccard, split_a, split_b FROM (
 """
 
 
+# --- canonical dedup resolution ---------------------------------------------------
+
+
+def q_dedup_resolve(spark, sf_dir):
+    """Keep-one-per-cluster resolution over the n-gram near-dup
+    clusters: highest-quality doc per cluster wins (key tiebreak), the
+    rest point at their keeper — the actionable drop list."""
+    from ..operators import dedup, text
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_dedup(docs, threshold=0.8)
+    comp = dedup.duplicate_components(pairs)
+    return selection.resolve_duplicates(comp, text.quality_score(docs))
+
+
+def _oracle_dedup_resolve() -> str:
+    # COMPOSED from the dedup_components and text_quality oracles
+    # verbatim — a change to either formula moves all three gates
+    # together instead of silently diverging
+    from .pipeline_queries import ORACLE_DEDUP_COMPONENTS, _oracle_quality
+
+    return f"""
+WITH comp AS ({ORACLE_DEDUP_COMPONENTS}),
+q AS ({_oracle_quality()})
+SELECT c.doc_id, c.canonical_id, c.component_size, q.quality,
+       first_value(c.doc_id) OVER w AS kept_id,
+       c.doc_id = first_value(c.doc_id) OVER w AS keep
+FROM comp c JOIN q USING (doc_id)
+WINDOW w AS (PARTITION BY c.canonical_id
+             ORDER BY q.quality DESC, c.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --- CCNet perplexity buckets -------------------------------------------------------
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """Per-language head/middle/tail perplexity tertiles from the
+    corpus-trained unigram LM — the CCNet quality split."""
+    return selection.perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_ccnet() -> str:
+    # the LM scoring is the unigram_logprob oracle verbatim
+    from .advanced_queries import ORACLE_UNIGRAM
+
+    return f"""
+WITH u AS ({ORACLE_UNIGRAM}),
+r AS (
+  SELECT u.doc_id, d.lang, u.avg_neg_logprob,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY u.avg_neg_logprob, u.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.lang) AS n
+  FROM u JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, avg_neg_logprob,
+       CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM r
+"""
+
+
 SELECTION_QUERIES = {
     "dsir_importance": (q_dsir_importance, _oracle_dsir()),
     "temperature_mixture": (q_temperature_mixture, _oracle_temperature()),
     "split_leakage": (q_split_leakage, _oracle_split_leakage()),
+    "dedup_resolve": (q_dedup_resolve, _oracle_dedup_resolve()),
+    "ccnet_buckets": (q_ccnet_buckets, _oracle_ccnet()),
 }

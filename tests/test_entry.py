@@ -50,11 +50,11 @@ def test_check_first_names_all_resolve():
 def test_r7_rotation_inside_driver_cap():
     """The correctness driver checks the first 50 entries. r7's
     must-cover set is the LINE-LEVEL one computed by
-    tools/taint_ledger.py (committed as TAINT_LEDGER.json): 4
+    tools/taint_ledger.py (committed as TAINT_LEDGER.json): 6
     never-checked gates + 36 queries executing a line changed after
     their latest green — all in-cap, zero line-level displacements —
     plus the r6 verdict's 12 named entries (5 overlap the line-tainted
-    set) and 3 oldest-backlog fills."""
+    set) and 1 oldest-backlog fill."""
     import __spark_entry__ as e
 
     head = list(e.queries())[:50]
@@ -63,6 +63,7 @@ def test_r7_rotation_inside_driver_cap():
         # never driver-checked (r7-new)
         "stream_incremental_dedup",
         "dsir_importance", "temperature_mixture", "split_leakage",
+        "dedup_resolve", "ccnet_buckets",
         # r7 ADVICE-fix certifications (line-tainted)
         "chi_square_assoc", "bm25_topk", "calibration_curve",
         # banded-Hamming fold + caching refcount (line-tainted)
@@ -88,8 +89,7 @@ def test_r7_rotation_inside_driver_cap():
         "negative_sampling", "embedding_outliers", "unigram_logprob",
         "text_entropy", "text_lang_id", "tokenize_corpus", "text_quality",
         # fill: oldest file-level backlog, machine-verified lines-clear
-        "sample_stratified_cap", "sample_length_buckets",
-        "sample_uniform_n",
+        "sample_stratified_cap",
     )
     for name in must:
         assert name in head, name

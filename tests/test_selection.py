@@ -135,6 +135,58 @@ def test_split_leakage_rows_are_cross_split_near_dups(spark):
         assert r["split_a"] != r["split_b"]
 
 
+def test_dedup_resolve_one_keeper_per_cluster(spark):
+    from osm_pbf_parquet_spark.operators import dedup, text
+
+    docs = _docs(spark, SF_DIR)
+    comp = dedup.duplicate_components(
+        dedup.ngram_jaccard_dedup(docs, threshold=0.8)
+    )
+    rows = selection.resolve_duplicates(comp, text.quality_score(docs)).collect()
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["canonical_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1, cid
+        k = keepers[0]
+        assert k["doc_id"] == k["kept_id"]
+        best = max(members, key=lambda r: (r["quality"], -r["doc_id"]))
+        assert k["doc_id"] == best["doc_id"]
+        for r in members:
+            assert r["kept_id"] == k["doc_id"]
+            assert r["keep"] == (r["doc_id"] == r["kept_id"])
+            assert r["component_size"] == members[0]["component_size"]
+
+
+def test_ccnet_buckets_exact_tertiles(spark):
+    docs = _docs(spark, SF_DIR)
+    rows = selection.perplexity_buckets(docs).collect()
+    assert len(rows) == docs.count()  # every doc bucketed
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, members in per_lang.items():
+        n = len(members)
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in members:
+            counts[r["ppl_bucket"]] += 1
+        assert counts["head"] == n // 3, lang
+        assert counts["middle"] == (2 * n) // 3 - n // 3, lang
+        assert counts["tail"] == n - (2 * n) // 3, lang
+        # head really is the most-fluent slice: its max score <= every
+        # tail score (boundary ties broken by doc_id stay consistent
+        # because the score is rounded identically in both engines)
+        head_max = max(
+            r["avg_neg_logprob"] for r in members if r["ppl_bucket"] == "head"
+        )
+        tail_min = min(
+            r["avg_neg_logprob"] for r in members if r["ppl_bucket"] == "tail"
+        )
+        assert head_max <= tail_min, lang
+
+
 def test_split_leakage_adds_no_corpus_scan(spark):
     """Split sides are hash projections of the pair keys — the plan must
     scan the corpus exactly as many times as the dedup itself, never
