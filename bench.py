@@ -249,6 +249,9 @@ def main() -> None:
     from osm_pbf_parquet_spark.plans.advanced_queries import ADVANCED_QUERIES as ADV
     from osm_pbf_parquet_spark.plans.quality_queries import QUALITY_QUERIES as QUAL
     from osm_pbf_parquet_spark.plans.media_queries import MEDIA_QUERIES as MEDIA
+    from osm_pbf_parquet_spark.plans.selection_queries import (
+        SELECTION_QUERIES as SEL,
+    )
 
     spark = get_spark("bench")
     # warm the JVM + parquet footers with a trivial action
@@ -287,6 +290,7 @@ def main() -> None:
         ("hll_distinct", ADV["hll_distinct"][0]),
         ("bm25_topk", ADV["bm25_topk"][0]),
         ("hybrid_rrf_search", ADV["hybrid_rrf_search"][0]),
+        ("dsir_importance", SEL["dsir_importance"][0]),
     ]
 
     timings: dict[str, float] = {}
@@ -401,6 +405,10 @@ def main() -> None:
             # PPM decode + dHash in mapInPandas, then the banded
             # Hamming self-join (Arrow-batch + join-path anchor)
             ("image_near_dup_pairs", MEDIA["image_near_dup_pairs"][0]),
+            # r7: DSIR importance weights over the 10x document corpus —
+            # one token-level shuffle to the persisted (doc, is_t,
+            # bucket) frame, two tiny aggs + broadcast lambda attach
+            ("dsir_importance", SEL["dsir_importance"][0]),
         ]
         for name, fn in big_headline:
             # min-of-3 for the WHOLE tier: the host's minutes-long

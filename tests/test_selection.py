@@ -187,6 +187,19 @@ def test_ccnet_buckets_exact_tertiles(spark):
         assert head_max <= tail_min, lang
 
 
+def test_resolve_and_ccnet_windows_are_keyed(spark):
+    """Both new ops rank inside keyed windows (cluster id / language) —
+    a global-sort SinglePartition window would be the 100TB killer."""
+    from osm_pbf_parquet_spark.plans.selection_queries import SELECTION_QUERIES
+
+    # ccnet's one allowed SinglePartition is the unigram LM's 1-row
+    # (n_total, v_size) totals aggregate — scalar, corpus-size-free
+    for name, single_cap in (("dedup_resolve", 0), ("ccnet_buckets", 1)):
+        plan = _plan(SELECTION_QUERIES[name][0](spark, SF_SMALL))
+        assert plan.count("SinglePartition") <= single_cap, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_split_leakage_adds_no_corpus_scan(spark):
     """Split sides are hash projections of the pair keys — the plan must
     scan the corpus exactly as many times as the dedup itself, never
