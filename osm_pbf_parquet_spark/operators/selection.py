@@ -272,6 +272,10 @@ def resolve_duplicates(
     (key, canonical_id, component_size); ``quality_df`` = any frame
     with (key, quality_col), e.g. ``text.quality_score``. Docs in no
     cluster are implicit keepers (absent here, as in components).
+    Clustered docs MISSING from ``quality_df`` are kept in the output
+    with NULL quality (LEFT join) and ordered LAST for keeper choice —
+    an unscored doc never silently wins, and never silently vanishes
+    from the drop list.
 
     Output: (key, canonical_id, component_size, quality, kept_id,
     keep) — one row per clustered doc.
@@ -282,10 +286,12 @@ def resolve_duplicates(
     first_value over (quality DESC, key ASC) with an explicit
     unbounded frame; no second join, no collect.
     """
-    j = components.join(quality_df.select(key, quality_col), key)
+    j = components.join(quality_df.select(key, quality_col), key, "left")
     w = (
         Window.partitionBy("canonical_id")
-        .orderBy(F.col(quality_col).desc(), F.col(key))
+        # desc_nulls_last EXPLICIT (it is Spark's desc default, but the
+        # oracle must spell NULLS LAST and the two must never drift)
+        .orderBy(F.col(quality_col).desc_nulls_last(), F.col(key))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     kept = F.first(F.col(key)).over(w)
@@ -313,8 +319,11 @@ def perplexity_buckets(
     slice. Per-language (not global) bucketing is the point: absolute
     perplexity is not comparable across languages.
 
-    Output: (key, group_col, avg_neg_logprob, ppl_bucket) — bucket
-    edges are EXACT integer rank arithmetic (rank·3 ≤ n), ties on the
+    Output: (key, group_col, avg_neg_logprob, ppl_bucket) — one row
+    per document INCLUDING zero-token docs (LEFT join from the corpus;
+    the LM scorer emits no row for them), which carry NULL score and
+    rank LAST so they land in 'tail' — junk, per CCNet. Bucket edges
+    are EXACT integer rank arithmetic (rank·3 ≤ n), ties on the
     rounded score break by key, so membership is deterministic and
     SQL-replayable.
 
@@ -332,14 +341,18 @@ def perplexity_buckets(
     scores = unigram_logprob_score(df, text_col, key).select(
         key, "avg_neg_logprob"
     )
-    j = scores.join(df.select(key, group_col), key)
+    # LEFT from the corpus: zero-token docs have no LM row but must
+    # still be bucketed (asc_nulls_last is EXPLICIT — Spark's asc
+    # default is nulls FIRST, DuckDB's is NULLS LAST; spelled on both
+    # sides so the engines cannot drift)
+    j = df.select(key, group_col).join(scores, key, "left")
     w = Window.partitionBy(group_col)
     ranked = j.select(
         key,
         group_col,
         "avg_neg_logprob",
         F.row_number()
-        .over(w.orderBy("avg_neg_logprob", key))
+        .over(w.orderBy(F.col("avg_neg_logprob").asc_nulls_last(), key))
         .alias("_rn"),
         F.count(F.lit(1)).over(w).alias("_n"),
     )

@@ -172,9 +172,9 @@ q AS ({_oracle_quality()})
 SELECT c.doc_id, c.canonical_id, c.component_size, q.quality,
        first_value(c.doc_id) OVER w AS kept_id,
        c.doc_id = first_value(c.doc_id) OVER w AS keep
-FROM comp c JOIN q USING (doc_id)
+FROM comp c LEFT JOIN q USING (doc_id)
 WINDOW w AS (PARTITION BY c.canonical_id
-             ORDER BY q.quality DESC, c.doc_id
+             ORDER BY q.quality DESC NULLS LAST, c.doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
@@ -195,11 +195,12 @@ def _oracle_ccnet() -> str:
     return f"""
 WITH u AS ({ORACLE_UNIGRAM}),
 r AS (
-  SELECT u.doc_id, d.lang, u.avg_neg_logprob,
+  SELECT d.doc_id, d.lang, u.avg_neg_logprob,
          row_number() OVER (PARTITION BY d.lang
-                            ORDER BY u.avg_neg_logprob, u.doc_id) AS rn,
+                            ORDER BY u.avg_neg_logprob ASC NULLS LAST,
+                                     d.doc_id) AS rn,
          count(*) OVER (PARTITION BY d.lang) AS n
-  FROM u JOIN documents d USING (doc_id)
+  FROM documents d LEFT JOIN u USING (doc_id)
 )
 SELECT doc_id, lang, avg_neg_logprob,
        CASE WHEN rn * 3 <= n THEN 'head'

@@ -176,15 +176,52 @@ def test_ccnet_buckets_exact_tertiles(spark):
         assert counts["middle"] == (2 * n) // 3 - n // 3, lang
         assert counts["tail"] == n - (2 * n) // 3, lang
         # head really is the most-fluent slice: its max score <= every
-        # tail score (boundary ties broken by doc_id stay consistent
-        # because the score is rounded identically in both engines)
-        head_max = max(
+        # non-null tail score (boundary ties broken by doc_id stay
+        # consistent because the score is rounded identically in both
+        # engines). Guard the generators: a language with n < 3 has an
+        # empty head, and NULL-scored (zero-token) docs sort into tail.
+        head = [
             r["avg_neg_logprob"] for r in members if r["ppl_bucket"] == "head"
-        )
-        tail_min = min(
-            r["avg_neg_logprob"] for r in members if r["ppl_bucket"] == "tail"
-        )
-        assert head_max <= tail_min, lang
+        ]
+        tail = [
+            r["avg_neg_logprob"]
+            for r in members
+            if r["ppl_bucket"] == "tail" and r["avg_neg_logprob"] is not None
+        ]
+        if head and tail:
+            assert max(head) <= min(tail), lang
+
+
+def test_ccnet_zero_token_docs_bucket_tail(spark):
+    """A tokenless doc has no LM score but must still be bucketed —
+    NULL score, ranked last, 'tail'."""
+    rows = [(i, "common words here", "en") for i in range(1, 9)]
+    rows.append((9, "", "en"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r for r in selection.perplexity_buckets(df).collect()}
+    assert len(out) == 9
+    assert out[9]["avg_neg_logprob"] is None
+    assert out[9]["ppl_bucket"] == "tail"
+
+
+def test_resolve_unscored_docs_never_win(spark):
+    """A clustered doc missing from the quality frame stays in the
+    output (NULL quality) and never beats a scored sibling."""
+    comp = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3)],
+        ["doc_id", "canonical_id", "component_size"],
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9)], ["doc_id", "quality"]
+    )  # doc 3 unscored
+    out = {
+        r["doc_id"]: r
+        for r in selection.resolve_duplicates(comp, quality).collect()
+    }
+    assert len(out) == 3
+    assert out[3]["quality"] is None and not out[3]["keep"]
+    assert all(r["kept_id"] == 2 for r in out.values())
+    assert out[2]["keep"]
 
 
 def test_resolve_and_ccnet_windows_are_keyed(spark):

@@ -198,11 +198,19 @@ def build_ledger() -> dict:
 
     def changed(g: int, path: str) -> set[int]:
         if g not in bounds:
-            # a green newer than the last boundary commit (the driver
-            # wrote CORRECTNESS_r{g}.json but the round-g artifact
-            # commit doesn't exist yet) certifies the working tree
-            # itself: nothing can have changed since
-            return set()
+            # the green's boundary commit doesn't exist yet (driver
+            # wrote CORRECTNESS_r{g}.json mid-round). The tree that
+            # green certified is unknowable from git, so OVER-taint:
+            # diff from the newest boundary BEFORE g — edits made
+            # after the driver run are then visible, at the cost of
+            # also counting pre-run same-round edits the green already
+            # covered. (Returning the empty set here would hide
+            # post-run edits entirely — the unverified-edit class the
+            # tool exists to catch.)
+            prior = [r for r in bounds if r < g]
+            if not prior:
+                return set(range(1, 10**6))  # no baseline: all tainted
+            g = max(prior)
         key = (g, path)
         if key not in _changed:
             _changed[key] = changed_lines_since(bounds[g], path)
