@@ -126,6 +126,22 @@ def green_history() -> dict[str, int]:
     return latest
 
 
+def _plan_fingerprint(df) -> str:
+    """Cross-SESSION-stable fingerprint of the analyzed logical plan.
+    ``DataFrame.semanticHash()`` is NOT stable across JVM restarts
+    (verified: two fresh runs disagreed on all 165 queries — expression
+    IDs are a session-global counter), so hash the analyzed plan STRING
+    with the session-volatile tokens normalized away: expression ids
+    (``#123``/``#123L``), object addresses (``0x7f...``), and
+    checkpoint RDD ids. A semantic change to the plan (operator,
+    constant, column) still changes the normalized text."""
+    s = df._jdf.queryExecution().analyzed().toString()
+    s = re.sub(r"#\d+[A-Za-z]*", "#", s)
+    s = re.sub(r"0x[0-9a-fA-F]+", "0x", s)
+    s = re.sub(r"(LogicalRDD|ExistingRDD|Scan ExistingRDD)\b[^\n]*", r"\1", s)
+    return "plan:" + hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
 def trace_queries(queries) -> tuple[dict[str, dict[str, set[int]]], dict[str, str]]:
     """query -> {engine file -> executed line numbers}, plus the plan
     fingerprint (Catalyst semantic hash) where obtainable."""
@@ -161,7 +177,7 @@ def trace_queries(queries) -> tuple[dict[str, dict[str, set[int]]], dict[str, st
             for f, lines in touched.items()
         }
         try:
-            fingerprints[name] = f"semantic:{df.semanticHash()}"
+            fingerprints[name] = _plan_fingerprint(df)
         except Exception:
             pass  # streaming sink tables: no stable plan fingerprint
         print(
