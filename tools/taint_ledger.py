@@ -188,6 +188,42 @@ def trace_queries(queries) -> tuple[dict[str, dict[str, set[int]]], dict[str, st
     return executed, fingerprints
 
 
+def _previous_ledger(current_round: int) -> dict | None:
+    """The newest COMMITTED ledger from an earlier round — the drift
+    baseline. Read from git history, not the working file: the tool
+    overwrites TAINT_LEDGER.json on every run, so a second run in the
+    same round would otherwise read its own output (current_round not
+    < current) and silently disengage drift detection."""
+    try:
+        shas = _git("log", "--format=%H", "--", "TAINT_LEDGER.json").split()
+    except Exception:
+        return None
+    for sha in shas:
+        try:
+            led = json.loads(_git("show", f"{sha}:TAINT_LEDGER.json"))
+        except Exception:
+            continue
+        if led.get("current_round", current_round) < current_round:
+            return led
+    return None
+
+
+def drift_flags(
+    prev_per_query: dict, q: str, oracle_sha: str | None, fingerprint: str | None
+) -> tuple[bool, bool]:
+    """(oracle_drift, fingerprint_drift) for query q vs the previous
+    committed ledger. A side missing from either ledger never drifts —
+    only a recorded-then-changed value does."""
+    old = prev_per_query.get(q, {})
+    o = bool(old.get("oracle_sha")) and bool(oracle_sha) and (
+        old["oracle_sha"] != oracle_sha
+    )
+    f = bool(old.get("fingerprint")) and bool(fingerprint) and (
+        old["fingerprint"] != fingerprint
+    )
+    return o, f
+
+
 def build_ledger() -> dict:
     import __spark_entry__ as entry
 
@@ -199,15 +235,7 @@ def build_ledger() -> dict:
     greens = green_history()
     executed, fingerprints = trace_queries(queries)
 
-    previous = None
-    prev_path = os.path.join(REPO, "TAINT_LEDGER.json")
-    if os.path.exists(prev_path):
-        try:
-            prev = json.load(open(prev_path))
-            if prev.get("current_round", current_round) < current_round:
-                previous = prev  # committed by an EARLIER round: diffable
-        except Exception:
-            pass
+    previous = _previous_ledger(current_round)
 
     # changed-line sets are per (green round, file): cache across queries
     _changed: dict[tuple[int, str], set[int]] = {}
@@ -261,15 +289,12 @@ def build_ledger() -> dict:
                 elif changed(g, path):
                     row["files_changed_lines_clear"].append(path)
             if previous is not None:
-                old = previous.get("per_query", {}).get(q, {})
-                if old.get("oracle_sha") and old["oracle_sha"] != oracle_sha:
-                    row["oracle_drift"] = True
-                if (
-                    old.get("fingerprint")
-                    and row["fingerprint"]
-                    and old["fingerprint"] != row["fingerprint"]
-                ):
-                    row["fingerprint_drift"] = True
+                row["oracle_drift"], row["fingerprint_drift"] = drift_flags(
+                    previous.get("per_query", {}),
+                    q,
+                    oracle_sha,
+                    row["fingerprint"],
+                )
         row["tainted"] = bool(
             row["line_tainted_by"]
             or row["oracle_drift"]
