@@ -1,0 +1,66 @@
+"""Property test for BPE merge training: the distributed plan (corpus →
+word-frequency shuffle → per-round pair-count agg + 1-row argmax
+broadcast + replace rewrite) must produce the IDENTICAL merge table to
+a sequential pure-Python reference on arbitrary corpora — same winning
+pairs, same tie-breaks, same greedy-left rewrite effects feeding the
+next round. Tiny alphabets maximize merge collisions and tie pressure,
+the shapes where argmax ordering and overlapping-pair semantics
+diverge first (e.g. 'aaaa' → pair (a,a) counted 3×, merged
+non-overlapping left-to-right)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+from osm_pbf_parquet_spark.operators.bpe import SEP, bpe_train
+
+words = st.text(alphabet="ab", min_size=1, max_size=4)
+docs = st.lists(
+    st.lists(words, min_size=1, max_size=5).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_bpe(texts: list[str], rounds: int):
+    counts = Counter(
+        w
+        for t in texts
+        for w in re.split(r"[^a-z]+", t.lower())
+        if w
+    )
+    enc = {w: SEP + (SEP + SEP).join(w) + SEP for w in counts}
+    merges = []
+    for step in range(1, rounds + 1):
+        pairs: Counter = Counter()
+        for w, c in counts.items():
+            toks = enc[w].strip(SEP).split(SEP + SEP)
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break  # engine: empty argmax frame → zero rows this round
+        (a, b), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, a + b, cnt))
+        pat, rep = f"{SEP}{a}{SEP}{SEP}{b}{SEP}", f"{SEP}{a}{b}{SEP}"
+        # str.replace scans left-to-right, non-overlapping — the same
+        # greedy-left contract as the engine's Spark `replace`
+        enc = {w: e.replace(pat, rep) for w, e in enc.items()}
+    return merges
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs)
+def test_bpe_train_matches_sequential_reference(spark, texts):
+    rounds = 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = sorted(
+        (r["step"], r["left_tok"], r["right_tok"], r["merged"], r["pair_cnt"])
+        for r in bpe_train(df, rounds=rounds).collect()
+    )
+    want = sorted(_ref_bpe(texts, rounds))
+    assert got == want, (texts, got, want)
