@@ -322,10 +322,14 @@ def perplexity_buckets(
     Output: (key, group_col, avg_neg_logprob, ppl_bucket) — one row
     per document INCLUDING zero-token docs (LEFT join from the corpus;
     the LM scorer emits no row for them), which carry NULL score and
-    rank LAST so they land in 'tail' — junk, per CCNet. Bucket edges
-    are EXACT integer rank arithmetic (rank·3 ≤ n), ties on the
-    rounded score break by key, so membership is deterministic and
-    SQL-replayable.
+    are ALWAYS 'tail' — junk, per CCNet. Tertile edges are computed
+    over the SCORED docs only (n = non-null count per language) so
+    'head' stays "the most fluent third of scorable text" no matter
+    how much junk a language carries (a rank-over-everything variant
+    would leak junk into 'middle' once nulls outnumber the tail
+    slots — caught by the property test). Edges are EXACT integer rank
+    arithmetic (rank·3 ≤ n); ties on the rounded score break by key,
+    so membership is deterministic and SQL-replayable.
 
     Plan/scale: the LM scoring is one broadcast-vocab join + keyed
     fold (see the scorer's docstring); bucketing adds ONE shuffle on
@@ -354,13 +358,16 @@ def perplexity_buckets(
         F.row_number()
         .over(w.orderBy(F.col("avg_neg_logprob").asc_nulls_last(), key))
         .alias("_rn"),
-        F.count(F.lit(1)).over(w).alias("_n"),
+        # count(col) skips NULLs in both engines: n = scored docs only,
+        # and nulls-last ranking gives scored docs exactly ranks 1..n
+        F.count("avg_neg_logprob").over(w).alias("_n"),
     )
     return ranked.select(
         key,
         group_col,
         "avg_neg_logprob",
-        F.when(F.col("_rn") * 3 <= F.col("_n"), "head")
+        F.when(F.col("avg_neg_logprob").isNull(), "tail")
+        .when(F.col("_rn") * 3 <= F.col("_n"), "head")
         .when(F.col("_rn") * 3 <= 2 * F.col("_n"), "middle")
         .otherwise("tail")
         .alias("ppl_bucket"),

@@ -199,11 +199,12 @@ r AS (
          row_number() OVER (PARTITION BY d.lang
                             ORDER BY u.avg_neg_logprob ASC NULLS LAST,
                                      d.doc_id) AS rn,
-         count(*) OVER (PARTITION BY d.lang) AS n
+         count(u.avg_neg_logprob) OVER (PARTITION BY d.lang) AS n
   FROM documents d LEFT JOIN u USING (doc_id)
 )
 SELECT doc_id, lang, avg_neg_logprob,
-       CASE WHEN rn * 3 <= n THEN 'head'
+       CASE WHEN avg_neg_logprob IS NULL THEN 'tail'
+            WHEN rn * 3 <= n THEN 'head'
             WHEN rn * 3 <= 2 * n THEN 'middle'
             ELSE 'tail' END AS ppl_bucket
 FROM r

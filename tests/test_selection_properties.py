@@ -203,13 +203,15 @@ def test_ccnet_bucket_invariants_hold_on_arbitrary_corpora(spark, corpus):
     for r in out:
         per_lang.setdefault(r["lang"], []).append(r)
     for lang, members in per_lang.items():
-        n = len(members)
+        # tertile edges are over SCORED docs; NULL-scored (tokenless)
+        # docs are unconditionally junk → 'tail'
+        n = sum(1 for r in members if r["avg_neg_logprob"] is not None)
         counts = {"head": 0, "middle": 0, "tail": 0}
         for r in members:
             counts[r["ppl_bucket"]] += 1
         assert counts["head"] == n // 3, lang
         assert counts["middle"] == (2 * n) // 3 - n // 3, lang
-        assert counts["tail"] == n - (2 * n) // 3, lang
+        assert counts["tail"] == len(members) - (2 * n) // 3, lang
         for r in members:
-            if r["avg_neg_logprob"] is None:  # tokenless → junk slice
+            if r["avg_neg_logprob"] is None:
                 assert r["ppl_bucket"] == "tail"
