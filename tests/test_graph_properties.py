@@ -1,0 +1,132 @@
+"""Property tests for the graph suite: the distributed plans
+(degree-oriented wedges, level-synchronous frontiers, synchronous
+peeling, integer power iteration) must agree EXACTLY with trivially
+correct sequential references on arbitrary small graphs — multi-edges,
+self-loops, disconnected components, stars, cliques — the shapes where
+orientation and round-synchronization logic break first."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from hypothesis import given, settings, strategies as st
+
+from osm_pbf_parquet_spark.operators.graph import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_SCALE,
+    bfs_hops,
+    kcore_peel,
+    pagerank_power,
+    triangle_count,
+)
+
+edge_lists = st.lists(
+    st.tuples(st.integers(1, 8), st.integers(1, 8)),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _undirected(edges):
+    return {
+        (min(a, b), max(a, b)) for a, b in edges if a != b
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(edge_lists)
+def test_triangle_count_matches_brute_force(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    und = _undirected(edges)
+    nodes = {n for e in und for n in e}
+    tris = 0
+    ns = sorted(nodes)
+    for i, a in enumerate(ns):
+        for b in ns[i + 1 :]:
+            if (a, b) not in und:
+                continue
+            for c in ns:
+                if c > b and (a, c) in und and (b, c) in und:
+                    tris += 1
+    assert r["n_nodes"] == len(nodes)
+    assert r["n_edges"] == len(und)
+    assert r["n_triangles"] == tris, sorted(und)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edge_lists, st.integers(1, 8))
+def test_bfs_hops_matches_sequential_bfs(spark, edges, seed):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sources = spark.createDataFrame([(seed,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(df, sources, max_hops=3).collect()
+    }
+    adj = defaultdict(set)
+    for a, b in edges:  # DIRECTED, as the operator documents
+        adj[a].add(b)
+    want = {seed: 0}
+    frontier = [seed]
+    for h in range(1, 4):
+        nxt = sorted(
+            {d for n in frontier for d in adj[n] if d not in want}
+        )
+        for d in nxt:
+            want[d] = h
+        frontier = nxt
+        if not frontier:
+            break
+    assert got == want, edges
+
+
+@settings(max_examples=8, deadline=None)
+@given(edge_lists, st.integers(1, 3))
+def test_kcore_peel_matches_synchronous_reference(spark, edges, k):
+    rounds = 3
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["deg"] for r in kcore_peel(df, k, rounds).collect()
+    }
+    und = _undirected(edges)
+    alive = None  # None = every node
+    deg: dict[int, int] = {}
+    for _ in range(rounds):
+        deg = defaultdict(int)
+        for a, b in und:
+            if alive is None or (a in alive and b in alive):
+                deg[a] += 1
+                deg[b] += 1
+        alive = {n for n, d in deg.items() if d >= k}
+    want = {n: d for n, d in deg.items() if d >= k}
+    assert got == want, (sorted(und), k)
+
+
+@settings(max_examples=6, deadline=None)
+@given(edge_lists)
+def test_pagerank_matches_integer_power_iteration(spark, edges):
+    iters = 3
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_power(df, iterations=iters, k=20).collect()
+    }
+    e = {(a, b) for a, b in edges}  # the operator dedupes edges
+    nodes = sorted({n for t in e for n in t})
+    n = len(nodes)
+    outdeg = defaultdict(int)
+    for a, _ in e:
+        outdeg[a] += 1
+    rank = {v: PR_SCALE // n for v in nodes}
+    for _ in range(iters):
+        inflow = defaultdict(int)
+        for a, b in e:
+            inflow[b] += (rank[a] * PR_DAMP_NUM) // (PR_DAMP_DEN * outdeg[a])
+        rank = {
+            v: (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n)
+            + inflow[v]
+            for v in nodes
+        }
+    # k=20 > max node count here, so the operator returns every node
+    assert got == rank, sorted(e)
