@@ -35,12 +35,14 @@ def test_banded_equals_brute_force(spark, data):
     signed = [r - 2**64 if r >= 2**63 else r for r in raws]
     rows = [(i + 1, h) for i, h in enumerate(signed)]
     df = spark.createDataFrame(rows, "doc_id long, fp long")
-    got = {
-        (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in banded_hamming_pairs(
-            df, "doc_id", "fp", n_bits, bands, maxd
-        ).collect()
-    }
+    out = banded_hamming_pairs(
+        df, "doc_id", "fp", n_bits, bands, maxd
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    # cardinality too: a pair sharing several bands must be emitted
+    # ONCE (the distinct), not once per shared band — the dict alone
+    # would silently collapse duplicates
+    assert len(out) == len(got)
     want = {}
     for i, (ka, ha) in enumerate(rows):
         for kb, hb in rows[i + 1 :]:

@@ -49,24 +49,41 @@ def test_ledger_never_checked_have_no_green():
         assert led["per_query"][q]["last_green_round"] is None
 
 
-def test_drift_flags_semantics():
-    """The r8+ drift detector: recorded-then-changed values taint;
-    missing values on either side never do."""
+def test_green_baseline_semantics():
+    """The r8+ drift anchor: a green at/after the previous ledger's
+    round re-anchors the baseline at what that green certified; without
+    one the OLD baseline carries forward (sticky — a drift cannot be
+    laundered by re-running the ledger); new queries bootstrap at the
+    current values."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from taint_ledger import drift_flags
+    from taint_ledger import green_baseline
 
     prev = {
-        "q1": {"oracle_sha": "aaa", "fingerprint": "plan:1"},
-        "q2": {"oracle_sha": None, "fingerprint": None},
+        "oracle_sha": "cur7",
+        "fingerprint": "plan:7",
+        "baseline_oracle_sha": "green6",
+        "baseline_fingerprint": "plan:6",
     }
-    assert drift_flags(prev, "q1", "aaa", "plan:1") == (False, False)
-    assert drift_flags(prev, "q1", "bbb", "plan:1") == (True, False)
-    assert drift_flags(prev, "q1", "aaa", "plan:2") == (False, True)
-    # no recorded baseline (new query / rows-only gate): never drifts
-    assert drift_flags(prev, "q2", "ccc", "plan:3") == (False, False)
-    assert drift_flags(prev, "q3", "ccc", "plan:3") == (False, False)
-    # current side missing (fingerprint unobtainable this run): no flag
-    assert drift_flags(prev, "q1", None, None) == (False, False)
+    # green at the previous round: baseline = what that green certified
+    # (the previous ledger's CURRENT values)
+    assert green_baseline(prev, 7, 7, "cur8", "plan:8") == ("cur7", "plan:7")
+    # no green since: the old baseline sticks — the drift vs green6
+    # stays flagged no matter how many ledgers record cur8
+    assert green_baseline(prev, 6, 7, "cur8", "plan:8") == ("green6", "plan:6")
+    assert green_baseline(prev, None, 7, "cur8", "plan:8") == (
+        "green6",
+        "plan:6",
+    )
+    # bootstrap: query absent from the previous ledger
+    assert green_baseline(None, None, 7, "cur8", "plan:8") == ("cur8", "plan:8")
+    # old-format previous ledger (no baseline_* fields): fall back to
+    # its current values
+    old_fmt = {"oracle_sha": "cur7", "fingerprint": "plan:7"}
+    assert green_baseline(old_fmt, 5, 7, "cur8", "plan:8") == ("cur7", "plan:7")
+    # drift itself is a plain != on the anchored baseline, so oracle
+    # REMOVAL (hash-checked -> rows-only) also reads as drift:
+    base_sha, _ = green_baseline(prev, 7, 7, None, None)
+    assert base_sha != None  # noqa: E711 — the inequality IS the flag
 
 
 def test_previous_ledger_comes_from_git_history():
@@ -91,6 +108,25 @@ def test_previous_ledger_comes_from_git_history():
     # unless one was committed by a prior round
     same = _previous_ledger(led["current_round"])
     assert same is None or same["current_round"] < led["current_round"]
+
+
+def test_plan_fingerprint_sensitivity(spark):
+    """Canonical exprId renumbering must keep IDENTITY (a wrong-side
+    join condition differs) and DTYPE (suffixes survive) while erasing
+    the session-global counter (same plan → same fingerprint)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from taint_ledger import _plan_fingerprint
+
+    a = spark.range(5).selectExpr("id", "id*2 as x")
+    same = spark.range(5).selectExpr("id", "id*2 as x")
+    b = spark.range(5).selectExpr("id", "id*3 as x")
+    assert _plan_fingerprint(a) == _plan_fingerprint(same)
+    assert _plan_fingerprint(a) != _plan_fingerprint(b)
+    lhs = spark.range(4).selectExpr("id as lid")
+    rhs = spark.range(4).selectExpr("id as rid")
+    good = lhs.join(rhs, lhs["lid"] == rhs["rid"])
+    bad = lhs.join(rhs, lhs["lid"] == lhs["lid"])  # wrong-side bug
+    assert _plan_fingerprint(good) != _plan_fingerprint(bad)
 
 
 def test_ledger_oracle_shas_current():

@@ -26,14 +26,17 @@ hand becomes a machine-checked claim:
 **Taint rule**: query q needs a fresh row iff
   - it has never been checked, or
   - some line it executes changed after its latest green, or
-  - its oracle SQL drifted from the one recorded in the previous
-    round's committed ledger (catches plan-file constant edits that no
-    call-time line executes), or
-  - its plan fingerprint (Catalyst semantic hash of the built plan)
-    drifted from the previous ledger (catches import-time constant
-    changes that flow into the plan without a source-line execution —
-    fingerprints are unavailable for streaming gates, whose returned
-    frame is the materialized sink table).
+  - its oracle SQL drifted from the GREEN-ANCHORED baseline carried
+    through the committed ledgers (what its newest driver row actually
+    certified — sticky until a fresh green re-anchors it, so a drift
+    cannot be laundered by re-running the ledger; catches plan-file
+    constant edits that no call-time line executes, and oracle
+    removal/downgrade to rows-only), or
+  - its normalized-plan fingerprint drifted from that same baseline
+    (catches import-time constant changes that flow into the plan
+    without a source-line execution — fingerprints are unavailable for
+    streaming gates, whose returned frame is the materialized sink
+    table).
 
 Queries whose FILES changed but whose executed lines / oracle /
 fingerprint did not are reported in ``lines_clear`` — the
@@ -131,14 +134,30 @@ def _plan_fingerprint(df) -> str:
     ``DataFrame.semanticHash()`` is NOT stable across JVM restarts
     (verified: two fresh runs disagreed on all 165 queries — expression
     IDs are a session-global counter), so hash the analyzed plan STRING
-    with the session-volatile tokens normalized away: expression ids
-    (``#123``/``#123L``), object addresses (``0x7f...``), and
-    checkpoint RDD ids. A semantic change to the plan (operator,
-    constant, column) still changes the normalized text."""
+    with expression ids CANONICALLY RENUMBERED in first-occurrence
+    order (``#123L`` → ``#c0L``): identity and dtype suffix survive —
+    a wrong-side join condition or an int→long source change still
+    moves the fingerprint — while the session-global counter does not.
+    Object addresses are the one other volatile token. Truncated plan
+    strings are rejected loudly: Spark elides expression lists past
+    ``spark.sql.debug.maxToStringFields``, which would freeze the
+    fingerprint of everything in the elided tail (the tracing session
+    raises the limit; this is the backstop)."""
     s = df._jdf.queryExecution().analyzed().toString()
-    s = re.sub(r"#\d+[A-Za-z]*", "#", s)
+    if "more fields" in s:
+        raise RuntimeError(
+            "plan string truncated — raise spark.sql.debug.maxToStringFields"
+        )
+    seen: dict[str, str] = {}
+
+    def canon(m: re.Match) -> str:
+        eid = m.group(1)
+        if eid not in seen:
+            seen[eid] = f"c{len(seen)}"
+        return "#" + seen[eid]
+
+    s = re.sub(r"#(\d+)", canon, s)
     s = re.sub(r"0x[0-9a-fA-F]+", "0x", s)
-    s = re.sub(r"(LogicalRDD|ExistingRDD|Scan ExistingRDD)\b[^\n]*", r"\1", s)
     return "plan:" + hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
@@ -148,6 +167,10 @@ def trace_queries(queries) -> tuple[dict[str, dict[str, set[int]]], dict[str, st
     from osm_pbf_parquet_spark.session import get_spark
 
     spark = get_spark()
+    # plan toString elides expression lists past this limit (default
+    # 25), which would freeze the fingerprint of wide Project/Aggregate
+    # tails; _plan_fingerprint raises if truncation still slips through
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
     root = os.path.join(REPO, ENGINE_PREFIX)
     executed: dict[str, dict[str, set[int]]] = {}
     fingerprints: dict[str, str] = {}
@@ -208,20 +231,33 @@ def _previous_ledger(current_round: int) -> dict | None:
     return None
 
 
-def drift_flags(
-    prev_per_query: dict, q: str, oracle_sha: str | None, fingerprint: str | None
-) -> tuple[bool, bool]:
-    """(oracle_drift, fingerprint_drift) for query q vs the previous
-    committed ledger. A side missing from either ledger never drifts —
-    only a recorded-then-changed value does."""
-    old = prev_per_query.get(q, {})
-    o = bool(old.get("oracle_sha")) and bool(oracle_sha) and (
-        old["oracle_sha"] != oracle_sha
+def green_baseline(
+    prev_row: dict | None,
+    last_green: int | None,
+    prev_round: int,
+    cur_sha: str | None,
+    cur_fp: str | None,
+) -> tuple[str | None, str | None]:
+    """The (oracle_sha, fingerprint) baseline ANCHORED AT THE QUERY'S
+    LAST GREEN — what its newest driver row actually certified.
+
+    A green at/after the previous ledger's round certified the values
+    that ledger recorded as CURRENT (the ledger runs after the round's
+    last engine edit, the gate runs on the same tree). Without such a
+    green the previous BASELINE carries forward unchanged — sticky, so
+    a drift cannot be laundered by merely re-running the ledger: it
+    stays flagged until a fresh green re-anchors it. Bootstrap (query
+    absent from the previous ledger) anchors at the current values —
+    the pre-first-ledger blind window is covered by that round's cap
+    discipline, not by drift."""
+    if prev_row is None:
+        return cur_sha, cur_fp
+    if last_green is not None and last_green >= prev_round:
+        return prev_row.get("oracle_sha"), prev_row.get("fingerprint")
+    return (
+        prev_row.get("baseline_oracle_sha", prev_row.get("oracle_sha")),
+        prev_row.get("baseline_fingerprint", prev_row.get("fingerprint")),
     )
-    f = bool(old.get("fingerprint")) and bool(fingerprint) and (
-        old["fingerprint"] != fingerprint
-    )
-    return o, f
 
 
 def build_ledger() -> dict:
@@ -288,13 +324,23 @@ def build_ledger() -> dict:
                     row["line_tainted_by"][path] = sorted(hit)[:20]
                 elif changed(g, path):
                     row["files_changed_lines_clear"].append(path)
-            if previous is not None:
-                row["oracle_drift"], row["fingerprint_drift"] = drift_flags(
-                    previous.get("per_query", {}),
-                    q,
-                    oracle_sha,
-                    row["fingerprint"],
-                )
+        if previous is not None:
+            base_sha, base_fp = green_baseline(
+                previous.get("per_query", {}).get(q),
+                g,
+                previous["current_round"],
+                oracle_sha,
+                row["fingerprint"],
+            )
+        else:
+            base_sha, base_fp = oracle_sha, row["fingerprint"]
+        row["baseline_oracle_sha"] = base_sha
+        row["baseline_fingerprint"] = base_fp
+        # None is significant on either side: removing a query's oracle
+        # (hash-checked → rows-only) or losing its fingerprint is a
+        # verification-strength change that needs a fresh row too
+        row["oracle_drift"] = base_sha != oracle_sha
+        row["fingerprint_drift"] = base_fp != row["fingerprint"]
         row["tainted"] = bool(
             row["line_tainted_by"]
             or row["oracle_drift"]
