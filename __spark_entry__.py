@@ -112,12 +112,16 @@ def _registry() -> dict[str, tuple]:
 # lines since each query's green boundary; TAINT_LEDGER.json is the
 # committed evidence, tests/test_taint_ledger.py keeps it honest):
 #
-#   6 never-checked r7-new gates (stream_incremental_dedup + the five
-#   selection gates) + 36 LINE-tainted queries — queries that EXECUTE a
-#   line changed after their latest green, dominated by the r7
-#   caching.py refcount fix whose changed lines every PersistSet
-#   consumer runs — = 42 must-cover, ALL IN-CAP. Zero line-level
-#   displacements.
+#   7 never-checked r7-new gates (stream_incremental_dedup, the five
+#   selection gates, and the late jaccard_join_exact) + 26 LINE-tainted
+#   queries — queries that EXECUTE a line changed after their latest
+#   green, dominated by the r7 caching.py refcount fix whose changed
+#   lines every PersistSet OWNER runs — = 33 must-cover, ALL IN-CAP.
+#   Zero line-level displacements. (An earlier ledger build counted 36
+#   tainted: tie_release's finalizer fired under the NEXT query's
+#   tracer, phantom-tainting whichever entry followed a PersistSet
+#   owner; the tool now drains finalizers inside the owner's trace.
+#   The once-phantom entries stay in-cap anyway.)
 #
 # The remaining 8 slots: the 7 of the r6 verdict's 12 named
 # displacements that the line ledger proves clear (kept in-cap anyway —
@@ -195,9 +199,10 @@ _CHECK_FIRST = [
     "text_lang_id",
     "tokenize_corpus",
     "text_quality",
-    # fill: oldest file-level backlog (sampling_queries.py r4 block),
-    # machine-verified lines-clear
-    "sample_stratified_cap",
+    # never driver-checked: r7-late gate (exact prefix-filtered Jaccard
+    # join) — takes the round's one flexible fill slot; the displaced
+    # fill (sample_stratified_cap) heads the r8 fill list below
+    "jaccard_join_exact",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
     #      full-registry parity tests on current code every pytest run,
@@ -236,8 +241,9 @@ _CHECK_FIRST = [
     "duplicate_spans",
     "decontaminate",
     # oldest-backlog fills displaced by later r7 gates (incremental_dedup
-    # band-expr taint; dedup_resolve/ccnet_buckets never-checked) — they
-    # head the r8 fill list
+    # band-expr taint; dedup_resolve/ccnet_buckets/jaccard_join_exact
+    # never-checked) — they head the r8 fill list
+    "sample_stratified_cap",
     "sample_pack_sequences",
     "sample_length_buckets",
     "sample_uniform_n",

@@ -830,3 +830,87 @@ def incremental_minhash_dedup_stream(
         )
     )
     return best
+
+
+def prefix_jaccard_join(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+    threshold: float = 0.8, k: int = SHINGLE_K, cache=None,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin candidate generation: Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08): all pairs whose k-shingle gram-hash sets have Jaccard ≥
+    ``threshold`` — same output contract as ``ngram_jaccard_dedup`` but
+    PROVABLY LOSSLESS. That operator's ``max_df`` posting-list pruning
+    trades recall for speed (a pair ALL of whose shared grams are
+    corpus-common is missed — its documented contract); here the
+    candidate filter is the prefix principle instead, which drops no
+    qualifying pair:
+
+      order every doc's distinct gram hashes by one global total order
+      (ascending document frequency, ties by hash — rarest first); a
+      doc with s grams exposes only its first s − ceil(t·s) + 1 as join
+      keys. If J(A,B) ≥ t then |A∩B| ≥ t·|A∪B| ≥ ceil(t·max(|A|,|B|)),
+      and two sets with that much overlap MUST collide inside these
+      prefixes (PPJoin Lemma 1) — so the posting join over prefixes
+      alone sees every qualifying pair, while each doc's most common
+      (quadratic-fanout) grams never enter the index.
+
+    ceil(t·s) is EXACT integer arithmetic (parts-per-million numerator,
+    never an IEEE product: float ceil(0.8·5) can land on 5, silently
+    shortening the prefix below the lemma's bound). The ppm threshold
+    is nudged down 100 (1e-4) so completeness also covers the
+    verifier's round(·, 4) acceptances just below t. Verification is
+    ``_verified_jaccard`` — the exact set-overlap jaccard both engines
+    replay bit-identically.
+
+    Plan/scale: one corpus-sized shuffle to attach per-gram document
+    frequency + one keyed re-agg to sort each doc's set (both
+    map-side-combinable); the candidate join's posting lists hold ONLY
+    prefix grams — the rarest slice of each doc — so fanout stays
+    output-bound, not vocabulary-bound. Worst case (near-identical
+    corpus) is inherently quadratic in the OUTPUT for any exact join;
+    no silent cap. No Python, no collect, no cartesian.
+    """
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    grams = ps.persist(
+        with_grams(df, text_col, k).select(key, "gram_hashes")
+    )
+    exploded = grams.select(
+        key, F.explode(F.array_distinct("gram_hashes")).alias("_gh")
+    )
+    dfreq = exploded.groupBy("_gh").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    # ppm threshold, minus the round(·,4) guard band
+    tnum = int(round(threshold * 1_000_000)) - 100
+    pre = (
+        exploded.join(dfreq, "_gh")
+        .groupBy(key)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_df"), F.col("_gh")))
+            ).alias("_ord")
+        )
+        .select(
+            key,
+            F.explode(
+                F.expr(
+                    "slice(transform(_ord, x -> x._gh), 1, "
+                    f"size(_ord) - ((cast({tnum} as bigint) * size(_ord)"
+                    " + 999999) div 1000000) + 1)"
+                )
+            ).alias("_gh"),
+        )
+    )
+    pairs = (
+        pre.select(F.col(key).alias("doc_a"), "_gh")
+        .join(pre.select(F.col(key).alias("doc_b"), "_gh"), "_gh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return tie_release(
+        _verified_jaccard(pairs, grams, key, threshold), ps, owned
+    )

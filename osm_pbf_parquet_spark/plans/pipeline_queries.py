@@ -97,6 +97,40 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
 """
 
 
+# --- exact similarity join (prefix filtering) --------------------------------------
+
+
+def q_jaccard_join_exact(spark, sf_dir):
+    """EXACT Jaccard ≥ 0.8 set-similarity self-join via AllPairs/PPJoin
+    prefix filtering — same contract as dedup_ngram_jaccard but with a
+    provably lossless candidate filter instead of the max_df recall
+    trade (see dedup.prefix_jaccard_join)."""
+    return dedup.prefix_jaccard_join(
+        t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+# TRUE brute force: candidates = every pair sharing ANY distinct gram
+# hash (a Jaccard ≥ t > 0 pair must share one), no common-gram pruning —
+# the ground truth the prefix filter is proven lossless against.
+ORACLE_JACCARD_EXACT = f"""
+WITH {GRAMS_CTE},
+e AS (SELECT doc_id, unnest(list_distinct(gram_hashes)) AS gh FROM h),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM e a JOIN e b ON a.gh = b.gh AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(ga.gram_hashes, gb.gram_hashes)) * 1.0
+               / len(list_distinct(ga.gram_hashes || gb.gram_hashes)), 4)
+           AS jaccard
+  FROM pairs JOIN h ga ON ga.doc_id = doc_a JOIN h gb ON gb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
+"""
+
+
 # --- train/eval decontamination ---------------------------------------------------
 
 
@@ -1269,6 +1303,7 @@ FROM calc
 PIPELINE_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "jaccard_join_exact": (q_jaccard_join_exact, ORACLE_JACCARD_EXACT),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _oracle_minhash()),

@@ -88,8 +88,10 @@ def test_r7_rotation_inside_driver_cap():
         # (the 5 line-tainted ones are above)
         "negative_sampling", "embedding_outliers", "unigram_logprob",
         "text_entropy", "text_lang_id", "tokenize_corpus", "text_quality",
-        # fill: oldest file-level backlog, machine-verified lines-clear
-        "sample_stratified_cap",
+        # never driver-checked: the r7-late exact prefix-filter join —
+        # takes the round's one flexible fill slot (the displaced
+        # sample_stratified_cap heads the r8 fill list)
+        "jaccard_join_exact",
     )
     for name in must:
         assert name in head, name

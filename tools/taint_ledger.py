@@ -62,6 +62,7 @@ live registry order so CI catches a stale ledger.
 
 from __future__ import annotations
 
+import gc
 import glob
 import hashlib
 import json
@@ -203,6 +204,19 @@ def trace_queries(queries) -> tuple[dict[str, dict[str, set[int]]], dict[str, st
             fingerprints[name] = _plan_fingerprint(df)
         except Exception:
             pass  # streaming sink tables: no stable plan fingerprint
+        # Drain this query's own PersistSet finalizers INSIDE its trace
+        # attribution: tie_release's weakref.finalize fires when the
+        # result frame is dropped, so leaving `df` bound until the next
+        # iteration's `df = fn(...)` rebind would execute the release
+        # lines (caching.py) under the NEXT query's tracer — observed as
+        # a phantom caching-release taint on whichever query happens to
+        # follow a PersistSet owner in registry order.
+        sys.settrace(call_tracer)
+        try:
+            del df
+            gc.collect()
+        finally:
+            sys.settrace(None)
         print(
             f"  traced {name}: {sum(map(len, touched.values()))} lines "
             f"in {len(touched)} files",
