@@ -409,6 +409,11 @@ def main() -> None:
             # one token-level shuffle to the persisted (doc, is_t,
             # bucket) frame, two tiny aggs + broadcast lambda attach
             ("dsir_importance", SEL["dsir_importance"][0]),
+            # r7: EXACT prefix-filtered Jaccard self-join — the 10x
+            # replication is adversarial (every gram's df >= 10), so
+            # this anchors the PPJoin length+positional pruning: 1.25M
+            # filtered candidates against 248.6k true pairs
+            ("jaccard_join_exact", PIPE["jaccard_join_exact"][0]),
         ]
         for name, fn in big_headline:
             # min-of-3 for the WHOLE tier: the host's minutes-long

@@ -860,12 +860,41 @@ def prefix_jaccard_join(
     shortening the prefix below the lemma's bound). The ppm threshold
     is nudged down 100 (1e-4) so completeness also covers the
     verifier's round(·, 4) acceptances just below t. Verification is
-    ``_verified_jaccard`` — the exact set-overlap jaccard both engines
-    replay bit-identically.
+    the same exact set-overlap jaccard as ``_verified_jaccard``, over
+    each doc's DISTINCT hash set (array_union/intersect are
+    set-semantic, so identical to the oracle's
+    ``list_distinct(a || b)`` on the raw arrays — including in the
+    mod-p birthday-collision case, where both engines agree on the
+    SAME hashed sets).
 
-    Plan/scale: one corpus-sized shuffle to attach per-gram document
-    frequency + one keyed re-agg to sort each doc's set (both
-    map-side-combinable); the candidate join's posting lists hold ONLY
+    Two further PPJoin filters ride the candidate join itself, both
+    prune-only (the property test pins completeness with them on):
+
+    - LENGTH: J ≥ t ⟹ min(|A|,|B|)·10⁶ ≥ tnum·max(|A|,|B|).
+    - POSITIONAL (any-match semantics): a qualifying pair's FIRST
+      common token in the global order sits in both prefixes (the
+      lemma), and every other common token sorts later in BOTH sets,
+      so overlap ≤ 1 + min(remaining suffixes) at that match row;
+      requiring that bound to clear α = ceil(t·(|A|+|B|)/(1+t)) —
+      exact ppm integers again — prunes a match row without ever
+      dropping a qualifying pair (it always survives via its
+      first-common-token row).
+
+    Measured at the 10× bench tier (50k docs, heavy duplication —
+    adversarial for a bare prefix filter since every gram's df ≥ 10):
+    the filters cut distinct candidates 11.05M → 1.25M against 248.6k
+    true pairs, and warm wall 18.4s → ~4.5s; the verify join, not the
+    posting join, was the first-cut bottleneck (183s of a cold 197s
+    materializing 11M gram-array pairs). Shingling rides
+    ``grams_exploded`` (flat codegen'd projection), not ``with_grams``
+    — the higher-order transform+md5 lambda is interpreted per element
+    (its docstring pins the same ~4× on the other consumers).
+
+    Plan/scale: the per-doc distinct (inside ``grams_exploded``) and
+    ONE corpus-sized shuffle to attach per-gram document frequency,
+    then a keyed re-agg builds each doc's frequency-sorted set ONCE —
+    the prefix slice AND the verify arrays both project from that
+    persisted frame; the candidate join's posting lists hold ONLY
     prefix grams — the rarest slice of each doc — so fanout stays
     output-bound, not vocabulary-bound. Worst case (near-identical
     corpus) is inherently quadratic in the OUTPUT for any exact join;
@@ -874,43 +903,96 @@ def prefix_jaccard_join(
     from ..functions.caching import owned_set, tie_release
 
     ps, owned = owned_set(cache)
-    grams = ps.persist(
-        with_grams(df, text_col, k).select(key, "gram_hashes")
-    )
-    exploded = grams.select(
-        key, F.explode(F.array_distinct("gram_hashes")).alias("_gh")
-    )
-    dfreq = exploded.groupBy("_gh").agg(
+    flat = grams_exploded(df, text_col, key, k)
+    dfreq = flat.groupBy("gh").agg(
         F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    # each doc's distinct hash set, sorted by the global (df, gh)
+    # order — computed once, consumed by prefix slice AND verify
+    doc_sets = ps.persist(
+        flat.join(dfreq, "gh")
+        .groupBy(key)
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(_df, gh))),"
+                " x -> x.gh)"
+            ).alias("_set")
+        )
     )
     # ppm threshold, minus the round(·,4) guard band
     tnum = int(round(threshold * 1_000_000)) - 100
-    pre = (
-        exploded.join(dfreq, "_gh")
-        .groupBy(key)
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("_df"), F.col("_gh")))
-            ).alias("_ord")
-        )
-        .select(
-            key,
-            F.explode(
-                F.expr(
-                    "slice(transform(_ord, x -> x._gh), 1, "
-                    f"size(_ord) - ((cast({tnum} as bigint) * size(_ord)"
-                    " + 999999) div 1000000) + 1)"
-                )
-            ).alias("_gh"),
-        )
+    # prefix postings carry (1-based position, set size) for the
+    # length + positional filters below
+    pre = doc_sets.select(
+        key,
+        F.size("_set").cast("long").alias("_s"),
+        F.posexplode(
+            F.expr(
+                "slice(_set, 1, "
+                f"size(_set) - ((cast({tnum} as bigint) * size(_set)"
+                " + 999999) div 1000000) + 1)"
+            )
+        ).alias("_i0", "_gh"),
+    ).select(key, "_s", (F.col("_i0") + 1).alias("_i"), "_gh")
+    pa = pre.select(
+        F.col(key).alias("doc_a"), F.col("_s").alias("_sa"),
+        F.col("_i").alias("_ia"), "_gh",
+    )
+    pb = pre.select(
+        F.col(key).alias("doc_b"), F.col("_s").alias("_sb"),
+        F.col("_i").alias("_ib"), F.col("_gh").alias("_ghb"),
+    )
+    # α = minimum overlap a qualifying pair must have, from
+    # J = o/(sa+sb-o) ≥ t ⟹ o ≥ t·(sa+sb)/(1+t) — exact ppm ceil
+    alpha = F.expr(
+        f"(cast({tnum} as bigint) * (_sa + _sb) + {1_000_000 + tnum} - 1)"
+        f" div {1_000_000 + tnum}"
     )
     pairs = (
-        pre.select(F.col(key).alias("doc_a"), "_gh")
-        .join(pre.select(F.col(key).alias("doc_b"), "_gh"), "_gh")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        pa.join(
+            pb,
+            (F.col("_gh") == F.col("_ghb"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            # length filter: J ≥ t ⟹ min(sa,sb) ≥ t·max(sa,sb)
+            & (
+                F.least("_sa", "_sb") * F.lit(1_000_000)
+                >= F.greatest("_sa", "_sb") * F.lit(tnum)
+            )
+            # positional filter (any-match semantics): at a pair's FIRST
+            # common token — which the lemma puts in both prefixes — every
+            # other common token sorts later in BOTH sets, so overlap ≤
+            # 1 + min(remaining suffix lengths); a qualifying pair always
+            # survives via that match row, junk is pruned unless some
+            # match row's bound clears α (prune-only, never drops truth)
+            & (
+                F.lit(1) + F.least(
+                    F.col("_sa") - F.col("_ia"),
+                    F.col("_sb") - F.col("_ib"),
+                )
+                >= alpha
+            ),
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return tie_release(
-        _verified_jaccard(pairs, grams, key, threshold), ps, owned
+    out = (
+        pairs.join(
+            doc_sets.select(F.col(key).alias("doc_a"), F.col("_set").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            doc_sets.select(F.col(key).alias("doc_b"), F.col("_set").alias("_sb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
+    return tie_release(out, ps, owned)

@@ -92,10 +92,13 @@ def test_plan_no_cartesian(spark):
 #
 # Pure-Python replica of the implementation's candidate generation —
 # SAME global order (df asc, element asc), SAME ppm prefix-length
-# arithmetic (tnum = round(t*1e6) - 100; plen = s - ceil(tnum*s/1e6) + 1)
-# — checked against brute force: every pair the round(·,4) verifier
-# accepts MUST collide inside the prefixes. This is the losslessness
-# claim; precision is free (verification rejects false candidates).
+# arithmetic (tnum = round(t*1e6) - 100; plen = s - ceil(tnum*s/1e6) + 1),
+# SAME length filter (min·1e6 ≥ tnum·max) and positional filter
+# (any prefix-match row with 1 + min(sa-ia, sb-ib) ≥ α where
+# α = ceil(tnum·(sa+sb)/(1e6+tnum))) — checked against brute force:
+# every pair the round(·,4) verifier accepts MUST survive all three
+# filters. This is the losslessness claim; precision is free
+# (verification rejects false candidates).
 
 
 def _prefix_candidates(sets: dict[int, frozenset], t: float) -> set:
@@ -104,17 +107,26 @@ def _prefix_candidates(sets: dict[int, frozenset], t: float) -> set:
         for e in s:
             df_ct[e] = df_ct.get(e, 0) + 1
     tnum = int(round(t * 1_000_000)) - 100
-    prefixes = {}
+    pos = {}
     for k, s in sets.items():
         n = len(s)
         plen = n - (tnum * n + 999_999) // 1_000_000 + 1
         ordered = sorted(s, key=lambda e: (df_ct[e], e))
-        prefixes[k] = set(ordered[:plen])
+        pos[k] = {e: i + 1 for i, e in enumerate(ordered[:plen])}
     out = set()
     ids = sorted(sets)
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
-            if prefixes[a] & prefixes[b]:
+            sa, sb = len(sets[a]), len(sets[b])
+            if min(sa, sb) * 1_000_000 < tnum * max(sa, sb):
+                continue
+            alpha = (tnum * (sa + sb) + (1_000_000 + tnum) - 1) // (
+                1_000_000 + tnum
+            )
+            if any(
+                1 + min(sa - pos[a][g], sb - pos[b][g]) >= alpha
+                for g in pos[a].keys() & pos[b].keys()
+            ):
                 out.add((a, b))
     return out
 
