@@ -908,14 +908,25 @@ def prefix_jaccard_join(
         F.count(F.lit(1)).cast("long").alias("_df")
     )
     # each doc's distinct hash set, sorted by the global (df, gh)
-    # order — computed once, consumed by prefix slice AND verify
+    # order — computed once, consumed by prefix slice AND verify.
+    # array_distinct matters: ``grams_exploded`` dedups per doc on the
+    # 60-BIT hash, so an intra-doc mod-p collision (~g²/2³¹ per doc —
+    # real at corpus scale) leaves a duplicate gh here; an inflated
+    # size would feed the length/positional filters a multiset count
+    # while the verifier's jaccard is set-semantic, pruning a
+    # qualifying pair at the exact threshold boundary (pinned by the
+    # crafted-collision test). Duplicates share their gh's df, so they
+    # sort adjacent and the dedup is a pure projection — no extra
+    # shuffle; the df ordering itself may count a collided gh twice,
+    # which only perturbs the global total order CONSISTENTLY (any
+    # fixed order satisfies the prefix lemma).
     doc_sets = ps.persist(
         flat.join(dfreq, "gh")
         .groupBy(key)
         .agg(
             F.expr(
-                "transform(sort_array(collect_list(struct(_df, gh))),"
-                " x -> x.gh)"
+                "array_distinct(transform("
+                "sort_array(collect_list(struct(_df, gh))), x -> x.gh))"
             ).alias("_set")
         )
     )

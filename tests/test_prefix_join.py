@@ -166,3 +166,22 @@ def test_prefix_length_never_below_one():
         for s in range(1, 200):
             plen = s - (tnum * s + 999_999) // 1_000_000 + 1
             assert 1 <= plen <= s, (t, s, plen)
+
+
+def test_intra_doc_modp_collision_does_not_prune(spark):
+    """'bbin' and 'foeb' have different md5-h60s but the SAME mod-p gram
+    hash (222434810) — the per-doc h60 dedup keeps both, so without the
+    set-level array_distinct doc 2's size reads 6 instead of 5 and the
+    length filter prunes this EXACTLY-at-threshold pair (4/5 = 0.8,
+    min·10⁶ = 4.0e6 < tnum·6 = 4.7994e6). The verifier is set-semantic
+    either way; only the filter sizes were exposed. k=1 makes each word
+    one gram."""
+    rows = [
+        (1, "bbin alpha beta gamma"),
+        (2, "bbin foeb alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.prefix_jaccard_join(df, threshold=0.8, k=1).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [
+        (1, 2, 0.8)
+    ]
