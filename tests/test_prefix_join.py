@@ -8,8 +8,6 @@ every element is corpus-common)."""
 
 from __future__ import annotations
 
-import math
-
 from hypothesis import given, settings, strategies as st
 
 from osm_pbf_parquet_spark.operators import dedup
@@ -86,6 +84,8 @@ def test_plan_no_cartesian(spark):
     plan = _plan(dedup.prefix_jaccard_join(df, threshold=0.8))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # every stage stays keyed (gh / doc key) — no global bottleneck
+    assert "Exchange SinglePartition" not in plan
 
 
 # --- prefix-filter completeness property -------------------------------------------
