@@ -1,0 +1,161 @@
+"""Property tests pinning four more semantics-critical distributed
+claims against INDEPENDENT sequential Python references on arbitrary
+inputs (same bar as the graph/selection/exactness property layers):
+
+- min-label propagation ≡ union-find connected components (chains
+  longer than the typical near-dup diameter force multiple rounds)
+- the bucketed-carry Pareto skyline ≡ brute-force domination
+- distributed prefix-sum sequence packing ≡ the sequential lay-end-
+  to-end computation (window boundaries, offsets, spanning docs)
+- duplicate-span detection ≡ a sequential shingle-count + interval
+  merge (abutting coverage joins a span; a one-token gap splits it)
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from osm_pbf_parquet_spark.operators import dedup, ordered, sampling
+
+
+# --- connected components vs union-find --------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 14), st.integers(1, 14)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_components_match_union_find(spark, raw_edges):
+    edges = [(min(a, b), max(a, b)) for a, b in raw_edges]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["component_size"])
+        for r in dedup.duplicate_components(df).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps: dict[int, set] = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    want = {
+        n: (min(c), len(c)) for c in comps.values() for n in c
+    }
+    assert got == want
+
+
+# --- Pareto skyline vs brute-force domination ---------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_skyline_matches_brute_force(spark, pts):
+    df = spark.createDataFrame(pts, "px long, py long")
+    got = {
+        (r["px"], r["py"])
+        for r in ordered.skyline_min_min(df, "px", "py").collect()
+    }
+    dpts = set(pts)
+    want = {
+        p
+        for p in dpts
+        if not any(
+            q != p and q[0] <= p[0] and q[1] <= p[1] for q in dpts
+        )
+    }
+    assert got == want
+
+
+# --- sequence packing vs sequential prefix sum --------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(1, 7), min_size=1, max_size=20),
+    st.sampled_from([3, 5, 8]),
+)
+def test_pack_sequences_matches_sequential(spark, doc_lens, budget):
+    rows = [(i + 1, " ".join(["w"] * n)) for i, n in enumerate(doc_lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_window"], r["start_offset"],
+            r["end_window"],
+        )
+        for r in sampling.pack_sequences(df, budget).collect()
+    }
+    want = {}
+    cum = 0
+    for i, n in enumerate(doc_lens):
+        want[i + 1] = (
+            n, cum // budget, cum % budget, max(cum + n - 1, cum) // budget
+        )
+        cum += n
+    assert got == want
+
+
+# --- duplicate spans vs sequential shingle-count + interval merge --------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_duplicate_spans_match_sequential(spark, word_docs):
+    k = 3
+    rows = [(i + 1, " ".join(ws)) for i, ws in enumerate(word_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_id"]): (
+            r["start"], r["span_end"], r["n_tokens"], r["n_shingles"]
+        )
+        for r in dedup.duplicate_spans(df, k=k).collect()
+    }
+    counts: dict[str, int] = {}
+    for ws in word_docs:
+        for i in range(len(ws) - k + 1):
+            g = " ".join(ws[i:i + k])
+            counts[g] = counts.get(g, 0) + 1
+    want = {}
+    for d, ws in enumerate(word_docs, start=1):
+        dup_pos = [
+            i + 1
+            for i in range(len(ws) - k + 1)
+            if counts[" ".join(ws[i:i + k])] > 1
+        ]
+        span_id, prev_end, members = 0, None, []
+        spans: list[tuple[int, list[int]]] = []
+        for p in dup_pos:
+            if prev_end is None or p > prev_end + 1:
+                span_id += 1
+                members = []
+                spans.append((span_id, members))
+            members.append(p)
+            prev_end = max(prev_end or 0, p + k - 1)
+        for sid, mem in spans:
+            end = mem[-1] + k - 1
+            want[(d, sid)] = (mem[0], end, end - mem[0] + 1, len(mem))
+    assert got == want
