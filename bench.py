@@ -42,12 +42,22 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 BIG_COPIES = 10
-BIG_DIR = os.path.join(tempfile.gettempdir(), f"spark_graft_bigtier_x{BIG_COPIES}")
+# tier files are written pre-split (_TIER_FILES part files): AQE
+# coalescing otherwise packs the 10x documents table into ONE ~20 MB
+# zstd file and lineitem into two, capping every downstream scan stage
+# at 1-2 tasks on 32 cores — the tier then measures an artificial
+# layout bottleneck no large table has (a 100 TB table is thousands of
+# files), not the operators. The _p32 dir suffix versions the cache so
+# hosts with the old single-file layout regenerate.
+_TIER_FILES = 32
+BIG_DIR = os.path.join(
+    tempfile.gettempdir(), f"spark_graft_bigtier_x{BIG_COPIES}_p{_TIER_FILES}"
+)
 N_BIG_SKEW_ROWS = 5_000_000
 
 SOAK_COPIES = 50
 SOAK_DIR = os.path.join(
-    tempfile.gettempdir(), f"spark_graft_soak_x{SOAK_COPIES}"
+    tempfile.gettempdir(), f"spark_graft_soak_x{SOAK_COPIES}_p{_TIER_FILES}"
 )
 
 
@@ -84,6 +94,7 @@ def _make_big_tier(spark) -> None:
             F.concat("text", F.lit(" copyvariant"), F.col("_c").cast("string")),
         )
         .drop("_c")
+        .repartition(_TIER_FILES)
         .write.mode("overwrite")
         .parquet(f"{BIG_DIR}/documents.parquet")
     )
@@ -93,6 +104,7 @@ def _make_big_tier(spark) -> None:
             .select("*", copies)
             .withColumn(keycol, F.col(keycol) + F.col("_c") * F.lit(100_000_000))
             .drop("_c")
+            .repartition(_TIER_FILES)
             .write.mode("overwrite")
             .parquet(f"{BIG_DIR}/{tbl}.parquet")
         )
@@ -141,6 +153,7 @@ def _make_soak_tier(spark) -> None:
             F.concat("text", F.lit(" soakvariant"), F.col("_c").cast("string")),
         )
         .drop("_c")
+        .repartition(_TIER_FILES)
         .write.mode("overwrite")
         .parquet(f"{SOAK_DIR}/documents.parquet")
     )
