@@ -774,10 +774,13 @@ def incremental_minhash_dedup_stream(
        aggregation — trading ≤ bands× duplicate verify arithmetic for
        ZERO deduplication state.
     3. Best-match per incoming doc via a lexicographic
-       max(struct(jaccard, −old_id)) stateful aggregation — identical
+       min(struct(−jaccard, old_id)) stateful aggregation — identical
        argmax semantics to the batch row_number over (jaccard DESC,
-       old_id ASC), which streams do not support. State: one small row
-       per flagged doc.
+       old_id ASC), which streams do not support. Negating the (always
+       numeric) similarity instead of the corpus key keeps the
+       tiebreak KEY-TYPE-AGNOSTIC: string doc ids stream through the
+       same path as the batch operator's orderable-key contract.
+       State: one small row per flagged doc.
 
     ``watermark=(col, delay)`` attaches an event-time watermark on the
     incoming side before signatures are computed, so update-mode
@@ -816,17 +819,17 @@ def incremental_minhash_dedup_stream(
     best = (
         scored.groupBy(F.col("new_id").alias(key))
         .agg(
-            F.max(
+            F.min(
                 F.struct(
-                    F.col("jaccard").alias("j"),
-                    (-F.col("old_id")).alias("neg"),
+                    (-F.col("jaccard")).alias("nj"),
+                    F.col("old_id").alias("oid"),
                 )
             ).alias("_b")
         )
         .select(
             key,
-            (-F.col("_b.neg")).alias("dup_of"),
-            F.col("_b.j").alias("jaccard"),
+            F.col("_b.oid").alias("dup_of"),
+            (-F.col("_b.nj")).alias("jaccard"),
         )
     )
     return best

@@ -289,3 +289,64 @@ def test_stream_incremental_dedup_is_actually_streaming(spark):
             incoming, sigs, watermark=("ingest_time", "1 hour")
         )
         assert flagged.isStreaming
+
+
+def test_stream_incremental_dedup_string_keys(spark, tmp_path):
+    """r8 (r7 verdict #3): the streaming argmax must accept the SAME key
+    types as the batch path — min(struct(-jaccard, old_id)) negates the
+    numeric similarity, never the key, so a STRING doc id streams
+    through and still equals the batch operator row-for-row (max
+    jaccard, lexicographic-min corpus key on ties)."""
+    from osm_pbf_parquet_spark.functions.caching import PersistSet
+    from osm_pbf_parquet_spark.operators import dedup
+    from osm_pbf_parquet_spark.plans.analytic_queries import (
+        _run_stream_to_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # string keys whose LEXICOGRAPHIC order differs from numeric order
+    # ('d-10' < 'd-2'), so a string-blind tiebreak would be caught
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(
+            F.concat(F.lit("d-"), F.col("doc_id").cast("string")).alias(
+                "doc_id"
+            ),
+            "text",
+            (F.col("doc_id") % 5 == 0).alias("_incoming"),
+        )
+    )
+    src = str(tmp_path / "strdocs")
+    docs.write.parquet(src)
+    corpus = spark.read.parquet(src).where(~F.col("_incoming"))
+    incoming_batch = spark.read.parquet(src).where(F.col("_incoming"))
+    probe = spark.read.parquet(src)
+    incoming_stream = (
+        spark.readStream.schema(probe.schema)
+        .parquet(src)
+        .where(F.col("_incoming"))
+    )
+    with PersistSet() as ps:
+        sigs = ps.persist(
+            dedup.minhash_signatures(corpus).select(
+                "doc_id", "gram_hashes", "minhash"
+            )
+        )
+        want = sorted(
+            (r["doc_id"], r["dup_of"], r["jaccard"])
+            for r in dedup.incremental_minhash_dedup(
+                incoming_batch, sigs
+            ).collect()
+        )
+        flagged = dedup.incremental_minhash_dedup_stream(
+            incoming_stream, sigs
+        )
+        got_tbl = _run_stream_to_table(
+            spark, flagged, "stream_incdedup_str_result", "complete"
+        )
+        got = sorted(
+            (r["doc_id"], r["dup_of"], r["jaccard"])
+            for r in got_tbl.collect()
+        )
+    assert got == want and len(got) > 0
+    assert all(isinstance(k, str) and isinstance(d, str) for k, d, _ in got)
