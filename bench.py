@@ -33,6 +33,7 @@ transcodes a 4× PBF input. Regressions should be judged HERE.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -79,6 +80,7 @@ def _make_big_tier(spark) -> None:
     ready = os.path.join(BIG_DIR, "_READY")
     if os.path.exists(ready):
         return
+    _reap_stale_tiers()
     shutil.rmtree(BIG_DIR, ignore_errors=True)
     os.makedirs(BIG_DIR, exist_ok=True)
     copies = F.explode(
@@ -130,6 +132,18 @@ def _make_big_tier(spark) -> None:
         pass
 
 
+def _reap_stale_tiers() -> None:
+    """Remove tier cache dirs from earlier layout versions (e.g. the
+    pre-_p32 unversioned spark_graft_bigtier_x10): each version bump
+    otherwise orphans hundreds of MB of dead parquet in tmp on hosts
+    that ran earlier rounds."""
+    live = {BIG_DIR, SOAK_DIR}
+    for pat in ("spark_graft_bigtier_x*", "spark_graft_soak_x*"):
+        for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
+            if d not in live:
+                shutil.rmtree(d, ignore_errors=True)
+
+
 def _make_soak_tier(spark) -> None:
     """Materialize the 50× documents tier (cached): the single-pass soak
     runs the capstone + the minhash dedup chain here once per round to
@@ -139,6 +153,7 @@ def _make_soak_tier(spark) -> None:
     ready = os.path.join(SOAK_DIR, "_READY")
     if os.path.exists(ready):
         return
+    _reap_stale_tiers()
     shutil.rmtree(SOAK_DIR, ignore_errors=True)
     os.makedirs(SOAK_DIR, exist_ok=True)
     copies = F.explode(
@@ -465,19 +480,27 @@ def main() -> None:
     except Exception as exc:  # the sf0.1 line must survive a big-tier failure
         big_extra["big_error"] = f"{type(exc).__name__}: {exc}"
 
-    # --- 50× single-pass soak: capstone + the dedup chain (no min-of-N;
-    #     this row exists to catch memory cliffs / AQE shifts, not to be
-    #     a latency anchor) ---
+    # --- 50× soak: capstone + the dedup chain. min-of-2 per leg (r7
+    #     verdict ask #4: the single-rep legs swung 36.8→42.3s on host
+    #     contention with nothing to tell noise from regression; two
+    #     reps with the min kept, both raw values recorded, gives the
+    #     same cliff/AQE-shift coverage with a readable latency) ---
     soak: dict = {"copies": SOAK_COPIES}
     try:
         _make_soak_tier(spark)
         spark.catalog.clearCache()
+        soak_raw: dict[str, list[float]] = {}
         for name in ("full_curation_pipeline", "dedup_minhash_lsh",
                      "duplicate_spans"):
-            t0 = time.time()
-            PIPE[name][0](spark, SOAK_DIR).count()
-            soak[name] = round(time.time() - t0, 3)
-            spark.catalog.clearCache()
+            reps = []
+            for _ in range(2):
+                t0 = time.time()
+                PIPE[name][0](spark, SOAK_DIR).count()
+                reps.append(round(time.time() - t0, 3))
+                spark.catalog.clearCache()
+            soak[name] = min(reps)
+            soak_raw[name] = reps
+        soak["raw_reps"] = soak_raw
         soak["jvm_peak_rss_mb"] = _jvm_peak_rss_mb()
     except Exception as exc:
         soak["soak_error"] = f"{type(exc).__name__}: {exc}"

@@ -196,10 +196,6 @@ def trace_queries(queries) -> tuple[dict[str, dict[str, set[int]]], dict[str, st
             df = fn(spark, SF_DIR)
         finally:
             sys.settrace(None)
-        executed[name] = {
-            ENGINE_PREFIX + os.path.relpath(f, root): lines
-            for f, lines in touched.items()
-        }
         try:
             fingerprints[name] = _plan_fingerprint(df)
         except Exception:
@@ -217,6 +213,16 @@ def trace_queries(queries) -> tuple[dict[str, dict[str, set[int]]], dict[str, st
             gc.collect()
         finally:
             sys.settrace(None)
+        # executed[name] is built only AFTER the drain so attribution
+        # does not depend on the dict-comprehension aliasing `touched`'s
+        # set objects — a file first touched during the drain (release
+        # lines in a module the build phase never entered) would
+        # otherwise be silently dropped, and the aliasing is fragile to
+        # refactors (a deepcopy would break it invisibly).
+        executed[name] = {
+            ENGINE_PREFIX + os.path.relpath(f, root): lines
+            for f, lines in touched.items()
+        }
         print(
             f"  traced {name}: {sum(map(len, touched.values()))} lines "
             f"in {len(touched)} files",
