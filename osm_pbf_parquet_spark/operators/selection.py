@@ -372,3 +372,75 @@ def perplexity_buckets(
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+#: fixed-point scale for Gumbel jitter (nanonats — matches DSIR_SCALE so
+#: log-weights and jitter add in one integer domain)
+RESERVOIR_SCALE = 10**9
+#: hash width for the sampling uniform: 52 bits, NOT the engine-wide 60 —
+#: (h+1)/(2^52+1) stays strictly inside (0,1) in IEEE double ((h+1) and
+#: (2^52+1) are both exactly representable and the quotient of a 60-bit
+#: numerator would round to exactly 1.0 for h within ~2^7 of the top,
+#: sending ln(-ln(u)) to infinity)
+_RESERVOIR_HASH_BUCKETS = 1 << 52
+_RESERVOIR_HASH_DEN = (1 << 52) + 1
+
+
+def weighted_reservoir_sample(
+    weights: DataFrame,
+    k: int,
+    log_weight_nano_col: str = "dsir_nano",
+    key: str = "doc_id",
+    salt: str = "aes-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``k`` rows with
+    inclusion proportional to w = exp(log_weight_nano / 1e9) — the
+    resampling executor that actually DRAWS the training subset from
+    ``dsir_importance`` / log-domain mixture weights (DSIR's final
+    step: importance RESAMPLING, Xie et al. 2023 §3).
+
+    Algorithm: Efraimidis–Spirakis A-ES (exponential-jittered keys,
+    "Weighted random sampling with a reservoir", IPL 2006) in its
+    Gumbel-top-k form — identical sample, not merely identical
+    distribution: A-ES ranks by u^(1/w) desc ⇔ e/w asc (e = −ln u)
+    ⇔ ln w − ln e desc, and ln w − ln e is exactly log-weight +
+    Gumbel(0,1) jitter when the SAME uniform u drives both. Working
+    log-domain means the importance weight never exponentiates
+    (exp(dsir_nano/1e9) overflows doubles for strongly-targeted docs);
+    the jitter is the only float, floor-scaled to nanonats so the
+    selection key is an exact BIGINT sum:
+
+        score_nano = log_w_nano + floor(1e9 · (−ln(−ln u)))
+        u = (h52 + 1) / (2^52 + 1),  h52 = md5-hash(key ':' salt)
+
+    Determinism: no rand() — the uniform is the engine-wide md5 idiom,
+    so re-runs, partition counts, and the DuckDB oracle all draw the
+    SAME sample. The only cross-engine seam is libm ln's last ulp
+    landing within 1e-9 of a floor boundary (same documented seam as
+    the DSIR lambda table).
+
+    Plan/scale: pure projection (two ln, one floor) + global top-k,
+    which Catalyst executes as TakeOrderedAndProject — a bounded
+    k-element heap per partition merged on the driver, never a global
+    sort; the 100 TB cost is one scan of the weights frame. Ties on
+    score_nano break by key so the sample is total-order stable.
+    """
+    from .sampling import hash_mod_expr
+
+    h = hash_mod_expr(
+        f"concat(cast({key} AS string), ':', '{salt}')",
+        _RESERVOIR_HASH_BUCKETS,
+    )
+    u = (
+        f"((cast({h} AS DOUBLE) + cast(1 AS DOUBLE)) / "
+        f"cast({_RESERVOIR_HASH_DEN} AS DOUBLE))"
+    )
+    jitter = (
+        f"cast(floor(-ln(-ln({u})) * cast({RESERVOIR_SCALE} AS DOUBLE)) "
+        f"AS BIGINT)"
+    )
+    scored = weights.withColumn(
+        "score_nano",
+        (F.col(log_weight_nano_col) + F.expr(jitter)).cast("long"),
+    )
+    return scored.orderBy(F.desc("score_nano"), F.col(key)).limit(k)

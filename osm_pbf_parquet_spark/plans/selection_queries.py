@@ -106,6 +106,51 @@ FROM mass, mtot
 """
 
 
+# --- weighted reservoir sample (r8) ------------------------------------------------
+
+_RESERVOIR_K = 100
+
+
+def q_weighted_reservoir(spark, sf_dir):
+    """DSIR importance RESAMPLING: draw the 100-document training
+    subset from the corpus with inclusion ∝ exp(dsir weight) via the
+    deterministic A-ES/Gumbel-top-k executor — the step that turns the
+    dsir_importance gate's weights into the sample a trainer consumes."""
+    w = selection.dsir_importance(
+        _t(spark, sf_dir, "documents"), _DSIR_TARGET
+    )
+    return selection.weighted_reservoir_sample(w, k=_RESERVOIR_K)
+
+
+def _oracle_reservoir() -> str:
+    # the weight table IS the dsir gate's oracle verbatim; the jitter
+    # replays the engine's md5→(0,1)→Gumbel arithmetic
+    from ..operators.selection import (
+        _RESERVOIR_HASH_BUCKETS,
+        _RESERVOIR_HASH_DEN,
+        RESERVOIR_SCALE,
+    )
+
+    h = duck_hash_mod(
+        "CAST(doc_id AS VARCHAR) || ':' || 'aes-v1'",
+        _RESERVOIR_HASH_BUCKETS,
+    )
+    u = (
+        f"((CAST({h} AS DOUBLE) + CAST(1 AS DOUBLE)) / "
+        f"CAST({_RESERVOIR_HASH_DEN} AS DOUBLE))"
+    )
+    return f"""
+WITH dsir AS ({_oracle_dsir()})
+SELECT doc_id, dsir_nano,
+       CAST(dsir_nano + CAST(floor(-ln(-ln({u}))
+            * CAST({RESERVOIR_SCALE} AS DOUBLE)) AS BIGINT) AS BIGINT)
+         AS score_nano
+FROM dsir
+ORDER BY score_nano DESC, doc_id
+LIMIT {_RESERVOIR_K}
+"""
+
+
 # --- split leakage audit ----------------------------------------------------------
 
 
@@ -213,6 +258,7 @@ FROM r
 
 SELECTION_QUERIES = {
     "dsir_importance": (q_dsir_importance, _oracle_dsir()),
+    "weighted_reservoir_sample": (q_weighted_reservoir, _oracle_reservoir()),
     "temperature_mixture": (q_temperature_mixture, _oracle_temperature()),
     "split_leakage": (q_split_leakage, _oracle_split_leakage()),
     "dedup_resolve": (q_dedup_resolve, _oracle_dedup_resolve()),

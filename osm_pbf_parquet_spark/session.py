@@ -23,8 +23,14 @@ def get_spark(app_name: str = "osm_pbf_parquet_spark", **extra_confs) -> SparkSe
     # launches — workers inherit the JVM's env, which inherits ours.
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # SPARK_GRAFT_MASTER overrides the master URL — the multi-process
+    # falsifier (tools/local_cluster_check.py) sets e.g.
+    # local-cluster[2,8,4096] so driver/executor serialization, broadcast
+    # transport, and Python-worker spawning cross REAL process
+    # boundaries instead of the single-JVM local[32] shortcut.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
@@ -43,6 +49,26 @@ def get_spark(app_name: str = "osm_pbf_parquet_spark", **extra_confs) -> SparkSe
         # kind pushdown (sources/pbf_datasource.py::pushFilters)
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )
+    if master.startswith("local-cluster"):
+        # executors are separate JVMs here: size them from the master
+        # string's per-worker MB (local-cluster[n,cores,mb]) — the JVM
+        # default 1g OOMs the wide-row Arrow stages — and ship the repo
+        # root on the Python workers' path (single-JVM local mode
+        # inherits the driver's sys.path; real executors do not).
+        mb = master.rstrip("]").rsplit(",", 1)[-1].strip()
+        builder = (
+            builder.config("spark.executor.memory", f"{mb}m")
+            .config(
+                "spark.executorEnv.PYTHONPATH",
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+                + os.pathsep
+                + os.environ.get("PYTHONPATH", ""),
+            )
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            )
+        )
     for k, v in extra_confs.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

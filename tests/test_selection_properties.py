@@ -215,3 +215,64 @@ def test_ccnet_bucket_invariants_hold_on_arbitrary_corpora(spark, corpus):
         for r in members:
             if r["avg_neg_logprob"] is None:
                 assert r["ppl_bucket"] == "tail"
+
+
+# --- r8: weighted reservoir sample (A-ES / Gumbel top-k) ------------------------
+
+# corpora of (string-able key, log-weight nanonats); weights span sign
+# and magnitude so jitter can and cannot dominate
+reservoir_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=-(10**12), max_value=10**12),
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+def _aes_reference(rows, k, salt="aes-v1"):
+    """Sequential Efraimidis-Spirakis reference: rank by exp-jittered
+    key e/w ascending, expressed in the identical Gumbel log-domain
+    fixed-point the operator uses."""
+    B = selection._RESERVOIR_HASH_BUCKETS
+    den = selection._RESERVOIR_HASH_DEN
+    scored = []
+    for key, log_w in rows:
+        h = (
+            int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:15], 16)
+            % B
+        )
+        u = (h + 1) / den
+        jit = math.floor(-math.log(-math.log(u)) * selection.RESERVOIR_SCALE)
+        scored.append((key, log_w, log_w + jit))
+    scored.sort(key=lambda t: (-t[2], t[0]))
+    return scored[:k]
+
+
+@settings(max_examples=25, deadline=None)
+@given(reservoir_rows, st.integers(min_value=1, max_value=10))
+def test_reservoir_matches_sequential_aes_reference(spark, rows, k):
+    df = spark.createDataFrame(rows, ["doc_id", "dsir_nano"])
+    got = [
+        (r["doc_id"], r["dsir_nano"], r["score_nano"])
+        for r in selection.weighted_reservoir_sample(df, k=k).collect()
+    ]
+    want = _aes_reference(rows, k)
+    assert sorted(got) == sorted(want)
+
+
+def test_reservoir_inclusion_tracks_weight(spark):
+    """Statistical sanity on the sampler itself (not just the plan): a
+    doc with overwhelming log-weight is always drawn; among equal
+    weights the draw is the deterministic jitter top-k."""
+    rows = [(i, 0) for i in range(50)] + [(999, 10**14)]
+    df = spark.createDataFrame(rows, ["doc_id", "dsir_nano"])
+    got = {
+        r["doc_id"]
+        for r in selection.weighted_reservoir_sample(df, k=5).collect()
+    }
+    assert 999 in got
+    want_rest = {k for k, _, _ in _aes_reference([r for r in rows if r[0] != 999], 4)}
+    assert got - {999} == want_rest
