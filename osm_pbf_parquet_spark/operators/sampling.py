@@ -354,3 +354,102 @@ def grouped_split_audit(
         F.col("n_docs").cast("long"),
         F.col("max_splits_per_group").cast("long"),
     )
+
+
+def epoch_shard_plan(
+    df: DataFrame,
+    n_shards: int,
+    epoch: int,
+    key: str = "doc_id",
+    salt: str = "epoch-v1",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle + shard assignment — the
+    final layout step a distributed trainer consumes: every document
+    gets, for a given ``epoch``, a shard in [0, n_shards) and a
+    position within that shard, such that (a) the order is a fresh
+    pseudo-random permutation each epoch, (b) the SAME plan re-run on
+    any cluster/partitioning reproduces it exactly (hash arithmetic,
+    no rand()), and (c) shards are balanced in expectation. Training
+    loaders then read shard s in position order — no global sort ever
+    materializes one sequence.
+
+    Plan/scale: shard and order both derive from ONE md5 hash of
+    (key, epoch) — a pure projection — and position is a row_number
+    window PARTITIONED BY shard: the only wide op is the shard
+    exchange, each window sorts 1/n_shards of the corpus, and the
+    output is exactly the partitioning the downstream writer wants
+    (write partitionBy(shard) reuses it). No driver state, no Python.
+    """
+    keyed = (
+        f"concat(cast({key} AS string), ':', '{salt}', ':', "
+        f"cast({epoch} AS string))"
+    )
+    # shard from the top 60 bits, order from the full hex, of ONE md5
+    d = df.select(
+        F.col(key),
+        F.expr(hash_mod_expr(keyed, n_shards)).cast("int").alias("shard"),
+        F.expr(f"md5({keyed})").alias("_h"),
+    )
+    w = Window.partitionBy("shard").orderBy("_h", key)
+    return d.select(
+        key,
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+    )
+
+
+def token_budget_fill(
+    df: DataFrame,
+    budgets: DataFrame,
+    group_col: str = "lang",
+    budget_col: str = "token_budget",
+    text_col: str = "text",
+    key: str = "doc_id",
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Fill each domain's TOKEN budget (not doc count) with a
+    deterministic uniform draw — the executor that turns
+    ``temperature_weights``-style per-domain budgets into the actual
+    document subset: docs are ranked per domain in hash order and kept
+    while the RUNNING token total stays within budget (the first doc
+    that crosses the line is kept iff it starts strictly inside it, so
+    every budget is filled to at least its boundary and each kept set
+    is a prefix — re-runs and budget increases only APPEND documents,
+    never swap them).
+
+    ``budgets``: one row per group — (group_col, budget_col BIGINT).
+    Output: kept docs only, with their token count, running total, and
+    domain budget.
+
+    Plan/scale: token counting is a projection; ONE shuffle on the
+    group key for the per-domain running-sum window (domain-count
+    skew is the same per-group-window shape as stratified_cap); the
+    budget table is |domains| rows, broadcast. No Python, no collect.
+    """
+    keyed = f"concat(cast({key} AS string), ':', '{salt}')"
+    tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    d = df.select(
+        F.col(key),
+        F.col(group_col),
+        tokens.alias("n_tokens"),
+        F.expr(f"md5({keyed})").alias("_h"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_h", key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = d.withColumn("tokens_through", F.sum("n_tokens").over(w))
+    return (
+        run.join(F.broadcast(budgets), group_col)
+        .filter(
+            F.col("tokens_through") - F.col("n_tokens") < F.col(budget_col)
+        )
+        .select(
+            key,
+            group_col,
+            "n_tokens",
+            F.col("tokens_through").cast("long"),
+            F.col(budget_col).cast("long").alias("token_budget"),
+        )
+    )

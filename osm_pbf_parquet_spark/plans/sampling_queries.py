@@ -171,7 +171,97 @@ FROM s
 """
 
 
+# --- per-epoch shard plan (r8) --------------------------------------------------
+
+_SHARDS, _EPOCH = 8, 3
+
+
+def q_epoch_shard_plan(spark, sf_dir):
+    """Deterministic epoch-3 training layout: every document's
+    (shard, position) for an 8-shard loader — a fresh pseudo-random
+    permutation per epoch, identical on any cluster/partitioning."""
+    return sampling.epoch_shard_plan(
+        t(spark, sf_dir, "documents"), n_shards=_SHARDS, epoch=_EPOCH
+    )
+
+
+def _oracle_epoch_shard() -> str:
+    keyed = f"CAST(doc_id AS VARCHAR) || ':' || 'epoch-v1' || ':' || '{_EPOCH}'"
+    shard = sampling.duck_hash_mod(keyed, _SHARDS)
+    return f"""
+SELECT doc_id,
+       CAST({shard} AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY {shard}
+         ORDER BY md5({keyed}), doc_id
+       ) - 1 AS BIGINT) AS position
+FROM documents
+"""
+
+
+# --- per-domain token-budget fill (r8) -------------------------------------------
+
+
+def q_token_budget_fill(spark, sf_dir):
+    """Temperature-rebalanced corpus: redistribute the corpus's own
+    total token count across languages by the alpha=0.3 temperature
+    weights, then fill each language's token budget with the
+    deterministic uniform draw — the executor that turns
+    temperature_mixture's weights into the documents a trainer reads."""
+    from pyspark.sql import functions as F
+
+    from ..operators.selection import temperature_weights
+
+    docs = t(spark, sf_dir, "documents")
+    total = docs.agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("_tt")
+    )
+    budgets = (
+        temperature_weights(docs, "lang", alpha=0.3)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.expr("w_ppm * _tt div 1000000").cast("long").alias(
+                "token_budget"
+            ),
+        )
+    )
+    return sampling.token_budget_fill(docs, budgets, group_col="lang")
+
+
+def _oracle_token_budget() -> str:
+    from .selection_queries import _oracle_temperature
+
+    return f"""
+WITH tw AS ({_oracle_temperature()}),
+tt AS (
+  SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+  FROM documents
+),
+budgets AS (
+  SELECT lang, CAST(w_ppm * t // 1000000 AS BIGINT) AS token_budget
+  FROM tw, tt
+),
+run AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || 'budget-v1'),
+                    doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS tokens_through
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.n_tokens, r.tokens_through, b.token_budget
+FROM run r JOIN budgets b USING (lang)
+WHERE r.tokens_through - r.n_tokens < b.token_budget
+"""
+
+
 SAMPLING_QUERIES: dict[str, tuple] = {
+    "epoch_shard_plan": (q_epoch_shard_plan, _oracle_epoch_shard()),
+    "token_budget_fill": (q_token_budget_fill, _oracle_token_budget()),
     "sample_pack_sequences": (q_sample_pack_sequences, ORACLE_PACK_SEQUENCES),
     "sample_chunk_windows": (q_sample_chunk_windows, ORACLE_CHUNK_WINDOWS),
     "sample_hash_split": (q_sample_hash_split, ORACLE_HASH_SPLIT),

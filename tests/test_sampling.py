@@ -145,3 +145,72 @@ def test_pack_sequences_no_global_window(spark):
     # exactly one SinglePartition exchange is allowed — the tiny
     # per-partition-counts offsets branch. A global data window adds more.
     assert plan.count("SinglePartition") == 1
+
+
+# --- r8: epoch shard plan + token budget fill -----------------------------------
+
+
+def test_epoch_shard_plan_is_per_epoch_permutation(spark):
+    df = t(spark, "/root/testdata/sf0.001", "documents")
+    n = df.count()
+    e3 = sampling.epoch_shard_plan(df, n_shards=4, epoch=3)
+    rows = e3.collect()
+    # every doc appears once; positions are exactly 0..size-1 per shard
+    assert len(rows) == n
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert set(by_shard) <= set(range(4))
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(len(pos)))
+    # a different epoch is a different permutation (same doc set)
+    e4 = {(r["doc_id"], r["shard"], r["position"])
+          for r in sampling.epoch_shard_plan(df, n_shards=4, epoch=4).collect()}
+    assert e4 != {(r["doc_id"], r["shard"], r["position"]) for r in rows}
+    # determinism under repartitioning
+    again = {
+        (r["doc_id"], r["shard"], r["position"])
+        for r in sampling.epoch_shard_plan(
+            df.repartition(7), n_shards=4, epoch=3
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["shard"], r["position"]) for r in rows}
+
+
+def test_token_budget_fill_prefix_and_boundary(spark):
+    """Kept sets are hash-order prefixes; every budget is filled to at
+    least its boundary (the crossing doc is kept iff it STARTS inside);
+    raising a budget only appends."""
+    df = t(spark, "/root/testdata/sf0.001", "documents")
+    budgets = spark.createDataFrame(
+        [("en", 2000), ("fr", 500), ("de", 1), ("es", 0), ("zh", 10**9)],
+        ["lang", "token_budget"],
+    )
+    out = sampling.token_budget_fill(df, budgets).collect()
+    per_lang: dict[str, list] = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in per_lang.items():
+        rows.sort(key=lambda r: r["tokens_through"])
+        budget = rows[0]["token_budget"]
+        # every kept doc starts strictly inside the budget
+        assert all(r["tokens_through"] - r["n_tokens"] < budget for r in rows)
+        # contiguity: running totals chain exactly (prefix, no gaps)
+        acc = 0
+        for r in rows:
+            acc += r["n_tokens"]
+            assert r["tokens_through"] == acc
+        # filled to the boundary: the prefix either covers the budget or
+        # is the whole language
+        n_lang = df.filter(F.col("lang") == lang).count()
+        assert rows[-1]["tokens_through"] >= budget or len(rows) == n_lang
+    assert "es" not in per_lang  # zero budget keeps nothing
+    # monotonicity: doubling one budget strictly extends that prefix
+    bigger = spark.createDataFrame(
+        [("en", 4000), ("fr", 500), ("de", 1), ("es", 0), ("zh", 10**9)],
+        ["lang", "token_budget"],
+    )
+    out2 = {r["doc_id"] for r in sampling.token_budget_fill(df, bigger).collect()
+            if r["lang"] == "en"}
+    out1 = {r["doc_id"] for r in out if r["lang"] == "en"}
+    assert out1 <= out2 and len(out2) > len(out1)

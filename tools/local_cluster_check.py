@@ -150,6 +150,13 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "LOCAL_CLUSTER_r08.json"))
     ap.add_argument("--skip-anchors", action="store_true")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="merge this run's registry rows into an existing --out "
+        "artifact (incremental re-cert of new gates) instead of "
+        "overwriting it; anchors are kept from the existing artifact",
+    )
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_MASTER"] = args.master
@@ -162,7 +169,16 @@ def main() -> None:
 
     payload: dict = {"master": args.master, "sf": args.sf}
     payload["registry"] = run_registry(spark, args.sf, only)
-    if not args.skip_anchors and not only:
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as fh:
+            prior = json.load(fh)
+        assert prior.get("master") == args.master and prior.get("sf") == args.sf
+        merged = dict(prior.get("registry", {}))
+        merged.update(payload["registry"])
+        payload["registry"] = merged
+        if "anchors" in prior:
+            payload["anchors"] = prior["anchors"]
+    if not args.skip_anchors and not only and "anchors" not in payload:
         payload["anchors"] = run_anchors(spark)
 
     reg = payload["registry"]
