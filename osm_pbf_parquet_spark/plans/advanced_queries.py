@@ -25,6 +25,7 @@ from ..operators.sketches import (
     hll_distinct,
 )
 from .pipeline_queries import t as _pt
+from .pipeline_queries import t_adaptive as _pta
 from .relational import t as _t
 
 from ..operators.sampling import duck_hash_mod as _duck_hash_mod
@@ -171,7 +172,7 @@ def q_negative_sampling(spark, sf_dir):
     anchor (vec_id < 200), cosine-scored. Pure hash arithmetic — no RNG
     state, replayable in SQL."""
     out = similarity.negative_sampling(
-        _pt(spark, sf_dir, "embeddings"),
+        _pta(spark, sf_dir, "embeddings"),
         k=_NEG_K, query_limit=_NEG_LIMIT,
     )
     return out.select(
@@ -218,7 +219,7 @@ def q_embedding_outliers(spark, sf_dir):
     exact scaled-integer sums (order-independent); distances fold
     sequentially from identical integers on both engines."""
     return similarity.embedding_outliers(
-        _pt(spark, sf_dir, "embeddings"),
+        _pta(spark, sf_dir, "embeddings"),
         top_n=_OUT_TOP, scale=_OUT_SCALE,
     )
 
@@ -272,7 +273,7 @@ def q_unigram_logprob(spark, sf_dir):
     """Corpus-trained unigram-LM quality score per document (CCNet-style
     perplexity filter). Sequential sorted-token fold — see
     operators/text.py."""
-    return text.unigram_logprob_score(_pt(spark, sf_dir, "documents"))
+    return text.unigram_logprob_score(_pta(spark, sf_dir, "documents"))
 
 
 ORACLE_UNIGRAM = f"""
@@ -333,7 +334,7 @@ def q_bm25_topk(spark, sf_dir):
     hybrid search; the oracle replays idf/tf/length normalization from
     the same exact integer counts."""
     return text.bm25_topk(
-        _pt(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K
+        _pta(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K
     )
 
 
@@ -515,7 +516,7 @@ def q_hybrid_rrf(spark, sf_dir):
     (TakeOrderedAndProject); fusion runs on dimension-sized frames."""
     from pyspark.sql import Window
 
-    docs = _pt(spark, sf_dir, "documents")
+    docs = _pta(spark, sf_dir, "documents")
     lex = text.bm25_topk(docs, _BM25_TERMS, k=_RRF_N)
     # ≤ 50 rows: literal-bounded unpartitioned window
     w = Window.orderBy(F.desc("bm25"), F.col("doc_id"))
@@ -523,7 +524,7 @@ def q_hybrid_rrf(spark, sf_dir):
         F.col("doc_id").alias("id"), "rank"
     )
     vec_ranked = similarity.ranked_cosine_candidates(
-        _pt(spark, sf_dir, "embeddings"), _RRF_QVEC, _RRF_N
+        _pta(spark, sf_dir, "embeddings"), _RRF_QVEC, _RRF_N
     ).select(F.col("vec_id").alias("id"), "rank")
     out = similarity.rrf_fuse([lex_ranked, vec_ranked], "id", k=_RRF_TOP)
     return out.select(
@@ -586,7 +587,7 @@ def q_incremental_dedup(spark, sf_dir):
     table — banded LSH join new×old only, never corpus×corpus."""
     from ..operators import dedup
 
-    docs = _pt(spark, sf_dir, "documents")
+    docs = _pta(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     incoming = docs.where(F.col("doc_id") % 5 == 0)
     corpus_sigs = dedup.minhash_signatures(corpus).select(
@@ -765,7 +766,7 @@ ADVANCED_QUERIES.update({
 def q_text_entropy(spark, sf_dir):
     """Information-density quality screens: char-distribution Shannon
     entropy + type-token ratio, flat codegen, zero shuffle."""
-    return text.char_entropy_stats(_pt(spark, sf_dir, "documents"))
+    return text.char_entropy_stats(_pta(spark, sf_dir, "documents"))
 
 
 def _oracle_text_entropy() -> str:
@@ -1247,7 +1248,7 @@ def q_token_drift_js(spark, sf_dir):
     once from those integers and rounded to a 1e-12-scaled BIGINT, so
     the corpus-wide sum is one map-side-combinable integer aggregation
     (no fold, no collect — works at a 100 M-token vocabulary)."""
-    docs = _pt(spark, sf_dir, "documents")
+    docs = _pta(spark, sf_dir, "documents")
     toks = text.with_tokens(docs).select(
         F.expr("CASE WHEN cast(substring(source, 4, 10) AS INT) < 10 "
                "THEN 'a' ELSE 'b' END").alias("half"),
@@ -1413,7 +1414,7 @@ def q_tokenize_corpus(spark, sf_dir):
     md5 over the comma-joined ids — any vocab drift, ordering bug, or
     OOV mishandling flips the hash. One posexplode + one broadcast
     vocab join + one keyed collect, all bounded by doc length."""
-    docs = _pt(spark, sf_dir, "documents")
+    docs = _pta(spark, sf_dir, "documents")
     vocab = text.build_vocab(docs, vocab_size=200, min_count=2).select(
         "token", "token_id"
     )

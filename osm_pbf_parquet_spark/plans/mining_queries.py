@@ -23,6 +23,7 @@ from ..operators.sketches import HLL_ALPHA, HLL_HASH_BITS, HLL_P, hll_distinct_b
 from ..operators.sampling import duck_hash_mod as _duck_hash_mod
 from .relational import t as _t
 from .pipeline_queries import t as _pt
+from .pipeline_queries import t_adaptive as _pta
 
 
 # --- PageRank over the customer→supplier interaction graph -------------------
@@ -175,7 +176,7 @@ _BG_K = 20
 def q_bigram_lm(spark, sf_dir):
     """Top corpus bigrams + conditional probability P(w2|w1): zero joins
     over the corpus (self-zipped token slices), exact integer counts."""
-    return text.bigram_conditional(_pt(spark, sf_dir, "documents"), k=_BG_K)
+    return text.bigram_conditional(_pta(spark, sf_dir, "documents"), k=_BG_K)
 
 
 ORACLE_BIGRAM_LM = f"""

@@ -21,10 +21,42 @@ def t(spark, sf_dir, name):
     """Pipeline-table loader: documents/embeddings ship as ONE parquet
     file each — a single input split would serialize the projection-heavy
     signature math, so spread rows across the cluster first (a narrow
-    round-robin of the raw rows; negligible next to the per-row work)."""
+    round-robin of the raw rows; negligible next to the per-row work).
+
+    RETIRING (r8→r9): the unconditional repartition is pure shuffle
+    overhead whenever the input is already multi-file — r8 profiling
+    measured it as the whole sample_pack_sequences big-tier
+    "regression" (a flat ~0.5-0.9s on every t-consuming anchor once
+    the 10× tier was pre-split into 32 files), and at 100 TB an
+    unconditional repartition(cores) in a shared loader is exactly the
+    needless-full-corpus-shuffle anti-pattern the engine exists to
+    avoid. Gates migrate to ``t_adaptive`` in driver-cap-sized waves
+    (42 in r8, the tail in r9, then this helper is deleted) so every
+    behavior change lands with its re-certification in the same
+    round."""
     df = _t(spark, sf_dir, name)
     if name in ("documents", "embeddings"):
         df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+def t_adaptive(spark, sf_dir, name):
+    """Scan-aware pipeline-table loader: widen ONLY when the parquet
+    input would under-parallelize the projection-heavy per-row work,
+    i.e. the table arrives as fewer files than cores (the sf-tier
+    documents/embeddings ship as ONE file each). A pre-split table —
+    the 10× bench tier's 32 part files, or any real large table's
+    thousands — skips the round-robin entirely: the scan is already
+    parallel, and re-shuffling the full corpus before every query is
+    the at-scale anti-pattern ``t``'s docstring records. File count
+    slightly undercounts splits (one huge file still splits at
+    maxPartitionBytes), so this errs toward widening — correct in both
+    directions at both test and production scale."""
+    df = _t(spark, sf_dir, name)
+    if name in ("documents", "embeddings"):
+        par = spark.sparkContext.defaultParallelism
+        if len(df.inputFiles()) < par:
+            df = df.repartition(par)
     return df
 
 
@@ -57,7 +89,7 @@ h AS (
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(t(spark, sf_dir, "documents"))
+    return dedup.exact_dedup(t_adaptive(spark, sf_dir, "documents"))
 
 
 ORACLE_DEDUP_EXACT = """
@@ -74,7 +106,7 @@ SELECT doc_id, content_hash, n_copies FROM (
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_dedup(t(spark, sf_dir, "documents"), threshold=0.8)
+    return dedup.ngram_jaccard_dedup(t_adaptive(spark, sf_dir, "documents"), threshold=0.8)
 
 
 ORACLE_NGRAM_JACCARD = f"""
@@ -106,7 +138,7 @@ def q_jaccard_join_exact(spark, sf_dir):
     provably lossless candidate filter instead of the max_df recall
     trade (see dedup.prefix_jaccard_join)."""
     return dedup.prefix_jaccard_join(
-        t(spark, sf_dir, "documents"), threshold=0.8
+        t_adaptive(spark, sf_dir, "documents"), threshold=0.8
     )
 
 
@@ -142,7 +174,7 @@ def q_decontaminate(spark, sf_dir):
     dimension side; report each contaminated training doc with its eval
     hit count and overlap depth. See dedup.contamination_check for the
     100 TB shape (broadcast eval grams, no raw-doc shuffle)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t_adaptive(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 20 != 0)
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     pairs = dedup.contamination_check(train, ev, k=DECON_K, min_overlap=2)
@@ -191,7 +223,7 @@ FROM pairs GROUP BY 1
 
 
 def q_dedup_components(spark, sf_dir):
-    pairs = dedup.ngram_jaccard_dedup(t(spark, sf_dir, "documents"), threshold=0.8)
+    pairs = dedup.ngram_jaccard_dedup(t_adaptive(spark, sf_dir, "documents"), threshold=0.8)
     return dedup.duplicate_components(pairs)
 
 
@@ -233,7 +265,7 @@ FROM comp
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_dedup(t(spark, sf_dir, "documents"), threshold=0.8)
+    return dedup.minhash_lsh_dedup(t_adaptive(spark, sf_dir, "documents"), threshold=0.8)
 
 
 def _oracle_minhash() -> str:
@@ -274,7 +306,7 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.8
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash_dedup(t(spark, sf_dir, "documents"), max_hamming=3)
+    return dedup.simhash_dedup(t_adaptive(spark, sf_dir, "documents"), max_hamming=3)
 
 
 # pairwise oracle == banded Spark plan by the pigeonhole guarantee
@@ -308,7 +340,7 @@ _NORM = "sqrt(list_reduce(list_transform({v}, x -> x * x), (acc, x) -> acc + x))
 
 def q_dedup_embedding(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=0.45
+        t_adaptive(spark, sf_dir, "embeddings"), threshold=0.45
     )
 
 
@@ -331,7 +363,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_adaptive(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -360,7 +392,7 @@ FROM ranked WHERE rk <= 5
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN (the other scale path): coarse-quantize into cells, probe
     the query's 2 nearest of 8 cells."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_adaptive(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -414,7 +446,7 @@ FROM ranked WHERE rk <= {k}
 
 def q_ann_lsh_pairs(spark, sf_dir):
     """LSH-bucketed ANN (scale path) — bucket join instead of cross join."""
-    return similarity.lsh_ann_pairs(t(spark, sf_dir, "embeddings"), dim=64,
+    return similarity.lsh_ann_pairs(t_adaptive(spark, sf_dir, "embeddings"), dim=64,
                                     threshold=0.45)
 
 
@@ -456,7 +488,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
 
 
 def q_text_stats(spark, sf_dir):
-    return text.token_stats(t(spark, sf_dir, "documents"))
+    return text.token_stats(t_adaptive(spark, sf_dir, "documents"))
 
 
 ORACLE_TEXT_STATS = f"""
@@ -473,7 +505,7 @@ FROM documents
 
 
 def q_text_quality(spark, sf_dir):
-    return text.quality_score(t(spark, sf_dir, "documents"))
+    return text.quality_score(t_adaptive(spark, sf_dir, "documents"))
 
 
 def _oracle_quality() -> str:
@@ -501,7 +533,7 @@ FROM m
 
 
 def q_text_lang_id(spark, sf_dir):
-    return text.language_id(t(spark, sf_dir, "documents"))
+    return text.language_id(t_adaptive(spark, sf_dir, "documents"))
 
 
 def _oracle_lang_id() -> str:
@@ -530,7 +562,7 @@ FROM s
 def q_clean_corpus(spark, sf_dir):
     """Composed curation pipeline: quality gate → lang gate → exact dedup
     → token stats, fused to one scan + one shuffle."""
-    return text.clean_corpus(t(spark, sf_dir, "documents"),
+    return text.clean_corpus(t_adaptive(spark, sf_dir, "documents"),
                              min_quality=0.5, lang="en")
 
 
@@ -558,7 +590,7 @@ FROM dd WHERE rn = 1
 
 
 def q_text_fingerprint(spark, sf_dir):
-    return text.fingerprint(t(spark, sf_dir, "documents"))
+    return text.fingerprint(t_adaptive(spark, sf_dir, "documents"))
 
 
 ORACLE_FINGERPRINT = f"""
@@ -623,7 +655,7 @@ def q_pii_scrub(spark, sf_dir):
     scrubs them. The md5 of the scrubbed text pins every replacement;
     counts pin the matchers. Patterns are Java-regex/RE2 compatible by
     construction (operators/text.py PII_PATTERNS)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t_adaptive(spark, sf_dir, "documents")
     aug = docs.withColumn(
         "text",
         F.concat(
@@ -667,7 +699,7 @@ def q_text_repetition(spark, sf_dir):
     The corpus draws from a small vocabulary, so duplicate-word/-bigram
     fractions are non-trivial on every row; a doubled copy of the text
     tail stresses the n-gram paths."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t_adaptive(spark, sf_dir, "documents")
     return text.repetition_stats(docs)
 
 
@@ -707,7 +739,7 @@ def q_duplicate_spans(spark, sf_dir):
     spans covered by repeated 8-token shingles. The planted near-dup
     documents guarantee long cross-doc spans; the small vocabulary
     guarantees incidental repeats."""
-    return dedup.duplicate_spans(t(spark, sf_dir, "documents"), k=DUP_SPAN_K)
+    return dedup.duplicate_spans(t_adaptive(spark, sf_dir, "documents"), k=DUP_SPAN_K)
 
 
 def _oracle_duplicate_spans() -> str:
@@ -766,7 +798,7 @@ def q_full_curation_pipeline(spark, sf_dir):
 
     from ..operators import sampling
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t_adaptive(spark, sf_dir, "documents")
     d = text.with_quality(docs).filter(F.col("quality") >= 0.5)
     d = text.with_pii_scrubbed(d)
     w = Window.partitionBy("_ch").orderBy("doc_id")
@@ -867,7 +899,7 @@ def q_cms_heavy_hitters(spark, sf_dir):
     the value hash pins estimates, not just the error booleans."""
     from ..operators.sketches import cms_heavy_hitters
 
-    return cms_heavy_hitters(t(spark, sf_dir, "documents"), k=10)
+    return cms_heavy_hitters(t_adaptive(spark, sf_dir, "documents"), k=10)
 
 
 def _oracle_cms() -> str:
@@ -909,7 +941,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 terms by tf * (N/df). Linear IDF keeps every
     float op correctly-rounded IEEE (no transcendental log), so the
     scores hash bit-identically against the oracle."""
-    return text.tfidf_top_terms(t(spark, sf_dir, "documents"), top_k=3)
+    return text.tfidf_top_terms(t_adaptive(spark, sf_dir, "documents"), top_k=3)
 
 
 ORACLE_TFIDF = f"""
@@ -947,7 +979,7 @@ def q_line_corpus_dedup(spark, sf_dir):
     line, a doc-keyed FOOTER shared by ~125 docs each, and a 48-char
     prefix line — then drops lines occurring in >5 distinct docs. The
     cleaned-text md5 pins surviving bytes and line order."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t_adaptive(spark, sf_dir, "documents")
     aug = docs.withColumn(
         "text",
         F.concat_ws(
@@ -990,7 +1022,7 @@ FROM j GROUP BY doc_id
 def q_vocab_build(spark, sf_dir):
     """Tokenizer vocabulary build: corpus token counts → top-200 by
     (count desc, token asc) → contiguous token ids."""
-    return text.build_vocab(t(spark, sf_dir, "documents"),
+    return text.build_vocab(t_adaptive(spark, sf_dir, "documents"),
                             vocab_size=200, min_count=2)
 
 
@@ -1011,7 +1043,7 @@ FROM top
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 quantization audit: per-vector scale, position-
     weighted checksum of the quantized codes, sequential-fold MSE."""
-    return similarity.quantize_embeddings(t(spark, sf_dir, "embeddings"))
+    return similarity.quantize_embeddings(t_adaptive(spark, sf_dir, "embeddings"))
 
 
 ORACLE_EMBEDDING_QUANTIZE = """
@@ -1046,7 +1078,7 @@ FROM q
 def q_semantic_dedup(spark, sf_dir):
     """SemDedup gate: IVF-cell assignment → within-cell near-dup pairs →
     keep-lowest-key survivors. Same centroid arithmetic as ann_ivf_topk."""
-    return similarity.semantic_dedup(t(spark, sf_dir, "embeddings"),
+    return similarity.semantic_dedup(t_adaptive(spark, sf_dir, "embeddings"),
                                      threshold=0.45)
 
 
@@ -1089,7 +1121,7 @@ def q_kmeans_clusters(spark, sf_dir):
     pre-quantized to integer-valued doubles (floor(x*1000+0.5)) so every
     cross-partition sum is exact and the assignment is bit-deterministic
     — the oracle unrolls the same three rounds in SQL."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t_adaptive(spark, sf_dir, "embeddings")
     iv = emb.withColumn(
         "embedding",
         F.expr("transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"),

@@ -8,7 +8,7 @@ value-hash comparison checks real selection membership, not just shapes.
 from __future__ import annotations
 
 from ..operators import sampling
-from .pipeline_queries import t
+from .pipeline_queries import t, t_adaptive
 
 B = sampling.HASH_BUCKETS
 
@@ -41,7 +41,7 @@ FROM documents
 
 
 def q_sample_stratified_cap(spark, sf_dir):
-    out = sampling.stratified_cap(t(spark, sf_dir, "documents"),
+    out = sampling.stratified_cap(t_adaptive(spark, sf_dir, "documents"),
                                   group_col="source", n_per_group=20)
     return out.select("doc_id", "source", "rank_in_group")
 
@@ -65,7 +65,7 @@ MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
 
 def q_sample_weighted_mixture(spark, sf_dir):
     out = sampling.weighted_mixture(
-        t(spark, sf_dir, "documents"), group_col="lang", weights=MIX_WEIGHTS
+        t_adaptive(spark, sf_dir, "documents"), group_col="lang", weights=MIX_WEIGHTS
     )
     return out.select("doc_id", "lang", "bucket")
 
@@ -121,7 +121,7 @@ LIMIT 50
 
 
 def q_sample_pack_sequences(spark, sf_dir):
-    return sampling.pack_sequences(t(spark, sf_dir, "documents"), budget=2048)
+    return sampling.pack_sequences(t_adaptive(spark, sf_dir, "documents"), budget=2048)
 
 
 ORACLE_PACK_SEQUENCES = """
@@ -181,7 +181,7 @@ def q_epoch_shard_plan(spark, sf_dir):
     (shard, position) for an 8-shard loader — a fresh pseudo-random
     permutation per epoch, identical on any cluster/partitioning."""
     return sampling.epoch_shard_plan(
-        t(spark, sf_dir, "documents"), n_shards=_SHARDS, epoch=_EPOCH
+        t_adaptive(spark, sf_dir, "documents"), n_shards=_SHARDS, epoch=_EPOCH
     )
 
 
@@ -212,7 +212,7 @@ def q_token_budget_fill(spark, sf_dir):
 
     from ..operators.selection import temperature_weights
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t_adaptive(spark, sf_dir, "documents")
     total = docs.agg(
         F.sum(F.size(F.split("text", " ")).cast("long")).alias("_tt")
     )

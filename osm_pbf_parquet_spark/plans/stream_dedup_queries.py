@@ -47,9 +47,9 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.caching import PersistSet
     from ..operators import dedup
     from .analytic_queries import _run_stream_to_table
-    from .pipeline_queries import t as _pt
+    from .pipeline_queries import t_adaptive as _pta
 
-    corpus = _pt(spark, sf_dir, "documents").where(F.col("doc_id") % 5 != 0)
+    corpus = _pta(spark, sf_dir, "documents").where(F.col("doc_id") % 5 != 0)
     incoming = (
         _doc_stream(spark, sf_dir)
         .where(F.col("doc_id") % 5 == 0)
