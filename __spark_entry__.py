@@ -106,92 +106,45 @@ def _registry() -> dict[str, tuple]:
 # the tail — every registered query keeps at least one green CORRECTNESS row
 # across rounds.
 #
-# ROUND-7 ROTATION (replaces the r6 comment below). The r7 must-cover set
-# is computed MECHANICALLY by tools/taint_ledger.py (sys.settrace line
-# attribution per query × CORRECTNESS_r1-r6 greens × git-diff changed
-# lines since each query's green boundary; TAINT_LEDGER.json is the
-# committed evidence, tests/test_taint_ledger.py keeps it honest):
+# ROUND-8 ROTATION (replaces the r7 comment below; mechanically derived
+# by tools/taint_ledger.py on the final r8 tree — TAINT_LEDGER.json is
+# the committed evidence, zero displacements):
 #
-#   7 never-checked r7-new gates (stream_incremental_dedup, the five
-#   selection gates, and the late jaccard_join_exact) + 26 LINE-tainted
-#   queries — queries that EXECUTE a line changed after their latest
-#   green, dominated by the r7 caching.py refcount fix whose changed
-#   lines every PersistSet OWNER runs — = 33 must-cover, ALL IN-CAP.
-#   Zero line-level displacements. (An earlier ledger build counted 36
-#   tainted: tie_release's finalizer fired under the NEXT query's
-#   tracer, phantom-tainting whichever entry followed a PersistSet
-#   owner; the tool now drains finalizers inside the owner's trace.
-#   The once-phantom entries stay in-cap anyway.)
+#   3 never-checked r8-new gates (weighted_reservoir_sample,
+#   epoch_shard_plan, token_budget_fill) + 41 line-tainted — the
+#   t_adaptive loader migration (42 gates moved off the unconditional
+#   repartition; each executes the new loader lines) plus
+#   stream_incremental_dedup (the key-type-agnostic argmax edit in
+#   dedup.py) = 44 must-cover, ALL IN-CAP.
 #
-# The remaining 8 slots: the 7 of the r6 verdict's 12 named
-# displacements that the line ledger proves clear (kept in-cap anyway —
-# ask #1 named them explicitly; the other 5 are line-tainted and in-cap
-# above), plus 1 from the oldest file-level backlog (sampling_queries
-# r4 block). Entries whose FILES changed this round but whose executed
-# lines / oracle / plan fingerprint did not are machine-verified clear
-# per-query in TAINT_LEDGER.json (per_query[q].files_changed_lines_clear)
-# with in-cap siblings certifying the same changed lines (bm25_topk +
-# hybrid_rrf_search run text.py's escape edit; chi_square_assoc runs
-# quality.py's denominator fix; calibration_curve runs evaluation.py's
-# bin fix; the dedup/image gates run the banded fold + caching refcount).
-#
+# The remaining 6 slots honor the r7 fill plan: the two sampling fills
+# it named (sample_length_buckets, sample_uniform_n) plus 4 from the
+# oldest freshness backlog (analytic_queries r3 block: cube_agg,
+# grouping_sets_agg, rollup_agg, ntile_quartiles). The 15 cold gates
+# still on the legacy t() loader are UNCHANGED lines (docstring-only
+# edit, git diff -U0 verified) and stay lines-clear; they migrate, with
+# their re-certification, in r9.
 _CHECK_FIRST = [
-    # ---- positions 1-50: the driver cap ----
-    # never driver-checked (r7-new gates)
+    "epoch_shard_plan",
+    "token_budget_fill",
+    "weighted_reservoir_sample",
     "stream_incremental_dedup",
-    "dsir_importance",
-    "temperature_mixture",
-    "split_leakage",
-    "dedup_resolve",
-    "ccnet_buckets",
-    # line-tainted: r7 ADVICE-fix certifications
-    "chi_square_assoc",
     "bm25_topk",
-    "calibration_curve",
-    # line-tainted: banded-Hamming fold (dedup.py/phash.py cores) and/or
-    # the caching.py refcount lines their persist path executes
     "dedup_simhash",
-    "image_dhash",
-    "image_near_dup_pairs",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    # line-tainted: quadratic guards (itemsets.py / fuzzy.py)
-    "frequent_itemsets",
-    "cooccurrence_topk",
-    "kcore_parts",
-    "fuzzy_name_match",
-    # line-tainted: caching.py refcount consumers (incl. 5 of the r6
-    # verdict's named 12) + dataset_diff (ordered.py)
     "ann_lsh_pairs",
     "ann_ivf_topk",
     "cms_heavy_hitters",
     "text_stats",
-    "dataset_diff",
     "hybrid_rrf_search",
-    "shortest_hops",
-    "triangle_count",
-    "autocorr_lags",
-    "exact_quantiles",
-    "hll_set_ops",
-    "feature_hashing",
-    "pagerank_suppliers",
-    "hll_by_type",
-    "bpe_train_merges",
-    "bpe_token_vocab",
     "ann_cosine_topk",
     "semantic_dedup",
     "kmeans_clusters",
     "embedding_quantize",
-    # line-tainted: sampling.py hash-helper lines (r4/r5 edits outliving
-    # their greens — the old backlog's two genuinely-executing entries)
-    "sample_hash_split",
     "sample_weighted_mixture",
-    # line-tainted: executes the r7 _band_sig_expr consolidation lines
     "incremental_dedup",
-    # the r6 verdict's named displacements that the line ledger proves
-    # clear — in-cap regardless (ask #1 named all 12; the other 5 are
-    # line-tainted above)
     "negative_sampling",
     "embedding_outliers",
     "unigram_logprob",
@@ -199,19 +152,7 @@ _CHECK_FIRST = [
     "text_lang_id",
     "tokenize_corpus",
     "text_quality",
-    # never driver-checked: r7-late gate (exact prefix-filtered Jaccard
-    # join) — takes the round's one flexible fill slot; the displaced
-    # fill (sample_stratified_cap) heads the r8 fill list below
     "jaccard_join_exact",
-    # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
-    #      test_entry). Everything below is swept by the local
-    #      full-registry parity tests on current code every pytest run,
-    #      and every r7-file-tainted entry below is machine-verified
-    #      lines-clear in TAINT_LEDGER.json with an in-cap sibling
-    #      executing the same changed lines. ----
-    # r7-file-tainted, lines-clear (text.py escape edit not on their path)
-    "kappa_lang_agreement",
-    "stream_quality_by_lang",
     "clean_corpus_pipeline",
     "text_fingerprint",
     "pii_scrub",
@@ -222,35 +163,58 @@ _CHECK_FIRST = [
     "vocab_build",
     "token_drift_js",
     "bigram_lm",
-    # r7-file-tainted, lines-clear (quality.py chi-square fix /
-    # quality_queries.py oracle constant not on their path)
+    "dedup_components",
+    "duplicate_spans",
+    "decontaminate",
+    "sample_stratified_cap",
+    "sample_pack_sequences",
+    "dedup_embedding",
+    "sample_length_buckets",
+    "sample_uniform_n",
+    "cube_agg",
+    "grouping_sets_agg",
+    "rollup_agg",
+    "ntile_quartiles",
+    # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
+    #      test_entry). Everything below is swept by the local
+    #      full-registry parity tests on current code every pytest run. ----
+    "dsir_importance",
+    "temperature_mixture",
+    "split_leakage",
+    "dedup_resolve",
+    "ccnet_buckets",
+    "chi_square_assoc",
+    "calibration_curve",
+    "image_dhash",
+    "image_near_dup_pairs",
+    "frequent_itemsets",
+    "cooccurrence_topk",
+    "kcore_parts",
+    "fuzzy_name_match",
+    "dataset_diff",
+    "shortest_hops",
+    "triangle_count",
+    "autocorr_lags",
+    "exact_quantiles",
+    "hll_set_ops",
+    "feature_hashing",
+    "pagerank_suppliers",
+    "hll_by_type",
+    "bpe_train_merges",
+    "bpe_token_vocab",
+    "sample_hash_split",
+    "kappa_lang_agreement",
+    "stream_quality_by_lang",
     "profile_table",
     "dq_checks",
     "mad_outliers",
     "group_regression",
     "stream_dq_monitor",
     "ewma_smooth",
-    # r7-file-tainted, lines-clear (evaluation.py calibration fix not on
-    # their path)
     "auc_score",
     "ab_welch_by_type",
     "stream_ab_monitor",
     "ndcg_at_k",
-    # r7-file-tainted, lines-clear (dedup.py fold lines not on their path)
-    "dedup_components",
-    "duplicate_spans",
-    "decontaminate",
-    # oldest-backlog fills displaced by later r7 gates (incremental_dedup
-    # band-expr taint; dedup_resolve/ccnet_buckets/jaccard_join_exact
-    # never-checked) — they head the r8 fill list
-    "sample_stratified_cap",
-    "sample_pack_sequences",
-    "sample_length_buckets",
-    "sample_uniform_n",
-    # ---- older file-level ledger (pre-r7 plan-file edits outliving
-    #      r3-r5 greens), line-ledger-verified clear. Freshness rotation
-    #      continues: r8 takes the analytic_queries.py block, r9 the
-    #      pipeline_queries.py/multimodal + remaining advanced block. ----
     "grouped_split",
     "cogroup_reconcile",
     "salted_join",
@@ -272,7 +236,6 @@ _CHECK_FIRST = [
     "date_gapfill",
     "nation_trade_volume",
     "parts_supplier_diversity",
-    "ntile_quartiles",
     "ntile_quartiles_scalable",
     "sample_chunk_windows",
     "udtf_top_words",
@@ -285,7 +248,6 @@ _CHECK_FIRST = [
     "anti_join",
     "salted_distinct_count",
     "osm_tag_histogram",
-    # ---- stable, every one with a prior green row and swept locally ----
     "osm_count_by_type",
     "osm_header_metadata",
     "jsonl_roundtrip",
@@ -310,7 +272,6 @@ _CHECK_FIRST = [
     "funnel_depths",
     "table_checksum",
     "markov_transitions",
-    "dedup_embedding",
 ]
 
 

