@@ -384,3 +384,38 @@ def test_pagerank_supersteps_reuse_cached_edge_exchange(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_t_adaptive_skips_repartition_on_presplit_input(spark, tmp_path):
+    """r8 loader contract: the scan-aware loader widens a single-file
+    documents table (the sf-tier shape) but adds NO round-robin
+    exchange when the input is already at least cores-many files (the
+    bench tier / any real large table) — the redundant full-corpus
+    shuffle that masqueraded as the r7 pack_sequences regression."""
+    import re
+
+    from osm_pbf_parquet_spark.plans.pipeline_queries import t_adaptive
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+
+    one = str(tmp_path / "one")
+    src.coalesce(1).write.parquet(one)
+    many = str(tmp_path / "many")
+    src.repartition(par).write.parquet(many)
+
+    def n_roundrobin(sf_dir):
+        df = t_adaptive(spark, sf_dir, "documents")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange RoundRobinPartitioning", plan))
+
+    # move each layout under a dir shaped like an sf tier
+    import os
+    os.makedirs(str(tmp_path / "d_one"))
+    os.rename(one, str(tmp_path / "d_one" / "documents.parquet"))
+    os.makedirs(str(tmp_path / "d_many"))
+    os.rename(many, str(tmp_path / "d_many" / "documents.parquet"))
+    # single-file: widening is load-bearing and must be present
+    assert n_roundrobin(str(tmp_path / "d_one")) == 1
+    # pre-split: the loader must NOT re-shuffle the corpus
+    assert n_roundrobin(str(tmp_path / "d_many")) == 0
