@@ -110,21 +110,25 @@ def _registry() -> dict[str, tuple]:
 # by tools/taint_ledger.py on the final r8 tree — TAINT_LEDGER.json is
 # the committed evidence, zero displacements):
 #
-#   3 never-checked r8-new gates (weighted_reservoir_sample,
-#   epoch_shard_plan, token_budget_fill) + 41 line-tainted — the
+#   5 never-checked r8-new gates (weighted_reservoir_sample,
+#   epoch_shard_plan, token_budget_fill, bloom_decontaminate,
+#   group_weighted_reservoir) + 41 line-tainted — the
 #   t_adaptive loader migration (42 gates moved off the unconditional
 #   repartition; each executes the new loader lines) plus
 #   stream_incremental_dedup (the key-type-agnostic argmax edit in
 #   dedup.py) = 44 must-cover, ALL IN-CAP.
 #
-# The remaining 6 slots honor the r7 fill plan: the two sampling fills
-# it named (sample_length_buckets, sample_uniform_n) plus 4 from the
+# The remaining 4 slots honor the r7 fill plan: the two sampling fills
+# it named (sample_length_buckets, sample_uniform_n) plus 2 from the
 # oldest freshness backlog (analytic_queries r3 block: cube_agg,
-# grouping_sets_agg, rollup_agg, ntile_quartiles). The 15 cold gates
+# grouping_sets_agg; rollup_agg and ntile_quartiles yielded their
+# slots to the late r8 gates and head the r9 fill list). The 15 cold gates
 # still on the legacy t() loader are UNCHANGED lines (docstring-only
 # edit, git diff -U0 verified) and stay lines-clear; they migrate, with
 # their re-certification, in r9.
 _CHECK_FIRST = [
+    "bloom_decontaminate",
+    "group_weighted_reservoir",
     "epoch_shard_plan",
     "token_budget_fill",
     "weighted_reservoir_sample",
@@ -173,11 +177,11 @@ _CHECK_FIRST = [
     "sample_uniform_n",
     "cube_agg",
     "grouping_sets_agg",
-    "rollup_agg",
-    "ntile_quartiles",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
     #      full-registry parity tests on current code every pytest run. ----
+    "rollup_agg",
+    "ntile_quartiles",
     "dsir_importance",
     "temperature_mixture",
     "split_leakage",

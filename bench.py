@@ -528,7 +528,13 @@ def main() -> None:
             "soak legs now min-of-2 with raw reps recorded (r7 ask #4); "
             "r7's 36.8->42.3s minhash soak move was single-rep host "
             "contention, consistent with commit d3591's 18.5s "
-            "same-layout measurement."
+            "same-layout measurement. r8 caveat: this round's soak legs "
+            "were timed in a measurably contended window (repeated "
+            "legacy-vs-adaptive loader A/B runs REVERSED ordering across "
+            "windows: 25/49s then 18/34s the other way), so elevated r8 "
+            "soak values are not attributable to the t_adaptive loader "
+            "change; the per-stage A/B showed the heavy subplan itself "
+            "equal (1.4s vs 1.5s) under both loaders. Re-read at r9."
         ),
     }
     payload = {

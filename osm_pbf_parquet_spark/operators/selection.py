@@ -444,3 +444,50 @@ def weighted_reservoir_sample(
         (F.col(log_weight_nano_col) + F.expr(jitter)).cast("long"),
     )
     return scored.orderBy(F.desc("score_nano"), F.col(key)).limit(k)
+
+
+def weighted_reservoir_sample_per_group(
+    weights: DataFrame,
+    k: int,
+    group_col: str,
+    log_weight_nano_col: str = "dsir_nano",
+    key: str = "doc_id",
+    salt: str = "aes-v1",
+) -> DataFrame:
+    """Per-GROUP weighted sampling without replacement: the stratified
+    form of ``weighted_reservoir_sample`` — k documents per domain,
+    inclusion ∝ exp(log-weight) within each domain. The shape a
+    mixture-budgeted curation run needs (per-language draws honoring
+    DSIR scores) rather than one global draw.
+
+    Same deterministic Gumbel-jittered BIGINT score; selection is a
+    rank-k window PARTITIONED BY the group — one shuffle on the group
+    key, each window heap-sorts only its domain (the per-group top-k
+    shape AQE skew handling already covers), never a global sort.
+    Ties on score break by key; output keeps the group's rank."""
+    from .sampling import hash_mod_expr
+
+    h = hash_mod_expr(
+        f"concat(cast({key} AS string), ':', '{salt}')",
+        _RESERVOIR_HASH_BUCKETS,
+    )
+    u = (
+        f"((cast({h} AS DOUBLE) + cast(1 AS DOUBLE)) / "
+        f"cast({_RESERVOIR_HASH_DEN} AS DOUBLE))"
+    )
+    jitter = (
+        f"cast(floor(-ln(-ln({u})) * cast({RESERVOIR_SCALE} AS DOUBLE)) "
+        f"AS BIGINT)"
+    )
+    scored = weights.withColumn(
+        "score_nano",
+        (F.col(log_weight_nano_col) + F.expr(jitter)).cast("long"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score_nano"), F.col(key)
+    )
+    return (
+        scored.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+        .withColumn("rank_in_group", F.col("rank_in_group").cast("int"))
+    )

@@ -620,3 +620,106 @@ def exact_quantiles(
         ),
         ps, owned,
     )
+
+
+# --- Bloom filter (r8) ----------------------------------------------------------
+
+BLOOM_BITS = 1 << 16   # 65,536 bits in 63-bit signed-safe words (1,041 rows) (8 KB broadcast)
+BLOOM_K = 4            # hash functions per item
+
+
+def bloom_build(
+    items: DataFrame, item_col: str,
+    bits: int = BLOOM_BITS, k: int = BLOOM_K, salt: str = "bloom-v1",
+) -> DataFrame:
+    """Build a Bloom filter over a (small-ish) item set as sparse
+    (word_idx, word BIGINT) bitmap rows — the missing member of the
+    sketch family next to CMS and HLL, and the canonical tool for the
+    100 TB membership shape: the BIG side never shuffles, it probes a
+    broadcast bitmap (bits/8 bytes total, 8 KB at the default size).
+
+    Bit positions are the engine-wide deterministic md5 hash of
+    (item ':' salt ':' j) for j in [0, k), so the filter — including
+    its false-positive set — is bit-identical across runs, partition
+    layouts, and the DuckDB oracle. Build plan: explode k positions
+    per item → ONE map-side-combinable bit_or agg over ≤ bits/64
+    groups. No driver state, unlike ``DataFrame.stat.bloomFilter``
+    (driver-merged, murmur-seeded, not SQL-replayable)."""
+    from .sampling import hash_mod_expr
+
+    pos = hash_mod_expr(
+        f"concat(cast({item_col} AS string), ':', '{salt}', ':', "
+        f"cast(j AS string))",
+        bits,
+    )
+    return (
+        items.select(item_col, F.explode(F.expr(
+            f"sequence(0, {k - 1})")).alias("j"))
+        .select(
+            # 63 usable bits per signed-BIGINT word: 1<<63 overflows a
+            # signed shift in ANSI engines (DuckDB raises), so the top
+            # bit is never used and the words stay portable
+            F.expr(f"cast(({pos}) div 63 AS INT)").alias("word_idx"),
+            F.expr(f"shiftleft(1L, cast(({pos}) % 63 AS INT))").alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(_bit)").alias("word"))
+    )
+
+
+def bloom_probe_contamination(
+    probe_items: DataFrame, eval_items: DataFrame,
+    item_col: str = "gram", key: str = "doc_id",
+    bits: int = BLOOM_BITS, k: int = BLOOM_K, salt: str = "bloom-v1",
+) -> DataFrame:
+    """Contamination PREFILTER: count, per training document, how many
+    of its n-grams are (maybe-)present in the Bloom filter built over
+    the eval set's n-grams. Zero false negatives by construction, so
+    ``n_maybe_hits = 0`` is a PROOF of cleanliness — the cheap first
+    pass that lets the exact decontamination join run on the surviving
+    sliver instead of the full corpus.
+
+    ``probe_items``: (key, item) rows for the probe side (training
+    doc grams), DISTINCT per (key, item) — each probe row fans out to
+    exactly k bit checks and membership requires all k to hit, so a
+    duplicated pair would merge 2k checks into one group and undercount.
+    Plan: the filter is ≤ bits/64 rows, broadcast; the
+    probe side is a projection (k positions per gram) + broadcast join
+    + combinable agg keyed on the doc — the corpus never shuffles on
+    gram values. A gram is counted iff ALL k bits are set (standard
+    Bloom semantics: bit-misses prove absence)."""
+    from .sampling import hash_mod_expr
+
+    filt = bloom_build(eval_items, item_col, bits, k, salt)
+    pos = hash_mod_expr(
+        f"concat(cast({item_col} AS string), ':', '{salt}', ':', "
+        f"cast(j AS string))",
+        bits,
+    )
+    probes = probe_items.select(
+        key,
+        item_col,
+        F.explode(F.expr(f"sequence(0, {k - 1})")).alias("j"),
+    ).select(
+        key,
+        item_col,
+        F.expr(f"cast(({pos}) div 63 AS INT)").alias("word_idx"),
+        F.expr(f"shiftleft(1L, cast(({pos}) % 63 AS INT))").alias("_bit"),
+    )
+    checked = (
+        probes.join(F.broadcast(filt), "word_idx", "left")
+        .select(
+            key,
+            item_col,
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("_bit"))
+             != 0)
+            .cast("int")
+            .alias("_hit"),
+        )
+        .groupBy(key, item_col)
+        .agg((F.sum("_hit") == k).cast("int").alias("_maybe"))
+    )
+    return checked.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("_maybe").cast("long").alias("n_maybe_hits"),
+    )

@@ -1475,3 +1475,100 @@ FROM ids GROUP BY doc_id
 ADVANCED_QUERIES.update({
     "tokenize_corpus": (q_tokenize_corpus, ORACLE_TOKENIZE),
 })
+
+
+# --- Bloom-filter contamination prefilter (r8) ------------------------------------
+
+_BLOOM_GRAM_K = 5
+
+
+def _grams5_expr() -> str:
+    n = "size(split(text, ' '))"
+    w = "split(text, ' ')"
+    return (
+        f"CASE WHEN {n} < {_BLOOM_GRAM_K} THEN array(text) "
+        f"ELSE array_distinct(transform(sequence(0, {n} - {_BLOOM_GRAM_K}), "
+        f"i -> concat_ws(' ', slice({w}, i + 1, {_BLOOM_GRAM_K})))) END"
+    )
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter contamination PREFILTER: per training doc, how many
+    of its distinct 5-grams are maybe-present in the 8 KB filter built
+    over the eval split's grams. Zero false negatives, so
+    n_maybe_hits = 0 PROVES a doc clean — the cheap screen that lets
+    the exact decontaminate join run on the surviving sliver. The big
+    (training) side never shuffles on gram values: k positions per
+    gram are a projection, the filter is a broadcast, the count is a
+    doc-keyed combinable agg."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import bloom_probe_contamination
+
+    docs = _pta(spark, sf_dir, "documents")
+    grams = _grams5_expr()
+    ev_items = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode(F.expr(grams)).alias("gram"))
+        .distinct()
+    )
+    probe_items = docs.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", F.explode(F.expr(grams)).alias("gram")
+    )
+    return bloom_probe_contamination(probe_items, ev_items)
+
+
+def _oracle_bloom() -> str:
+    from ..operators.sketches import BLOOM_BITS, BLOOM_K
+    from ..operators.sampling import duck_hash_mod
+
+    k = _BLOOM_GRAM_K
+
+    def pos(item: str) -> str:
+        return duck_hash_mod(
+            f"{item} || ':' || 'bloom-v1' || ':' || CAST(j AS VARCHAR)",
+            BLOOM_BITS,
+        )
+
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(text, ' ')) < {k} THEN [text]
+         ELSE list_distinct(list_transform(
+              range(0, len(string_split(text, ' ')) - {k} + 1),
+              i -> array_to_string((string_split(text, ' '))[i+1:i+{k}], ' ')))
+    END AS grams
+  FROM documents
+),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+pos AS (
+  SELECT {pos('gram')} AS p
+  FROM ev, range({BLOOM_K}) t(j)
+),
+words AS (
+  SELECT CAST(p // 63 AS INT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS word
+  FROM pos GROUP BY 1
+),
+probe AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0),
+ppos AS (
+  SELECT doc_id, gram, {pos('gram')} AS p
+  FROM probe, range({BLOOM_K}) t(j)
+),
+chk AS (
+  SELECT doc_id, gram,
+         CASE WHEN sum(CASE WHEN (coalesce(w.word, 0)
+                    & (CAST(1 AS BIGINT) << CAST(p % 63 AS INT))) <> 0
+               THEN 1 ELSE 0 END) = {BLOOM_K} THEN 1 ELSE 0 END AS maybe
+  FROM ppos LEFT JOIN words w ON w.word_idx = CAST(p // 63 AS INT)
+  GROUP BY doc_id, gram
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(maybe) AS BIGINT) AS n_maybe_hits
+FROM chk GROUP BY doc_id
+"""
+
+
+ADVANCED_QUERIES.update({
+    "bloom_decontaminate": (q_bloom_decontaminate, _oracle_bloom()),
+})

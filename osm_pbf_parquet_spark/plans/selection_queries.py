@@ -256,9 +256,66 @@ FROM r
 """
 
 
+
+
+# --- per-group weighted reservoir (r8) ---------------------------------------------
+
+_GROUP_RESERVOIR_K = 20
+
+
+def q_group_reservoir(spark, sf_dir):
+    """Stratified DSIR resampling: 20 documents PER LANGUAGE with
+    inclusion ∝ exp(dsir weight) within each language — the
+    mixture-budgeted draw (per-domain quotas honoring importance
+    scores) rather than one global sample."""
+    docs = _t(spark, sf_dir, "documents")
+    w = selection.dsir_importance(docs, _DSIR_TARGET).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return selection.weighted_reservoir_sample_per_group(
+        w, k=_GROUP_RESERVOIR_K, group_col="lang"
+    )
+
+
+def _oracle_group_reservoir() -> str:
+    from ..operators.selection import (
+        _RESERVOIR_HASH_BUCKETS,
+        _RESERVOIR_HASH_DEN,
+        RESERVOIR_SCALE,
+    )
+
+    h = duck_hash_mod(
+        "CAST(doc_id AS VARCHAR) || ':' || 'aes-v1'",
+        _RESERVOIR_HASH_BUCKETS,
+    )
+    u = (
+        f"((CAST({h} AS DOUBLE) + CAST(1 AS DOUBLE)) / "
+        f"CAST({_RESERVOIR_HASH_DEN} AS DOUBLE))"
+    )
+    return f"""
+WITH dsir AS ({_oracle_dsir()}),
+scored AS (
+  SELECT d.doc_id, d.dsir_nano, x.lang,
+         CAST(d.dsir_nano + CAST(floor(-ln(-ln({u}))
+              * CAST({RESERVOIR_SCALE} AS DOUBLE)) AS BIGINT) AS BIGINT)
+           AS score_nano
+  FROM dsir d JOIN documents x USING (doc_id)
+)
+SELECT doc_id, dsir_nano, lang, score_nano,
+       CAST(rank_in_group AS INT) AS rank_in_group
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY score_nano DESC, doc_id)
+            AS rank_in_group
+  FROM scored
+) WHERE rank_in_group <= {_GROUP_RESERVOIR_K}
+"""
+
+
 SELECTION_QUERIES = {
     "dsir_importance": (q_dsir_importance, _oracle_dsir()),
     "weighted_reservoir_sample": (q_weighted_reservoir, _oracle_reservoir()),
+    "group_weighted_reservoir": (q_group_reservoir, _oracle_group_reservoir()),
     "temperature_mixture": (q_temperature_mixture, _oracle_temperature()),
     "split_leakage": (q_split_leakage, _oracle_split_leakage()),
     "dedup_resolve": (q_dedup_resolve, _oracle_dedup_resolve()),

@@ -432,3 +432,48 @@ def test_funnel_depths_ten_steps(spark):
         for r in funnel_depths(df, steps, "user", "etype", "ts").collect()
     }
     assert got == {"A": 10, "B": 3, "C": 2}
+
+
+# --- r8: Bloom contamination prefilter -------------------------------------------
+
+
+def test_bloom_prefilter_has_zero_false_negatives(spark):
+    """Bloom contract: a training doc sharing >= 1 distinct 5-gram with
+    the eval split can NEVER report fewer maybe-hits than its true
+    overlap count (bits prove absence, not presence) — so
+    n_maybe_hits = 0 is a proof of cleanliness the exact decontaminate
+    join can trust."""
+    from pyspark.sql import functions as F
+
+    from osm_pbf_parquet_spark.plans.advanced_queries import (
+        ADVANCED_QUERIES,
+        _grams5_expr,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_maybe_hits"])
+        for r in ADVANCED_QUERIES["bloom_decontaminate"][0](spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    grams = _grams5_expr()
+    ev = {
+        r["gram"]
+        for r in docs.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode(F.expr(grams)).alias("gram"))
+        .collect()
+    }
+    truth = {
+        r["doc_id"]: [g for g in r["gs"] if g in ev]
+        for r in docs.filter(F.col("doc_id") % 20 != 0)
+        .select("doc_id", F.expr(grams).alias("gs"))
+        .collect()
+    }
+    assert set(got) == set(truth)
+    any_true_overlap = False
+    for doc_id, true_hits in truth.items():
+        n_grams, n_maybe = got[doc_id]
+        assert n_maybe >= len(true_hits), (doc_id, n_maybe, len(true_hits))
+        assert n_maybe <= n_grams
+        any_true_overlap = any_true_overlap or bool(true_hits)
+    assert any_true_overlap  # the fixture actually exercises overlap

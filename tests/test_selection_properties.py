@@ -276,3 +276,27 @@ def test_reservoir_inclusion_tracks_weight(spark):
     assert 999 in got
     want_rest = {k for k, _, _ in _aes_reference([r for r in rows if r[0] != 999], 4)}
     assert got - {999} == want_rest
+
+
+@settings(max_examples=15, deadline=None)
+@given(reservoir_rows, st.integers(min_value=1, max_value=5))
+def test_group_reservoir_matches_per_group_reference(spark, rows, k):
+    """Per-group A-ES == the sequential reference applied independently
+    within each group (groups assigned deterministically from the key)."""
+    grouped = [(key, lw, ["en", "fr", "de"][key % 3]) for key, lw in rows]
+    df = spark.createDataFrame(grouped, ["doc_id", "dsir_nano", "lang"])
+    got = sorted(
+        (r["doc_id"], r["dsir_nano"], r["lang"], r["score_nano"],
+         r["rank_in_group"])
+        for r in selection.weighted_reservoir_sample_per_group(
+            df, k=k, group_col="lang"
+        ).collect()
+    )
+    want = []
+    for lang in ("en", "fr", "de"):
+        members = [(key, lw) for key, lw, g in grouped if g == lang]
+        for rank, (key, lw, score) in enumerate(
+            _aes_reference(members, k), start=1
+        ):
+            want.append((key, lw, lang, score, rank))
+    assert got == sorted(want)
