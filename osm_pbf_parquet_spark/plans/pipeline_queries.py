@@ -1369,3 +1369,58 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_audio": (q_multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
 }
+
+
+# --- winnowing fingerprints (r8) ---------------------------------------------------
+
+
+def q_winnowing_fingerprints(spark, sf_dir):
+    """MOSS-style winnowing fingerprint selection over the corpus: per
+    document, the position-robust selected-minima set (k=4 token grams,
+    w=5 windows) — any shared span of w+k-1 tokens is guaranteed to
+    yield a common fingerprint (text.winnowing_fingerprints)."""
+    return text.winnowing_fingerprints(t_adaptive(spark, sf_dir, "documents"))
+
+
+def _oracle_winnowing() -> str:
+    from ..operators.text import WINNOW_K as k, WINNOW_W as w
+
+    sl = f"gh[i:i+{w - 1}]"
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(text, ' ')) < {k} THEN [text]
+         ELSE list_transform(range(0, len(string_split(text, ' ')) - {k} + 1),
+              i -> array_to_string((string_split(text, ' '))[i+1:i+{k}], ' '))
+    END AS grams
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(grams, x ->
+           CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)) AS gh
+  FROM g
+),
+wins AS (
+  SELECT doc_id,
+    CASE WHEN len(gh) <= {w} THEN
+      [{{'fp': list_min(gh),
+         'pos': CAST(list_position(gh, list_min(gh)) AS INT)}}]
+    ELSE list_transform(range(1, len(gh) - {w} + 2),
+      i -> {{'fp': list_min({sl}),
+             'pos': CAST(i + list_position({sl}, list_min({sl})) - 1
+                         AS INT)}})
+    END AS sel
+  FROM h
+)
+-- the Spark side dedupes per-row (array_distinct, no shuffle); row-level
+-- DISTINCT here is equivalent because duplicates only arise within one
+-- document's own window list (DuckDB list_distinct can't hash structs)
+SELECT DISTINCT doc_id, u.fp AS fp, u.pos AS pos
+FROM (SELECT doc_id, unnest(sel) AS u FROM wins) t
+"""
+
+
+PIPELINE_QUERIES.update({
+    "winnowing_fingerprints": (q_winnowing_fingerprints, _oracle_winnowing()),
+})

@@ -159,3 +159,73 @@ def test_duplicate_spans_match_sequential(spark, word_docs):
             end = mem[-1] + k - 1
             want[(d, sid)] = (mem[0], end, end - mem[0] + 1, len(mem))
     assert got == want
+
+
+# --- r8: winnowing fingerprints ---------------------------------------------------
+
+
+def _winnow_reference(text, k, w):
+    import hashlib
+
+    words = text.split(" ")
+    if len(words) < k:
+        grams = [text]
+    else:
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    gh = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+    ]
+    sel = set()
+    if len(gh) <= w:
+        m = min(gh)
+        sel.add((m, gh.index(m) + 1))
+    else:
+        for i in range(len(gh) - w + 1):
+            window = gh[i:i + w]
+            m = min(window)
+            sel.add((m, i + window.index(m) + 1))
+    return sel
+
+
+def test_winnowing_matches_sequential_reference(spark):
+    from osm_pbf_parquet_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got: dict[int, set] = {}
+    for r in winnowing_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp"], r["pos"]))
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == len(rows)
+    for r in rows:
+        assert got[r["doc_id"]] == _winnow_reference(
+            r["text"], WINNOW_K, WINNOW_W
+        ), r["doc_id"]
+
+
+def test_winnowing_shared_span_guarantee(spark):
+    """The SIGMOD'03 guarantee: two documents sharing any span of
+    w + k - 1 tokens select at least one COMMON fingerprint — the
+    property that makes winnowing usable for copy detection where a
+    global-min fingerprint (1-perm minhash) can miss local overlap."""
+    from osm_pbf_parquet_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    span = " ".join(f"shared{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    rows = [
+        (1, "aa bb cc dd ee " + span + " ff gg hh"),
+        (2, "zz yy " + span + " xx ww vv uu tt ss rr qq pp"),
+        (3, "totally different words only here never overlapping at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps: dict[int, set] = {1: set(), 2: set(), 3: set()}
+    for r in winnowing_fingerprints(df).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared span must yield a common fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
