@@ -110,24 +110,25 @@ def _registry() -> dict[str, tuple]:
 # by tools/taint_ledger.py on the final r8 tree — TAINT_LEDGER.json is
 # the committed evidence, zero displacements):
 #
-#   6 never-checked r8-new gates (weighted_reservoir_sample,
+#   7 never-checked r8-new gates (weighted_reservoir_sample,
 #   epoch_shard_plan, token_budget_fill, bloom_decontaminate,
-#   group_weighted_reservoir, winnowing_fingerprints) + 41
-#   line-tainted — the
+#   group_weighted_reservoir, winnowing_fingerprints,
+#   margin_bitext_mine) + 41 line-tainted — the
 #   t_adaptive loader migration (42 gates moved off the unconditional
 #   repartition; each executes the new loader lines) plus
 #   stream_incremental_dedup (the key-type-agnostic argmax edit in
 #   dedup.py) = 44 must-cover, ALL IN-CAP.
 #
-# The remaining 3 slots honor the r7 fill plan: the two sampling fills
-# it named (sample_length_buckets, sample_uniform_n) plus 1 from the
-# oldest freshness backlog (analytic_queries r3 block: cube_agg;
-# rollup_agg, ntile_quartiles and grouping_sets_agg yielded their
-# slots to the late r8 gates and head the r9 fill list). The 15 cold gates
+# The remaining 2 slots honor the r7 fill plan: the two sampling fills
+# it named (sample_length_buckets, sample_uniform_n); the analytic
+# r3 freshness block (cube_agg, grouping_sets_agg, rollup_agg,
+# ntile_quartiles) yielded its slots to the late r8 gates and heads
+# the r9 fill list. The 15 cold gates
 # still on the legacy t() loader are UNCHANGED lines (docstring-only
 # edit, git diff -U0 verified) and stay lines-clear; they migrate, with
 # their re-certification, in r9.
 _CHECK_FIRST = [
+    "margin_bitext_mine",
     "winnowing_fingerprints",
     "bloom_decontaminate",
     "group_weighted_reservoir",
@@ -177,13 +178,13 @@ _CHECK_FIRST = [
     "dedup_embedding",
     "sample_length_buckets",
     "sample_uniform_n",
-    "cube_agg",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
     #      full-registry parity tests on current code every pytest run. ----
     "rollup_agg",
     "ntile_quartiles",
     "grouping_sets_agg",
+    "cube_agg",
     "dsir_importance",
     "temperature_mixture",
     "split_leakage",

@@ -782,3 +782,91 @@ def gram_matrix(
             ).cast("decimal(38,0)"),
         ).otherwise(F.col("_gd")).cast("long").alias("g"),
     )
+
+
+def margin_knn_pairs(
+    df: DataFrame,
+    side_pred,
+    k: int = 4,
+    top_n: int = 20,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk, "Margin-
+    based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings", ACL 2019 — the LASER/CCMatrix bitext criterion):
+    raw cosine over-selects hub vectors, so each candidate pair is
+    scored by its cosine RELATIVE to both endpoints' neighborhoods,
+
+        margin(x, y) = cos(x, y) / ((mu_k(x) + mu_k(y)) / 2)
+
+    with mu_k(v) the mean cosine of v's k nearest neighbors on the
+    OPPOSITE side. Returns the global top_n pairs by margin.
+
+    Determinism: cos is the engine's sequential-fold dot/norm idiom
+    (IEEE-identical cross-engine; sqrt is correctly rounded), and
+    mu_k is a FIXED-ORDER sum — the k neighbor cosines are pivoted by
+    rank and added left-to-right (rank1 + rank2 + …), never a
+    float-typed aggregate whose accumulation order the engine picks.
+    Rounding happens once, on the output columns. Both sides need
+    >= k rows (mu_k is a null otherwise — the caller's contract).
+
+    Scale: this exact form broadcasts side B against side A's scan —
+    |A|x|B| scored rows, the gate-sized ground truth. At corpus scale
+    the identical margin math runs over LSH/IVF candidate pairs
+    (lsh_ann_pairs / ivf_topk feed (x, y, cos) directly) instead of
+    the cross product; only the candidate generator changes.
+    """
+    a = df.filter(side_pred).select(
+        F.col(key).alias("a_id"),
+        F.expr(TO_DOUBLE.format(v=vec_col)).alias("av"),
+    ).withColumn("anorm", F.expr(NORM.format(v="av")))
+    b = df.filter(~side_pred).select(
+        F.col(key).alias("b_id"),
+        F.expr(TO_DOUBLE.format(v=vec_col)).alias("bv"),
+    ).withColumn("bnorm", F.expr(NORM.format(v="bv")))
+    scored = a.crossJoin(F.broadcast(b)).select(
+        "a_id",
+        "b_id",
+        (
+            F.expr(DOT.format(a="av", b="bv"))
+            / (F.col("anorm") * F.col("bnorm"))
+        ).alias("cos"),
+    )
+
+    def mu(side_key: str) -> DataFrame:
+        other = "b_id" if side_key == "a_id" else "a_id"
+        w = Window.partitionBy(side_key).orderBy(F.desc("cos"), F.col(other))
+        ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= k
+        )
+        # fixed-order mean: rank-pivot then add left-to-right
+        terms = [
+            F.max(F.when(F.col("rk") == i, F.col("cos")))
+            for i in range(1, k + 1)
+        ]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return ranked.groupBy(side_key).agg(
+            (total / F.lit(float(k))).alias(f"mu_{side_key}")
+        )
+
+    out = (
+        scored.join(F.broadcast(mu("a_id")), "a_id")
+        .join(F.broadcast(mu("b_id")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round("cos", 6).alias("cosine"),
+            F.round(
+                F.col("cos")
+                / ((F.col("mu_a_id") + F.col("mu_b_id")) / F.lit(2.0)),
+                6,
+            ).alias("margin"),
+        )
+    )
+    return (
+        out.orderBy(F.desc("margin"), "a_id", "b_id")
+        .limit(top_n)
+    )

@@ -1424,3 +1424,67 @@ FROM (SELECT doc_id, unnest(sel) AS u FROM wins) t
 PIPELINE_QUERIES.update({
     "winnowing_fingerprints": (q_winnowing_fingerprints, _oracle_winnowing()),
 })
+
+
+# --- margin-based bitext mining (r8) -----------------------------------------------
+
+_MARGIN_K, _MARGIN_N = 4, 20
+
+
+def q_margin_bitext_mine(spark, sf_dir):
+    """Margin-criterion pair mining across the two embedding 'language'
+    sides (even vs odd label): top-20 cross-side pairs by
+    neighborhood-normalized cosine (similarity.margin_knn_pairs —
+    Artetxe & Schwenk ACL'19, the LASER/CCMatrix criterion)."""
+    return similarity.margin_knn_pairs(
+        t_adaptive(spark, sf_dir, "embeddings"),
+        F.expr("label % 2 = 0"),
+        k=_MARGIN_K,
+        top_n=_MARGIN_N,
+    )
+
+
+def _oracle_margin() -> str:
+    k, n = _MARGIN_K, _MARGIN_N
+    dot = _DOT.format(a="av", b="bv")
+    na = _NORM.format(v="av")
+    nb = _NORM.format(v="bv")
+    pivots = ", ".join(
+        f"max(CASE WHEN rk = {i} THEN cos END) AS c{i}"
+        for i in range(1, k + 1)
+    )
+    fixed_sum = " + ".join(f"c{i}" for i in range(1, k + 1))
+
+    def mu(side: str, other: str) -> str:
+        return f"""
+(SELECT {side}, ({fixed_sum}) / CAST({k} AS DOUBLE) AS mu_{side} FROM (
+   SELECT {side}, {pivots} FROM (
+     SELECT {side}, cos,
+            row_number() OVER (PARTITION BY {side}
+                               ORDER BY cos DESC, {other}) AS rk
+     FROM scored) WHERE rk <= {k} GROUP BY {side}) )"""
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+),
+a AS (SELECT vec_id AS a_id, vv AS av FROM v WHERE label % 2 = 0),
+b AS (SELECT vec_id AS b_id, vv AS bv FROM v WHERE label % 2 <> 0),
+scored AS (
+  SELECT a_id, b_id, {dot} / ({na} * {nb}) AS cos FROM a, b
+),
+mua AS {mu("a_id", "b_id")},
+mub AS {mu("b_id", "a_id")}
+SELECT a_id, b_id, round(cos, 6) AS cosine,
+       round(cos / ((mu_a_id + mu_b_id) / CAST(2 AS DOUBLE)), 6) AS margin
+FROM scored JOIN mua USING (a_id) JOIN mub USING (b_id)
+ORDER BY margin DESC, a_id, b_id
+LIMIT {n}
+"""
+
+
+PIPELINE_QUERIES.update({
+    "margin_bitext_mine": (q_margin_bitext_mine, _oracle_margin()),
+})

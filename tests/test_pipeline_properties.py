@@ -229,3 +229,103 @@ def test_winnowing_shared_span_guarantee(spark):
         fps[r["doc_id"]].add(r["fp"])
     assert fps[1] & fps[2], "shared span must yield a common fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+# --- r8: margin-based bitext mining -------------------------------------------------
+
+
+def test_margin_matches_sequential_reference(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osm_pbf_parquet_spark.operators.similarity import margin_knn_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [
+        (r["a_id"], r["b_id"], r["cosine"], r["margin"])
+        for r in margin_knn_pairs(
+            emb, F.expr("label % 2 = 0"), k=4, top_n=20
+        ).collect()
+    ]
+    rows = emb.collect()
+    A = [(r["vec_id"], [float(x) for x in r["embedding"]])
+         for r in rows if r["label"] % 2 == 0]
+    B = [(r["vec_id"], [float(x) for x in r["embedding"]])
+         for r in rows if r["label"] % 2 != 0]
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    def cos(x, y):
+        acc = 0.0
+        for p, q in zip(x, y):
+            acc += p * q
+        return acc
+
+    cosmap = {
+        (ai, bi): cos(av, bv) / (norm(av) * norm(bv))
+        for ai, av in A for bi, bv in B
+    }
+    mu_a = {}
+    for ai, _ in A:
+        top = sorted(((cosmap[(ai, bi)], bi) for bi, _ in B),
+                     key=lambda t: (-t[0], t[1]))[:4]
+        s = 0.0
+        for c, _ in top:
+            s += c
+        mu_a[ai] = s / 4.0
+    mu_b = {}
+    for bi, _ in B:
+        top = sorted(((cosmap[(ai, bi)], ai) for ai, _ in A),
+                     key=lambda t: (-t[0], t[1]))[:4]
+        s = 0.0
+        for c, _ in top:
+            s += c
+        mu_b[bi] = s / 4.0
+    scored = sorted(
+        (
+            (round(c / ((mu_a[ai] + mu_b[bi]) / 2.0), 6), ai, bi, round(c, 6))
+            for (ai, bi), c in cosmap.items()
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    want = [(ai, bi, c, m) for m, ai, bi, c in scored]
+    assert got == want
+
+
+def test_margin_demotes_hub_vectors(spark):
+    """The criterion's point (Artetxe & Schwenk §3): a hub close to
+    EVERYTHING on the other side wins raw-cosine rankings but its high
+    neighborhood mean divides its margin down; a mutually-exclusive
+    true pair ranks above hub pairs despite lower absolute cosine."""
+    from pyspark.sql import functions as F
+
+    from osm_pbf_parquet_spark.operators.similarity import margin_knn_pairs
+
+    rows = [
+        # side A (label 0): a hub near the B centroid + a true-pair vector
+        (1, [1.0, 1.0, 0.02], 0),           # hub: close to every B
+        (2, [0.0, 0.2, 1.0], 0),            # true pair with 12
+        (3, [1.0, 0.9, 0.0], 0),
+        (4, [0.9, 1.0, 0.1], 0),
+        (5, [1.0, 1.1, 0.05], 0),
+        # side B (label 1): a cluster near the hub + one isolated partner
+        (11, [1.0, 0.95, 0.0], 1),
+        (12, [0.0, 0.25, 1.0], 1),          # true pair with 2
+        (13, [0.95, 1.0, 0.05], 1),
+        (14, [1.05, 1.0, 0.0], 1),
+        (15, [1.0, 1.05, 0.1], 1),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = margin_knn_pairs(df, F.expr("label % 2 = 0"), k=3, top_n=5).collect()
+    top = out[0]
+    assert (top["a_id"], top["b_id"]) == (2, 12)
+    # raw cosine would NOT put (2,12) first: hub pairs have higher cos
+    assert max(r["cosine"] for r in out) > top["cosine"]
