@@ -329,3 +329,81 @@ def test_margin_demotes_hub_vectors(spark):
     assert (top["a_id"], top["b_id"]) == (2, 12)
     # raw cosine would NOT put (2,12) first: hub pairs have higher cos
     assert max(r["cosine"] for r in out) > top["cosine"]
+
+
+# --- r8: epoch shard plan + token budget fill (hypothesis) --------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1,
+             max_size=25, unique=True),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=7),
+)
+def test_epoch_shard_matches_sequential(spark, keys, n_shards, epoch):
+    import hashlib
+
+    df = spark.createDataFrame([(k,) for k in keys], ["doc_id"])
+    got = sorted(
+        (r["doc_id"], r["shard"], r["position"])
+        for r in sampling.epoch_shard_plan(
+            df, n_shards=n_shards, epoch=epoch
+        ).collect()
+    )
+    by_shard: dict[int, list] = {}
+    for k in keys:
+        keyed = f"{k}:epoch-v1:{epoch}"
+        hx = hashlib.md5(keyed.encode()).hexdigest()
+        shard = int(hx[:15], 16) % n_shards
+        by_shard.setdefault(shard, []).append((hx, k))
+    want = []
+    for shard, members in by_shard.items():
+        for pos, (_, k) in enumerate(sorted(members)):
+            want.append((k, shard, pos))
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),   # doc key
+            st.integers(min_value=0, max_value=12),    # token count
+            st.sampled_from(["en", "fr"]),
+        ),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=0, max_value=40),
+    st.integers(min_value=0, max_value=40),
+)
+def test_token_budget_fill_matches_sequential(spark, docs, b_en, b_fr):
+    import hashlib
+
+    rows = [(k, " ".join(["w"] * n) if n else "", lang)
+            for k, n, lang in docs]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    budgets = spark.createDataFrame(
+        [("en", b_en), ("fr", b_fr)], ["lang", "token_budget"]
+    )
+    got = sorted(
+        (r["doc_id"], r["lang"], r["n_tokens"], r["tokens_through"],
+         r["token_budget"])
+        for r in sampling.token_budget_fill(df, budgets).collect()
+    )
+    # sequential reference: hash-order prefix per group while the doc
+    # STARTS strictly inside the budget. NB split(' ') on '' yields one
+    # empty token in both engines, so n_tokens = max(n, 1).
+    want = []
+    for lang, budget in (("en", b_en), ("fr", b_fr)):
+        members = sorted(
+            (hashlib.md5(f"{k}:budget-v1".encode()).hexdigest(), k,
+             max(n, 1))
+            for k, n, l in docs if l == lang
+        )
+        acc = 0
+        for _, k, n in members:
+            if acc < budget:
+                want.append((k, lang, n, acc + n, budget))
+            acc += n
+    assert got == sorted(want)
