@@ -525,16 +525,17 @@ def main() -> None:
             "corrected baseline."
         ),
         "soak": (
-            "soak legs now min-of-2 with raw reps recorded (r7 ask #4); "
-            "r7's 36.8->42.3s minhash soak move was single-rep host "
-            "contention, consistent with commit d3591's 18.5s "
-            "same-layout measurement. r8 caveat: this round's soak legs "
-            "were timed in a measurably contended window (repeated "
-            "legacy-vs-adaptive loader A/B runs REVERSED ordering across "
-            "windows: 25/49s then 18/34s the other way), so elevated r8 "
-            "soak values are not attributable to the t_adaptive loader "
-            "change; the per-stage A/B showed the heavy subplan itself "
-            "equal (1.4s vs 1.5s) under both loaders. Re-read at r9."
+            "soak legs now min-of-2 with raw reps recorded (r7 ask #4). "
+            "r8 investigated elevated soak readings end-to-end: NOT the "
+            "t_adaptive loader — fresh-JVM-per-measurement A/B shows the "
+            "two loaders equal at the 50x tier (adaptive 21.0/32.2s vs "
+            "legacy 20.2/22.5s), while within one long session identical "
+            "plans swung 237 -> 2111 JVM CPU-seconds run-to-run "
+            "(cumulative GC/JIT session state, amplified by external "
+            "host-contention windows in which even the legacy arm read "
+            "6.3s and 83.5s minutes apart). Soak values are therefore a "
+            "long-session stress row, not a loader-regression signal; "
+            "judge loader changes on the big-tier anchors."
         ),
     }
     payload = {
