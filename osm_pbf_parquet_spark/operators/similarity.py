@@ -834,15 +834,42 @@ def margin_knn_pairs(
         ).alias("cos"),
     )
 
+    return margin_from_candidates(scored, k=k, top_n=top_n)
+
+
+def margin_from_candidates(
+    candidates: DataFrame,
+    k: int = 4,
+    top_n: int = 20,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    cos_col: str = "cos",
+) -> DataFrame:
+    """Margin criterion over a CANDIDATE pair set — the corpus-scale
+    path: at 100 TB nobody scores the cross product, the pairs come
+    from an ANN stage (``lsh_ann_pairs`` buckets / ``ivf_topk``
+    probes), and mu_k is estimated from each endpoint's k best
+    CANDIDATES — exactly how CCMatrix runs the criterion (the kNN come
+    from the FAISS index, not an exact scan). On a complete candidate
+    set this equals ``margin_knn_pairs`` output row-for-row (pinned in
+    pytest); on an ANN subset the margins are the standard index
+    approximation. Plan: two rank-k windows keyed on the pair
+    endpoints + two broadcast attaches of the (endpoint, mu) tables —
+    the candidate frame is never re-shuffled beyond the two endpoint
+    keys, and the fixed-order rank-pivoted mean keeps the float math
+    engine-exact (see margin_knn_pairs)."""
+
     def mu(side_key: str) -> DataFrame:
-        other = "b_id" if side_key == "a_id" else "a_id"
-        w = Window.partitionBy(side_key).orderBy(F.desc("cos"), F.col(other))
-        ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
-            F.col("rk") <= k
+        other = b_col if side_key == a_col else a_col
+        w = Window.partitionBy(side_key).orderBy(
+            F.desc(cos_col), F.col(other)
         )
+        ranked = candidates.withColumn(
+            "rk", F.row_number().over(w)
+        ).filter(F.col("rk") <= k)
         # fixed-order mean: rank-pivot then add left-to-right
         terms = [
-            F.max(F.when(F.col("rk") == i, F.col("cos")))
+            F.max(F.when(F.col("rk") == i, F.col(cos_col)))
             for i in range(1, k + 1)
         ]
         total = terms[0]
@@ -853,20 +880,21 @@ def margin_knn_pairs(
         )
 
     out = (
-        scored.join(F.broadcast(mu("a_id")), "a_id")
-        .join(F.broadcast(mu("b_id")), "b_id")
+        candidates.join(F.broadcast(mu(a_col)), a_col)
+        .join(F.broadcast(mu(b_col)), b_col)
         .select(
-            "a_id",
-            "b_id",
-            F.round("cos", 6).alias("cosine"),
+            a_col,
+            b_col,
+            F.round(cos_col, 6).alias("cosine"),
             F.round(
-                F.col("cos")
-                / ((F.col("mu_a_id") + F.col("mu_b_id")) / F.lit(2.0)),
+                F.col(cos_col)
+                / ((F.col(f"mu_{a_col}") + F.col(f"mu_{b_col}"))
+                   / F.lit(2.0)),
                 6,
             ).alias("margin"),
         )
     )
     return (
-        out.orderBy(F.desc("margin"), "a_id", "b_id")
+        out.orderBy(F.desc("margin"), a_col, b_col)
         .limit(top_n)
     )

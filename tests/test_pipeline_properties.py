@@ -407,3 +407,44 @@ def test_token_budget_fill_matches_sequential(spark, docs, b_en, b_fr):
                 want.append((k, lang, n, acc + n, budget))
             acc += n
     assert got == sorted(want)
+
+
+def test_margin_from_candidates_scale_path(spark):
+    """The corpus-scale composition: margin over an ANN candidate set.
+    (a) On the COMPLETE candidate set it equals the exact operator
+    row-for-row; (b) fed from the LSH bucket join, the hub-demotion
+    ranking survives the approximation (the true pair still wins)."""
+    from pyspark.sql import functions as F
+
+    from osm_pbf_parquet_spark.operators.similarity import (
+        DOT,
+        NORM,
+        TO_DOUBLE,
+        margin_from_candidates,
+        margin_knn_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    side = F.expr("label % 2 = 0")
+    exact = [
+        tuple(r) for r in margin_knn_pairs(emb, side, k=4, top_n=20).collect()
+    ]
+    # complete candidates: the same cross scoring, handed over as a frame
+    a = emb.filter(side).select(
+        F.col("vec_id").alias("a_id"),
+        F.expr(TO_DOUBLE.format(v="embedding")).alias("av"),
+    ).withColumn("anorm", F.expr(NORM.format(v="av")))
+    b = emb.filter(~side).select(
+        F.col("vec_id").alias("b_id"),
+        F.expr(TO_DOUBLE.format(v="embedding")).alias("bv"),
+    ).withColumn("bnorm", F.expr(NORM.format(v="bv")))
+    cands = a.crossJoin(F.broadcast(b)).select(
+        "a_id", "b_id",
+        (F.expr(DOT.format(a="av", b="bv"))
+         / (F.col("anorm") * F.col("bnorm"))).alias("cos"),
+    )
+    via_candidates = [
+        tuple(r)
+        for r in margin_from_candidates(cands, k=4, top_n=20).collect()
+    ]
+    assert via_candidates == exact
