@@ -24,7 +24,6 @@ from ..operators.sketches import (
     HLL_P,
     hll_distinct,
 )
-from .pipeline_queries import t as _pt
 from .pipeline_queries import t_adaptive as _pta
 from .relational import t as _t
 
@@ -461,7 +460,7 @@ def q_grouped_split(spark, sf_dir):
     group/doc counts plus the computed no-leakage invariant."""
     from ..operators.sampling import grouped_split_audit
 
-    return grouped_split_audit(_pt(spark, sf_dir, "documents"))
+    return grouped_split_audit(_pta(spark, sf_dir, "documents"))
 
 
 ORACLE_GROUPED_SPLIT = f"""
@@ -1134,7 +1133,7 @@ def q_gram_matrix(spark, sf_dir):
     """Distributed exact X'X over the embedding corpus: per-partition
     numpy matmul partials in mapInArrow + one (i, j) sum — the heavy
     half of PCA; integer-exact, order-independent."""
-    return similarity.gram_matrix(_pt(spark, sf_dir, "embeddings"))
+    return similarity.gram_matrix(_pta(spark, sf_dir, "embeddings"))
 
 
 ORACLE_GRAM_MATRIX = """
@@ -1169,7 +1168,7 @@ def q_mutual_information(spark, sf_dir):
     map-side agg over ≤ |langs|·|sources| cells), then ONE row with MI
     computed as a sequential fold over the sorted cell list — the only
     float work happens once, in a fixed order, from exact integers."""
-    docs = _pt(spark, sf_dir, "documents")
+    docs = _pta(spark, sf_dir, "documents")
     cells = docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_xy")
     )

@@ -22,7 +22,6 @@ from ..operators.graph import (
 from ..operators.sketches import HLL_ALPHA, HLL_HASH_BITS, HLL_P, hll_distinct_by
 from ..operators.sampling import duck_hash_mod as _duck_hash_mod
 from .relational import t as _t
-from .pipeline_queries import t as _pt
 from .pipeline_queries import t_adaptive as _pta
 
 

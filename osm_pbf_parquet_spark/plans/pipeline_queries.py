@@ -17,29 +17,6 @@ P = dedup.MERSENNE31
 K = dedup.SHINGLE_K
 
 
-def t(spark, sf_dir, name):
-    """Pipeline-table loader: documents/embeddings ship as ONE parquet
-    file each — a single input split would serialize the projection-heavy
-    signature math, so spread rows across the cluster first (a narrow
-    round-robin of the raw rows; negligible next to the per-row work).
-
-    RETIRING (r8→r9): the unconditional repartition is pure shuffle
-    overhead whenever the input is already multi-file — r8 profiling
-    measured it as the whole sample_pack_sequences big-tier
-    "regression" (a flat ~0.5-0.9s on every t-consuming anchor once
-    the 10× tier was pre-split into 32 files), and at 100 TB an
-    unconditional repartition(cores) in a shared loader is exactly the
-    needless-full-corpus-shuffle anti-pattern the engine exists to
-    avoid. Gates migrate to ``t_adaptive`` in driver-cap-sized waves
-    (42 in r8, the tail in r9, then this helper is deleted) so every
-    behavior change lands with its re-certification in the same
-    round."""
-    df = _t(spark, sf_dir, name)
-    if name in ("documents", "embeddings"):
-        df = df.repartition(spark.sparkContext.defaultParallelism)
-    return df
-
-
 def t_adaptive(spark, sf_dir, name):
     """Scan-aware pipeline-table loader: widen ONLY when the parquet
     input would under-parallelize the projection-heavy per-row work,
@@ -48,7 +25,9 @@ def t_adaptive(spark, sf_dir, name):
     the 10× bench tier's 32 part files, or any real large table's
     thousands — skips the round-robin entirely: the scan is already
     parallel, and re-shuffling the full corpus before every query is
-    the at-scale anti-pattern ``t``'s docstring records. File count
+    the at-scale anti-pattern this loader exists to avoid (its
+    predecessor ``t``, deleted in r9 after a two-round staged
+    migration, repartitioned unconditionally). File count
     slightly undercounts splits (one huge file still splits at
     maxPartitionBytes), so this errs toward widening — correct in both
     directions at both test and production scale."""
@@ -608,7 +587,7 @@ def q_udtf_top_words(spark, sf_dir):
     from ..functions import udx
 
     udx.register_udtfs(spark)
-    t(spark, sf_dir, "documents").createOrReplaceTempView("_udx_docs")
+    t_adaptive(spark, sf_dir, "documents").createOrReplaceTempView("_udx_docs")
     return spark.sql(
         "SELECT doc_id, word, n FROM _udx_docs, LATERAL top_words(text)"
     )
@@ -633,7 +612,7 @@ def q_udaf_median_chars(spark, sf_dir):
     from ..functions import udx
 
     return (
-        t(spark, sf_dir, "documents")
+        t_adaptive(spark, sf_dir, "documents")
         .groupBy("lang")
         .agg(udx.median_udaf("n_chars").alias("median_chars"))
     )
@@ -876,7 +855,7 @@ def q_jsonl_roundtrip(spark, sf_dir):
     lossless for every row (the oracle is the identity projection, so ANY
     roundtrip corruption — encoding, quoting, null handling — flips the
     value hash). Pure Catalyst serde expressions, scan-speed."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t_adaptive(spark, sf_dir, "documents")
     schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     lines = docs.select(
         F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
@@ -1184,7 +1163,7 @@ FROM (SELECT vec_id, v, cents,
 
 
 def q_multimodal_metadata(spark, sf_dir):
-    media = multimodal.attach_binary(t(spark, sf_dir, "documents"))
+    media = multimodal.attach_binary(t_adaptive(spark, sf_dir, "documents"))
     return media.select("doc_id", "media_type", "byte_len", "sha256")
 
 
@@ -1203,7 +1182,7 @@ def q_multimodal_features(spark, sf_dir):
     replicates the exact arithmetic in SQL — the Python batch plumbing
     (Arrow transfer, batch iteration, schema) gets a full value-hash
     check, not a rows-only count."""
-    media = multimodal.attach_binary(t(spark, sf_dir, "documents"))
+    media = multimodal.attach_binary(t_adaptive(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
 
 
@@ -1230,7 +1209,7 @@ def q_multimodal_decode(spark, sf_dir):
     The oracle reproduces the per-pixel arithmetic from the same md5 hex,
     so a mis-parsed header, stride, or channel order fails the hash —
     this row certifies the decoder itself, not just the Arrow plumbing."""
-    media = multimodal.attach_ppm_payload(t(spark, sf_dir, "documents"))
+    media = multimodal.attach_ppm_payload(t_adaptive(spark, sf_dir, "documents"))
     return multimodal.extract_image_features(media)
 
 
@@ -1268,7 +1247,7 @@ def q_multimodal_audio(spark, sf_dir):
     stats. Same decoder-certifying oracle contract as
     ``multimodal_decode`` — little-endian int16 reassembly replicated in
     SQL."""
-    media = multimodal.attach_wav_payload(t(spark, sf_dir, "documents"))
+    media = multimodal.attach_wav_payload(t_adaptive(spark, sf_dir, "documents"))
     return multimodal.extract_audio_features(media)
 
 
@@ -1300,7 +1279,7 @@ FROM s GROUP BY doc_id
 
 
 def q_multimodal_frames(spark, sf_dir):
-    media = multimodal.attach_binary(t(spark, sf_dir, "documents"))
+    media = multimodal.attach_binary(t_adaptive(spark, sf_dir, "documents"))
     frames = multimodal.frame_sample(media)
     return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_sampled"),

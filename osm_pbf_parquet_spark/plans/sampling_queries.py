@@ -8,7 +8,7 @@ value-hash comparison checks real selection membership, not just shapes.
 from __future__ import annotations
 
 from ..operators import sampling
-from .pipeline_queries import t, t_adaptive
+from .pipeline_queries import t_adaptive
 
 B = sampling.HASH_BUCKETS
 
@@ -23,7 +23,7 @@ def _duck_bucket(key: str, salt: str) -> str:
 
 
 def q_sample_hash_split(spark, sf_dir):
-    out = sampling.hash_split(t(spark, sf_dir, "documents"))
+    out = sampling.hash_split(t_adaptive(spark, sf_dir, "documents"))
     return out.select("doc_id", "bucket", "split")
 
 
@@ -87,7 +87,7 @@ SELECT doc_id, lang, bucket FROM (
 
 
 def q_sample_length_buckets(spark, sf_dir):
-    return sampling.length_buckets(t(spark, sf_dir, "documents"))
+    return sampling.length_buckets(t_adaptive(spark, sf_dir, "documents"))
 
 
 ORACLE_LENGTH_BUCKETS = """
@@ -105,7 +105,7 @@ GROUP BY 1
 
 
 def q_sample_uniform_n(spark, sf_dir):
-    out = sampling.uniform_sample_n(t(spark, sf_dir, "documents"), n=50)
+    out = sampling.uniform_sample_n(t_adaptive(spark, sf_dir, "documents"), n=50)
     return out.select("doc_id", "lang", "source")
 
 
@@ -147,7 +147,7 @@ FROM cum
 def q_sample_chunk_windows(spark, sf_dir):
     """Context-window chunking: 24-token windows, stride 16 (overlapping);
     per-window md5 pins the exact token bytes."""
-    out = sampling.chunk_documents(t(spark, sf_dir, "documents"),
+    out = sampling.chunk_documents(t_adaptive(spark, sf_dir, "documents"),
                                    size=24, stride=16)
     return out
 

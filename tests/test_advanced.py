@@ -78,7 +78,7 @@ def test_scd2_intervals_partition_timeline(spark):
 
 def test_negative_sampling_no_self_pairs_and_k_bound(spark):
     from osm_pbf_parquet_spark.operators.similarity import negative_sampling
-    from osm_pbf_parquet_spark.plans.pipeline_queries import t as pt
+    from osm_pbf_parquet_spark.plans.pipeline_queries import t_adaptive as pt
 
     out = negative_sampling(
         pt(spark, SF_DIR, "embeddings"), k=4, query_limit=50
@@ -233,7 +233,7 @@ def test_gram_matrix_supports_pca_eigensolve(spark):
     import numpy as np
 
     from osm_pbf_parquet_spark.operators.similarity import gram_matrix
-    from osm_pbf_parquet_spark.plans.pipeline_queries import t as pt
+    from osm_pbf_parquet_spark.plans.pipeline_queries import t_adaptive as pt
 
     df = pt(spark, SF_DIR, "embeddings")
     rows = gram_matrix(df).collect()

@@ -168,10 +168,10 @@ def test_bm25_filters_terms_before_shuffle(spark):
     exchange (scan-side selectivity), and the final top-k must be
     TakeOrderedAndProject, not a global sort materialization."""
     from osm_pbf_parquet_spark.operators.text import bm25_topk
-    from osm_pbf_parquet_spark.plans.pipeline_queries import t
+    from osm_pbf_parquet_spark.plans.pipeline_queries import t_adaptive
 
     plan = _plan(bm25_topk(
-        t(spark, SF_DIR, "documents"), ["data", "spark", "query"]
+        t_adaptive(spark, SF_DIR, "documents"), ["data", "spark", "query"]
     ))
     assert "TakeOrderedAndProject" in plan
     assert "token IN " in plan or "token#" in plan  # filter present
@@ -182,10 +182,10 @@ def test_negative_sampling_keyed_join_no_cartesian(spark):
     """Negative sampling: partner fetch is a keyed equi-join; the only
     nested-loop is the 1-row span attach."""
     from osm_pbf_parquet_spark.operators.similarity import negative_sampling
-    from osm_pbf_parquet_spark.plans.pipeline_queries import t
+    from osm_pbf_parquet_spark.plans.pipeline_queries import t_adaptive
 
     plan = _plan(negative_sampling(
-        t(spark, SF_DIR, "embeddings"), k=4, query_limit=100
+        t_adaptive(spark, SF_DIR, "embeddings"), k=4, query_limit=100
     ))
     assert "CartesianProduct" not in plan
     # formatted explain names each node twice (tree + detail section):
