@@ -680,44 +680,39 @@ def bloom_probe_contamination(
     sliver instead of the full corpus.
 
     ``probe_items``: (key, item) rows for the probe side (training
-    doc grams), DISTINCT per (key, item) — each probe row fans out to
-    exactly k bit checks and membership requires all k to hit, so a
-    duplicated pair would merge 2k checks into one group and undercount.
-    Plan: the filter is ≤ bits/64 rows, broadcast; the
-    probe side is a projection (k positions per gram) + broadcast join
-    + combinable agg keyed on the doc — the corpus never shuffles on
-    gram values. A gram is counted iff ALL k bits are set (standard
-    Bloom semantics: bit-misses prove absence)."""
+    doc grams), DISTINCT per (key, item) — every probe row counts once
+    in ``n_grams``, so a duplicated pair would be double-counted.
+
+    Plan (the no-gram-shuffle contract, now structural): the filter's
+    ≤ bits/63 sparse words collapse into ONE map row (a tiny agg on the
+    already-small filter side) that broadcasts via a 1-row crossJoin;
+    each probe row then evaluates all k bit tests PER-ROW with a
+    ``forall`` over sequence(0, k) — a pure Catalyst projection, no
+    explode, no join keyed on the gram — and the only exchange in the
+    whole plan is the final doc-keyed combinable agg. Nothing keyed on
+    the item/gram column ever crosses the wire (asserted in
+    tests/test_plan_audit.py). A gram is maybe-present iff ALL k bits
+    are set (standard Bloom semantics: bit-misses prove absence)."""
     from .sampling import hash_mod_expr
 
     filt = bloom_build(eval_items, item_col, bits, k, salt)
+    words = filt.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("_bloom_words")
+    )
     pos = hash_mod_expr(
         f"concat(cast({item_col} AS string), ':', '{salt}', ':', "
         f"cast(j AS string))",
         bits,
     )
-    probes = probe_items.select(
-        key,
-        item_col,
-        F.explode(F.expr(f"sequence(0, {k - 1})")).alias("j"),
-    ).select(
-        key,
-        item_col,
-        F.expr(f"cast(({pos}) div 63 AS INT)").alias("word_idx"),
-        F.expr(f"shiftleft(1L, cast(({pos}) % 63 AS INT))").alias("_bit"),
+    maybe = F.expr(
+        f"forall(sequence(0, {k - 1}), j -> "
+        f"(coalesce(element_at(_bloom_words, cast(({pos}) div 63 AS INT)), "
+        f"0L) & shiftleft(1L, cast(({pos}) % 63 AS INT))) != 0)"
     )
-    checked = (
-        probes.join(F.broadcast(filt), "word_idx", "left")
-        .select(
-            key,
-            item_col,
-            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("_bit"))
-             != 0)
-            .cast("int")
-            .alias("_hit"),
-        )
-        .groupBy(key, item_col)
-        .agg((F.sum("_hit") == k).cast("int").alias("_maybe"))
+    checked = probe_items.crossJoin(F.broadcast(words)).select(
+        key, maybe.cast("int").alias("_maybe")
     )
     return checked.groupBy(key).agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),

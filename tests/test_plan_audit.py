@@ -419,3 +419,65 @@ def test_t_adaptive_skips_repartition_on_presplit_input(spark, tmp_path):
     assert n_roundrobin(str(tmp_path / "d_one")) == 1
     # pre-split: the loader must NOT re-shuffle the corpus
     assert n_roundrobin(str(tmp_path / "d_many")) == 0
+
+
+def test_bloom_probe_never_exchanges_on_gram(spark):
+    """r9 (r8 verdict #2): the Bloom contamination prefilter's scale
+    contract is that the PROBE CORPUS never shuffles on gram values —
+    the filter words collapse to one broadcast map row, every gram's k
+    bit tests run per-row in a Catalyst `forall`, and the only exchange
+    on the probe lineage is the final doc-keyed combinable agg. The
+    eval/filter side (tiny by contract) legitimately shuffles while
+    building the word map, so the assertion is scoped by plan subtree:
+    every exchange that is NOT under the word-map BroadcastExchange
+    must be keyed on doc_id — never on the gram or word_idx columns."""
+    import re
+
+    from osm_pbf_parquet_spark.plans.advanced_queries import (
+        q_bloom_decontaminate,
+    )
+
+    plan = _plan(q_bloom_decontaminate(spark, SF_DIR))
+
+    # parse the tree section: (indent, node name, node id)
+    tree = []
+    for line in plan.splitlines():
+        m = re.match(r"^([\s:+\-*]*)([A-Za-z][\w ]*) \((\d+)\)\s*$", line)
+        if m:
+            tree.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
+    # node id -> Arguments line from the detail section
+    args: dict[int, str] = {}
+    cur = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) ", line)
+        if m:
+            cur = int(m.group(1))
+        elif cur is not None and line.strip().startswith("Arguments:"):
+            args[cur] = line.strip()
+
+    # descendants of the word-map BroadcastExchange = the filter side
+    bcast = [(i, ind) for i, (ind, name, _nid) in enumerate(tree)
+             if name == "BroadcastExchange"]
+    assert len(bcast) == 1, tree
+    bi, bind = bcast[0]
+    filter_side = set()
+    for ind, _name, nid in tree[bi + 1:]:
+        if ind <= bind:
+            break
+        filter_side.add(nid)
+
+    probe_exchanges = [
+        (nid, args.get(nid, ""))
+        for ind, name, nid in tree
+        if name == "Exchange" and nid not in filter_side
+    ]
+    # the probe lineage: the adaptive-loader round-robin(s) plus EXACTLY
+    # one hash exchange, keyed on the doc — nothing keyed on gram/word
+    hashed = [a for _n, a in probe_exchanges if "hashpartitioning" in a]
+    assert len(hashed) == 1 and "doc_id" in hashed[0], probe_exchanges
+    for _nid, a in probe_exchanges:
+        assert "gram" not in a and "word_idx" not in a, probe_exchanges
+    # the word-map attach is the 1-row broadcast cross join
+    assert "BroadcastNestedLoopJoin" in plan
+    # map-side combine feeds the doc-keyed exchange
+    assert "partial_count" in plan or "partial" in plan
