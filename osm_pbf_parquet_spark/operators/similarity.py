@@ -808,8 +808,10 @@ def margin_knn_pairs(
     mu_k is a FIXED-ORDER sum — the k neighbor cosines are pivoted by
     rank and added left-to-right (rank1 + rank2 + …), never a
     float-typed aggregate whose accumulation order the engine picks.
-    Rounding happens once, on the output columns. Both sides need
-    >= k rows (mu_k is a null otherwise — the caller's contract).
+    Rounding happens once, on the output columns. A side with fewer
+    than k rows contributes mu over the neighbors it has (r9: the
+    divisor is the actual neighbor count, so no pair is silently
+    dropped with a NULL margin).
 
     Scale: this exact form broadcasts side B against side A's scan —
     |A|x|B| scored rows, the gate-sized ground truth. At corpus scale
@@ -853,7 +855,11 @@ def margin_from_candidates(
     from the FAISS index, not an exact scan). On a complete candidate
     set this equals ``margin_knn_pairs`` output row-for-row (pinned in
     pytest); on an ANN subset the margins are the standard index
-    approximation. Plan: two rank-k windows keyed on the pair
+    approximation. An endpoint with FEWER than k candidates — routine
+    on LSH/IVF candidate sets — gets mu over the neighbors it HAS
+    (sum of present rank pivots / actual count), so sparse endpoints'
+    pairs stay scored instead of silently dropping out with a NULL
+    margin (r8 advice). Plan: two rank-k windows keyed on the pair
     endpoints + two broadcast attaches of the (endpoint, mu) tables —
     the candidate frame is never re-shuffled beyond the two endpoint
     keys, and the fixed-order rank-pivoted mean keeps the float math
@@ -867,16 +873,25 @@ def margin_from_candidates(
         ranked = candidates.withColumn(
             "rk", F.row_number().over(w)
         ).filter(F.col("rk") <= k)
-        # fixed-order mean: rank-pivot then add left-to-right
+        # fixed-order mean: rank-pivot then add left-to-right. Missing
+        # ranks (endpoint has < k candidates) coalesce to 0.0 — adding
+        # +0.0 is the float identity, so full-k endpoints are
+        # bit-identical to the unguarded sum — and the divisor is the
+        # ACTUAL neighbor count, never the nominal k.
         terms = [
-            F.max(F.when(F.col("rk") == i, F.col(cos_col)))
+            F.coalesce(
+                F.max(F.when(F.col("rk") == i, F.col(cos_col))),
+                F.lit(0.0),
+            )
             for i in range(1, k + 1)
         ]
         total = terms[0]
         for t in terms[1:]:
             total = total + t
         return ranked.groupBy(side_key).agg(
-            (total / F.lit(float(k))).alias(f"mu_{side_key}")
+            (total / F.count(F.lit(1)).cast("double")).alias(
+                f"mu_{side_key}"
+            )
         )
 
     out = (

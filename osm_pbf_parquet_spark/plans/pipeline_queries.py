@@ -1432,12 +1432,17 @@ def _oracle_margin() -> str:
         f"max(CASE WHEN rk = {i} THEN cos END) AS c{i}"
         for i in range(1, k + 1)
     )
-    fixed_sum = " + ".join(f"c{i}" for i in range(1, k + 1))
+    # mirror the engine's sub-k guard: coalesce each missing rank pivot
+    # to 0.0 (float identity for full-k endpoints) and divide by the
+    # ACTUAL neighbor count, never the nominal k
+    fixed_sum = " + ".join(
+        f"coalesce(c{i}, 0.0)" for i in range(1, k + 1)
+    )
 
     def mu(side: str, other: str) -> str:
         return f"""
-(SELECT {side}, ({fixed_sum}) / CAST({k} AS DOUBLE) AS mu_{side} FROM (
-   SELECT {side}, {pivots} FROM (
+(SELECT {side}, ({fixed_sum}) / CAST(cnt AS DOUBLE) AS mu_{side} FROM (
+   SELECT {side}, count(*) AS cnt, {pivots} FROM (
      SELECT {side}, cos,
             row_number() OVER (PARTITION BY {side}
                                ORDER BY cos DESC, {other}) AS rk

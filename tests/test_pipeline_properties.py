@@ -448,3 +448,27 @@ def test_margin_from_candidates_scale_path(spark):
         for r in margin_from_candidates(cands, k=4, top_n=20).collect()
     ]
     assert via_candidates == exact
+
+
+def test_margin_sub_k_endpoints_are_scored_not_dropped(spark):
+    """r9 (r8 advice): an endpoint with fewer than k candidates — routine
+    on LSH/IVF candidate sets — must get mu over the neighbors it HAS,
+    not a NULL margin that silently drops its pairs from the top-n."""
+    from osm_pbf_parquet_spark.operators.similarity import (
+        margin_from_candidates,
+    )
+
+    # endpoint 1 has 1 candidate, endpoint 2 has 3: both below k=4
+    rows = [
+        (1, 10, 0.9),
+        (2, 10, 0.8), (2, 11, 0.6), (2, 12, 0.4),
+    ]
+    cands = spark.createDataFrame(rows, "a_id long, b_id long, cos double")
+    got = {(r["a_id"], r["b_id"]): r["margin"]
+           for r in margin_from_candidates(cands, k=4, top_n=10).collect()}
+    assert len(got) == len(rows)          # nothing dropped
+    assert all(m is not None for m in got.values())
+    # hand-computed: mu_a(1)=0.9, mu_a(2)=(0.8+0.6+0.4)/3=0.6
+    # mu_b(10)=(0.9+0.8)/2=0.85, mu_b(11)=0.6, mu_b(12)=0.4
+    assert got[(1, 10)] == round(0.9 / ((0.9 + 0.85) / 2), 6)
+    assert got[(2, 12)] == round(0.4 / ((0.6 + 0.4) / 2), 6)
