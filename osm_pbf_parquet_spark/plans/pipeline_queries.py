@@ -429,7 +429,7 @@ def q_ann_lsh_pairs(spark, sf_dir):
                                     threshold=0.45)
 
 
-def _oracle_ann_lsh() -> str:
+def _oracle_ann_lsh(threshold: float = 0.45) -> str:
     L = similarity.N_TABLES
     m = similarity.PLANES_PER_TABLE
     n_planes = L * m
@@ -459,7 +459,7 @@ scored AS (
     ON a.table_idx = b2.table_idx AND a.bucket = b2.bucket
    AND a.vec_id < b2.vec_id
 )
-SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
 """
 
 
@@ -1423,30 +1423,37 @@ def q_margin_bitext_mine(spark, sf_dir):
     )
 
 
-def _oracle_margin() -> str:
-    k, n = _MARGIN_K, _MARGIN_N
-    dot = _DOT.format(a="av", b="bv")
-    na = _NORM.format(v="av")
-    nb = _NORM.format(v="bv")
+def _margin_mu_sql(k: int, side: str, other: str) -> str:
+    """The margin criterion's mu_k estimator in DuckDB SQL, over a CTE
+    named ``scored`` with columns (a_id, b_id, cos) — ONE definition
+    shared by the exact gate and the ANN-candidate gate, mirroring the
+    engine's margin_from_candidates: rank-pivoted fixed-order sum,
+    missing ranks coalesced to 0.0 (the sub-k guard), divided by the
+    ACTUAL neighbor count, never the nominal k."""
     pivots = ", ".join(
         f"max(CASE WHEN rk = {i} THEN cos END) AS c{i}"
         for i in range(1, k + 1)
     )
-    # mirror the engine's sub-k guard: coalesce each missing rank pivot
-    # to 0.0 (float identity for full-k endpoints) and divide by the
-    # ACTUAL neighbor count, never the nominal k
     fixed_sum = " + ".join(
         f"coalesce(c{i}, 0.0)" for i in range(1, k + 1)
     )
-
-    def mu(side: str, other: str) -> str:
-        return f"""
+    return f"""
 (SELECT {side}, ({fixed_sum}) / CAST(cnt AS DOUBLE) AS mu_{side} FROM (
    SELECT {side}, count(*) AS cnt, {pivots} FROM (
      SELECT {side}, cos,
             row_number() OVER (PARTITION BY {side}
                                ORDER BY cos DESC, {other}) AS rk
      FROM scored) WHERE rk <= {k} GROUP BY {side}) )"""
+
+
+def _oracle_margin() -> str:
+    k, n = _MARGIN_K, _MARGIN_N
+    dot = _DOT.format(a="av", b="bv")
+    na = _NORM.format(v="av")
+    nb = _NORM.format(v="bv")
+
+    def mu(side: str, other: str) -> str:
+        return _margin_mu_sql(k, side, other)
 
     return f"""
 WITH v AS (
@@ -1471,4 +1478,70 @@ LIMIT {n}
 
 PIPELINE_QUERIES.update({
     "margin_bitext_mine": (q_margin_bitext_mine, _oracle_margin()),
+})
+
+
+# --- margin criterion over ANN candidates (r9) ---------------------------------
+
+_MARGIN_ANN_T = 0.2
+
+
+def q_margin_bitext_ann(spark, sf_dir):
+    """The margin criterion in the form that runs at 100 TB: candidates
+    come from the LSH bucket join (``lsh_ann_pairs`` — never the cross
+    product) and mu_k is estimated from each endpoint's best CANDIDATES,
+    exactly how CCMatrix applies Artetxe & Schwenk's criterion over a
+    FAISS index. Sides are the vec_id parity split (a pure projection of
+    the pair frame — no label attach join needed), pairs are kept only
+    when they cross sides, and the identical margin math then runs over
+    the candidate set (similarity.margin_from_candidates: two rank-k
+    windows + two broadcast mu attaches). Sub-k endpoints — routine on
+    ANN candidate sets — are scored over the neighbors they have.
+
+    The oracle replays the SAME candidate generator (the ann_lsh_pairs
+    oracle at this gate's threshold) and the shared mu definition, so
+    the driver hash pins the full ANN→margin composition, not just the
+    margin arithmetic."""
+    pairs = similarity.lsh_ann_pairs(
+        t_adaptive(spark, sf_dir, "embeddings"), dim=64,
+        threshold=_MARGIN_ANN_T,
+    )
+    even_a = F.col("id_a") % 2 == 0
+    even_b = F.col("id_b") % 2 == 0
+    cands = pairs.filter(even_a != even_b).select(
+        F.when(even_a, F.col("id_a")).otherwise(F.col("id_b")).alias("a_id"),
+        F.when(even_a, F.col("id_b")).otherwise(F.col("id_a")).alias("b_id"),
+        F.col("cosine").alias("cos"),
+    )
+    return similarity.margin_from_candidates(
+        cands, k=_MARGIN_K, top_n=_MARGIN_N
+    )
+
+
+def _oracle_margin_ann() -> str:
+    k, n = _MARGIN_K, _MARGIN_N
+
+    def mu(side: str, other: str) -> str:
+        return _margin_mu_sql(k, side, other)
+
+    return f"""
+WITH cand AS ({_oracle_ann_lsh(_MARGIN_ANN_T)}),
+scored AS (
+  SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS a_id,
+         CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS b_id,
+         cosine AS cos
+  FROM cand WHERE (id_a % 2) <> (id_b % 2)
+),
+mua AS {mu("a_id", "b_id")},
+mub AS {mu("b_id", "a_id")}
+SELECT a_id, b_id, round(cos, 6) AS cosine,
+       round(cos / ((mu_a_id + mu_b_id) / CAST(2 AS DOUBLE)), 6) AS margin
+FROM scored JOIN mua USING (a_id) JOIN mub USING (b_id)
+ORDER BY margin DESC, a_id, b_id
+LIMIT {n}
+"""
+
+
+PIPELINE_QUERIES.update({
+    "margin_bitext_ann": (q_margin_bitext_ann, _oracle_margin_ann()),
 })
