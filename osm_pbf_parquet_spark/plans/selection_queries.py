@@ -312,6 +312,75 @@ FROM (
 """
 
 
+# --- training-set assembly capstone (r9) -------------------------------------------
+
+_ASSEMBLY_K, _ASSEMBLY_SHARDS, _ASSEMBLY_EPOCH = 100, 4, 1
+
+
+def q_training_set_assembly(spark, sf_dir):
+    """END-TO-END training-set assembly: the r7/r8 selection executors
+    chained as one plan, pinning the handoff contracts the way
+    full_curation_pipeline pins the curation chain —
+
+      dsir_importance (nanonat log-weights, Xie et al. 2023)
+        → weighted_reservoir_sample (A-ES/Gumbel top-k draw of the
+          100-doc training subset; score_nano = dsir_nano + jitter)
+        → epoch_shard_plan (the epoch-1 layout a 4-shard distributed
+          loader consumes: deterministic shard + position per doc).
+
+    Column/unit contract pinned by the oracle hash: doc_id, dsir_nano
+    (BIGINT nanonats), score_nano (BIGINT, the A-ES selection key),
+    shard (INT in [0,4)), position (BIGINT rank within shard).
+
+    Plan/scale: the weights scan + global top-k run ONCE — the sample
+    is persisted (operator-owned PersistSet), so the shard-plan window
+    and the final attach both read the k-row cache, never the corpus;
+    the attach broadcasts the k-row shard plan. Wide ops end-to-end:
+    dsir's token shuffle, the TakeOrderedAndProject heap-merge, and one
+    k-row window exchange — nothing else."""
+    from pyspark.sql import functions as F
+
+    from ..functions.caching import owned_set, tie_release
+    from ..operators.sampling import epoch_shard_plan
+
+    ps, owned = owned_set(None)
+    docs = _t(spark, sf_dir, "documents")
+    w = selection.dsir_importance(docs, _DSIR_TARGET)
+    sample = ps.persist(
+        selection.weighted_reservoir_sample(w, k=_ASSEMBLY_K)
+    )
+    plan = epoch_shard_plan(
+        sample, n_shards=_ASSEMBLY_SHARDS, epoch=_ASSEMBLY_EPOCH
+    )
+    out = sample.join(F.broadcast(plan), "doc_id").select(
+        "doc_id", "dsir_nano", "score_nano", "shard", "position"
+    )
+    return tie_release(out, ps, owned)
+
+
+def _oracle_assembly() -> str:
+    # the sample IS the weighted_reservoir gate's oracle verbatim; the
+    # shard layout replays epoch_shard_plan's md5 arithmetic over it —
+    # one definition chain pinning all three handoffs
+    from ..operators.sampling import duck_hash_mod
+
+    keyed = (
+        f"CAST(doc_id AS VARCHAR) || ':' || 'epoch-v1' || ':' || "
+        f"'{_ASSEMBLY_EPOCH}'"
+    )
+    shard = duck_hash_mod(keyed, _ASSEMBLY_SHARDS)
+    return f"""
+WITH sample AS ({_oracle_reservoir()})
+SELECT doc_id, dsir_nano, score_nano,
+       CAST({shard} AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY {shard}
+         ORDER BY md5({keyed}), doc_id
+       ) - 1 AS BIGINT) AS position
+FROM sample
+"""
+
+
 SELECTION_QUERIES = {
     "dsir_importance": (q_dsir_importance, _oracle_dsir()),
     "weighted_reservoir_sample": (q_weighted_reservoir, _oracle_reservoir()),
@@ -320,4 +389,5 @@ SELECTION_QUERIES = {
     "split_leakage": (q_split_leakage, _oracle_split_leakage()),
     "dedup_resolve": (q_dedup_resolve, _oracle_dedup_resolve()),
     "ccnet_buckets": (q_ccnet_buckets, _oracle_ccnet()),
+    "training_set_assembly": (q_training_set_assembly, _oracle_assembly()),
 }

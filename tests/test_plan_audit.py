@@ -481,3 +481,31 @@ def test_bloom_probe_never_exchanges_on_gram(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # map-side combine feeds the doc-keyed exchange
     assert "partial_count" in plan or "partial" in plan
+
+
+def test_training_set_assembly_marginal_plan(spark):
+    """r9 capstone: chaining dsir → weighted reservoir → epoch shard
+    plan must add NOTHING beyond the named wide ops. Marginal cost over
+    the (already-audited) dsir subplan: the global draw is a
+    TakeOrderedAndProject bounded heap — never a rangepartitioning
+    global sort — the shard layout is exactly ONE exchange keyed on
+    shard over the k-row cached sample, and the final attach reads the
+    persisted sample, not the corpus."""
+    import re
+
+    from osm_pbf_parquet_spark.plans.selection_queries import (
+        q_training_set_assembly,
+    )
+
+    df = q_training_set_assembly(spark, SF_DIR)
+    try:
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "rangepartitioning" not in plan  # no global sort anywhere
+        hashed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        shard_keyed = [a for a in hashed if a.startswith("shard")]
+        assert len(shard_keyed) == 1, hashed
+        # the sample feeds both the window and the attach from cache
+        assert "InMemoryTableScan" in plan
+    finally:
+        del df
