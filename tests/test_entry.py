@@ -47,17 +47,16 @@ def test_check_first_names_all_resolve():
     assert len(e._CHECK_FIRST) == len(set(e._CHECK_FIRST)), "duplicates"
 
 
-def test_r8_rotation_inside_driver_cap():
-    """The correctness driver checks the first 50 entries. The r8
+def test_r9_rotation_inside_driver_cap():
+    """The correctness driver checks the first 50 entries. The r9
     must-cover set is the LINE-LEVEL one computed by
-    tools/taint_ledger.py on the final r8 tree (committed as
-    TAINT_LEDGER.json): 3 never-checked r8 gates
-    (weighted_reservoir_sample, epoch_shard_plan, token_budget_fill) +
-    41 line-tainted (the t_adaptive loader migration's 42 gates and
-    the streaming-argmax key-type fix) — all in-cap, zero
+    tools/taint_ledger.py on the final r9 tree (committed as
+    TAINT_LEDGER.json) — all entries must be in-cap with zero
     displacements. This test re-derives the containment from the
-    committed ledger instead of pinning names, so a ledger/cap drift
-    fails here before the driver runs."""
+    committed ledger instead of hand-pinning counts (the r8 advice
+    flagged exactly that: restated arithmetic drifting from the
+    committed evidence), so a ledger/cap drift fails here before the
+    driver runs."""
     import json
     import os
 
@@ -73,7 +72,6 @@ def test_r8_rotation_inside_driver_cap():
     # every must-cover entry sits inside the driver cap
     for name in led["must_cover"]:
         assert name in head, name
-    # the r8-new gates are present and never-checked entries lead
-    for name in ("weighted_reservoir_sample", "epoch_shard_plan",
-                 "token_budget_fill"):
+    # the r9-new gates are present and never-checked entries lead
+    for name in ("training_set_assembly", "margin_bitext_ann"):
         assert name in led["never_checked"] and name in head

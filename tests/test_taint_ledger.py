@@ -148,3 +148,109 @@ def test_ledger_oracle_shas_current():
         f"oracle text changed after the ledger was built: {stale} — "
         "re-run tools/taint_ledger.py"
     )
+
+
+def test_plan_fingerprint_canonicalizes_lambda_counter(spark):
+    """r9: PySpark names Python-HOF lambda variables with a
+    PROCESS-GLOBAL counter (`lambda x_1` on the first build, `x_4` on
+    a later one), so two builds of the SAME plan hashed differently and
+    the fingerprint depended on registry order. The canonicalized form
+    must be build-count-invariant while still distinguishing different
+    lambda bodies."""
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from taint_ledger import _plan_fingerprint
+
+    def build(mult):
+        return spark.range(3).select(
+            F.transform(F.array(F.col("id")), lambda x: x * mult).alias("a")
+        )
+
+    first = _plan_fingerprint(build(2))
+    # burn some lambda counters, then rebuild the identical plan
+    for _ in range(3):
+        build(2)
+    again = _plan_fingerprint(build(2))
+    assert first == again
+    assert _plan_fingerprint(build(3)) != first
+
+
+def test_trace_excludes_import_time_lines(spark):
+    """r9: a lazily-imported engine module executes its def/constant
+    lines under whichever traced query imports it first, so module-level
+    frames made attribution registry-order-dependent and let
+    def-time-only edits taint (the tool's contract says they never do —
+    observed as a phantom skew.py def-line taint on
+    salted_distinct_count after a rotation reorder). The call tracer
+    must skip `<module>` frames and keep function-body lines."""
+    import importlib
+    import textwrap
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import taint_ledger as tl
+
+    # a throwaway engine module, imported lazily inside the traced fn
+    pkg_root = os.path.join(os.path.dirname(__file__), "..",
+                            tl.ENGINE_PREFIX)
+    mod_path = os.path.join(pkg_root, "_trace_probe_tmp.py")
+    with open(mod_path, "w") as fh:
+        fh.write(textwrap.dedent("""\
+            MODULE_CONSTANT = 1
+
+
+            def probe(x):
+                return x + MODULE_CONSTANT
+        """))
+    try:
+        def q(_spark, _sf):
+            from osm_pbf_parquet_spark import _trace_probe_tmp  # lazy
+            assert _trace_probe_tmp.probe(1) == 2
+            return spark.range(1)
+
+        executed, _fps = tl.trace_queries({"probe_q": q})
+        files = executed["probe_q"]
+        probe_rel = tl.ENGINE_PREFIX + "_trace_probe_tmp.py"
+        # the function BODY line (return x + ...) is attributed;
+        # the module-level lines (constant + def statements) are not
+        assert probe_rel in files, files
+        assert files[probe_rel] == {5}, files[probe_rel]
+    finally:
+        os.remove(mod_path)
+        sys.modules.pop("osm_pbf_parquet_spark._trace_probe_tmp", None)
+
+
+def test_drain_release_lines_attributed_to_owner(spark):
+    """r8 fix, now pinned (r8 verdict #5): a PersistSet owner's
+    finalizer fires during ITS OWN post-build drain (del df +
+    gc.collect under the same tracer), so the caching-release lines
+    must appear in the OWNER's executed set — not leak onto whichever
+    query follows it in registry order, and not be dropped because the
+    file was first touched after the executed-dict snapshot."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import taint_ledger as tl
+
+    def owner(_spark, _sf):
+        from osm_pbf_parquet_spark.functions.caching import (
+            owned_set,
+            tie_release,
+        )
+
+        ps, owned = owned_set(None)
+        df = ps.persist(spark.range(3))
+        return tie_release(df.selectExpr("id * 2 AS x"), ps, owned)
+
+    def follower(_spark, _sf):
+        return spark.range(2)
+
+    executed, _fps = tl.trace_queries(
+        {"owner_q": owner, "follower_q": follower}
+    )
+    caching_rel = tl.ENGINE_PREFIX + "functions/caching.py"
+    owner_lines = executed["owner_q"].get(caching_rel, set())
+    # the release body (dfs swap + unpersist loop, caching.py:77-86)
+    # ran under owner_q's drain tracer
+    assert {77, 78, 86} <= owner_lines, sorted(owner_lines)
+    # and did NOT leak onto the next query in order
+    follower_lines = executed["follower_q"].get(caching_rel, set())
+    assert not ({77, 78, 86} & follower_lines), sorted(follower_lines)

@@ -159,6 +159,15 @@ def _plan_fingerprint(df) -> str:
 
     s = re.sub(r"#(\d+)", canon, s)
     s = re.sub(r"0x[0-9a-fA-F]+", "0x", s)
+    # PySpark names Python-side HOF lambda variables with a
+    # PROCESS-GLOBAL counter (`lambda x_1` on the first build, `x_4` on
+    # the next — verified within one session), so un-canonicalized
+    # names make the fingerprint depend on how many lambda-bearing
+    # plans were built earlier in the session, i.e. on REGISTRY ORDER.
+    # Strip the counter; identity stays distinguishable through the
+    # canonical exprId suffix (`lambda x_#c8`). SQL-string lambdas
+    # (`j -> ...`) carry their source names and are already stable.
+    s = re.sub(r"(lambda [A-Za-z]+)_\d+", r"\1_", s)
     return "plan:" + hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
@@ -186,8 +195,21 @@ def trace_queries(queries) -> tuple[dict[str, dict[str, set[int]]], dict[str, st
 
         def call_tracer(frame, event, arg):
             # trace only engine frames: everything else returns None so
-            # the interpreter skips line events outside the package
-            if event == "call" and frame.f_code.co_filename.startswith(root):
+            # the interpreter skips line events outside the package.
+            # Module-level frames are EXCLUDED: a lazily-imported
+            # engine module executes its def/constant lines under
+            # whichever query happens to import it first, so with them
+            # included, attribution depends on registry ORDER and
+            # def-time-only edits (which the tool's contract says never
+            # taint — they cannot change call behavior) taint whatever
+            # query won the import race. Import-time constants that
+            # flow into plans stay covered by the fingerprint/oracle
+            # drift checks.
+            if (
+                event == "call"
+                and frame.f_code.co_filename.startswith(root)
+                and frame.f_code.co_name != "<module>"
+            ):
                 return line_tracer
             return None
 
