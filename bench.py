@@ -51,14 +51,20 @@ BIG_COPIES = 10
 # files), not the operators. The _p32 dir suffix versions the cache so
 # hosts with the old single-file layout regenerate.
 _TIER_FILES = 32
+# the cache key carries the SOURCE SF tag: without it, a bench run at a
+# non-default SF would write its tier under the same path and every
+# later default-SF run would silently reuse the wrong-scale data
+_SF_TAG = os.path.basename(SF_DIR.rstrip("/")) or "sf"
 BIG_DIR = os.path.join(
-    tempfile.gettempdir(), f"spark_graft_bigtier_x{BIG_COPIES}_p{_TIER_FILES}"
+    tempfile.gettempdir(),
+    f"spark_graft_bigtier_x{BIG_COPIES}_p{_TIER_FILES}_{_SF_TAG}",
 )
 N_BIG_SKEW_ROWS = 5_000_000
 
 SOAK_COPIES = 50
 SOAK_DIR = os.path.join(
-    tempfile.gettempdir(), f"spark_graft_soak_x{SOAK_COPIES}_p{_TIER_FILES}"
+    tempfile.gettempdir(),
+    f"spark_graft_soak_x{SOAK_COPIES}_p{_TIER_FILES}_{_SF_TAG}",
 )
 
 
@@ -136,12 +142,22 @@ def _reap_stale_tiers() -> None:
     """Remove tier cache dirs from earlier layout versions (e.g. the
     pre-_p32 unversioned spark_graft_bigtier_x10): each version bump
     otherwise orphans hundreds of MB of dead parquet in tmp on hosts
-    that ran earlier rounds."""
+    that ran earlier rounds. Only dirs untouched for >1 day are
+    reaped — a concurrently RUNNING bench from an older checkout is
+    still writing its tier (fresh mtimes), and deleting it mid-run
+    would fail that run (r8 advice #4)."""
     live = {BIG_DIR, SOAK_DIR}
+    cutoff = time.time() - 86_400
     for pat in ("spark_graft_bigtier_x*", "spark_graft_soak_x*"):
         for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
-            if d not in live:
-                shutil.rmtree(d, ignore_errors=True)
+            if d in live:
+                continue
+            try:
+                if os.path.getmtime(d) > cutoff:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _make_soak_tier(spark) -> None:
@@ -174,27 +190,6 @@ def _make_soak_tier(spark) -> None:
     )
     with open(ready, "w"):
         pass
-
-
-def _jvm_peak_rss_mb() -> int | None:
-    """Peak RSS (VmHWM) of the local-mode executor JVM — the process
-    whose memory a 50× soak would crash. Best-effort /proc scan."""
-    best = 0
-    for pid in os.listdir("/proc"):
-        if not pid.isdigit():
-            continue
-        try:
-            with open(f"/proc/{pid}/comm") as fh:
-                if fh.read().strip() != "java":
-                    continue
-            with open(f"/proc/{pid}/status") as fh:
-                for ln in fh:
-                    if ln.startswith("VmHWM:"):
-                        best = max(best, int(ln.split()[1]) // 1024)
-                        break
-        except OSError:
-            continue
-    return best or None
 
 
 def _q_pagerank_big(spark, big_dir):
@@ -480,28 +475,50 @@ def main() -> None:
     except Exception as exc:  # the sf0.1 line must survive a big-tier failure
         big_extra["big_error"] = f"{type(exc).__name__}: {exc}"
 
-    # --- 50× soak: capstone + the dedup chain. min-of-2 per leg (r7
-    #     verdict ask #4: the single-rep legs swung 36.8→42.3s on host
-    #     contention with nothing to tell noise from regression; two
-    #     reps with the min kept, both raw values recorded, gives the
-    #     same cliff/AQE-shift coverage with a readable latency) ---
-    soak: dict = {"copies": SOAK_COPIES}
+    # --- 50× soak: capstone + the dedup chain, FRESH JVM PER
+    #     MEASUREMENT (r8 verdict ask #4). r8's A/B (commit 2825bcb)
+    #     proved the long-session soak rows measured cumulative GC/JIT
+    #     session state — identical plans swung 237→2111 JVM
+    #     CPU-seconds inside one session, while fresh-JVM runs read
+    #     equal — so each rep now runs in its own subprocess
+    #     (tools/soak_leg.py: own SparkSession, warm-up outside the
+    #     timed region, then one timed run) and reports JVM CPU-seconds
+    #     alongside wall, because CPU time does not absorb the host's
+    #     minutes-long contention windows the way wall does. min-of-2
+    #     per leg, all raw reps recorded. ---
+    soak: dict = {"copies": SOAK_COPIES, "fresh_jvm_per_rep": True}
     try:
+        import subprocess
+        import sys as _sys
+
         _make_soak_tier(spark)
-        spark.catalog.clearCache()
+        leg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tools", "soak_leg.py")
         soak_raw: dict[str, list[float]] = {}
+        soak_cpu: dict[str, list[float]] = {}
+        peak_rss = 0
         for name in ("full_curation_pipeline", "dedup_minhash_lsh",
                      "duplicate_spans"):
-            reps = []
+            reps, cpus = [], []
             for _ in range(2):
-                t0 = time.time()
-                PIPE[name][0](spark, SOAK_DIR).count()
-                reps.append(round(time.time() - t0, 3))
-                spark.catalog.clearCache()
+                proc = subprocess.run(
+                    [_sys.executable, leg, name, SOAK_DIR],
+                    capture_output=True, text=True, timeout=1200,
+                )
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"soak leg {name} failed: {proc.stderr[-500:]}"
+                    )
+                rep = json.loads(proc.stdout.strip().splitlines()[-1])
+                reps.append(rep["wall_sec"])
+                cpus.append(rep["jvm_cpu_sec"])
+                peak_rss = max(peak_rss, rep.get("jvm_peak_rss_mb") or 0)
             soak[name] = min(reps)
             soak_raw[name] = reps
+            soak_cpu[name] = cpus
         soak["raw_reps"] = soak_raw
-        soak["jvm_peak_rss_mb"] = _jvm_peak_rss_mb()
+        soak["jvm_cpu_sec"] = soak_cpu
+        soak["jvm_peak_rss_mb"] = peak_rss or None
     except Exception as exc:
         soak["soak_error"] = f"{type(exc).__name__}: {exc}"
 
@@ -516,7 +533,8 @@ def main() -> None:
             "load-bearing on single-file inputs, a flat ~0.5-0.9s "
             "redundant full-table shuffle once the tier was pre-split "
             "to 32 files. Fixed: t_adaptive widens only when files < "
-            "cores (42 gates migrated in-cap this round, tail in r9)."
+            "cores (42 gates migrated in r8, the remaining 15 in r9; "
+            "the legacy loader is deleted — no call site remains)."
         ),
         "decontaminate": (
             "r7 +37% watch item: same loader shuffle (decontaminate "
@@ -525,17 +543,16 @@ def main() -> None:
             "corrected baseline."
         ),
         "soak": (
-            "soak legs now min-of-2 with raw reps recorded (r7 ask #4). "
-            "r8 investigated elevated soak readings end-to-end: NOT the "
-            "t_adaptive loader — fresh-JVM-per-measurement A/B shows the "
-            "two loaders equal at the 50x tier (adaptive 21.0/32.2s vs "
-            "legacy 20.2/22.5s), while within one long session identical "
-            "plans swung 237 -> 2111 JVM CPU-seconds run-to-run "
-            "(cumulative GC/JIT session state, amplified by external "
-            "host-contention windows in which even the legacy arm read "
-            "6.3s and 83.5s minutes apart). Soak values are therefore a "
-            "long-session stress row, not a loader-regression signal; "
-            "judge loader changes on the big-tier anchors."
+            "r9 (r8 verdict ask #4): every soak rep now runs in a FRESH "
+            "JVM (tools/soak_leg.py subprocess — own session, warm-up "
+            "outside the timed region) after r8's A/B proved the "
+            "long-session rows measured cumulative GC/JIT state, not "
+            "plans (identical plans swung 237 -> 2111 JVM CPU-seconds "
+            "inside one session; fresh-JVM runs read equal). Each leg "
+            "reports JVM CPU-seconds alongside wall: CPU time does not "
+            "absorb the host's minutes-long contention windows, so "
+            "compare CPU first, wall second. min-of-2, raw reps and "
+            "per-rep CPU recorded."
         ),
     }
     payload = {

@@ -147,7 +147,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default=DEFAULT_MASTER)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", default=os.path.join(REPO, "LOCAL_CLUSTER_r08.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "LOCAL_CLUSTER_r09.json"))
     ap.add_argument("--skip-anchors", action="store_true")
     ap.add_argument("--only", default="")
     ap.add_argument(
@@ -169,6 +169,8 @@ def main() -> None:
 
     payload: dict = {"master": args.master, "sf": args.sf}
     payload["registry"] = run_registry(spark, args.sf, only)
+    merged_from_prior = False
+    prior_wall = 0.0
     if args.merge and os.path.exists(args.out):
         with open(args.out) as fh:
             prior = json.load(fh)
@@ -178,6 +180,13 @@ def main() -> None:
         payload["registry"] = merged
         if "anchors" in prior:
             payload["anchors"] = prior["anchors"]
+        merged_from_prior = True
+        # carry the prior artifact's cumulative wall so the summary
+        # never reads as "the whole merged registry ran in this
+        # increment's wall time" (r8 advice #3)
+        prior_wall = float(
+            prior.get("summary", {}).get("wall_total_sec", 0.0)
+        )
     if not args.skip_anchors and not only and "anchors" not in payload:
         payload["anchors"] = run_anchors(spark)
 
@@ -192,8 +201,13 @@ def main() -> None:
         "anchors_failed": sorted(
             n for n, r in payload.get("anchors", {}).items() if not r["ok"]
         ),
-        "wall_total_sec": round(time.time() - t_start, 1),
+        "wall_total_sec": round(time.time() - t_start + prior_wall, 1),
     }
+    if merged_from_prior:
+        payload["summary"]["merged"] = True
+        payload["summary"]["incremental_wall_sec"] = round(
+            time.time() - t_start, 1
+        )
     with open(args.out, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     print(json.dumps(payload["summary"]))

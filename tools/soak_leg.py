@@ -1,0 +1,76 @@
+"""Run ONE soak query in a FRESH JVM and print a JSON line with wall
+seconds, JVM CPU seconds, and the JVM's peak RSS.
+
+Why a subprocess per measurement: r8's A/B (commit 2825bcb) proved the
+long-session soak numbers measure cumulative GC/JIT session state, not
+plan quality — identical plans swung 237 → 2111 JVM CPU-seconds inside
+one session while fresh-JVM runs read equal. Each invocation here pays
+its own session start (excluded from the timed region) and dies, so
+every rep sees the same JVM state; CPU time is reported alongside wall
+because wall additionally absorbs host-contention windows that CPU time
+does not.
+
+Usage: python tools/soak_leg.py <query_name> <soak_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    name, soak_dir = sys.argv[1], sys.argv[2]
+    from osm_pbf_parquet_spark.session import get_spark
+
+    spark = get_spark("soak_leg")
+    jpid = int(spark._sc._jvm.java.lang.ProcessHandle.current().pid())
+    clk = os.sysconf("SC_CLK_TCK")
+
+    def jvm_cpu() -> float:
+        # own utime+stime of OUR JVM (pid via ProcessHandle — no /proc
+        # scan that could pick up another session's java process)
+        with open(f"/proc/{jpid}/stat") as fh:
+            tail = fh.read().rsplit(") ", 1)[1].split()
+        return (int(tail[11]) + int(tail[12])) / clk
+
+    def jvm_peak_rss_mb() -> int | None:
+        try:
+            with open(f"/proc/{jpid}/status") as fh:
+                for ln in fh:
+                    if ln.startswith("VmHWM:"):
+                        return int(ln.split()[1]) // 1024
+        except OSError:
+            pass
+        return None
+
+    # pay JVM+parquet-footer init and spawn the Python worker pool
+    # OUTSIDE the timed region (same warm-up contract as bench.py's
+    # session) — the measurement target is the PLAN on a cold-but-ready
+    # JVM, not session bring-up
+    spark.read.parquet(f"{soak_dir}/documents.parquet").count()
+    n = spark.sparkContext.defaultParallelism
+    spark.range(n * 4, numPartitions=n).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    from osm_pbf_parquet_spark.plans.pipeline_queries import PIPELINE_QUERIES
+
+    c0, t0 = jvm_cpu(), time.time()
+    PIPELINE_QUERIES[name][0](spark, soak_dir).count()
+    wall = time.time() - t0
+    cpu = jvm_cpu() - c0
+    print(json.dumps({
+        "query": name,
+        "wall_sec": round(wall, 3),
+        "jvm_cpu_sec": round(cpu, 1),
+        "jvm_peak_rss_mb": jvm_peak_rss_mb(),
+    }))
+
+
+if __name__ == "__main__":
+    main()
