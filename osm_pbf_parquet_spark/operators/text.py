@@ -699,3 +699,75 @@ def winnowing_fingerprints(
         d.select(key, F.explode(F.expr(wins)).alias("_s"))
         .select(key, F.col("_s.fp").alias("fp"), F.col("_s.pos").alias("pos"))
     )
+
+
+# --- Gopher quality rules (r9) -----------------------------------------------------
+
+# the published rule set's stop-word list (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", appendix A.1.1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021 §A.1.1) as a
+    per-document metrics + verdict projection: word-count bounds, mean
+    word length in [3, 10], '#'/'…'-symbol-to-word ratio ≤ 0.1, ≥ 80 %
+    of words containing an alphabetic character, and ≥ 2 of the eight
+    published stop words present. Emits every metric alongside the
+    combined ``keep`` flag so downstream curation can re-threshold
+    without recomputing (the same pattern as ``quality_score``).
+
+    Determinism/scale: every metric is a Catalyst array lambda over the
+    whitespace split — one projection, no shuffle, no UDF; the filter
+    runs at scan speed on 100 TB. Ratios are exact-integer divisions
+    rounded once; the keep comparisons run on the ROUNDED values so the
+    SQL oracle replays them bit-for-bit."""
+    d = df.select(F.col(key), F.split(F.col(text_col), " ").alias("_w"))
+    n = F.size("_w")
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    mean_len = F.round(
+        F.expr(
+            "aggregate(transform(_w, w -> cast(length(w) AS BIGINT)), "
+            "0L, (a, x) -> a + x)"
+        ) / nd,
+        4,
+    )
+    sym_ratio = F.round(
+        F.size(F.expr(
+            "filter(_w, w -> contains(w, '#') OR contains(w, '...'))"
+        )) / nd,
+        4,
+    )
+    alpha_ratio = F.round(
+        F.size(F.expr("filter(_w, w -> w rlike '[A-Za-z]')")) / nd, 4
+    )
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    stop_hits = F.size(F.expr(
+        f"array_intersect(array_distinct(transform(_w, w -> lower(w))), "
+        f"array({stops}))"
+    ))
+    out = d.select(
+        key,
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("gopher_stopword_hits"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN
+        )
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("gopher_stopword_hits") >= GOPHER_MIN_STOPWORD_HITS),
+    )

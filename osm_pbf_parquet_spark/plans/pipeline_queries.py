@@ -1361,7 +1361,10 @@ def q_winnowing_fingerprints(spark, sf_dir):
     return text.winnowing_fingerprints(t_adaptive(spark, sf_dir, "documents"))
 
 
-def _oracle_winnowing() -> str:
+def _oracle_winnowing(source: str = "documents") -> str:
+    # `source` lets compositions (fingerprint_decontaminate) replay the
+    # identical fingerprint arithmetic over a split CTE; the default
+    # renders the exact string the winnowing gate has always had
     from ..operators.text import WINNOW_K as k, WINNOW_W as w
 
     sl = f"gh[i:i+{w - 1}]"
@@ -1372,7 +1375,7 @@ WITH g AS (
          ELSE list_transform(range(0, len(string_split(text, ' ')) - {k} + 1),
               i -> array_to_string((string_split(text, ' '))[i+1:i+{k}], ' '))
     END AS grams
-  FROM documents
+  FROM {source}
 ),
 h AS (
   SELECT doc_id,
@@ -1544,4 +1547,108 @@ LIMIT {n}
 
 PIPELINE_QUERIES.update({
     "margin_bitext_ann": (q_margin_bitext_ann, _oracle_margin_ann()),
+})
+
+
+# --- Gopher quality rules (r9) ---------------------------------------------------
+
+
+def q_gopher_quality(spark, sf_dir):
+    """The published Gopher quality-filter rule set (Rae et al. 2021
+    §A.1.1) per document: word-count bounds, mean word length, symbol
+    ratio, alphabetic-word ratio, stop-word hits + the combined keep
+    verdict (text.gopher_quality). One scan-speed projection."""
+    return text.gopher_quality(t_adaptive(spark, sf_dir, "documents"))
+
+
+def _oracle_gopher() -> str:
+    stops = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS INT) AS n_words,
+    round(list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))
+          / CAST(greatest(len(ws), 1) AS DOUBLE), 4) AS mean_word_len,
+    round(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))
+          / CAST(greatest(len(ws), 1) AS DOUBLE), 4) AS symbol_word_ratio,
+    round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+          / CAST(greatest(len(ws), 1) AS DOUBLE), 4) AS alpha_word_ratio,
+    CAST(len(list_intersect(list_distinct(list_transform(ws,
+         x -> lower(x))), [{stops}])) AS INT) AS gopher_stopword_hits
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       alpha_word_ratio, gopher_stopword_hits,
+       (n_words BETWEEN {text.GOPHER_MIN_WORDS} AND {text.GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {text.GOPHER_MIN_MEAN_LEN}
+                               AND {text.GOPHER_MAX_MEAN_LEN}
+        AND symbol_word_ratio <= {text.GOPHER_MAX_SYMBOL_RATIO}
+        AND alpha_word_ratio >= {text.GOPHER_MIN_ALPHA_RATIO}
+        AND gopher_stopword_hits >= {text.GOPHER_MIN_STOPWORD_HITS})
+         AS keep
+FROM m
+"""
+
+
+PIPELINE_QUERIES.update({
+    "gopher_quality": (q_gopher_quality, _oracle_gopher()),
+})
+
+
+# --- winnowing span decontamination (r9) -------------------------------------------
+
+
+def q_fingerprint_decontaminate(spark, sf_dir):
+    """SPAN-level contamination certificate via winnowing fingerprints:
+    per training document, how many of its selected MOSS fingerprints
+    also appear in the eval split's fingerprint set (same %-20 split as
+    the decontaminate/bloom gates). The winnowing guarantee runs in the
+    proving direction — ANY shared span of w+k-1 tokens yields at least
+    one common selected fingerprint — so ``n_eval_shared = 0`` PROVES no
+    long verbatim span is shared with the eval set, at fingerprint cost
+    (≈ |grams|/w selected rows per doc) instead of full gram-overlap
+    cost. Plan: both fingerprint sets are scan-speed per-row projections
+    (text.winnowing_fingerprints — no shuffle, no UDF); the eval side's
+    distinct fps broadcast; the train side's only exchange is the final
+    doc-keyed combinable agg — the same no-corpus-shuffle shape as
+    bloom_decontaminate, one rung stronger per hit (a shared fingerprint
+    is a real 60-bit gram-hash match at a position, not k bloom bits)."""
+    docs = t_adaptive(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tf = text.winnowing_fingerprints(train)
+    ef = (
+        text.winnowing_fingerprints(ev)
+        .select("fp").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return tf.join(F.broadcast(ef), "fp", "left").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+            "n_eval_shared"
+        ),
+    )
+
+
+def _oracle_fp_decontaminate() -> str:
+    return f"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+evalset AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+tf AS ({_oracle_winnowing("train")}),
+ef AS (SELECT DISTINCT fp FROM ({_oracle_winnowing("evalset")}) e)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+       CAST(sum(CASE WHEN fp IN (SELECT fp FROM ef)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_shared
+FROM tf GROUP BY doc_id
+"""
+
+
+PIPELINE_QUERIES.update({
+    "fingerprint_decontaminate": (
+        q_fingerprint_decontaminate,
+        _oracle_fp_decontaminate(),
+    ),
 })

@@ -472,3 +472,71 @@ def test_margin_sub_k_endpoints_are_scored_not_dropped(spark):
     # mu_b(10)=(0.9+0.8)/2=0.85, mu_b(11)=0.6, mu_b(12)=0.4
     assert got[(1, 10)] == round(0.9 / ((0.9 + 0.85) / 2), 6)
     assert got[(2, 12)] == round(0.4 / ((0.6 + 0.4) / 2), 6)
+
+
+def test_gopher_rules_fire_on_constructed_violations(spark):
+    """r9: each Gopher rule (Rae et al. 2021 §A.1.1) must flip `keep`
+    on a document constructed to violate exactly it."""
+    from osm_pbf_parquet_spark.operators.text import gopher_quality
+
+    good = " ".join(
+        ["the", "be", "to", "of"] + ["word"] * 60
+    )  # 64 words, mean len ~4, no symbols, all alphabetic, 4 stop hits
+    rows = [
+        (1, good),
+        (2, "the be " + " ".join(["word"] * 10)),        # too few words
+        (3, " ".join(["the", "be"] + ["ab"] * 62)),      # mean len < 3
+        (4, good + " " + " ".join(["#tag"] * 20)),       # symbol ratio
+        (5, " ".join(["the", "be"] + ["123"] * 62)),     # alpha ratio
+        (6, " ".join(["zig"] * 64)),                     # no stop words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[1]["keep"] is True
+    for bad in (2, 3, 4, 5, 6):
+        assert got[bad]["keep"] is False, got[bad]
+    # the metric that fired is the expected one
+    assert got[2]["n_words"] < 50
+    assert got[3]["mean_word_len"] < 3.0
+    assert got[4]["symbol_word_ratio"] > 0.1
+    assert got[5]["alpha_word_ratio"] < 0.8
+    assert got[6]["gopher_stopword_hits"] < 2
+
+
+def test_fingerprint_decontaminate_span_guarantee(spark):
+    """r9: the winnowing guarantee in the proving direction — a train
+    doc sharing a >= w+k-1-token verbatim span with an eval doc can
+    NEVER report n_eval_shared = 0 (any such span contributes at least
+    one common selected fingerprint), so zero IS a span-cleanliness
+    certificate. Doc ids follow the gate's %-20 split."""
+    from pyspark.sql import functions as F
+
+    from osm_pbf_parquet_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    span = " ".join(f"leak{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    rows = [
+        (20, "eval doc header " + span + " eval tail words here"),  # eval
+        (1, "train prefix words " + span + " train suffix"),        # dirty
+        (2, " ".join(f"clean{i}" for i in range(30))),              # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tf = winnowing_fingerprints(train)
+    ef = (
+        winnowing_fingerprints(ev).select("fp").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    got = {
+        r["doc_id"]: r["n_eval_shared"]
+        for r in tf.join(F.broadcast(ef), "fp", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_eval_shared"))
+        .collect()
+    }
+    assert got[1] >= 1, got    # the shared span MUST surface
+    assert got[2] == 0, got    # disjoint text stays provably clean
