@@ -846,6 +846,7 @@ def margin_from_candidates(
     a_col: str = "a_id",
     b_col: str = "b_id",
     cos_col: str = "cos",
+    cache=None,
 ) -> DataFrame:
     """Margin criterion over a CANDIDATE pair set — the corpus-scale
     path: at 100 TB nobody scores the cross product, the pairs come
@@ -859,11 +860,20 @@ def margin_from_candidates(
     on LSH/IVF candidate sets — gets mu over the neighbors it HAS
     (sum of present rank pivots / actual count), so sparse endpoints'
     pairs stay scored instead of silently dropping out with a NULL
-    margin (r8 advice). Plan: two rank-k windows keyed on the pair
-    endpoints + two broadcast attaches of the (endpoint, mu) tables —
-    the candidate frame is never re-shuffled beyond the two endpoint
-    keys, and the fixed-order rank-pivoted mean keeps the float math
-    engine-exact (see margin_knn_pairs)."""
+    margin (r8 advice). Plan: the candidate frame is PERSISTED
+    (operator-owned PersistSet, released when the result drops) because
+    it has three consumers — both mu windows and the final attach — and
+    without the cache the upstream candidate generator (the LSH bucket
+    join at corpus scale) would materialize three times; above the
+    cache sit two rank-k windows keyed on the pair endpoints + two
+    broadcast attaches of the (endpoint, mu) tables, so the candidates
+    are never re-shuffled beyond the two endpoint keys, and the
+    fixed-order rank-pivoted mean keeps the float math engine-exact
+    (see margin_knn_pairs)."""
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    candidates = ps.persist(candidates.select(a_col, b_col, cos_col))
 
     def mu(side_key: str) -> DataFrame:
         other = b_col if side_key == a_col else a_col
@@ -909,7 +919,7 @@ def margin_from_candidates(
             ).alias("margin"),
         )
     )
-    return (
-        out.orderBy(F.desc("margin"), a_col, b_col)
-        .limit(top_n)
+    return tie_release(
+        out.orderBy(F.desc("margin"), a_col, b_col).limit(top_n),
+        ps, owned,
     )

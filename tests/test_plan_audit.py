@@ -509,3 +509,88 @@ def test_training_set_assembly_marginal_plan(spark):
         assert "InMemoryTableScan" in plan
     finally:
         del df
+
+
+def test_gopher_quality_is_pure_projection(spark):
+    """r9: the Gopher rule set must run at scan speed — no exchange
+    beyond the adaptive loader's (conditional) round-robin, no join, no
+    Python evaluation; every metric is a Catalyst array lambda."""
+    from osm_pbf_parquet_spark.plans.pipeline_queries import q_gopher_quality
+
+    plan = _plan(q_gopher_quality(spark, SF_DIR))
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fingerprint_decontaminate_probe_never_shuffles_on_fp(spark):
+    """r9: the span-decontamination certificate keeps the
+    bloom_decontaminate shape — the train side's ONLY exchange is the
+    final doc-keyed agg; the fp-keyed exchange belongs to the eval
+    side's distinct (tiny by contract) feeding the BroadcastExchange."""
+    import re
+
+    from osm_pbf_parquet_spark.plans.pipeline_queries import (
+        q_fingerprint_decontaminate,
+    )
+
+    plan = _plan(q_fingerprint_decontaminate(spark, SF_DIR))
+    # same subtree-scoping parser as the bloom audit
+    tree = []
+    for line in plan.splitlines():
+        m = re.match(r"^([\s:+\-*]*)([A-Za-z][\w ]*) \((\d+)\)\s*$", line)
+        if m:
+            tree.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
+    args: dict[int, str] = {}
+    cur = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) ", line)
+        if m:
+            cur = int(m.group(1))
+        elif cur is not None and line.strip().startswith("Arguments:"):
+            args[cur] = line.strip()
+    bcast = [(i, ind) for i, (ind, name, _nid) in enumerate(tree)
+             if name == "BroadcastExchange"]
+    assert len(bcast) == 1, tree
+    bi, bind = bcast[0]
+    eval_side = set()
+    for ind, _name, nid in tree[bi + 1:]:
+        if ind <= bind:
+            break
+        eval_side.add(nid)
+    probe_hashed = [
+        args.get(nid, "") for ind, name, nid in tree
+        if name == "Exchange" and nid not in eval_side
+        and "hashpartitioning" in args.get(nid, "")
+    ]
+    assert len(probe_hashed) == 1 and "doc_id" in probe_hashed[0], probe_hashed
+    assert "fp" not in probe_hashed[0].split("hashpartitioning(")[1].split(",")[0]
+
+
+def test_margin_ann_candidates_materialize_once(spark):
+    """r9: margin_from_candidates has three consumers of the candidate
+    frame (two mu windows + the final attach); without the persist the
+    LSH bucket join would run three times at corpus scale. The plan must
+    read the candidates from cache and shuffle only on the two endpoint
+    keys above it."""
+    import re
+
+    from osm_pbf_parquet_spark.plans.pipeline_queries import (
+        q_margin_bitext_ann,
+    )
+
+    df = q_margin_bitext_ann(spark, SF_DIR)
+    try:
+        plan = _plan(df)
+        assert "InMemoryTableScan" in plan
+        hashed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        a_keyed = [a for a in hashed if a.startswith("a_id")]
+        b_keyed = [a for a in hashed if a.startswith("b_id")]
+        assert len(a_keyed) == 1 and len(b_keyed) == 1, hashed
+        # the candidate generator's own distinct may appear ONCE (it
+        # materializes the cache); three copies = the persist regressed
+        cand_keyed = [a for a in hashed if a.startswith("id_a")]
+        assert len(cand_keyed) <= 1, hashed
+        assert "TakeOrderedAndProject" in plan  # top-n, not a global sort
+    finally:
+        del df
