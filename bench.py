@@ -437,6 +437,16 @@ def main() -> None:
             # this anchors the PPJoin length+positional pruning: 1.25M
             # filtered candidates against 248.6k true pairs
             ("jaccard_join_exact", PIPE["jaccard_join_exact"][0]),
+            # r9: the training-set-assembly capstone — dsir over the 10x
+            # corpus → A-ES reservoir top-k → shard window, end-to-end
+            ("training_set_assembly", SEL["training_set_assembly"][0]),
+            # r9: margin criterion over LSH candidates (the CCMatrix
+            # shape) — bucket join + cached candidates + 2 rank-k windows
+            ("margin_bitext_ann", PIPE["margin_bitext_ann"][0]),
+            # r9: winnowing span-decontamination certificate — scan-speed
+            # fingerprints + broadcast eval set + one doc-keyed agg
+            ("fingerprint_decontaminate",
+             PIPE["fingerprint_decontaminate"][0]),
         ]
         for name, fn in big_headline:
             # min-of-3 for the WHOLE tier: the host's minutes-long
@@ -492,15 +502,72 @@ def main() -> None:
         import sys as _sys
 
         _make_soak_tier(spark)
+        # KILL the parent JVM before the legs — spark.stop() alone is
+        # not enough: the py4j gateway JVM survives until this Python
+        # process exits, holding the heap it grew over the big tier
+        # (~40 GB RSS), and a large co-resident process inflates a
+        # 30 GB leg's JVM CPU-seconds ~9x from memory-reclaim pressure
+        # (controlled A/B: the identical leg read 694 CPU-sec alone vs
+        # 6046 next to a 40 GiB hog, while the small-footprint
+        # calibration workload barely moved — so the machine-state
+        # index stays honest but the leg does not). Nothing after the
+        # soak section touches the session.
+        gw_proc = getattr(spark.sparkContext._gateway, "proc", None)
+        spark.stop()
+        if gw_proc is not None:
+            try:
+                gw_proc.terminate()
+                gw_proc.wait(timeout=30)
+            except Exception:
+                pass
+
+        def _settle_memory(max_wait: int = 120) -> None:
+            """Wait for kernel memory reclaim to finish before starting
+            the next multi-GB JVM. Measured on this host: a leg started
+            immediately after a ~30 GB JVM exit costs 2x the JVM
+            CPU-seconds of the identical leg (1893 vs 953 back-to-back;
+            606 after a settle) — reclaim/compaction of the dead
+            process's pages is billed to the new process's faults.
+            Settled = MemAvailable stable (<0.5% delta over 5s) and
+            above 60% of MemTotal, capped at max_wait."""
+            def meminfo():
+                vals = {}
+                with open("/proc/meminfo") as fh:
+                    for ln in fh:
+                        k, v = ln.split(":", 1)
+                        vals[k] = int(v.split()[0])
+                return vals
+            deadline = time.time() + max_wait
+            prev = meminfo().get("MemAvailable", 0)
+            while time.time() < deadline:
+                time.sleep(5)
+                cur = meminfo()
+                avail, total = cur.get("MemAvailable", 0), cur.get(
+                    "MemTotal", 1)
+                if (
+                    abs(avail - prev) < 0.005 * total
+                    and avail > 0.6 * total
+                ):
+                    return
+                prev = avail
+
         leg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "tools", "soak_leg.py")
         soak_raw: dict[str, list[float]] = {}
         soak_cpu: dict[str, list[float]] = {}
+        calib: dict[str, list] = {}
         peak_rss = 0
         for name in ("full_curation_pipeline", "dedup_minhash_lsh",
                      "duplicate_spans"):
+            # same contention policy as timed(): identical fresh JVMs
+            # minutes apart swing 2x in CPU-SECONDS on this host
+            # (co-tenant cache/bandwidth contention inflates cycles per
+            # instruction — observed 963 vs 2502 CPU-sec for the same
+            # leg), so keep sampling, bounded, until two reps agree
+            # within OUTLIER_X of the best; every raw rep is recorded
             reps, cpus = [], []
-            for _ in range(2):
+            while True:
+                _settle_memory()
                 proc = subprocess.run(
                     [_sys.executable, leg, name, SOAK_DIR],
                     capture_output=True, text=True, timeout=1200,
@@ -512,12 +579,22 @@ def main() -> None:
                 rep = json.loads(proc.stdout.strip().splitlines()[-1])
                 reps.append(rep["wall_sec"])
                 cpus.append(rep["jvm_cpu_sec"])
+                calib.setdefault(name, []).append(
+                    [rep.get("calib_wall_sec"), rep.get("calib_cpu_sec")]
+                )
                 peak_rss = max(peak_rss, rep.get("jvm_peak_rss_mb") or 0)
+                clean = [r for r in reps if r <= OUTLIER_X * min(reps)]
+                if len(clean) >= 2 or len(reps) >= 2 + EXTRA_ATTEMPTS:
+                    break
             soak[name] = min(reps)
             soak_raw[name] = reps
             soak_cpu[name] = cpus
         soak["raw_reps"] = soak_raw
         soak["jvm_cpu_sec"] = soak_cpu
+        # per-rep [wall, cpu] of the fixed calibration workload — the
+        # machine-state index that tells a state-impaired rep from a
+        # plan regression (see tools/soak_leg.py)
+        soak["calib_wall_cpu"] = calib
         soak["jvm_peak_rss_mb"] = peak_rss or None
     except Exception as exc:
         soak["soak_error"] = f"{type(exc).__name__}: {exc}"
@@ -551,8 +628,13 @@ def main() -> None:
             "inside one session; fresh-JVM runs read equal). Each leg "
             "reports JVM CPU-seconds alongside wall: CPU time does not "
             "absorb the host's minutes-long contention windows, so "
-            "compare CPU first, wall second. min-of-2, raw reps and "
-            "per-rep CPU recorded."
+            "compare CPU first, wall second. min-of-2 with the big-tier "
+            "outlier-retry policy, raw reps and per-rep CPU recorded. "
+            "Legs start only after kernel memory reclaim settles "
+            "(MemAvailable stable): a leg started right after a ~30 GB "
+            "JVM exit measures reclaim/compaction (2x CPU-seconds for "
+            "identical work — 1893 vs 953 back-to-back, 606 settled), "
+            "not the plan."
         ),
     }
     payload = {

@@ -58,6 +58,20 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # machine-state calibration: a FIXED pure-JVM workload (identical
+    # cycles every run) measured in the same units as the leg. On this
+    # host the same leg swings 24s..211s across identical fresh JVMs —
+    # the divergence tracks preceding sustained all-core load
+    # (thermal / hypervisor CPU state), not the plan — so every rep
+    # carries its own normalizer: if calib_cpu inflates 2x, the leg's
+    # inflation is machine state, not a plan regression.
+    c0, t0 = jvm_cpu(), time.time()
+    spark.range(2_000_000_000, numPartitions=n).selectExpr(
+        "sum(id % 1000) AS s"  # bounded sum: no ANSI bigint overflow
+    ).collect()
+    calib_wall = time.time() - t0
+    calib_cpu = jvm_cpu() - c0
+
     from osm_pbf_parquet_spark.plans.pipeline_queries import PIPELINE_QUERIES
 
     c0, t0 = jvm_cpu(), time.time()
@@ -68,6 +82,8 @@ def main() -> None:
         "query": name,
         "wall_sec": round(wall, 3),
         "jvm_cpu_sec": round(cpu, 1),
+        "calib_wall_sec": round(calib_wall, 3),
+        "calib_cpu_sec": round(calib_cpu, 1),
         "jvm_peak_rss_mb": jvm_peak_rss_mb(),
     }))
 
