@@ -688,6 +688,9 @@ def main() -> None:
     if len(out) > 1900:  # last resort: sf0.1 detail lives in the sidecar
         line["queries"] = {"in": "BENCH_payload.json"}
         out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1900:  # 19 big anchors: spread map next (sidecar too)
+        line["big_spread"] = {"in": "BENCH_payload.json"}
+        out = json.dumps(line, separators=(",", ":"))
     print(out)
 
 
