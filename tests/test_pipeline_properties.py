@@ -540,3 +540,45 @@ def test_fingerprint_decontaminate_span_guarantee(spark):
     }
     assert got[1] >= 1, got    # the shared span MUST surface
     assert got[2] == 0, got    # disjoint text stays provably clean
+
+
+def test_gopher_oracle_differential_on_adversarial_whitespace(spark):
+    """r9: the sf corpora are well-formed, so gate parity never
+    exercises empty-token paths — pin Spark↔DuckDB agreement on the
+    degenerate inputs directly (double/leading/trailing spaces produce
+    empty split tokens; empty text; mixed case)."""
+    import duckdb
+
+    from osm_pbf_parquet_spark.operators.text import gopher_quality
+    from osm_pbf_parquet_spark.plans.pipeline_queries import _oracle_gopher
+
+    rows = [
+        (1, "a  b"),
+        (2, " leading"),
+        (3, "trailing "),
+        (4, ""),
+        (5, "the be to of and"),
+        (6, "THE BE to words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["mean_word_len"],
+                      r["symbol_word_ratio"], r["alpha_word_ratio"],
+                      r["gopher_stopword_hits"], r["keep"])
+        for r in gopher_quality(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            "SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, "
+            "alpha_word_ratio, gopher_stopword_hits, keep FROM ("
+            + _oracle_gopher() + ")"
+        ).fetchall()
+    }
+    assert got == want
