@@ -111,11 +111,12 @@ def _registry() -> dict[str, tuple]:
 # below are restated from its must_cover/never_checked fields, not hand
 # arithmetic):
 #
-#   4 never-checked r9-new gates (training_set_assembly,
-#   margin_bitext_ann, gopher_quality, fingerprint_decontaminate)
+#   5 never-checked r9-new gates (training_set_assembly,
+#   margin_bitext_ann, gopher_quality, fingerprint_decontaminate,
+#   stream_fingerprint_decontaminate)
 #   + 17 line-tainted + 2 fingerprint-drifted
 #   (osm_way_geometry, higher_order_arrays — one-time re-anchor after
-#   the ledger's lambda-counter canonicalization fix) = 23 must-cover,
+#   the ledger's lambda-counter canonicalization fix) = 24 must-cover,
 #   ALL IN-CAP:
 #     - 15 gates migrated off the deleted legacy t() loader
 #       (multimodal_metadata/features/decode/audio/frames,
@@ -128,17 +129,18 @@ def _registry() -> dict[str, tuple]:
 #     - margin_bitext_mine (sub-k mu guard in margin_from_candidates +
 #       matching oracle change)
 #
-# The remaining 27 slots are freshness fills, oldest-green-first (r8
+# The remaining 26 slots are freshness fills, oldest-green-first (r8
 # verdict ask #3): the analytic r3 block that yielded its slots two
 # rounds running (rollup_agg, ntile_quartiles, grouping_sets_agg,
 # cube_agg, anti_join, approx_sketches, filter_project, lag_lead_gap,
 # ... all last green r3), then the oldest r4 gates.
 _CHECK_FIRST = [
-    # --- 23 must-cover (4 never-checked + 17 line-tainted + 2 re-anchors) ---
+    # --- 24 must-cover (5 never-checked + 17 line-tainted + 2 re-anchors) ---
     "training_set_assembly",
     "margin_bitext_ann",
     "gopher_quality",
     "fingerprint_decontaminate",
+    "stream_fingerprint_decontaminate",
     "margin_bitext_mine",
     "bloom_decontaminate",
     "multimodal_metadata",
@@ -156,7 +158,7 @@ _CHECK_FIRST = [
     "sample_length_buckets",
     "sample_uniform_n",
     "sample_hash_split",
-    # --- 27 freshness fills (last green r3, then oldest r4) ---
+    # --- 26 freshness fills (last green r3) ---
     "rollup_agg",
     "ntile_quartiles",
     "grouping_sets_agg",
@@ -183,7 +185,6 @@ _CHECK_FIRST = [
     "stream_sessionize_stateful",
     "stream_windowed_counts",
     "top_revenue_orders",
-    "topk_per_group",
     # r9 tool-fix drift absorption: the ledger's plan fingerprint now
     # canonicalizes PySpark's process-global lambda-variable counter
     # (lambda x_1 vs x_4 — registry-order-dependent before), which

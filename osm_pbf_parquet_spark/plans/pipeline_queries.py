@@ -1652,3 +1652,61 @@ PIPELINE_QUERIES.update({
         _oracle_fp_decontaminate(),
     ),
 })
+
+
+def q_stream_fingerprint_decontaminate(spark, sf_dir):
+    """Decontaminate-on-arrival: the winnowing span certificate runs on
+    a STREAM of incoming training documents (file-source readStream →
+    the SAME scan-speed fingerprint projection — streaming/batch
+    unification, zero operator changes) joined stream-to-static against
+    the broadcast eval fingerprint set, aggregated per doc in complete
+    mode. The shape an ingest pipeline needs: every arriving document
+    leaves the micro-batch carrying its span-cleanliness proof
+    (n_eval_shared = 0) before it ever lands in the training corpus.
+    On static input the result is exactly the batch gate's, which the
+    shared oracle pins bit-for-bit."""
+    from pyspark.sql import types as T
+
+    from .analytic_queries import _run_stream_to_table
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    train = stream.filter(F.col("doc_id") % 20 != 0)
+    ev = t_adaptive(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    tf = text.winnowing_fingerprints(train)
+    ef = (
+        text.winnowing_fingerprints(ev)
+        .select("fp").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    out = tf.join(F.broadcast(ef), "fp", "left").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+            "n_eval_shared"
+        ),
+    )
+    return _run_stream_to_table(
+        spark, out, "stream_fp_decon_result", "complete"
+    )
+
+
+PIPELINE_QUERIES.update({
+    # the streaming form shares the batch gate's oracle verbatim — one
+    # definition pinning both execution modes
+    "stream_fingerprint_decontaminate": (
+        q_stream_fingerprint_decontaminate,
+        _oracle_fp_decontaminate(),
+    ),
+})
