@@ -866,8 +866,19 @@ def margin_from_candidates(
     without the cache the upstream candidate generator (the LSH bucket
     join at corpus scale) would materialize three times; above the
     cache sit two rank-k windows keyed on the pair endpoints + two
-    broadcast attaches of the (endpoint, mu) tables, so the candidates
-    are never re-shuffled beyond the two endpoint keys, and the
+    UNHINTED keyed equi-joins of the (endpoint, mu) tables. The joins
+    carry no broadcast hint on purpose (r9 verdict/advice): each mu
+    frame has one row per distinct candidate endpoint, which at the
+    operator's own target scale is corpus-sized — a forced broadcast
+    would be a driver/executor OOM. Left plain, the mu_a attach keys on
+    the SAME endpoint the rank-k window already hash-partitioned the
+    candidates on, so Catalyst reuses that exchange (zero extra shuffle
+    on the big side for the first attach; the second attach's re-key on
+    the other endpoint is inherent to joining on two keys), and AQE is
+    free to downgrade either join to broadcast at runtime when the
+    endpoint table actually IS small — the right call comes from
+    observed sizes, not a hint. Plan-audited
+    (tests/test_plan_audit.py::test_margin_mu_attach_is_unhinted). The
     fixed-order rank-pivoted mean keeps the float math engine-exact
     (see margin_knn_pairs)."""
     from ..functions.caching import owned_set, tie_release
@@ -905,8 +916,8 @@ def margin_from_candidates(
         )
 
     out = (
-        candidates.join(F.broadcast(mu(a_col)), a_col)
-        .join(F.broadcast(mu(b_col)), b_col)
+        candidates.join(mu(a_col), a_col)
+        .join(mu(b_col), b_col)
         .select(
             a_col,
             b_col,

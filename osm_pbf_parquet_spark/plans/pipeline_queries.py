@@ -1498,8 +1498,11 @@ def q_margin_bitext_ann(spark, sf_dir):
     the pair frame — no label attach join needed), pairs are kept only
     when they cross sides, and the identical margin math then runs over
     the candidate set (similarity.margin_from_candidates: two rank-k
-    windows + two broadcast mu attaches). Sub-k endpoints — routine on
-    ANN candidate sets — are scored over the neighbors they have.
+    windows + two UNHINTED keyed mu attaches — no forced broadcast of
+    the per-endpoint tables, which are corpus-sized at the operator's
+    target scale; AQE may still broadcast them at runtime when they are
+    observed small). Sub-k endpoints — routine on ANN candidate sets —
+    are scored over the neighbors they have.
 
     The oracle replays the SAME candidate generator (the ann_lsh_pairs
     oracle at this gate's threshold) and the shared mu definition, so

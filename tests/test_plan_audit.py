@@ -586,7 +586,10 @@ def test_margin_ann_candidates_materialize_once(spark):
         hashed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
         a_keyed = [a for a in hashed if a.startswith("a_id")]
         b_keyed = [a for a in hashed if a.startswith("b_id")]
-        assert len(a_keyed) == 1 and len(b_keyed) == 1, hashed
+        # per endpoint key: the rank-k window's exchange, plus (since
+        # r10 the mu attach is UNHINTED) at most one join exchange when
+        # the static planner picks SMJ — never more
+        assert 1 <= len(a_keyed) <= 2 and 1 <= len(b_keyed) <= 2, hashed
         # the candidate generator's own distinct may appear ONCE (it
         # materializes the cache); three copies = the persist regressed
         cand_keyed = [a for a in hashed if a.startswith("id_a")]
@@ -594,3 +597,45 @@ def test_margin_ann_candidates_materialize_once(spark):
         assert "TakeOrderedAndProject" in plan  # top-n, not a global sort
     finally:
         del df
+
+
+def test_margin_mu_attach_is_unhinted(spark):
+    """r10 (r9 verdict #1 / advice): margin_from_candidates must NOT
+    force-broadcast the per-endpoint mu tables — they have one row per
+    distinct candidate endpoint, corpus-sized at the operator's target
+    scale. With the broadcast threshold disabled (so only an explicit
+    hint could produce one), the plan must contain ZERO
+    BroadcastExchange, and every exchange on the lineage must be keyed
+    on an endpoint column (the two rank-k windows + the two keyed
+    attaches) — never a driver-side collect of a mu table. AQE remains
+    free to downgrade a join to broadcast at runtime from OBSERVED
+    sizes; this audit pins only that no hint forces it."""
+    import re
+
+    from osm_pbf_parquet_spark.operators.similarity import (
+        margin_from_candidates,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rows = [(i, (i * 7) % 50 + 100, 0.5 + (i % 10) / 100.0)
+                for i in range(200)]
+        cands = spark.createDataFrame(
+            rows, "a_id long, b_id long, cos double"
+        )
+        df = margin_from_candidates(cands, k=4, top_n=10)
+        try:
+            plan = _plan(df)
+            assert "BroadcastExchange" not in plan, plan
+            hashed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+            assert hashed, plan
+            for a in hashed:
+                assert a.startswith("a_id") or a.startswith("b_id"), hashed
+            # top-n stays a bounded heap, never a global sort
+            assert "TakeOrderedAndProject" in plan
+            assert "rangepartitioning" not in plan
+        finally:
+            del df
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
