@@ -718,18 +718,28 @@ def gopher_quality(
 ) -> DataFrame:
     """The Gopher quality-filter rule set (Rae et al. 2021 §A.1.1) as a
     per-document metrics + verdict projection: word-count bounds, mean
-    word length in [3, 10], '#'/'…'-symbol-to-word ratio ≤ 0.1, ≥ 80 %
-    of words containing an alphabetic character, and ≥ 2 of the eight
-    published stop words present. Emits every metric alongside the
-    combined ``keep`` flag so downstream curation can re-threshold
-    without recomputing (the same pattern as ``quality_score``).
+    word length in [3, 10], symbol-to-word ratio ≤ 0.1, ≥ 80 % of words
+    containing an alphabetic character, and ≥ 2 of the eight published
+    stop words present. The symbol-to-word ratio follows the published
+    rule's counting: symbol OCCURRENCES — each '#', each non-overlapping
+    '...', and each unicode ellipsis '…' — over the raw text, divided by
+    the word count (r9 advice: the earlier form counted affected WORDS,
+    capped at one per word, and missed '…'; a doc with repeated in-word
+    hashes or real ellipses now fails the rule as published). Emits
+    every metric alongside the combined ``keep`` flag so downstream
+    curation can re-threshold without recomputing (the same pattern as
+    ``quality_score``).
 
     Determinism/scale: every metric is a Catalyst array lambda over the
     whitespace split — one projection, no shuffle, no UDF; the filter
     runs at scan speed on 100 TB. Ratios are exact-integer divisions
     rounded once; the keep comparisons run on the ROUNDED values so the
     SQL oracle replays them bit-for-bit."""
-    d = df.select(F.col(key), F.split(F.col(text_col), " ").alias("_w"))
+    d = df.select(
+        F.col(key),
+        F.col(text_col).alias("_t"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
     n = F.size("_w")
     nd = F.greatest(n, F.lit(1)).cast("double")
     mean_len = F.round(
@@ -739,12 +749,17 @@ def gopher_quality(
         ) / nd,
         4,
     )
-    sym_ratio = F.round(
-        F.size(F.expr(
-            "filter(_w, w -> contains(w, '#') OR contains(w, '...'))"
-        )) / nd,
-        4,
+    # occurrence counts via replace-length deltas: exact integers, pure
+    # codegen, and the identical arithmetic replays in DuckDB. '...' is
+    # non-overlapping (replace semantics, = str.count); length() is
+    # character-based in both engines so '…' counts as one.
+    sym_count = F.expr(
+        "cast(length(_t) - length(replace(_t, '#', '')) AS BIGINT)"
+        " + (cast(length(_t) - length(replace(_t, '...', '')) AS BIGINT)"
+        " div 3)"
+        " + cast(length(_t) - length(replace(_t, '…', '')) AS BIGINT)"
     )
+    sym_ratio = F.round(sym_count / nd, 4)
     alpha_ratio = F.round(
         F.size(F.expr("filter(_w, w -> w rlike '[A-Za-z]')")) / nd, 4
     )

@@ -1568,14 +1568,17 @@ def _oracle_gopher() -> str:
     stops = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
     return f"""
 WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
 ),
 m AS (
   SELECT doc_id,
     CAST(len(ws) AS INT) AS n_words,
     round(list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))
           / CAST(greatest(len(ws), 1) AS DOUBLE), 4) AS mean_word_len,
-    round(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))
+    round((CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST(length(text) - length(replace(text, '...', '')) AS BIGINT)
+             // 3
+           + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT))
           / CAST(greatest(len(ws), 1) AS DOUBLE), 4) AS symbol_word_ratio,
     round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
           / CAST(greatest(len(ws), 1) AS DOUBLE), 4) AS alpha_word_ratio,

@@ -489,11 +489,18 @@ def test_gopher_rules_fire_on_constructed_violations(spark):
         (4, good + " " + " ".join(["#tag"] * 20)),       # symbol ratio
         (5, " ".join(["the", "be"] + ["123"] * 62)),     # alpha ratio
         (6, " ".join(["zig"] * 64)),                     # no stop words
+        # r10 (r9 advice): the published rule counts symbol OCCURRENCES,
+        # not affected words — one word carrying 8 hashes must fire
+        # (8/65 > 0.1; the old word-level count saw 1/65 and passed)…
+        (7, good + " w########x"),
+        # …and the unicode ellipsis must count at all (7/65 > 0.1; the
+        # old rule matched only ASCII '...' and saw zero)
+        (8, good + " a…b…c…d…e…f…g…h"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
     assert got[1]["keep"] is True
-    for bad in (2, 3, 4, 5, 6):
+    for bad in (2, 3, 4, 5, 6, 7, 8):
         assert got[bad]["keep"] is False, got[bad]
     # the metric that fired is the expected one
     assert got[2]["n_words"] < 50
@@ -501,6 +508,8 @@ def test_gopher_rules_fire_on_constructed_violations(spark):
     assert got[4]["symbol_word_ratio"] > 0.1
     assert got[5]["alpha_word_ratio"] < 0.8
     assert got[6]["gopher_stopword_hits"] < 2
+    assert got[7]["symbol_word_ratio"] == round(8 / 65, 4)
+    assert got[8]["symbol_word_ratio"] == round(7 / 65, 4)
 
 
 def test_fingerprint_decontaminate_span_guarantee(spark):
@@ -559,6 +568,11 @@ def test_gopher_oracle_differential_on_adversarial_whitespace(spark):
         (4, ""),
         (5, "the be to of and"),
         (6, "THE BE to words"),
+        # r10: symbol-occurrence counting — stacked in-word hashes,
+        # overlapping dot runs ('....' = one non-overlapping '...'),
+        # unicode ellipses, and a mix inside one word
+        (7, "w##x the ....be c…d #…#"),
+        (8, "… ... .... ..... ......"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
