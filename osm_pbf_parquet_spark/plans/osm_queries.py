@@ -301,6 +301,99 @@ SELECT * FROM (VALUES
 """
 
 
+# --- incremental replication ingestion (r10) ---------------------------------------
+#
+# The one reference-lifecycle gap an OSM user hits between planet dumps:
+# the PBF header carries the osmosis replication cursor
+# (osmpbf/src/block.rs:59-85, decoded by osm_header_metadata /
+# streaming.ops.replication_cursor) pointing at .osc change frames. These
+# gates apply such a frame — create/modify/delete rows — to the golden
+# fixture's snapshot, batch and as a stream, sharing one VALUES oracle.
+# The change set is a pinned literal (the .osc analog of the fixture's
+# pinned content): a modify (node 105 moves, version 2), a delete
+# (node 106), a create+modify pair on one new element within the same
+# diff (node 200 — exercises compaction), and a STALE modify (way 107 at
+# version 0, older than the snapshot's 1 — must be ignored).
+
+
+def _change_frame(spark: SparkSession):
+    """The pinned change frame + its schema (element schema + action)."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    from ..schema import OSM_SCHEMA
+
+    schema = T.StructType(
+        OSM_SCHEMA.fields + [T.StructField("action", T.StringType(), False)]
+    )
+    ts = _dt.datetime(2024, 1, 2, 3, 4, 5)
+    rows = [
+        (105, "node", {"fixme": "moved"}, 52.25, 11.25, None, None,
+         1001, ts, 9, "editor", 2, True, "modify"),
+        (106, "node", None, None, None, None, None,
+         1001, ts, 9, "editor", 2, None, "delete"),
+        (200, "node", {"amenity": "cafe"}, 52.5, 11.5, None, None,
+         1001, ts, 9, "editor", 1, True, "create"),
+        (200, "node", {"amenity": "cafe"}, 52.625, 11.375, None, None,
+         1002, ts, 9, "editor", 2, True, "modify"),
+        (107, "way", None, None, None, None, None,
+         900, _dt.datetime(2020, 1, 1), 9, "editor", 0, True, "modify"),
+    ]
+    return spark.createDataFrame(rows, schema), schema
+
+
+_APPLY_OUT = ("id", "type", "version", "lat", "lon")
+
+
+def q_osm_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch change application: the fixture's latest-visible snapshot +
+    the pinned .osc-style frame → the maintained snapshot
+    (osm_ops.apply_changes: compacted diff, staleness meta join on a
+    4-column snapshot projection, anti-join survivors — the full-width
+    snapshot crosses no exchange)."""
+    snap = osm_ops.latest_versions(scan_pbf(spark, FIXTURE))
+    changes, _ = _change_frame(spark)
+    return osm_ops.apply_changes(snap, changes).select(*_APPLY_OUT)
+
+
+def q_stream_osm_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same change application with the diff arriving AS A STREAM:
+    the change rows land as files, readStream feeds the SAME
+    compaction aggregation (osm_ops.compact_changes — max_by runs
+    stateful in complete mode; streaming/batch unification, zero
+    operator changes), the materialized compacted diff then merges into
+    the snapshot. On this pinned input the result is exactly the batch
+    gate's, which the shared VALUES oracle pins value-for-value."""
+    import tempfile
+
+    from .analytic_queries import _run_stream_to_table
+
+    changes, schema = _change_frame(spark)
+    d = tempfile.mkdtemp(prefix="osm_osc_stream_")
+    changes.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    diff = _run_stream_to_table(
+        spark, osm_ops.compact_changes(stream),
+        "stream_osm_changes_diff", "complete",
+    )
+    snap = osm_ops.latest_versions(scan_pbf(spark, FIXTURE))
+    return osm_ops.apply_changes(snap, diff).select(*_APPLY_OUT)
+
+
+_NULL_PT = "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+
+ORACLE_APPLY_CHANGES = f"""
+SELECT id, type, version, lat, lon FROM (VALUES
+  (CAST(105 AS BIGINT), 'node', CAST(2 AS INT), 52.25e0, 11.25e0),
+  (CAST(108 AS BIGINT), 'node', CAST(1 AS INT), {_N108}),
+  (CAST(200 AS BIGINT), 'node', CAST(2 AS INT), 52.625e0, 11.375e0),
+  (CAST(107 AS BIGINT), 'way', CAST(1 AS INT), {_NULL_PT}),
+  (CAST(120 AS BIGINT), 'relation', CAST(1 AS INT), {_NULL_PT})
+) AS t(id, type, version, lat, lon)
+"""
+
+
 OSM_QUERIES: dict[str, tuple] = {
     "osm_relation_members": (q_osm_relation_members, ORACLE_RELATION_MEMBERS),
     "osm_header_metadata": (q_osm_header_metadata, ORACLE_HEADER_METADATA),
@@ -312,4 +405,10 @@ OSM_QUERIES: dict[str, tuple] = {
     "osm_tag_histogram": (q_osm_tag_histogram, ORACLE_TAG_HISTOGRAM),
     "osm_way_geometry": (q_osm_way_geometry, ORACLE_WAY_GEOMETRY),
     "osm_geohash": (q_osm_geohash, ORACLE_GEOHASH),
+    "osm_apply_changes": (q_osm_apply_changes, ORACLE_APPLY_CHANGES),
+    # the streaming form shares the batch oracle verbatim — one
+    # definition pins both execution modes
+    "stream_osm_apply_changes": (
+        q_stream_osm_apply_changes, ORACLE_APPLY_CHANGES,
+    ),
 }

@@ -639,3 +639,59 @@ def test_margin_mu_attach_is_unhinted(spark):
             del df
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_apply_changes_snapshot_stays_pruned_and_keyed(spark, tmp_path):
+    """r10: apply_changes' scale contract — the staleness test reads a
+    COLUMN-PRUNED snapshot projection (key + version + timestamp reach
+    the file scan; the payload does not), every exchange is keyed on
+    (type, id), and there is no global sort and no nested-loop join.
+    With assume_newer=True the meta path disappears: the snapshot is
+    scanned exactly once, full-width, feeding only the anti join."""
+    import datetime as dt
+    import re
+
+    from osm_pbf_parquet_spark.operators.osm_ops import apply_changes
+
+    t0 = dt.datetime(2023, 1, 1)
+    snap_rows = [
+        (i, "node", 1, t0, True, float(i), "payload" * 10)
+        for i in range(100)
+    ]
+    ddl = (
+        "id long, type string, version int, timestamp timestamp_ntz, "
+        "visible boolean, lat double, tags string"
+    )
+    p = str(tmp_path / "snap.parquet")
+    spark.createDataFrame(snap_rows, ddl).write.parquet(p)
+    snap = spark.read.parquet(p)
+    chg = spark.createDataFrame(
+        [(1, "node", 2, dt.datetime(2024, 1, 1), True, 1.5,
+          "payload", "modify")],
+        ddl + ", action string",
+    )
+
+    plan = _plan(apply_changes(snap, chg))
+    # the meta side's file scan is pruned: some snapshot scan reads only
+    # the key/version/timestamp columns — never tags/lat
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any(
+        "version" in s and "tags" not in s and "lat" not in s
+        for s in schemas
+    ), schemas
+    # every exchange is keyed on the element key
+    for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert a.startswith("type") or a.startswith("id"), a
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+    fast = _plan(apply_changes(snap, chg, assume_newer=True))
+    # no staleness meta path: exactly one snapshot file scan, full-width
+    fast_schemas = [l for l in fast.splitlines() if "ReadSchema" in l]
+    snap_scans = [s for s in fast_schemas if "tags" in s]
+    pruned_scans = [
+        s for s in fast_schemas if "version" in s and "tags" not in s
+    ]
+    assert len(snap_scans) == 1 and not pruned_scans, fast_schemas
