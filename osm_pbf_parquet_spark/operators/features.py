@@ -45,3 +45,64 @@ def feature_hashing(
         .groupBy(id_col, "dim")
         .agg(F.sum("sign").cast("long").alias("value"))
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    weights: list[int],
+    text_col: str = "text",
+    bias: int = 0,
+    threshold: int = 0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Model-based quality scoring: a linear classifier over hashing-trick
+    features — the fastText-style filter every public curation recipe
+    pairs with the heuristic rules (CCNet trains one against Wikipedia;
+    the LLaMA recipe keeps pages it classifies as reference-like). The
+    model is the (weights, bias) pair in FIXED-POINT integer units
+    (1/``scale``), trained offline; scoring is
+    score = bias + Σ_tokens sign(token) · w[h(token)] — exactly
+    ``feature_hashing``'s signed cells dotted with w, fused so the
+    per-(id, dim) materialization disappears.
+
+    Plan: ``len(weights)`` must equal the hash dimension and is
+    literal-bounded (a model you can broadcast is a model you can
+    inline), so the weight vector is embedded as a plan-literal array —
+    cheaper than a broadcast join: tokenize → explode → per-token
+    ``element_at`` lookup (pure Catalyst) → ONE map-side-combinable
+    groupBy(id). No join, no UDF, no collect; the single exchange
+    carries (id, partial-sum) rows. All arithmetic is exact BIGINT;
+    the only float op is the final display division, computed once on
+    the rounded constant path both engines share.
+
+    Returns (id, n_tokens, score_fp, score, keep): the exact
+    fixed-point score, its float rendering, and the threshold verdict
+    (score_fp >= threshold, both in fixed-point units).
+    """
+    from .sampling import hash_mod_expr
+    from .text import with_tokens
+
+    dim = len(weights)
+    warr = "array(" + ", ".join(f"{w}L" for w in weights) + ")"
+    toks = with_tokens(df, text_col).select(
+        F.col(id_col), F.explode("tokens").alias("term")
+    )
+    signed = hash_mod_expr("concat(term, ':s')", 2)
+    contrib = F.expr(
+        f"cast(1 - 2 * ({signed}) AS BIGINT)"
+        f" * element_at({warr}, cast(({hash_mod_expr('term', dim)}) + 1 AS INT))"
+    )
+    per_doc = toks.select(id_col, contrib.alias("contrib")).groupBy(
+        id_col
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (F.lit(bias).cast("long") + F.sum("contrib")).alias("score_fp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "score_fp",
+        F.round(F.col("score_fp") / F.lit(float(scale)), 6).alias("score"),
+        (F.col("score_fp") >= F.lit(threshold)).alias("keep"),
+    )

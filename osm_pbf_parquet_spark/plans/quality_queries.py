@@ -735,6 +735,68 @@ FROM s
 """
 
 
+# --- model-based quality classifier (r10) -------------------------------------------
+
+# A pinned fixed-point linear model over the 64-dim hashed feature space
+# (what an offline fastText-style training run would hand the pipeline):
+# weights in millionths, derived from Knuth's multiplicative constant so
+# they are deterministic, signed, and embedded verbatim in BOTH the
+# Spark plan and the oracle SQL.
+_QC_DIM = 64
+_QC_W = [((d * 2654435761) % 2001) - 1000 for d in range(_QC_DIM)]
+_QC_BIAS = 250_000
+# near the corpus median score so the verdict actually discriminates
+# (a constant-keep gate would not pin the threshold comparison)
+_QC_THRESHOLD = 249_000
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Classifier-based document filtering (CCNet/LLaMA-recipe style):
+    a fixed-point linear model scored over hashing-trick features,
+    fused to tokenize → plan-literal weight lookup → one keyed agg
+    (operators.features.hashed_linear_score). The missing
+    curation-family member next to the heuristic gates
+    (gopher_quality, text_quality, unigram_logprob)."""
+    from ..operators.features import hashed_linear_score
+
+    return hashed_linear_score(
+        _t(spark, sf_dir, "documents"), "doc_id", _QC_W,
+        bias=_QC_BIAS, threshold=_QC_THRESHOLD,
+    )
+
+
+def _build_quality_classifier_oracle() -> str:
+    from ..operators.sampling import duck_hash_mod
+    from ..operators.text import TOKEN_REGEX
+
+    wlist = "[" + ", ".join(
+        f"CAST({w} AS BIGINT)" for w in _QC_W
+    ) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_REGEX}')) AS term
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CAST(1 - 2 * ({duck_hash_mod("term || ':s'", 2)}) AS BIGINT)
+         * list_extract({wlist},
+             CAST(({duck_hash_mod("term", _QC_DIM)}) + 1 AS INT)) AS contrib
+  FROM toks
+),
+s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST({_QC_BIAS} + sum(contrib) AS BIGINT) AS score_fp
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, score_fp,
+       round(score_fp / 1000000.0, 6) AS score,
+       score_fp >= {_QC_THRESHOLD} AS keep
+FROM s
+"""
+
+
 QUALITY_QUERIES = {
     "shortest_hops": (q_shortest_hops, ORACLE_SHORTEST_HOPS),
     "triangle_count": (q_triangle_count, ORACLE_TRIANGLE_COUNT),
@@ -750,4 +812,7 @@ QUALITY_QUERIES = {
     "feature_hashing": (q_feature_hashing, _build_feature_hashing_oracle()),
     "group_regression": (q_group_regression, ORACLE_GROUP_REGRESSION),
     "autocorr_lags": (q_autocorr_lags, ORACLE_AUTOCORR),
+    "quality_classifier": (
+        q_quality_classifier, _build_quality_classifier_oracle(),
+    ),
 }

@@ -695,3 +695,23 @@ def test_apply_changes_snapshot_stays_pruned_and_keyed(spark, tmp_path):
         s for s in fast_schemas if "version" in s and "tags" not in s
     ]
     assert len(snap_scans) == 1 and not pruned_scans, fast_schemas
+
+
+def test_quality_classifier_single_agg_no_join(spark):
+    """r10: the model-based quality scorer must run as tokenize →
+    plan-literal weight lookup → ONE map-side-combinable keyed agg:
+    no join (the weight vector is inlined, not even broadcast), no
+    Python evaluation, and exactly one exchange, keyed on the doc."""
+    import re
+
+    from osm_pbf_parquet_spark.plans.quality_queries import (
+        q_quality_classifier,
+    )
+
+    plan = _plan(q_quality_classifier(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    hashed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert len(hashed) == 1 and hashed[0].startswith("doc_id"), hashed
+    assert "partial_sum" in plan or "partial" in plan  # map-side combine
+    assert "rangepartitioning" not in plan

@@ -581,3 +581,35 @@ def test_fuzzy_skewed_block_guard(spark):
         df, "k", "name", "blk", k=5, max_block_rows=6
     ).collect()
     assert got == baseline
+
+
+def test_hashed_linear_score_hand_computed(spark):
+    """r10: the fixed-point linear scorer on a 2-token doc equals the
+    hand-composed sign·weight sum, and `keep` flips exactly at the
+    threshold (fixed-point comparison, no float on the decision path)."""
+    import hashlib
+
+    from osm_pbf_parquet_spark.operators.features import hashed_linear_score
+
+    def h(s, m):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % m
+
+    weights = [(d * 37) % 100 - 50 for d in range(16)]
+
+    def contrib(term):
+        return (1 - 2 * h(term + ":s", 2)) * weights[h(term, 16)]
+
+    doc = "alpha beta"
+    want = contrib("alpha") + contrib("beta")
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    row = hashed_linear_score(df, "doc_id", weights).collect()[0]
+    assert row["score_fp"] == want and row["n_tokens"] == 2
+    assert row["score"] == round(want / 1e6, 6)
+    # threshold: keep is >= in fixed-point units
+    at = hashed_linear_score(df, "doc_id", weights, threshold=want)
+    assert at.collect()[0]["keep"] is True
+    above = hashed_linear_score(df, "doc_id", weights, threshold=want + 1)
+    assert above.collect()[0]["keep"] is False
+    # bias shifts the score exactly
+    biased = hashed_linear_score(df, "doc_id", weights, bias=7)
+    assert biased.collect()[0]["score_fp"] == want + 7
