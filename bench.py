@@ -583,8 +583,16 @@ def main() -> None:
                     [rep.get("calib_wall_sec"), rep.get("calib_cpu_sec")]
                 )
                 peak_rss = max(peak_rss, rep.get("jvm_peak_rss_mb") or 0)
-                clean = [r for r in reps if r <= OUTLIER_X * min(reps)]
-                if len(clean) >= 2 or len(reps) >= 2 + EXTRA_ATTEMPTS:
+                # r10 (r9 advice): agreement must hold on BOTH signals
+                # before sampling stops — JVM CPU-seconds are the
+                # trustworthy one ("compare CPU first, wall second"),
+                # so two wall-agreeing reps with 2x CPU divergence keep
+                # sampling instead of recording a misleading pair
+                wall_ok = [r for r in reps if r <= OUTLIER_X * min(reps)]
+                cpu_ok = [c for c in cpus if c <= OUTLIER_X * min(cpus)]
+                if (len(wall_ok) >= 2 and len(cpu_ok) >= 2) or (
+                    len(reps) >= 2 + EXTRA_ATTEMPTS
+                ):
                     break
             soak[name] = min(reps)
             soak_raw[name] = reps

@@ -254,3 +254,57 @@ def test_drain_release_lines_attributed_to_owner(spark):
     # and did NOT leak onto the next query in order
     follower_lines = executed["follower_q"].get(caching_rel, set())
     assert not ({77, 78, 86} & follower_lines), sorted(follower_lines)
+
+
+def test_module_binding_taint_semantics():
+    """r10 (r9 advice): the <module>-frame blind spot — edits to
+    pre-existing module-level bindings taint; new names, registry-table
+    mutations, and added import aliases do not."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from taint_ledger import module_binding_taints, module_bindings
+
+    green = """
+import os
+from x import a, b
+THRESHOLD = 5
+WINDOW = 10
+PIPELINE_QUERIES = {"q1": 1}
+PIPELINE_QUERIES.update({"q2": 2})
+STATE = []
+STATE.append(1)
+if os.name:
+    GATED = 1
+def f():
+    LOCAL = 99
+"""
+    # constant edited → tainted; works through compound statements too
+    cur = green.replace("THRESHOLD = 5", "THRESHOLD = 6")
+    assert module_binding_taints(green, cur) == ["THRESHOLD"]
+    assert module_binding_taints(green, green.replace("GATED = 1", "GATED = 2")) == ["GATED"]
+    # deletion → tainted
+    assert module_binding_taints(green, green.replace("WINDOW = 10\n", "")) == ["WINDOW"]
+    # NEW name cannot taint (nothing in the green tree referenced it)
+    assert module_binding_taints(green, green + "\nNEW_CONST = 1\n") == []
+    # registry tables exempt: literal edits and .update additions
+    assert module_binding_taints(
+        green, green.replace('{"q1": 1}', '{"q1": 1, "q3": 3}')
+    ) == []
+    assert module_binding_taints(
+        green, green + '\nPIPELINE_QUERIES.update({"q4": 4})\n'
+    ) == []
+    # non-registry mutation calls DO taint
+    assert module_binding_taints(
+        green, green.replace("STATE.append(1)", "STATE.append(2)")
+    ) == ["STATE"]
+    # adding one alias to a from-import leaves siblings' digests alone
+    assert module_binding_taints(
+        green, green.replace("from x import a, b", "from x import a, b, c")
+    ) == []
+    # …but repointing an existing alias taints it
+    assert module_binding_taints(
+        green, green.replace("from x import a, b", "from y import a, b")
+    ) == sorted(["a", "b"])
+    # function bodies stay out of module bindings entirely
+    assert "LOCAL" not in module_bindings(green)
+    # no green source (new file) → no module-binding taint
+    assert module_binding_taints(None, cur) == []

@@ -47,7 +47,12 @@ Known limits (documented, bounded): def-time-only edits (decorators,
 docstrings, comments) never taint — they cannot change call behavior;
 a changed line that is executed only under data-dependent branches not
 taken at sf0.001 is missed by the trace but still caught by the plan
-fingerprint when it flows into the plan.
+fingerprint when it flows into the plan. Module-level constant edits —
+invisible to the tracer (<module> frames excluded) and, when consumed
+only inside UDF closures, to the fingerprint too — are caught by the
+r10 module-binding fallback (``module_binding_taints``): an executed
+file whose pre-existing module-level binding changed taints every
+query that executes any of its function lines.
 
 Run at round end, after the last engine edit, before the driver gate:
 
@@ -111,6 +116,121 @@ def changed_lines_since(boundary: str, path: str) -> set[int]:
         else:
             lines.update(range(start, start + count))
     return lines
+
+
+# registry tables are exempt from module-binding taint (see
+# module_binding_taints): a registry edit that changes WHICH callable a
+# query name resolves to changes that query's plan fingerprint (drift-
+# caught), and the full registry re-runs oracle parity in pytest every
+# round — while the tables' literals are edited every single round to
+# add gates, so including them would taint every sibling query in the
+# file each round and mechanically exhaust the 50-slot cap.
+_REGISTRY_NAME = re.compile(r"(^|_)QUERIES$")
+
+
+def _binding_names(target) -> list[str]:
+    import ast
+
+    if isinstance(target, ast.Name):
+        return [target.id]
+    if isinstance(target, ast.Starred):
+        return _binding_names(target.value)
+    if isinstance(target, (ast.Tuple, ast.List)):
+        out: list[str] = []
+        for e in target.elts:
+            out.extend(_binding_names(e))
+        return out
+    return []
+
+
+def module_bindings(src: str) -> dict[str, str]:
+    """name -> digest of the concatenated source of every MODULE-LEVEL
+    statement that binds or mutates it: assignments (plain/annotated/
+    augmented), per-alias imports, ``del``, and mutation calls on a
+    bare name (``X.update(...)``/``X.append(...)``). Function/class
+    bodies are excluded (their executed lines are traced); module-level
+    compound statements (if/try/for/while/with) recurse, since their
+    bodies run at import time too. Per-alias import digests mean adding
+    one name to a ``from x import (...)`` list does not disturb the
+    siblings' digests."""
+    import ast
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return {"<unparseable>": hashlib.sha256(src.encode()).hexdigest()}
+    acc: dict[str, list[str]] = {}
+
+    def add(name: str, source: str) -> None:
+        acc.setdefault(name, []).append(source)
+
+    def visit(stmts) -> None:
+        for st in stmts:
+            if isinstance(
+                st, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                continue
+            seg = ast.get_source_segment(src, st) or ""
+            if isinstance(st, ast.Assign):
+                for t in st.targets:
+                    for n in _binding_names(t):
+                        add(n, seg)
+            elif isinstance(st, (ast.AnnAssign, ast.AugAssign)):
+                for n in _binding_names(st.target):
+                    add(n, seg)
+            elif isinstance(st, ast.Delete):
+                for t in st.targets:
+                    for n in _binding_names(t):
+                        add(n, "del")
+            elif isinstance(st, (ast.Import, ast.ImportFrom)):
+                mod = getattr(st, "module", None) or ""
+                for a in st.names:
+                    bound = (a.asname or a.name).split(".")[0]
+                    add(bound, f"import:{mod}:{a.name}:{a.asname}")
+            elif (
+                isinstance(st, ast.Expr)
+                and isinstance(st.value, ast.Call)
+                and isinstance(st.value.func, ast.Attribute)
+                and isinstance(st.value.func.value, ast.Name)
+            ):
+                add(st.value.func.value.id, seg)
+            elif isinstance(
+                st, (ast.If, ast.Try, ast.For, ast.While, ast.With)
+            ):
+                for field in ("body", "orelse", "finalbody"):
+                    visit(getattr(st, field, []) or [])
+                for h in getattr(st, "handlers", []) or []:
+                    visit(h.body)
+    visit(tree.body)
+    return {
+        n: hashlib.sha256("\n".join(v).encode()).hexdigest()[:16]
+        for n, v in acc.items()
+    }
+
+
+def module_binding_taints(green_src: str | None, cur_src: str) -> list[str]:
+    """The module-level-constant blind spot closed (r10, r9 advice):
+    the line tracer excludes ``<module>`` frames on purpose (import
+    attribution depends on registry order), so an edit to a module-level
+    constant consumed only inside a UDF/mapInPandas closure — invisible
+    to both the plan fingerprint and the oracle text — could ship
+    without re-certification. Fallback rule: a query executing ANY
+    function line of a file is tainted when a module-level binding that
+    EXISTED at its green baseline changed or vanished. Names new since
+    the green cannot retroactively affect code that never referenced
+    them, and registry tables are exempt (_REGISTRY_NAME — see above),
+    so routine gate additions stay taint-free. Residual blind spot:
+    class-attribute constants (class bodies are skipped; the engine
+    keeps constants at module level) and ``globals()``-indirection."""
+    if green_src is None:
+        return []
+    gb = module_bindings(green_src)
+    cb = module_bindings(cur_src)
+    return sorted(
+        n
+        for n, sha in gb.items()
+        if not _REGISTRY_NAME.search(n) and cb.get(n) != sha
+    )
 
 
 def green_history() -> dict[str, int]:
@@ -204,7 +324,9 @@ def trace_queries(queries) -> tuple[dict[str, dict[str, set[int]]], dict[str, st
             # taint — they cannot change call behavior) taint whatever
             # query won the import race. Import-time constants that
             # flow into plans stay covered by the fingerprint/oracle
-            # drift checks.
+            # drift checks, and ones that don't (closure-only
+            # consumption) by the module-binding fallback
+            # (module_binding_taints, r10).
             if (
                 event == "call"
                 and frame.f_code.co_filename.startswith(root)
@@ -338,6 +460,28 @@ def build_ledger() -> dict:
             _changed[key] = changed_lines_since(bounds[g], path)
         return _changed[key]
 
+    # module-binding taint (the <module>-frame blind-spot fallback) is
+    # per (green round, file) too
+    _bindings: dict[tuple[int, str], list[str]] = {}
+
+    def binding_taints(g: int, path: str) -> list[str]:
+        if g not in bounds:
+            prior = [r for r in bounds if r < g]
+            if not prior:
+                return ["<no-baseline>"]
+            g = max(prior)
+        key = (g, path)
+        if key not in _bindings:
+            try:
+                green_src = _git("show", f"{bounds[g]}:{path}")
+            except subprocess.CalledProcessError:
+                green_src = None  # file new since the green: line/
+                # fingerprint taint owns that case
+            cur = os.path.join(REPO, path)
+            cur_src = open(cur).read() if os.path.exists(cur) else ""
+            _bindings[key] = module_binding_taints(green_src, cur_src)
+        return _bindings[key]
+
     cap_names = order[:CAP]
     per_query: dict[str, dict] = {}
     for q in order:
@@ -359,6 +503,7 @@ def build_ledger() -> dict:
             "fingerprint_drift": False,
             "in_cap": q in cap_names,
         }
+        row["module_binding_tainted"] = {}
         if g is not None:
             for path, lines in executed[q].items():
                 hit = changed(g, path) & lines
@@ -366,6 +511,9 @@ def build_ledger() -> dict:
                     row["line_tainted_by"][path] = sorted(hit)[:20]
                 elif changed(g, path):
                     row["files_changed_lines_clear"].append(path)
+                mb = binding_taints(g, path)
+                if mb:
+                    row["module_binding_tainted"][path] = mb
         if previous is not None:
             base_sha, base_fp = green_baseline(
                 previous.get("per_query", {}).get(q),
@@ -385,6 +533,7 @@ def build_ledger() -> dict:
         row["fingerprint_drift"] = base_fp != row["fingerprint"]
         row["tainted"] = bool(
             row["line_tainted_by"]
+            or row["module_binding_tainted"]
             or row["oracle_drift"]
             or row["fingerprint_drift"]
         )
