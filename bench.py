@@ -627,6 +627,22 @@ def main() -> None:
             "2.11s vs r7's 2.32 — read this round's anchor as the "
             "corrected baseline."
         ),
+        "graph_anchor_drift": (
+            "r10 (r9 verdict #6): the shortest_hops +19% / pagerank +8% "
+            "min-over-min drift is CLEARED as host noise, two ways. "
+            "(1) Plan identity: the canonicalized formatted physical "
+            "plans of both anchors on the 10x tier are byte-identical "
+            "between the r8 boundary tree (90dcfbe, git worktree) and "
+            "the r10 tree (sha 7ea8c143772a7c32 / c0dfa81070dab2eb on "
+            "both) — no code or plan changed, so a real regression is "
+            "impossible. (2) Fresh-JVM CPU-seconds (tools/anchor_leg.py, "
+            "interleaved r8/r10 reps, same host, calibration stable at "
+            "10-12 CPU-sec throughout): shortest_hops r8 {254.6, 534.9} "
+            "vs r10 {329.7, 366.6}; pagerank r8 {260.6, 447.1} vs r10 "
+            "{334.8, 483.3} — identical plans swing 2x between reps, so "
+            "the noise floor is far above the 8-19% bench drift. Read "
+            "the graph anchors min-of-reps with that floor in mind."
+        ),
         "soak": (
             "r9 (r8 verdict ask #4): every soak rep now runs in a FRESH "
             "JVM (tools/soak_leg.py subprocess — own session, warm-up "
