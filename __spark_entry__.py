@@ -106,96 +106,87 @@ def _registry() -> dict[str, tuple]:
 # the tail — every registered query keeps at least one green CORRECTNESS row
 # across rounds.
 #
-# ROUND-9 ROTATION (mechanically derived by tools/taint_ledger.py on the
-# final r9 tree — TAINT_LEDGER.json is the committed evidence; the counts
-# below are restated from its must_cover/never_checked fields, not hand
-# arithmetic):
+# ROUND-10 ROTATION (mechanically derived by tools/taint_ledger.py on the
+# final r10 tree — TAINT_LEDGER.json is the committed evidence; counts
+# restated from its never_checked/must_cover fields):
 #
-#   5 never-checked r9-new gates (training_set_assembly,
-#   margin_bitext_ann, gopher_quality, fingerprint_decontaminate,
-#   stream_fingerprint_decontaminate)
-#   + 17 line-tainted + 2 fingerprint-drifted
-#   (osm_way_geometry, higher_order_arrays — one-time re-anchor after
-#   the ledger's lambda-counter canonicalization fix) = 24 must-cover,
-#   ALL IN-CAP:
-#     - 15 gates migrated off the deleted legacy t() loader
-#       (multimodal_metadata/features/decode/audio/frames,
-#       udtf_top_words, udaf_median_chars, jsonl_roundtrip,
-#       grouped_split, mutual_information, gram_matrix,
-#       sample_chunk_windows, sample_length_buckets, sample_uniform_n,
-#       sample_hash_split)
-#     - bloom_decontaminate (probe-plan rewrite: per-row forall bit
-#       tests against the 1-row broadcast word map)
-#     - margin_bitext_mine (sub-k mu guard in margin_from_candidates +
-#       matching oracle change)
+#   3 never-checked r10-new gates (osm_apply_changes,
+#   stream_osm_apply_changes, quality_classifier)
+#   + 3 line-tainted (margin_bitext_ann + margin_bitext_mine: the
+#     unhinted mu attach in margin_from_candidates; gopher_quality: the
+#     published symbol-occurrence counting + matching oracle)
+#   + 11 module-binding-tainted (the r10 ledger fallback closing the
+#     <module>-frame blind spot flags pre-existing module constants
+#     changed since these queries' greens: the advanced_queries r5
+#     block — cogroup_reconcile, salted_join, cohort_retention,
+#     poisson_bootstrap, zscore_anomalies — and the quality_queries r6
+#     block — profile_table, dq_checks, mad_outliers, ewma_smooth,
+#     stream_dq_monitor, group_regression)
+#   = 17 must-cover, ALL IN-CAP.
 #
-# The remaining 26 slots are freshness fills, oldest-green-first (r8
-# verdict ask #3): the analytic r3 block that yielded its slots two
-# rounds running (rollup_agg, ntile_quartiles, grouping_sets_agg,
-# cube_agg, anti_join, approx_sketches, filter_project, lag_lead_gap,
-# ... all last green r3), then the oldest r4 gates.
+# The remaining 33 slots are freshness fills, oldest-green-first (r9
+# verdict ask #2): topk_per_group (the last r3 row), the entire r4
+# block, the entire r5 block (incl. all osm_* gates), and two r6 gates —
+# after r10 no registered query's last green row is older than r6,
+# beating the "nothing older than r5" target.
 _CHECK_FIRST = [
-    # --- 24 must-cover (5 never-checked + 17 line-tainted + 2 re-anchors) ---
-    "training_set_assembly",
+    # --- 17 must-cover (3 never-checked + 3 line- + 11 module-binding-tainted) ---
+    "osm_apply_changes",
+    "stream_osm_apply_changes",
+    "quality_classifier",
     "margin_bitext_ann",
-    "gopher_quality",
-    "fingerprint_decontaminate",
-    "stream_fingerprint_decontaminate",
     "margin_bitext_mine",
-    "bloom_decontaminate",
-    "multimodal_metadata",
-    "multimodal_features",
-    "multimodal_decode",
-    "multimodal_audio",
-    "multimodal_frames",
-    "udtf_top_words",
-    "udaf_median_chars",
-    "jsonl_roundtrip",
-    "grouped_split",
-    "mutual_information",
-    "gram_matrix",
-    "sample_chunk_windows",
-    "sample_length_buckets",
-    "sample_uniform_n",
-    "sample_hash_split",
-    # --- 26 freshness fills (last green r3) ---
-    "rollup_agg",
-    "ntile_quartiles",
-    "grouping_sets_agg",
-    "cube_agg",
-    "anti_join",
-    "approx_sketches",
-    "filter_project",
-    "lag_lead_gap",
-    "count_by_type",
-    "multi_supplier_late_orders",
-    "nation_trade_volume",
-    "outer_join_agg",
-    "parts_supplier_diversity",
-    "pricing_summary",
-    "range_join_binned",
-    "region_revenue",
-    "rich_inactive_customers",
-    "running_total",
-    "semi_join",
-    "set_ops",
-    "stream_click_attribution",
-    "stream_dedup_user_types",
-    "stream_enriched_counts",
-    "stream_sessionize_stateful",
-    "stream_windowed_counts",
-    "top_revenue_orders",
-    # r9 tool-fix drift absorption: the ledger's plan fingerprint now
-    # canonicalizes PySpark's process-global lambda-variable counter
-    # (lambda x_1 vs x_4 — registry-order-dependent before), which
-    # one-time-drifts the only two Python-lambda-HOF plans; both take a
-    # fresh row here to re-anchor their baselines.
-    "osm_way_geometry",
-    "higher_order_arrays",
+    "gopher_quality",
+    "cogroup_reconcile",
+    "salted_join",
+    "cohort_retention",
+    "poisson_bootstrap",
+    "zscore_anomalies",
+    "profile_table",
+    "dq_checks",
+    "mad_outliers",
+    "ewma_smooth",
+    "stream_dq_monitor",
+    "group_regression",
+    # --- 33 freshness fills (oldest green first: r3, then r4, r5, r6) ---
+    "topk_per_group",
+    "argmin_per_group",
+    "asof_join",
+    "bucketed_join_agg",
+    "date_gapfill",
+    "distinct_agg",
+    "exists_agg",
+    "geo_distance",
+    "json_extract",
+    "ntile_quartiles_scalable",
+    "or_predicate_join",
+    "osm_tag_histogram",
+    "percentiles",
+    "pivot_counts",
+    "range_window",
+    "salted_distinct_count",
+    "scalar_functions",
+    "scalar_subquery",
+    "sessionize",
+    "union_distinct",
+    "word_topk",
+    "osm_count_by_type",
+    "osm_datasource_nodes",
+    "osm_filter_with_deps",
+    "osm_geohash",
+    "osm_header_metadata",
+    "osm_latest_versions",
+    "osm_loc_on_ways",
+    "osm_relation_members",
+    "zorder_bbox_search",
+    "zorder_spatial",
+    "ab_welch_by_type",
+    "auc_score",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
     #      full-registry parity tests on current code every pytest run. ----
 ]
+
 
 
 def _verification_order(reg: dict[str, tuple]) -> dict[str, tuple]:

@@ -281,8 +281,10 @@ def f():
     cur = green.replace("THRESHOLD = 5", "THRESHOLD = 6")
     assert module_binding_taints(green, cur) == ["THRESHOLD"]
     assert module_binding_taints(green, green.replace("GATED = 1", "GATED = 2")) == ["GATED"]
-    # deletion → tainted
-    assert module_binding_taints(green, green.replace("WINDOW = 10\n", "")) == ["WINDOW"]
+    # deletion does NOT taint: a live reference to a deleted global is
+    # a loud NameError (trace/parity), and taint-on-delete would
+    # retroactively flag every sibling of a certified rename migration
+    assert module_binding_taints(green, green.replace("WINDOW = 10\n", "")) == []
     # NEW name cannot taint (nothing in the green tree referenced it)
     assert module_binding_taints(green, green + "\nNEW_CONST = 1\n") == []
     # registry tables exempt: literal edits and .update additions

@@ -219,9 +219,16 @@ def module_binding_taints(green_src: str | None, cur_src: str) -> list[str]:
     EXISTED at its green baseline changed or vanished. Names new since
     the green cannot retroactively affect code that never referenced
     them, and registry tables are exempt (_REGISTRY_NAME — see above),
-    so routine gate additions stay taint-free. Residual blind spot:
-    class-attribute constants (class bodies are skipped; the engine
-    keeps constants at module level) and ``globals()``-indirection."""
+    so routine gate additions stay taint-free. DELETED names do not
+    taint either: code that still references a deleted global raises
+    NameError — at trace time for plan-path references, at the
+    every-round full-registry parity run for closure-only ones — a loud
+    crash, never a silent wrong answer, while taint-on-delete would
+    retroactively flag every sibling of a long-certified rename
+    migration (observed: the r8/r9 loader rename would have re-tainted
+    40 queries in r10). Residual blind spot: class-attribute constants
+    (class bodies are skipped; the engine keeps constants at module
+    level) and ``globals()``-indirection."""
     if green_src is None:
         return []
     gb = module_bindings(green_src)
@@ -229,7 +236,7 @@ def module_binding_taints(green_src: str | None, cur_src: str) -> list[str]:
     return sorted(
         n
         for n, sha in gb.items()
-        if not _REGISTRY_NAME.search(n) and cb.get(n) != sha
+        if not _REGISTRY_NAME.search(n) and n in cb and cb[n] != sha
     )
 
 
