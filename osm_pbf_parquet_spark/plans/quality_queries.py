@@ -797,6 +797,39 @@ FROM s
 """
 
 
+def q_stream_quality_classifier(spark, sf_dir):
+    """Classifier-score-on-arrival: the SAME fixed-point linear model
+    (operators.features.hashed_linear_score — zero operator changes,
+    streaming/batch unification) over a document stream; the per-doc
+    score aggregation runs stateful in complete mode, so every arriving
+    document leaves the micro-batch carrying its quality verdict before
+    it lands in the corpus. On static input the result is exactly the
+    batch gate's, which the shared oracle pins value-for-value."""
+    from pyspark.sql import types as T
+
+    from ..operators.features import hashed_linear_score
+    from .analytic_queries import _run_stream_to_table
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scored = hashed_linear_score(
+        stream, "doc_id", _QC_W, bias=_QC_BIAS, threshold=_QC_THRESHOLD
+    )
+    return _run_stream_to_table(
+        spark, scored, "stream_qclf_result", "complete"
+    )
+
+
 QUALITY_QUERIES = {
     "shortest_hops": (q_shortest_hops, ORACLE_SHORTEST_HOPS),
     "triangle_count": (q_triangle_count, ORACLE_TRIANGLE_COUNT),
@@ -814,5 +847,10 @@ QUALITY_QUERIES = {
     "autocorr_lags": (q_autocorr_lags, ORACLE_AUTOCORR),
     "quality_classifier": (
         q_quality_classifier, _build_quality_classifier_oracle(),
+    ),
+    # the streaming form shares the batch oracle verbatim — one
+    # definition pins both execution modes (14th streaming gate)
+    "stream_quality_classifier": (
+        q_stream_quality_classifier, _build_quality_classifier_oracle(),
     ),
 }
