@@ -627,6 +627,15 @@ def main() -> None:
             "2.11s vs r7's 2.32 — read this round's anchor as the "
             "corrected baseline."
         ),
+        "margin_bitext_ann": (
+            "r10: the mu attaches dropped their forced broadcasts (r9 "
+            "verdict #1 — the mu tables are corpus-sized at the "
+            "operator's target scale, a forced broadcast is an OOM "
+            "there). At THIS tier the endpoint tables are tiny, so the "
+            "hint was marginally faster; the ~1s anchor increase is the "
+            "cost of letting AQE decide from observed sizes instead — "
+            "the scale-correct plan, deliberately paid."
+        ),
         "graph_anchor_drift": (
             "r10 (r9 verdict #6): the shortest_hops +19% / pagerank +8% "
             "min-over-min drift is CLEARED as host noise, two ways. "
