@@ -934,3 +934,75 @@ def margin_from_candidates(
         out.orderBy(F.desc("margin"), a_col, b_col).limit(top_n),
         ps, owned,
     )
+
+
+def pca_power_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+    rounds: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed PCA, completed: project every embedding onto the top
+    principal direction estimated by ``rounds`` power-iteration steps
+    over the exact ``gram_matrix`` — the dimensionality-reduction /
+    whitening preprocessing step embedding pipelines run before
+    binning, dedup, or visualization at corpus scale. The gate pins the
+    SPEC "rounds power steps from the fixed unit start (1/8, …, 1/8)"
+    the way the kmeans gate pins 3 Lloyd rounds — convergence is the
+    caller's knob, determinism is the contract.
+
+    Determinism: the Gram cells are exact int64 (order-independent);
+    everything after is fixed-shape float math in the engine's proven
+    sequential-fold idioms (DOT/NORM — the margin/ANN pair of
+    aggregate-fold and DuckDB list_reduce already certified to agree
+    bit-for-bit), plus IEEE-exact casts, divisions, and sqrt. No float
+    aggregation whose order the engine picks ever occurs: matvec rows
+    fold over exactly d elements, vectors reassemble via array_sort of
+    a d-row collect.
+
+    100 TB plan: the ONLY corpus-wide work is gram_matrix's bounded
+    shuffle (partitions × d² partial rows, corpus-size-independent) and
+    the final score projection — per-row fold + a 1-row broadcast
+    crossJoin attach of the component (the bloom word-map idiom), so
+    scores land at scan speed with zero corpus shuffle. The iteration
+    itself runs on d-row / 1-row frames entirely in-plan: no driver
+    collect, no numpy eigensolve round-trip."""
+    g = gram_matrix(df, vec_col, scale)
+    sden = f"cast({scale} AS DOUBLE) * cast({scale} AS DOUBLE)"
+    rows = (
+        g.groupBy("i")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "g"))).alias("_r"))
+        .select(
+            "i",
+            F.expr(
+                f"transform(_r, e -> cast(e.g AS DOUBLE) / ({sden}))"
+            ).alias("gi"),
+        )
+    )
+    # fixed unit start: d entries of 1/8 give exactly unit norm at d=64;
+    # any d works (the norm divides out in the first normalization)
+    vrow = g.sparkSession.range(1).select(
+        F.expr(
+            "transform(sequence(1, 64), d -> cast(0.125 AS DOUBLE))"
+        ).alias("v")
+    )
+    for _ in range(rounds):
+        w = F.broadcast(vrow).crossJoin(rows).select(
+            "i", F.expr(DOT.format(a="gi", b="v")).alias("wi")
+        )
+        u = w.agg(
+            F.array_sort(F.collect_list(F.struct("i", "wi"))).alias("_s")
+        ).select(F.expr("transform(_s, e -> e.wi)").alias("u"))
+        vrow = u.select(
+            F.expr(
+                f"transform(u, x -> x / ({NORM.format(v='u')}))"
+            ).alias("v")
+        )
+    vecs = df.select(
+        F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("xd")
+    )
+    return vecs.crossJoin(F.broadcast(vrow)).select(
+        key,
+        F.round(F.expr(DOT.format(a="xd", b="v")), 6).alias("pc1"),
+    )

@@ -1159,6 +1159,75 @@ ADVANCED_QUERIES.update({
 })
 
 
+# --- PCA power-iteration scores (r10) -----------------------------------------
+
+
+def q_pca_power_scores(spark, sf_dir):
+    """Distributed PCA completed: every embedding projected onto the
+    top principal direction from 3 power-iteration rounds over the
+    exact Gram matrix (similarity.pca_power_scores). The iteration runs
+    in-plan on d-row frames; the corpus pays only gram_matrix's bounded
+    shuffle plus a scan-speed projection with a 1-row broadcast
+    component attach."""
+    return similarity.pca_power_scores(_pta(spark, sf_dir, "embeddings"))
+
+
+def _build_pca_oracle(rounds: int = 3) -> str:
+    dot = (
+        "list_reduce(list_transform(range(1, len({a}) + 1), "
+        "k -> {a}[k] * {b}[k]), (acc, x) -> acc + x)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_transform({v}, x -> x * x), "
+        "(acc, x) -> acc + x))"
+    )
+    parts = ["""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+           AS vi,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, unnest(range(0, len(vi))) AS i, unnest(vi) AS xi FROM v
+),
+gm AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS g
+  FROM d a JOIN d b ON a.vec_id = b.vec_id GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT i, list(CAST(g AS DOUBLE)
+                 / (CAST(1000000 AS DOUBLE) * CAST(1000000 AS DOUBLE))
+                 ORDER BY j) AS gi
+  FROM gm GROUP BY i
+),
+v0 AS (SELECT list_transform(range(1, 65), q -> CAST(0.125 AS DOUBLE)) AS vv)
+"""]
+    prev = "v0"
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+w{t} AS (
+  SELECT i, {dot.format(a="gi", b="vv")} AS wi FROM rows_, {prev}
+),
+u{t} AS (SELECT list(wi ORDER BY i) AS u FROM w{t}),
+v{t} AS (
+  SELECT list_transform(u, x -> x / ({norm.format(v="u")})) AS vv FROM u{t}
+)""")
+        prev = f"v{t}"
+    parts.append(f"""
+SELECT vec_id, round({dot.format(a="xd", b="vv")}, 6) AS pc1
+FROM v, {prev}
+""")
+    return "".join(parts)
+
+
+ADVANCED_QUERIES.update({
+    "pca_power_scores": (q_pca_power_scores, _build_pca_oracle()),
+})
+
+
 # --- mutual information -------------------------------------------------------
 
 

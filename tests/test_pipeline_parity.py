@@ -275,3 +275,34 @@ def test_grams_exploded_matches_array_form(spark):
         "doc_id", F.explode("gram_hashes").alias("gh")
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pca_power_matches_numpy_reference(spark):
+    """r10: the in-plan power iteration equals a sequential numpy
+    replication of the same spec (quantized Gram, 3 rounds, fixed unit
+    start) on constructed vectors with a dominant direction."""
+    import numpy as np
+
+    from osm_pbf_parquet_spark.operators.similarity import pca_power_scores
+
+    rng = [(i, [float(((i * 31 + j * 17) % 13) - 6) / 6.0
+                + (3.0 if j == 5 else 0.0)  # dominant axis 5
+                for j in range(64)]) for i in range(40)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["pc1"] for r in pca_power_scores(df).collect()}
+
+    X = np.array([v for _, v in rng])
+    Xi = np.sign(X * 1e6) * np.floor(np.abs(X * 1e6) + 0.5)
+    G = (Xi.T @ Xi) / 1e12
+    v = np.full(64, 0.125)
+    for _ in range(3):
+        w = G @ v
+        v = w / np.sqrt((w * w).sum())
+    ref = np.round(X @ v, 6)
+    assert max(abs(got[i] - ref[i]) for i, _ in rng) <= 1e-6
+    # the dominant (uncentered) direction loads on axis 5, so scores
+    # must track that coordinate strongly (other axes add bounded noise)
+    axis5 = np.array([v[5] for _, v in rng])
+    scores = np.array([got[i] for i, _ in rng])
+    corr = abs(np.corrcoef(axis5, scores)[0, 1])
+    assert corr > 0.8, corr

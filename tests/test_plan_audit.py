@@ -224,6 +224,9 @@ def test_advanced_suite_no_cartesian_products(spark):
         "skyline_pareto": 1,        # bucket-count carry window
         "grouped_split": 1,         # leakage-audit 1-row agg
         "table_checksum": 0,
+        # one per power round: the d-row (=64) vector reassembly
+        # collect — dim-bounded by construction, never data-sized
+        "pca_power_scores": 3,
     }
     for name, (fn, _oracle) in ADVANCED_QUERIES.items():
         plan = _plan(fn(spark, SF_DIR))
@@ -715,3 +718,25 @@ def test_quality_classifier_single_agg_no_join(spark):
     assert len(hashed) == 1 and hashed[0].startswith("doc_id"), hashed
     assert "partial_sum" in plan or "partial" in plan  # map-side combine
     assert "rangepartitioning" not in plan
+
+
+def test_pca_scores_no_corpus_shuffle(spark):
+    """r10: pca_power_scores must charge the corpus only gram_matrix's
+    bounded partial merge and a scan-speed score projection — every
+    hash exchange is keyed on the dim-bounded (i, j)/(i) Gram keys,
+    never on the vector id; the component attaches as a 1-row
+    broadcast; no global sort."""
+    import re
+
+    from osm_pbf_parquet_spark.plans.advanced_queries import (
+        q_pca_power_scores,
+    )
+
+    plan = _plan(q_pca_power_scores(spark, SF_DIR))
+    for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert a.startswith("i") or a.startswith("j"), a
+    assert "vec_id" not in re.findall(
+        r"hashpartitioning\(([^)]*)\)", plan
+    ).__str__()
+    assert "rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row attaches
