@@ -350,3 +350,66 @@ def test_stream_incremental_dedup_string_keys(spark, tmp_path):
         )
     assert got == want and len(got) > 0
     assert all(isinstance(k, str) and isinstance(d, str) for k, d, _ in got)
+
+
+def test_compact_changes_stateful_checkpoint_resume(spark, tmp_path):
+    """r10: the replication-diff compaction keeps its aggregation STATE
+    across a stream restart — after a checkpointed run consumes diff
+    batch 1, a restart with the same checkpointLocation consumes ONLY
+    batch 2 yet still reports the newest row per element across BOTH
+    batches (state-store recovery), matching a batch compaction over
+    the full change log. This is the recovery contract incremental
+    snapshot maintenance leans on."""
+    import datetime as dt
+    import os
+
+    from osm_pbf_parquet_spark.operators.osm_ops import compact_changes
+
+    src, chk = (str(tmp_path / d) for d in ("osc", "chk"))
+    os.makedirs(src)
+    ddl = (
+        "id long, type string, version int, timestamp timestamp_ntz, "
+        "visible boolean, action string"
+    )
+    b1 = [
+        (1, "node", 1, dt.datetime(2024, 1, 1), True, "create"),
+        (2, "node", 1, dt.datetime(2024, 1, 1), True, "create"),
+    ]
+    b2 = [
+        (1, "node", 2, dt.datetime(2024, 1, 2), None, "delete"),
+        (3, "node", 1, dt.datetime(2024, 1, 2), True, "create"),
+    ]
+    spark.createDataFrame(b1, ddl).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        for q in spark.streams.active:
+            if q.name == "osc_compact_ckpt":
+                q.stop()
+        stream = spark.readStream.schema(ddl).parquet(src)
+        q = (
+            compact_changes(stream)
+            .writeStream.format("memory")
+            .queryName("osc_compact_ckpt")
+            .outputMode("complete")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["id"]: (r["version"], r["visible"])
+            for r in spark.table("osc_compact_ckpt").collect()
+        }
+
+    got1 = run_once()
+    assert got1 == {1: (1, True), 2: (1, True)}
+    spark.createDataFrame(b2, ddl).coalesce(1).write.mode("append").parquet(src)
+    got2 = run_once()  # restart: batch-1 files NOT re-read, state restored
+    assert got2 == {1: (2, False), 2: (1, True), 3: (1, True)}
+    # equivalence with the batch compaction over the full change log
+    full = spark.createDataFrame(b1 + b2, ddl)
+    batch = {
+        r["id"]: (r["version"], r["visible"])
+        for r in compact_changes(full).collect()
+    }
+    assert got2 == batch
