@@ -110,9 +110,9 @@ def _registry() -> dict[str, tuple]:
 # final r10 tree — TAINT_LEDGER.json is the committed evidence; counts
 # restated from its never_checked/must_cover fields):
 #
-#   5 never-checked r10-new gates (osm_apply_changes,
+#   6 never-checked r10-new gates (osm_apply_changes,
 #   stream_osm_apply_changes, quality_classifier,
-#   stream_quality_classifier, pca_power_scores)
+#   stream_quality_classifier, pca_power_scores, kcenter_select)
 #   + 3 line-tainted (margin_bitext_ann + margin_bitext_mine: the
 #     unhinted mu attach in margin_from_candidates; gopher_quality: the
 #     published symbol-occurrence counting + matching oracle)
@@ -123,20 +123,21 @@ def _registry() -> dict[str, tuple]:
 #     poisson_bootstrap, zscore_anomalies — and the quality_queries r6
 #     block — profile_table, dq_checks, mad_outliers, ewma_smooth,
 #     stream_dq_monitor, group_regression)
-#   = 19 must-cover, ALL IN-CAP.
+#   = 20 must-cover, ALL IN-CAP.
 #
-# The remaining 31 slots are freshness fills, oldest-green-first (r9
+# The remaining 30 slots are freshness fills, oldest-green-first (r9
 # verdict ask #2): topk_per_group (the last r3 row), the entire r4
-# block, and the entire r5 block (incl. all osm_* gates) —
+# block, and the r5 block minus one (zorder_spatial stays at r5) —
 # after r10 no registered query's last green row is older than r6,
 # beating the "nothing older than r5" target.
 _CHECK_FIRST = [
-    # --- 19 must-cover (5 never-checked + 3 line- + 11 module-binding-tainted) ---
+    # --- 20 must-cover (6 never-checked + 3 line- + 11 module-binding-tainted) ---
     "osm_apply_changes",
     "stream_osm_apply_changes",
     "quality_classifier",
     "stream_quality_classifier",
     "pca_power_scores",
+    "kcenter_select",
     "margin_bitext_ann",
     "margin_bitext_mine",
     "gopher_quality",
@@ -151,7 +152,7 @@ _CHECK_FIRST = [
     "ewma_smooth",
     "stream_dq_monitor",
     "group_regression",
-    # --- 31 freshness fills (oldest green first: r3, then r4, then r5) ---
+    # --- 30 freshness fills (oldest green first: r3, then r4, then r5) ---
     "topk_per_group",
     "argmin_per_group",
     "asof_join",
@@ -182,7 +183,6 @@ _CHECK_FIRST = [
     "osm_loc_on_ways",
     "osm_relation_members",
     "zorder_bbox_search",
-    "zorder_spatial",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
     #      full-registry parity tests on current code every pytest run. ----

@@ -491,3 +491,80 @@ def weighted_reservoir_sample_per_group(
         .filter(F.col("rank_in_group") <= k)
         .withColumn("rank_in_group", F.col("rank_in_group").cast("int"))
     )
+
+
+def kcenter_select(
+    df,
+    k: int = 4,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+):
+    """Greedy k-center (farthest-point) selection over the embedding
+    corpus — the classic 2-approximation coreset construction (Gonzalez
+    1985) used for diversity-maximizing data pruning: start from the
+    lowest-key vector, then k−1 times add the point farthest from its
+    nearest chosen center. Returns every document with its nearest
+    center and (rounded) squared L2 distance — the assignment a pruning
+    pass thresholds or caps per center.
+
+    Determinism: distances are the engine's sequential-fold idiom over
+    DOUBLE casts (proven bit-identical to the DuckDB list_reduce fold),
+    argmax per round is ORDER BY (distance DESC, key) on those folds, so
+    both engines pick the identical center sequence; the seed is the
+    lowest key, no RNG.
+
+    100 TB plan: k supersteps, each a SCAN-SPEED projection — the
+    incumbent centers ride along as a 1-row broadcast crossJoin (the
+    bloom word-map idiom), the per-row min-distance is a fixed-shape
+    fold over ≤k center vectors, and the round's winner is a
+    TakeOrderedAndProject(1) bounded heap, never a global sort. The
+    corpus is scanned k+1 times and shuffled zero times; no driver
+    collect (the winner row re-enters the plan as a 1-row frame)."""
+    from .similarity import TO_DOUBLE
+
+    vecs = df.select(
+        F.col(key).alias("_id"),
+        F.expr(TO_DOUBLE.format(v=vec_col)).alias("_v"),
+    )
+    # squared L2 to the nearest incumbent: min over the centers array of
+    # a fixed-order per-dimension fold
+    mind = (
+        "aggregate(transform(_cs, c -> "
+        "aggregate(zip_with(_v, c.cv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 AS DOUBLE), (acc, t) -> acc + t)), "
+        "cast('Infinity' AS DOUBLE), (m, d2) -> least(m, d2))"
+    )
+    nearest = (
+        "aggregate(_cs, struct(cast('Infinity' AS DOUBLE) AS d2, "
+        "cast(NULL AS BIGINT) AS cid), (best, c) -> "
+        "CASE WHEN aggregate(zip_with(_v, c.cv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 AS DOUBLE), (acc, t) -> acc + t) < best.d2 "
+        "THEN struct(aggregate(zip_with(_v, c.cv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 AS DOUBLE), (acc, t) -> acc + t) AS d2, c.cid AS cid) "
+        "ELSE best END)"
+    )
+    seed = (
+        vecs.orderBy("_id").limit(1)
+        .select(F.expr("array(struct(_id AS cid, _v AS cv))").alias("_cs"))
+    )
+    centers = seed
+    for _ in range(k - 1):
+        far = (
+            vecs.crossJoin(F.broadcast(centers))
+            .select("_id", "_v", F.expr(mind).alias("_d2"))
+            .orderBy(F.desc("_d2"), "_id")
+            .limit(1)
+            .select(F.expr("struct(_id AS cid, _v AS cv)").alias("_c"))
+        )
+        centers = (
+            centers.crossJoin(F.broadcast(far))
+            .select(F.expr("array_append(_cs, _c)").alias("_cs"))
+        )
+    return (
+        vecs.crossJoin(F.broadcast(centers))
+        .select(
+            F.col("_id").alias(key),
+            F.expr(f"({nearest}).cid").alias("center_id"),
+            F.round(F.expr(f"({nearest}).d2"), 6).alias("d2"),
+        )
+    )

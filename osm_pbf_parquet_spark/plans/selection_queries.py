@@ -381,7 +381,68 @@ FROM sample
 """
 
 
+# --- greedy k-center coreset selection (r10) ---------------------------------
+
+_KC_K = 4
+
+
+def q_kcenter_select(spark, sf_dir):
+    """Greedy k-center (farthest-point) coreset selection over the
+    embedding corpus (selection.kcenter_select, Gonzalez 1985): the
+    diversity-maximizing data-pruning pass — k scan-speed supersteps
+    with 1-row broadcast center attaches and TakeOrdered(1) winners,
+    zero corpus shuffles, no driver collect. Output: every vector's
+    nearest chosen center + squared L2 distance."""
+    return selection.kcenter_select(
+        _t(spark, sf_dir, "embeddings"), k=_KC_K
+    )
+
+
+def _oracle_kcenter(k: int = _KC_K) -> str:
+    l2 = (
+        "list_reduce(list_transform(range(1, len({a}) + 1), "
+        "q -> ({a}[q] - {b}[q]) * ({a}[q] - {b}[q])), (acc, x) -> acc + x)"
+    )
+    parts = ["""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+  FROM embeddings
+),
+c1 AS (
+  SELECT 0 AS ord, vec_id AS cid, xd AS cv FROM v
+  ORDER BY vec_id LIMIT 1
+)"""]
+    for t in range(1, k):
+        d = l2.format(a="v.xd", b="c.cv")
+        parts.append(f""",
+far{t} AS (
+  SELECT vec_id FROM (
+    SELECT v.vec_id, min({d}) AS d2
+    FROM v, c{t} c GROUP BY v.vec_id
+  ) ORDER BY d2 DESC, vec_id LIMIT 1
+),
+c{t + 1} AS (
+  SELECT * FROM c{t}
+  UNION ALL
+  SELECT {t} AS ord, vec_id AS cid, xd AS cv FROM v
+  WHERE vec_id = (SELECT vec_id FROM far{t})
+)""")
+    d = l2.format(a="v.xd", b="c.cv")
+    # nearest with STRICT-< semantics: first center in insertion order
+    # wins exact ties, matching the engine's array-order fold
+    parts.append(f"""
+SELECT v.vec_id,
+       (SELECT c.cid FROM c{k} c ORDER BY {d} ASC, c.ord ASC LIMIT 1)
+         AS center_id,
+       round((SELECT min({d}) FROM c{k} c), 6) AS d2
+FROM v
+""")
+    return "".join(parts)
+
+
 SELECTION_QUERIES = {
+    "kcenter_select": (q_kcenter_select, _oracle_kcenter()),
     "dsir_importance": (q_dsir_importance, _oracle_dsir()),
     "weighted_reservoir_sample": (q_weighted_reservoir, _oracle_reservoir()),
     "group_weighted_reservoir": (q_group_reservoir, _oracle_group_reservoir()),

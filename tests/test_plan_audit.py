@@ -740,3 +740,19 @@ def test_pca_scores_no_corpus_shuffle(spark):
     ).__str__()
     assert "rangepartitioning" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row attaches
+
+
+def test_kcenter_zero_corpus_shuffle(spark):
+    """r10: greedy k-center must be k scan-speed supersteps — 1-row
+    broadcast center attaches (nested-loop on a single row), bounded
+    TakeOrderedAndProject winners, and NO exchange of the corpus at
+    all: no hash or range partitioning anywhere in the plan."""
+    from osm_pbf_parquet_spark.plans.selection_queries import (
+        q_kcenter_select,
+    )
+
+    plan = _plan(q_kcenter_select(spark, SF_DIR))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

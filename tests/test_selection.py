@@ -250,3 +250,42 @@ def test_split_leakage_adds_no_corpus_scan(spark):
     # persisted signature frame), never add a corpus re-scan
     assert audited.count("Scan parquet") <= base.count("Scan parquet")
     assert "CartesianProduct" not in audited
+
+
+def test_kcenter_matches_greedy_reference(spark):
+    """r10: the in-plan farthest-point loop equals the sequential
+    Gonzalez greedy on constructed clustered vectors — same center
+    sequence (ties by lowest key) and same nearest assignments."""
+    import numpy as np
+
+    from osm_pbf_parquet_spark.operators.selection import kcenter_select
+
+    # 3 tight clusters + one outlier: greedy must pick across them
+    base = {0: [0.0] * 8, 1: [10.0] * 8, 2: [-10.0] * 8, 3: [100.0] * 8}
+    rows = []
+    for i in range(24):
+        c = i % 4
+        rows.append((i, [b + ((i * 7 + j) % 5) / 10.0
+                         for j, b in enumerate(base[c])]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["center_id"], r["d2"])
+           for r in kcenter_select(df, k=4).collect()}
+
+    X = {i: np.asarray(v) for i, v in rows}
+    centers = [min(X)]
+    for _ in range(3):
+        far = max(
+            ((min(float(((X[i] - X[c]) ** 2).sum()) for c in centers), -i), i)
+            for i in X
+        )[1]
+        centers.append(far)
+    ref = {}
+    for i in X:
+        d, c = min(
+            (float(((X[i] - X[c]) ** 2).sum()), centers.index(c), c)
+            for c in centers
+        )[0::2]
+        ref[i] = (c, round(d, 6))
+    assert got == ref
+    # one center per cluster: the diversity guarantee on this geometry
+    assert {c % 4 for c in {c for c, _ in got.values()}} == {0, 1, 2, 3}
