@@ -942,6 +942,7 @@ def pca_power_scores(
     key: str = "vec_id",
     rounds: int = 3,
     scale: int = 1_000_000,
+    cache=None,
 ) -> DataFrame:
     """Distributed PCA, completed: project every embedding onto the top
     principal direction estimated by ``rounds`` power-iteration steps
@@ -950,7 +951,13 @@ def pca_power_scores(
     binning, dedup, or visualization at corpus scale. The gate pins the
     SPEC "rounds power steps from the fixed unit start (1/8, …, 1/8)"
     the way the kmeans gate pins 3 Lloyd rounds — convergence is the
-    caller's knob, determinism is the contract.
+    caller's knob, determinism is the contract. The start vector's
+    LENGTH is derived in-plan from a Gram row (r11, r10 verdict #1:
+    the previous literal ``sequence(1, 64)`` start NULL-padded under
+    ``zip_with`` for any other embedding dimension and returned
+    silently all-NULL scores), so any d genuinely works — the 1/8
+    entries give unit norm only at d=64, but the first normalization
+    divides the start's norm out regardless.
 
     Determinism: the Gram cells are exact int64 (order-independent);
     everything after is fixed-shape float math in the engine's proven
@@ -967,10 +974,19 @@ def pca_power_scores(
     crossJoin attach of the component (the bloom word-map idiom), so
     scores land at scan speed with zero corpus shuffle. The iteration
     itself runs on d-row / 1-row frames entirely in-plan: no driver
-    collect, no numpy eigensolve round-trip."""
+    collect, no numpy eigensolve round-trip. The d-row Gram frame is
+    PERSISTED for the iteration's lifetime (r11, advisor note): every
+    power step and the start-vector derivation reference it, so without
+    the cache the final plan would recompute gram_matrix's corpus pass
+    ``rounds + 1`` times — with it, the corpus is scanned once. Release
+    follows the engine's PersistSet lifecycle (caller-managed via
+    ``cache``, else tied to the result's lifetime)."""
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
     g = gram_matrix(df, vec_col, scale)
     sden = f"cast({scale} AS DOUBLE) * cast({scale} AS DOUBLE)"
-    rows = (
+    rows = ps.persist(
         g.groupBy("i")
         .agg(F.array_sort(F.collect_list(F.struct("j", "g"))).alias("_r"))
         .select(
@@ -980,12 +996,11 @@ def pca_power_scores(
             ).alias("gi"),
         )
     )
-    # fixed unit start: d entries of 1/8 give exactly unit norm at d=64;
-    # any d works (the norm divides out in the first normalization)
-    vrow = g.sparkSession.range(1).select(
-        F.expr(
-            "transform(sequence(1, 64), d -> cast(0.125 AS DOUBLE))"
-        ).alias("v")
+    # fixed start with the DATA's dimension: any Gram row's gi has
+    # length d, and the constant 1/8 entries don't depend on which row
+    # the limit picks — the first normalization divides the norm out
+    vrow = rows.limit(1).select(
+        F.expr("transform(gi, x -> cast(0.125 AS DOUBLE))").alias("v")
     )
     for _ in range(rounds):
         w = F.broadcast(vrow).crossJoin(rows).select(
@@ -1002,7 +1017,8 @@ def pca_power_scores(
     vecs = df.select(
         F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("xd")
     )
-    return vecs.crossJoin(F.broadcast(vrow)).select(
+    out = vecs.crossJoin(F.broadcast(vrow)).select(
         key,
         F.round(F.expr(DOT.format(a="xd", b="v")), 6).alias("pc1"),
     )
+    return tie_release(out, ps, owned)

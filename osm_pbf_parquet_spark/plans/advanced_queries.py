@@ -1203,7 +1203,10 @@ rows_ AS (
                  ORDER BY j) AS gi
   FROM gm GROUP BY i
 ),
-v0 AS (SELECT list_transform(range(1, 65), q -> CAST(0.125 AS DOUBLE)) AS vv)
+v0 AS (
+  SELECT list_transform(gi, q -> CAST(0.125 AS DOUBLE)) AS vv
+  FROM rows_ LIMIT 1
+)
 """]
     prev = "v0"
     for t in range(1, rounds + 1):

@@ -306,3 +306,30 @@ def test_pca_power_matches_numpy_reference(spark):
     scores = np.array([got[i] for i, _ in rng])
     corr = abs(np.corrcoef(axis5, scores)[0, 1])
     assert corr > 0.8, corr
+
+
+def test_pca_power_non_64_dim(spark):
+    """r11 (r10 verdict #1): the start vector's length is derived from
+    the data in-plan — a d=16 corpus must return non-NULL scores that
+    match the sequential numpy replication, where the old literal
+    ``sequence(1, 64)`` start NULL-padded every matvec to all-NULL."""
+    import numpy as np
+
+    from osm_pbf_parquet_spark.operators.similarity import pca_power_scores
+
+    rng = [(i, [float(((i * 13 + j * 7) % 11) - 5) / 5.0
+                + (2.0 if j == 2 else 0.0)
+                for j in range(16)]) for i in range(30)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["pc1"] for r in pca_power_scores(df).collect()}
+    assert all(got[i] is not None for i, _ in rng)
+
+    X = np.array([v for _, v in rng])
+    Xi = np.sign(X * 1e6) * np.floor(np.abs(X * 1e6) + 0.5)
+    G = (Xi.T @ Xi) / 1e12
+    v = np.full(16, 0.125)
+    for _ in range(3):
+        w = G @ v
+        v = w / np.sqrt((w * w).sum())
+    ref = np.round(X @ v, 6)
+    assert max(abs(got[i] - ref[i]) for i, _ in rng) <= 1.1e-6

@@ -733,11 +733,13 @@ def test_pca_scores_no_corpus_shuffle(spark):
     )
 
     plan = _plan(q_pca_power_scores(spark, SF_DIR))
+    # EXACT attribute names (r11, advisor note: a prefix startswith("i")
+    # would also admit a corpus-sized exchange keyed on "id"): every
+    # hash-exchange key must be the Gram's i/j attribute itself
     for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
-        assert a.startswith("i") or a.startswith("j"), a
-    assert "vec_id" not in re.findall(
-        r"hashpartitioning\(([^)]*)\)", plan
-    ).__str__()
+        keys = [k.strip().split("#")[0] for k in a.split(",")
+                if "#" in k]
+        assert keys and all(k in ("i", "j") for k in keys), a
     assert "rangepartitioning" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row attaches
 
