@@ -78,7 +78,13 @@ def hashed_linear_score(
 
     Returns (id, n_tokens, score_fp, score, keep): the exact
     fixed-point score, its float rendering, and the threshold verdict
-    (score_fp >= threshold, both in fixed-point units).
+    (score_fp >= threshold, both in fixed-point units). Token-less
+    documents ARE classified (r11, advisor note: a plain explode
+    silently dropped them, so a pipeline joining verdicts back lost
+    empty docs instead of gating them): ``explode_outer`` keeps one
+    NULL-term row per empty doc, which scores n_tokens=0,
+    score_fp=bias — the model's prior, exactly what a linear
+    classifier assigns a featureless input.
     """
     from .sampling import hash_mod_expr
     from .text import with_tokens
@@ -86,18 +92,21 @@ def hashed_linear_score(
     dim = len(weights)
     warr = "array(" + ", ".join(f"{w}L" for w in weights) + ")"
     toks = with_tokens(df, text_col).select(
-        F.col(id_col), F.explode("tokens").alias("term")
+        F.col(id_col), F.explode_outer("tokens").alias("term")
     )
     signed = hash_mod_expr("concat(term, ':s')", 2)
     contrib = F.expr(
         f"cast(1 - 2 * ({signed}) AS BIGINT)"
         f" * element_at({warr}, cast(({hash_mod_expr('term', dim)}) + 1 AS INT))"
     )
-    per_doc = toks.select(id_col, contrib.alias("contrib")).groupBy(
+    per_doc = toks.select(id_col, "term", contrib.alias("contrib")).groupBy(
         id_col
     ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        (F.lit(bias).cast("long") + F.sum("contrib")).alias("score_fp"),
+        F.count("term").cast("long").alias("n_tokens"),
+        (
+            F.lit(bias).cast("long")
+            + F.coalesce(F.sum("contrib"), F.lit(0).cast("long"))
+        ).alias("score_fp"),
     )
     return per_doc.select(
         id_col,

@@ -784,11 +784,15 @@ c AS (
              CAST(({duck_hash_mod("term", _QC_DIM)}) + 1 AS INT)) AS contrib
   FROM toks
 ),
+-- LEFT JOIN from documents (r11): token-less docs surface with
+-- n_tokens=0, score_fp=bias — the engine's explode_outer contract
 s AS (
-  SELECT doc_id,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         CAST({_QC_BIAS} + sum(contrib) AS BIGINT) AS score_fp
-  FROM c GROUP BY doc_id
+  SELECT d.doc_id,
+         CAST(count(c.contrib) AS BIGINT) AS n_tokens,
+         CAST({_QC_BIAS} + COALESCE(sum(c.contrib), 0) AS BIGINT)
+           AS score_fp
+  FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+  GROUP BY d.doc_id
 )
 SELECT doc_id, n_tokens, score_fp,
        round(score_fp / 1000000.0, 6) AS score,

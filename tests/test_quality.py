@@ -613,3 +613,27 @@ def test_hashed_linear_score_hand_computed(spark):
     # bias shifts the score exactly
     biased = hashed_linear_score(df, "doc_id", weights, bias=7)
     assert biased.collect()[0]["score_fp"] == want + 7
+
+
+def test_hashed_linear_score_classifies_empty_docs(spark):
+    """r11 (advisor note): token-less documents must SURFACE with
+    n_tokens=0 and score_fp=bias instead of vanishing from the output —
+    a curation pipeline joining verdicts back would otherwise silently
+    lose them."""
+    from osm_pbf_parquet_spark.operators.features import hashed_linear_score
+
+    weights = [(d * 37) % 100 - 50 for d in range(16)]
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            hashed_linear_score(df, "doc_id", weights, bias=9,
+                                threshold=10).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for d in (2, 3, 4):
+        assert rows[d]["n_tokens"] == 0
+        assert rows[d]["score_fp"] == 9
+        assert rows[d]["score"] == round(9 / 1e6, 6)
+        assert rows[d]["keep"] is False
+    assert rows[1]["n_tokens"] == 2

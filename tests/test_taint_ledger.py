@@ -310,3 +310,12 @@ def f():
     assert "LOCAL" not in module_bindings(green)
     # no green source (new file) → no module-binding taint
     assert module_binding_taints(None, cur) == []
+    # r11 (advisor note): an UNPARSEABLE current source must taint every
+    # green binding (fail conservative), not silently report zero —
+    # registry names stay exempt, the sentinel key never leaks out
+    broken = module_binding_taints(green, "def f(:\n")
+    assert broken == sorted(
+        ["os", "a", "b", "THRESHOLD", "WINDOW", "STATE", "GATED"]
+    ), broken
+    # …and symmetrically for an unparseable green baseline
+    assert module_binding_taints("def g(:\n", green) == []

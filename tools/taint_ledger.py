@@ -233,6 +233,18 @@ def module_binding_taints(green_src: str | None, cur_src: str) -> list[str]:
         return []
     gb = module_bindings(green_src)
     cb = module_bindings(cur_src)
+    if "<unparseable>" in cb or "<unparseable>" in gb:
+        # r11 (advisor note): an unparseable CURRENT source previously
+        # reported zero module-binding taints (every green name was
+        # absent from cb's single sentinel key), silently disabling the
+        # fallback for exactly the file most likely to be mid-edit.
+        # Fail conservative instead: treat every green binding as
+        # changed. (An unparseable file also fails import loudly at the
+        # full-registry parity run, so this path marks work, not truth.)
+        return sorted(
+            n for n in gb
+            if n != "<unparseable>" and not _REGISTRY_NAME.search(n)
+        )
     return sorted(
         n
         for n, sha in gb.items()
