@@ -134,19 +134,134 @@ def _decode_bmp(payload: bytes) -> dict:
     return {"width": width, "height": height, "pixels": rgb.tobytes()}
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): the neighbor (left, up,
+    upper-left) closest to the linear estimate a + b - c, ties broken
+    left → up → upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
+    """Reverse PNG per-scanline filtering (RFC 2083 §6): each scanline is
+    one filter-type byte + ``width*channels`` filtered bytes; recon is
+    exact mod-256 integer arithmetic. All five filter types (None, Sub,
+    Up, Average, Paeth); ``bpp`` = channels at bit depth 8."""
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG scanline data: got {len(raw)} bytes, "
+            f"want {height * (1 + stride)}"
+        )
+    out = bytearray(height * stride)
+    prev = bytes(stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        recon = bytearray(stride)
+        if ftype == 0:  # None
+            recon[:] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                a = recon[x - channels] if x >= channels else 0
+                recon[x] = (line[x] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                recon[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = recon[x - channels] if x >= channels else 0
+                recon[x] = (line[x] + (a + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = recon[x - channels] if x >= channels else 0
+                c = prev[x - channels] if x >= channels else 0
+                recon[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} (row {y})")
+        out[y * stride : (y + 1) * stride] = recon
+        prev = bytes(recon)
+    return bytes(out)
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Dependency-free PNG decode (r11, r9/r10 verdict ask: the format a
+    real multimodal corpus actually contains): stdlib zlib inflate +
+    per-scanline unfilter in the same integer discipline as the PPM/BMP
+    paths. Supports bit depth 8, color types 0 (gray, replicated to
+    RGB), 2 (RGB), 6 (RGBA, alpha dropped for the RGB pixel contract),
+    no interlace. Chunk CRCs ARE validated (binascii.crc32)."""
+    import binascii
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        want = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if binascii.crc32(ctype + data) & 0xFFFFFFFF != want:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height = struct.unpack(">II", ihdr[:8])
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or color not in (0, 2, 6) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={color} "
+            f"interlace={interlace} (8-bit gray/RGB/RGBA, no interlace)"
+        )
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    recon = np.frombuffer(
+        _png_unfilter(raw, width, height, channels), dtype=np.uint8
+    )
+    if color == 0:
+        rgb = np.repeat(recon, 3)
+    elif color == 6:
+        rgb = recon.reshape(-1, 4)[:, :3].reshape(-1)
+    else:
+        rgb = recon
+    return {"width": width, "height": height, "pixels": rgb.tobytes()}
+
+
 def decode_image(payload: bytes) -> dict:
     """Dependency-free image decode → ``{"width", "height", "pixels"}``
-    with ``pixels`` as row-major top-down RGB bytes. Real parsers for the
-    library-free formats (PPM P6, uncompressed 24-bit BMP); compressed
-    formats need an imaging library absent from this container."""
+    with ``pixels`` as row-major top-down RGB bytes. Real parsers for
+    PPM P6, uncompressed 24-bit BMP, and 8-bit non-interlaced PNG
+    (stdlib zlib + unfilter); other compressed formats need an imaging
+    library absent from this container."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "compressed image formats (JPEG/PNG/…) require an imaging library "
-        "not present in this environment; plug Pillow/libvips here "
-        "(PPM and 24-bit BMP decode natively)"
+        "JPEG/WebP/… require an imaging library not present in this "
+        "environment; plug Pillow/libvips here (PPM, 24-bit BMP, and "
+        "8-bit PNG decode natively)"
     )
 
 
@@ -220,6 +335,80 @@ def attach_ppm_payload(df: DataFrame, key: str = "doc_id") -> DataFrame:
         F.col(key).alias("doc_id"),
         F.expr(f"concat(unhex('{header_hex}'), unhex({hexcat}))").alias("payload"),
         F.lit("image/x-portable-pixmap").alias("media_type"),
+    )
+
+
+PNG_W, PNG_H = 8, 4          # 96 RGB bytes = 6 md5 digests, 4 Up-filtered rows
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import binascii
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def attach_png_payload(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Synthesize a VALID 8×4 RGB PNG per row entirely from Catalyst
+    expressions — signature, IHDR, one IDAT whose deflate stream is a
+    single STORED block holding 4 Up-filtered scanlines (filter type 2)
+    whose FILTERED bytes are md5(key ':pnN') digests, real zlib adler32
+    (two folds mod 65521) and real chunk CRC32 (Spark's ``crc32``), and
+    IEND. The decoder must therefore run the genuine inflate + unfilter
+    path (recon(y,x) = Σ_{r≤y} filtered(r,x) mod 256), and an external
+    SQL engine can replay that arithmetic from the same md5 hex — the
+    decoder-certifying oracle contract of :func:`attach_ppm_payload`,
+    now covering the compressed-container code path."""
+    stride = PNG_W * 3
+    n_raw = PNG_H * (1 + stride)  # filter byte + 24 px bytes per row
+    sig_ihdr_hex = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", PNG_W, PNG_H,
+                                          8, 2, 0, 0, 0))
+    ).hex()
+    iend_hex = _png_chunk(b"IEND", b"").hex()
+    # stored-block deflate framing: zlib hdr 0x7801, BFINAL=1/BTYPE=00,
+    # LEN/NLEN little-endian
+    blk_hex = "7801" + "01" + struct.pack("<HH", n_raw, n_raw ^ 0xFFFF).hex()
+    idat_len_type_hex = struct.pack(">I", 2 + 5 + n_raw + 4).hex() + b"IDAT".hex()
+    hexcat = _md5_hexcat(key, "pn", PNG_W * PNG_H * 3 // 16)
+    raw_hex = "concat(" + ", ".join(
+        f"'02', substring(_hex, {r * stride * 2 + 1}, {stride * 2})"
+        for r in range(PNG_H)
+    ) + ")"
+    byte_at = "cast(conv(substring(_raw_hex, 2 * k + 1, 2), 16, 10) AS BIGINT)"
+    fold = "cast(0 AS BIGINT), (acc, x) -> acc + x"
+    a_sum = (
+        f"aggregate(transform(sequence(0, {n_raw - 1}), "
+        f"k -> {byte_at}), {fold})"
+    )
+    b_sum = (
+        f"aggregate(transform(sequence(0, {n_raw - 1}), "
+        f"k -> cast({n_raw} - k AS BIGINT) * {byte_at}), {fold})"
+    )
+    adler_hex = (
+        f"lpad(hex((({n_raw} + {b_sum}) % 65521) * 65536 "
+        f"+ ((1 + {a_sum}) % 65521)), 8, '0')"
+    )
+    staged = df.select(
+        F.col(key).alias("doc_id"), F.expr(hexcat).alias("_hex")
+    ).select(
+        "doc_id", F.expr(raw_hex).alias("_raw_hex")
+    ).select(
+        "doc_id",
+        F.expr(f"concat('{blk_hex}', _raw_hex, {adler_hex})").alias("_z"),
+    )
+    return staged.select(
+        "doc_id",
+        F.expr(
+            f"concat(unhex('{sig_ihdr_hex}'), unhex('{idat_len_type_hex}'), "
+            f"unhex(_z), "
+            f"unhex(lpad(hex(crc32(unhex(concat('{b'IDAT'.hex()}', _z)))), 8, '0')), "
+            f"unhex('{iend_hex}'))"
+        ).alias("payload"),
+        F.lit("image/png").alias("media_type"),
     )
 
 

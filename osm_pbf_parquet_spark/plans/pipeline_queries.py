@@ -1246,6 +1246,50 @@ FROM b GROUP BY doc_id
 """
 
 
+def q_multimodal_png(spark, sf_dir):
+    """REAL compressed-container decode (r11, r10 verdict ask #4):
+    synthesize a VALID 8×4 RGB PNG per document in-plan — stored-block
+    deflate, Up-filtered scanlines whose filtered bytes are md5
+    digests, real adler32/CRC32 — decode with the dependency-free
+    stdlib-zlib PNG parser (CRC-validating), emit per-channel means.
+    The oracle replays the UNFILTER arithmetic from the same md5 hex
+    (recon(y,x) = Σ_{r≤y} filtered(r,x) mod 256), so a wrong filter
+    implementation, stride, row order, or inflate framing flips the
+    hash — this row certifies the PNG path the way multimodal_decode
+    certifies PPM."""
+    media = multimodal.attach_png_payload(t_adaptive(spark, sf_dir, "documents"))
+    return multimodal.extract_image_features(media)
+
+
+# filtered byte (y, x) is hex position y*24+x; Up filter everywhere, so
+# recon(y, x) = cumulative column sum mod 256; channel = x % 3. Means
+# are 32-int sums / 32 — exact in float64 (power-of-two divisor), no
+# rounding needed on either side.
+ORACLE_MULTIMODAL_PNG = f"""
+WITH px AS (
+  SELECT doc_id, {_hexcat_sql('pn', 6)} AS hex FROM documents
+),
+f AS (
+  SELECT doc_id, y, x,
+         CAST(('0x' || substring(hex, 2 * (y * 24 + x) + 1, 2)) AS INT) AS fv
+  FROM px, range(0, 4) AS ry(y), range(0, 24) AS rx(x)
+),
+recon AS (
+  SELECT doc_id, x,
+         CAST(sum(fv) OVER (PARTITION BY doc_id, x ORDER BY y) % 256 AS INT)
+           AS v
+  FROM f
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       avg(CASE WHEN x % 3 = 0 THEN v END) AS mean_r,
+       avg(CASE WHEN x % 3 = 1 THEN v END) AS mean_g,
+       avg(CASE WHEN x % 3 = 2 THEN v END) AS mean_b
+FROM recon GROUP BY doc_id
+"""
+
+
 def q_multimodal_audio(spark, sf_dir):
     """REAL audio decode: synthesize a 32-sample mono PCM WAV per
     document, decode with the dependency-free RIFF parser, emit amplitude
@@ -1350,6 +1394,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL_METADATA),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL_FEATURES),
     "multimodal_decode": (q_multimodal_decode, ORACLE_MULTIMODAL_DECODE),
+    "multimodal_png": (q_multimodal_png, ORACLE_MULTIMODAL_PNG),
     "multimodal_audio": (q_multimodal_audio, ORACLE_MULTIMODAL_AUDIO),
     "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
 }
