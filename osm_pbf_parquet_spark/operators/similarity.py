@@ -984,6 +984,35 @@ def pca_power_scores(
     from ..functions.caching import owned_set, tie_release
 
     ps, owned = owned_set(cache)
+    vrow = pca_component(df, vec_col, rounds, scale, cache=ps)
+    vecs = df.select(
+        F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("xd")
+    )
+    out = vecs.crossJoin(F.broadcast(vrow)).select(
+        key,
+        F.round(F.expr(DOT.format(a="xd", b="v")), 6).alias("pc1"),
+    )
+    return tie_release(out, ps, owned)
+
+
+def pca_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    rounds: int = 3,
+    scale: int = 1_000_000,
+    cache=None,
+) -> DataFrame:
+    """The power iteration alone: a 1-row frame holding the unit top
+    principal direction ``v`` (array<double>, length d) after ``rounds``
+    steps over the exact Gram matrix — the broadcastable handoff
+    artifact downstream projections (scores, whitening, PCA-bucketed
+    dedup, the embedding_diversity_report capstone) attach per-row at
+    scan speed. Extracted from ``pca_power_scores`` (r11) so composed
+    pipelines can fuse the score projection with other per-row work in
+    ONE corpus pass instead of joining operator outputs."""
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
     g = gram_matrix(df, vec_col, scale)
     sden = f"cast({scale} AS DOUBLE) * cast({scale} AS DOUBLE)"
     rows = ps.persist(
@@ -1014,11 +1043,4 @@ def pca_power_scores(
                 f"transform(u, x -> x / ({NORM.format(v='u')}))"
             ).alias("v")
         )
-    vecs = df.select(
-        F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("xd")
-    )
-    out = vecs.crossJoin(F.broadcast(vrow)).select(
-        key,
-        F.round(F.expr(DOT.format(a="xd", b="v")), 6).alias("pc1"),
-    )
-    return tie_release(out, ps, owned)
+    return tie_release(vrow, ps, owned)

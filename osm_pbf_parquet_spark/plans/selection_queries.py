@@ -441,8 +441,42 @@ FROM v
     return "".join(parts)
 
 
+# --- embedding-pipeline capstone (r11) ----------------------------------------
+
+
+def q_embedding_pipeline(spark, sf_dir):
+    """Gram → PCA direction → k-center coreset composed as ONE gate
+    (selection.embedding_diversity_report): per-center member count,
+    coverage radius, and mean PC1 loading, computed in one fused
+    corpus pass (both upstream artifacts are 1-row broadcasts) — the
+    embedding-chain analog of training_set_assembly."""
+    return selection.embedding_diversity_report(
+        _t(spark, sf_dir, "embeddings"), k=_KC_K
+    )
+
+
+def _oracle_embedding_pipeline() -> str:
+    """Composes the pca_power_scores and kcenter_select oracles VERBATIM
+    as subqueries (the r10 verdict's ask: the capstone pins the handoff
+    contracts, not re-derived arithmetic), then aggregates per center
+    with the exact fixed-point discipline the engine uses."""
+    from .advanced_queries import _build_pca_oracle
+
+    return f"""
+SELECT kc.center_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       max(kc.d2) AS max_d2,
+       round(sum(CAST(round(p.pc1 * 1000000, 0) AS BIGINT))
+             / count(*) / 1000000.0, 6) AS avg_pc1
+FROM ({_oracle_kcenter()}) kc
+JOIN ({_build_pca_oracle()}) p ON kc.vec_id = p.vec_id
+GROUP BY kc.center_id
+"""
+
+
 SELECTION_QUERIES = {
     "kcenter_select": (q_kcenter_select, _oracle_kcenter()),
+    "embedding_pipeline": (q_embedding_pipeline, _oracle_embedding_pipeline()),
     "dsir_importance": (q_dsir_importance, _oracle_dsir()),
     "weighted_reservoir_sample": (q_weighted_reservoir, _oracle_reservoir()),
     "group_weighted_reservoir": (q_group_reservoir, _oracle_group_reservoir()),

@@ -744,6 +744,27 @@ def test_pca_scores_no_corpus_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row attaches
 
 
+def test_embedding_pipeline_marginal_wide_ops(spark):
+    """r11: the capstone composition must add NO wide work beyond its
+    parts — every hash exchange is either gram_matrix's dim-bounded
+    (i, j)/(i) merge or the final ≤k-group center_id aggregation;
+    the operator handoffs are 1-row broadcasts (nested-loop on a
+    single row), never a corpus-side join of the two outputs."""
+    import re
+
+    from osm_pbf_parquet_spark.plans.selection_queries import (
+        q_embedding_pipeline,
+    )
+
+    plan = _plan(q_embedding_pipeline(spark, SF_DIR))
+    for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = [k.strip().split("#")[0] for k in a.split(",") if "#" in k]
+        assert keys and all(k in ("i", "j", "center_id") for k in keys), a
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row artifact attaches
+
+
 def test_kcenter_zero_corpus_shuffle(spark):
     """r10: greedy k-center must be k scan-speed supersteps — 1-row
     broadcast center attaches (nested-loop on a single row), bounded

@@ -289,3 +289,42 @@ def test_kcenter_matches_greedy_reference(spark):
     assert got == ref
     # one center per cluster: the diversity guarantee on this geometry
     assert {c % 4 for c in {c for c, _ in got.values()}} == {0, 1, 2, 3}
+
+
+def test_embedding_diversity_report_equals_joined_parts(spark):
+    """r11 capstone handoff contract: the fused single-pass report must
+    equal the explicit composition — kcenter_select joined to
+    pca_power_scores on the key, grouped per center with the same
+    fixed-point mean."""
+    from pyspark.sql import functions as F
+
+    from osm_pbf_parquet_spark.operators.selection import (
+        embedding_diversity_report,
+        kcenter_select,
+    )
+    from osm_pbf_parquet_spark.operators.similarity import pca_power_scores
+
+    rows = [(i, [float(((i * 31 + j * 17) % 13) - 6) / 6.0
+                 + (3.0 if j == 1 else 0.0)
+                 for j in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["center_id"]: (r["n_members"], r["max_d2"], r["avg_pc1"])
+           for r in embedding_diversity_report(df, k=3).collect()}
+
+    joined = (
+        kcenter_select(df, k=3)
+        .join(pca_power_scores(df), "vec_id")
+        .groupBy("center_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("d2").alias("mx"),
+            F.sum(
+                F.expr("cast(round(pc1 * 1000000, 0) AS BIGINT)")
+            ).alias("sfp"),
+        )
+        .select("center_id", "n", "mx",
+                F.round(F.col("sfp") / F.col("n") / F.lit(1e6), 6).alias("ap"))
+    )
+    ref = {r["center_id"]: (r["n"], r["mx"], r["ap"])
+           for r in joined.collect()}
+    assert got == ref and len(got) == 3
