@@ -604,6 +604,57 @@ def main() -> None:
         # plan regression (see tools/soak_leg.py)
         soak["calib_wall_cpu"] = calib
         soak["jvm_peak_rss_mb"] = peak_rss or None
+
+        # --- fresh-JVM CPU-second legs for the drift-prone big anchors
+        #     (r11, r10 verdict #5: pbf_transcode_4x read 11.9 vs 5.05 s
+        #     and jaccard_join_exact 5.41 vs 2.97 s on the IDENTICAL
+        #     tree hours apart — wall on this host cannot adjudicate a
+        #     2x swing, so the payload carries the anchors in the same
+        #     fresh-JVM CPU-first stack the graph anchors got; READ CPU
+        #     FIRST, wall second). tools/anchor_leg.py subprocesses,
+        #     min-of-2 with the dual wall+CPU agreement stop rule. ---
+        aleg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "anchor_leg.py")
+        anchor_cpu: dict = {"fresh_jvm_per_rep": True, "read": "cpu_first"}
+        try:
+            for name in ("pbf_transcode_4x", "jaccard_join_exact",
+                         "margin_bitext_ann"):
+                reps, cpus, cal = [], [], []
+                while True:
+                    _settle_memory()
+                    proc = subprocess.run(
+                        [_sys.executable, aleg, name, BIG_DIR],
+                        capture_output=True, text=True, timeout=1200,
+                    )
+                    if proc.returncode != 0:
+                        raise RuntimeError(
+                            f"anchor leg {name} failed: {proc.stderr[-500:]}"
+                        )
+                    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+                    reps.append(rep["wall_sec"])
+                    # tree CPU (JVM + Python worker descendants): the
+                    # transcode's hot loop runs in mapInArrow workers,
+                    # invisible to JVM-only CPU time
+                    cpus.append(rep.get("tree_cpu_sec",
+                                        rep["jvm_cpu_sec"]))
+                    cal.append([rep.get("calib_wall_sec"),
+                                rep.get("calib_cpu_sec")])
+                    wall_ok = [r for r in reps if r <= OUTLIER_X * min(reps)]
+                    cpu_ok = [c for c in cpus if c <= OUTLIER_X * min(cpus)]
+                    if (len(wall_ok) >= 2 and len(cpu_ok) >= 2) or (
+                        len(reps) >= 2 + EXTRA_ATTEMPTS
+                    ):
+                        break
+                anchor_cpu[name] = {
+                    "tree_cpu_sec": min(cpus),
+                    "wall_sec": min(reps),
+                    "cpu_reps": cpus,
+                    "wall_reps": reps,
+                    "calib_wall_cpu": cal,
+                }
+        except Exception as exc:
+            anchor_cpu["anchor_error"] = f"{type(exc).__name__}: {exc}"
+        soak["anchor_cpu_legs"] = anchor_cpu
     except Exception as exc:
         soak["soak_error"] = f"{type(exc).__name__}: {exc}"
 
@@ -635,6 +686,17 @@ def main() -> None:
             "hint was marginally faster; the ~1s anchor increase is the "
             "cost of letting AQE decide from observed sizes instead — "
             "the scale-correct plan, deliberately paid."
+        ),
+        "anchor_cpu_legs": (
+            "r11 (r10 verdict #5): soak.anchor_cpu_legs carries fresh-JVM "
+            "CPU-second legs (tools/anchor_leg.py subprocesses, warm-up "
+            "and calibration outside the timed region, memory-settled "
+            "starts) for pbf_transcode_4x, jaccard_join_exact, and "
+            "margin_bitext_ann — the three anchors whose wall times "
+            "swung ~2x on identical trees between the builder's and the "
+            "driver's r10 runs. Read these CPU numbers FIRST when "
+            "judging those anchors; the in-session big_queries walls "
+            "absorb host-contention windows CPU time does not."
         ),
         "graph_anchor_drift": (
             "r10 (r9 verdict #6): the shortest_hops +19% / pagerank +8% "
