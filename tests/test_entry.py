@@ -72,8 +72,8 @@ def test_r9_rotation_inside_driver_cap():
     # every must-cover entry sits inside the driver cap
     for name in led["must_cover"]:
         assert name in head, name
-    # the r10-new gates are present and never-checked entries lead
+    # the r11-new gates are present and never-checked entries lead
     for name in (
-        "osm_apply_changes", "stream_osm_apply_changes", "quality_classifier"
+        "compact_table", "multimodal_png", "embedding_pipeline"
     ):
         assert name in led["never_checked"] and name in head
