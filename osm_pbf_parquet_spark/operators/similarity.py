@@ -476,6 +476,234 @@ def kmeans_assign(
     return tie_release(out, ps, owned)
 
 
+# --- product quantization (PQ) + asymmetric-distance ANN ----------------------
+#
+# Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011) — the memory path of billion-scale ANN (FAISS's
+# IVFADC): each d-dim vector is split into ``m`` subvectors, each
+# subspace gets its own ``ks``-word codebook (k-means), and a vector is
+# stored as ``m`` small codes (m·log2(ks) bits instead of d·32). Search
+# is ASYMMETRIC: the query stays exact; per query a lookup table
+# LUT[j][c] = ||q_j − codebook[j][c]||² is precomputed (m·ks entries),
+# and each corpus vector's approximate distance is the scan-speed fold
+# Σ_j LUT[j][code_j] — no decode, no per-pair d-dim arithmetic.
+#
+# Scale shape: training touches the corpus ``iters`` times with ONLY a
+# (j, cluster, dim)-keyed combinable agg (m·ks·d/m rows, bounded by
+# literals) leaving each scan; codebooks broadcast back as one small
+# row. Encode and ADC are pure projections — the corpus is never
+# shuffled; the only data-sized exchange is the per-query rank window
+# over scored rows (bound by |corpus|·|queries|, same as cosine_topk).
+# At 100 TB this composes with the IVF cells above (IVFADC): assign →
+# per-cell PQ codes → probe cells, ADC within.
+#
+# Determinism contract (same as ``kmeans_assign``): feed integer-valued
+# vectors (e.g. floor(x·1000+0.5)) so the cross-partition centroid sums
+# are exact; every other step is a sequential fold / IEEE-fixed
+# composition replayable bit-for-bit by the SQL oracle.
+
+PQ_M = 16       # subspaces (64-dim → 4-dim subvectors, 16 codes/vector)
+PQ_KS = 16      # codewords per subspace (4 bits/code → 8-byte vectors)
+PQ_ITERS = 2    # Lloyd rounds per subspace (fused across subspaces)
+
+
+def _pq_dist_expr(sub_a: str, cv: str) -> str:
+    """Squared L2 between a subvector expression and a codeword array —
+    sequential fold, the engine-wide deterministic idiom."""
+    return (
+        f"aggregate(zip_with({sub_a}, {cv}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 AS DOUBLE), (a, e) -> a + e)"
+    )
+
+
+def _pq_codebooks_frame(spark, cb: list, m: int, ks: int):
+    """1-row frame holding the flat codebook list ordered by (j, cid) —
+    entry index j*ks + cid + 1 under 1-based element_at."""
+    rows = [([(j, c, cb[j][c]) for j in range(m) for c in range(ks)],)]
+    return spark.createDataFrame(
+        rows, "cb array<struct<j:int,cid:int,cv:array<double>>>"
+    )
+
+
+def _pq_codes_expr(m: int, ks: int, dsub: int, vec: str = "v") -> str:
+    """Per-row PQ codes: for each subspace j, the first-minimum codeword
+    id (ties to the lowest cid — array_position returns the first min,
+    the same comparator the oracle's list_position uses). Each subspace's
+    distance array is materialized once (inner transform), then reduced —
+    never re-evaluated inside the argmin."""
+    dist = _pq_dist_expr(f"slice({vec}, j * {dsub} + 1, {dsub})",
+                         f"element_at(cb, j * {ks} + c + 1).cv")
+    darrs = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {ks - 1}), c -> {dist}))"
+    )
+    return (
+        f"transform({darrs}, da -> "
+        "cast(array_position(da, array_min(da)) - 1 AS INT))"
+    )
+
+
+def pq_train_codebooks(
+    df: DataFrame, dim: int, m: int = PQ_M, ks: int = PQ_KS,
+    iters: int = PQ_ITERS, vec_col: str = "embedding", key: str = "vec_id",
+    cache=None,
+) -> list:
+    """Train the m per-subspace codebooks: deterministic init (the ks
+    lowest-key vectors' subvectors, cid 0..ks-1 in key order), then
+    ``iters`` Lloyd rounds fused across ALL subspaces — one corpus scan
+    per round feeding one (j, cluster, dim)-keyed map-side-combinable
+    agg whose m·ks·(d/m) = ks·d result rows are bounded by literals
+    (the ``kmeans_assign`` justification). Empty clusters keep their
+    previous codeword. Returns cb[j][c] -> list[float]."""
+    from ..functions.caching import owned_set
+
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    dsub = dim // m
+    spark = df.sparkSession
+    ps, owned = owned_set(cache)
+    base = ps.persist(
+        _spread(df).select(F.col(key),
+                           F.expr(TO_DOUBLE.format(v=vec_col)).alias("v"))
+    )
+    init = base.orderBy(key).limit(ks).collect()
+    cb: list[list[list[float]]] = [
+        [list(r["v"])[j * dsub:(j + 1) * dsub] for r in init]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        cents = _pq_codebooks_frame(spark, cb, m, ks)
+        assigned = (
+            base.crossJoin(F.broadcast(cents))
+            .withColumn("codes", F.expr(_pq_codes_expr(m, ks, dsub)))
+        )
+        sums = (
+            assigned.select("v", F.posexplode("codes").alias("j", "cl"))
+            .select("j", "cl",
+                    F.posexplode(F.expr(f"slice(v, j * {dsub} + 1, {dsub})"))
+                    .alias("i", "x"))
+            .groupBy("j", "cl", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # ks·dim rows — bounded by literals, not data size
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in sums:
+            upd.setdefault((r["j"], r["cl"]), {})[r["i"]] = r["s"] / r["n"]
+        cb = [
+            [
+                [comp[i] for i in sorted(comp)]
+                if (comp := upd.get((j, c))) is not None
+                else cb[j][c]  # empty cluster keeps its previous codeword
+                for c in range(ks)
+            ]
+            for j in range(m)
+        ]
+    if owned:
+        # training is eager (the per-round collects already ran), so the
+        # corpus cache releases synchronously — nothing lazy escapes
+        ps.release()
+    return cb
+
+
+def pq_encode(
+    df: DataFrame, cb: list, m: int = PQ_M, ks: int = PQ_KS,
+    vec_col: str = "embedding", key: str = "vec_id",
+) -> DataFrame:
+    """Corpus → (key, codes array<int>): the m-code compressed
+    representation, a scan-speed projection under a broadcast of the
+    ks·d-double codebook row. At 100 TB this column IS the index — the
+    raw vectors need not be rescanned at query time."""
+    dim = len(cb[0][0]) * m
+    dsub = dim // m
+    cents = _pq_codebooks_frame(df.sparkSession, cb, m, ks)
+    return (
+        _spread(df)
+        .select(F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("codes", F.expr(_pq_codes_expr(m, ks, dsub)))
+        .select(key, "codes")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    dim: int = 64, m: int = PQ_M, ks: int = PQ_KS, iters: int = PQ_ITERS,
+    vec_col: str = "embedding", key: str = "vec_id",
+    rerank: int | None = None, cache=None,
+) -> DataFrame:
+    """End-to-end PQ ANN: train codebooks on the corpus, encode it, and
+    answer each query by asymmetric distance — the query precomputes its
+    m·ks lookup table once (exact query-to-codeword distances), then
+    every corpus vector is scored by a fold over its m codes into that
+    broadcast table.
+
+    ``rerank=None`` returns the pure ADC ranking:
+    (query_id, neighbor_id, adc_dist, rk), rk ≤ k by (adc_dist asc,
+    neighbor_id). With ``rerank=R`` (FAISS's refinement stage, the
+    standard recall fix on hard distributions): the ADC pass keeps a
+    per-query shortlist of R candidates, the shortlist — structurally
+    bounded at |queries|·R rows by the rank filter, hence the broadcast
+    hint — joins back to the raw vectors for EXACT squared-L2, and the
+    final top-k re-ranks on that: (query_id, neighbor_id, sq_dist, rk).
+    The corpus is never shuffled in either mode; the re-rank scan is a
+    keyed probe of the raw vector table."""
+    dsub = dim // m
+    cb = pq_train_codebooks(corpus, dim, m, ks, iters, vec_col, key, cache)
+    codes = pq_encode(corpus, cb, m, ks, vec_col, key).select(
+        F.col(key).alias("neighbor_id"), "codes"
+    )
+    cents = _pq_codebooks_frame(corpus.sparkSession, cb, m, ks)
+    lut = (
+        f"transform(cb, cc -> {_pq_dist_expr(f'slice(qv, cc.j * {dsub} + 1, {dsub})', 'cc.cv')})"
+    )
+    q = (
+        queries.select(F.col(key).alias("query_id"),
+                       F.expr(TO_DOUBLE.format(v=vec_col)).alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("lut", F.expr(lut))
+        .select("query_id", "lut")
+    )
+    adc = (
+        "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
+        f"(c, j) -> element_at(lut, j * {ks} + c + 1)), "
+        "cast(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    scored = (
+        codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", F.expr(adc))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    if rerank is None:
+        return (
+            ranked.filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("adc_dist", 6).alias("adc_dist"), "rk")
+        )
+    shortlist = ranked.filter(F.col("rk") <= rerank).select(
+        "query_id", "neighbor_id"
+    )
+    cv = corpus.select(F.col(key).alias("neighbor_id"),
+                       F.expr(TO_DOUBLE.format(v=vec_col)).alias("cv"))
+    qv = queries.select(F.col(key).alias("query_id"),
+                        F.expr(TO_DOUBLE.format(v=vec_col)).alias("qv"))
+    exact = (
+        cv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "sq_dist",
+            F.expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+                   "cast(0.0 AS DOUBLE), (acc, e) -> acc + e)"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("sq_dist", "neighbor_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("sq_dist", 6).alias("sq_dist"), "rk")
+    )
+
+
 # --- contrastive-training negative sampling ----------------------------------
 
 

@@ -428,6 +428,136 @@ FROM ranked WHERE rk <= {k}
 """
 
 
+_PQ_RERANK = 40
+
+
+def q_pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011 — the memory path of
+    billion-scale search): train 16 per-subspace codebooks, compress
+    every vector to 16 codes, answer queries by asymmetric distance
+    (per-query lookup table, scan-speed code fold — no decode, no
+    per-pair d-dim arithmetic), then exact-re-rank the 40-candidate ADC
+    shortlist (FAISS's refinement stage — recall 0.9 on this corpus
+    where pure ADC sits at 0.37; random embeddings are PQ's worst
+    case). Vectors pre-quantized to integer-valued doubles (the
+    kmeans_clusters determinism contract) so the oracle replays training
+    bit-for-bit."""
+    emb = t_adaptive(spark, sf_dir, "embeddings")
+    iv = emb.withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"),
+    )
+    return similarity.pq_adc_topk(iv, iv.filter(F.col("vec_id") < 10), k=5,
+                                  rerank=_PQ_RERANK)
+
+
+def _oracle_pq() -> str:
+    m, ks, iters = similarity.PQ_M, similarity.PQ_KS, similarity.PQ_ITERS
+    dim, nq, k, rerank = 64, 10, 5, _PQ_RERANK
+    dsub = dim // m
+    dist = (
+        f"list_reduce(list_transform(range(1, {dsub} + 1), "
+        "i -> (sv[i] - cc.cv[i]) * (sv[i] - cc.cv[i])), (a, b) -> a + b)"
+    )
+    assign = f"""
+  SELECT vec_id, j, sv,
+         cb[list_position(darr, list_aggregate(darr, 'min'))].cid AS cl
+  FROM (SELECT s.vec_id, s.j, s.sv, c.cb,
+               list_transform(c.cb, cc -> {dist}) AS darr
+        FROM sub s JOIN cb{{prev}} c ON c.j = s.j)"""
+    rounds = []
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+a{r} AS ({assign.format(prev=r - 1)}
+),
+e{r} AS (SELECT j, cl, unnest(range(1, {dsub} + 1)) AS i, sv FROM a{r}),
+s{r} AS (SELECT j, cl, i, sum(sv[CAST(i AS INT)]) / count(*) AS mv
+         FROM e{r} GROUP BY j, cl, i),
+g{r} AS (SELECT j, cl, list(mv ORDER BY i) AS cv FROM s{r} GROUP BY j, cl),
+cb{r} AS MATERIALIZED (
+  -- empty cluster keeps its previous codeword (the Spark rule)
+  SELECT o.j, list(struct_pack(cid := o.cid, cv := coalesce(g.cv, o.ocv))
+                   ORDER BY o.cid) AS cb
+  FROM (SELECT j, u.cid AS cid, u.cv AS ocv
+        FROM (SELECT j, unnest(cb) AS u FROM cb{r - 1})) o
+  LEFT JOIN g{r} g ON g.j = o.j AND g.cl = o.cid
+  GROUP BY o.j
+)""")
+    qdist = (
+        f"list_reduce(list_transform(range(1, {dsub} + 1), "
+        f"i -> (q.v[cc.j * {dsub} + i] - cc.cv[i]) "
+        f"* (q.v[cc.j * {dsub} + i] - cc.cv[i])), (a, b) -> a + b)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS v
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, j,
+         list_transform(range(1, {dsub} + 1), i -> v[j * {dsub} + i]) AS sv
+  FROM v CROSS JOIN generate_series(0, {m - 1}) AS _j(j)
+),
+cb0 AS MATERIALIZED (
+  SELECT j, list(struct_pack(cid := CAST(rn - 1 AS INT), cv := sv)
+                 ORDER BY rn) AS cb
+  FROM (SELECT j, sv, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
+        FROM sub
+        WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {ks}))
+  GROUP BY j
+),{",".join(rounds)},
+codes AS (
+  SELECT vec_id, list(cl ORDER BY j) AS codes
+  FROM ({assign.format(prev=iters)}
+  ) GROUP BY vec_id
+),
+fcb AS MATERIALIZED (
+  SELECT list(struct_pack(j := j, cid := u.cid, cv := u.cv)
+              ORDER BY j, u.cid) AS fcb
+  FROM (SELECT j, unnest(cb) AS u FROM cb{iters})
+),
+lutq AS (
+  SELECT q.vec_id AS query_id,
+         list_transform(f.fcb, cc -> {qdist}) AS lut
+  FROM v q CROSS JOIN fcb f WHERE q.vec_id < {nq}
+),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(range(1, {m} + 1),
+           j -> l.lut[(j - 1) * {ks} + c.codes[j] + 1]),
+           (a, b) -> a + b) AS adc_dist
+  FROM lutq l JOIN codes c ON c.vec_id != l.query_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dist, neighbor_id) AS rk
+    FROM scored
+  ) WHERE rk <= {rerank}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_reduce(list_transform(range(1, {dim} + 1),
+           i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])),
+           (a, b) -> a + b) AS sq_dist
+  FROM shortlist s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v c ON c.vec_id = s.neighbor_id
+),
+reranked AS (
+  SELECT query_id, neighbor_id, sq_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY sq_dist, neighbor_id) AS INT) AS rk
+  FROM exact
+)
+SELECT query_id, neighbor_id, round(sq_dist, 6) AS sq_dist, rk
+FROM reranked WHERE rk <= {k}
+"""
+
+
 def q_ann_lsh_pairs(spark, sf_dir):
     """LSH-bucketed ANN (scale path) — bucket join instead of cross join."""
     return similarity.lsh_ann_pairs(t_adaptive(spark, sf_dir, "embeddings"), dim=64,
@@ -1372,6 +1502,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_TOPK),
     "ann_lsh_pairs": (q_ann_lsh_pairs, _oracle_ann_lsh()),
     "ann_ivf_topk": (q_ann_ivf_topk, _oracle_ann_ivf()),
+    "pq_ann_topk": (q_pq_ann_topk, _oracle_pq()),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "text_quality": (q_text_quality, _oracle_quality()),
     "text_lang_id": (q_text_lang_id, _oracle_lang_id()),

@@ -596,3 +596,109 @@ def test_gopher_oracle_differential_on_adversarial_whitespace(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# --- product quantization vs sequential reference -----------------------------------
+
+
+def _pq_reference(vecs, m, ks, iters, nq, k, rerank):
+    """Sequential PQ reference: left-fold arithmetic throughout so every
+    float op matches the engine's sequential-fold idiom exactly."""
+    def sqdist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    ids = sorted(vecs)
+    dim = len(vecs[ids[0]])
+    dsub = dim // m
+    cb = [
+        [list(vecs[i][j * dsub:(j + 1) * dsub]) for i in ids[:ks]]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        sums: dict = {}
+        for i in ids:
+            for j in range(m):
+                sv = vecs[i][j * dsub:(j + 1) * dsub]
+                d = [sqdist(sv, cb[j][c]) for c in range(ks)]
+                c = d.index(min(d))  # first minimum, lowest cid
+                acc = sums.setdefault((j, c), [0, [0.0] * dsub])
+                acc[0] += 1
+                for t in range(dsub):
+                    acc[1][t] += sv[t]
+        cb = [
+            [
+                [sums[(j, c)][1][t] / sums[(j, c)][0] for t in range(dsub)]
+                if (j, c) in sums else cb[j][c]
+                for c in range(ks)
+            ]
+            for j in range(m)
+        ]
+    codes = {}
+    for i in ids:
+        codes[i] = []
+        for j in range(m):
+            sv = vecs[i][j * dsub:(j + 1) * dsub]
+            d = [sqdist(sv, cb[j][c]) for c in range(ks)]
+            codes[i].append(d.index(min(d)))
+    out = {}
+    for q in ids:
+        if q >= nq:
+            continue
+        lut = [
+            [sqdist(vecs[q][j * dsub:(j + 1) * dsub], cb[j][c])
+             for c in range(ks)]
+            for j in range(m)
+        ]
+        scored = []
+        for i in ids:
+            if i == q:
+                continue
+            acc = 0.0
+            for j in range(m):
+                acc += lut[j][codes[i][j]]
+            scored.append((acc, i))
+        scored.sort()
+        shortlist = [i for _, i in scored[:rerank]]
+        exact = sorted((sqdist(vecs[q], vecs[i]), i) for i in shortlist)
+        out[q] = [(i, d, rk + 1) for rk, (d, i) in enumerate(exact[:k])]
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-50, 50), min_size=8, max_size=8),
+        min_size=6, max_size=24,
+    )
+)
+def test_pq_matches_sequential_reference(spark, vec_lists):
+    """Distributed PQ (train → encode → ADC shortlist → exact re-rank)
+    ≡ the sequential reference on arbitrary integer vectors — codebook
+    updates, first-min tie-breaks, empty-cluster carryover, and the
+    refinement join all pinned."""
+    from pyspark.sql import functions as F
+
+    from osm_pbf_parquet_spark.operators import similarity
+
+    m, ks, iters, nq, k, rerank = 4, 3, 2, 3, 3, 5
+    vecs = {i: [float(x) for x in v] for i, v in enumerate(vec_lists)}
+    ref = _pq_reference(vecs, m, ks, iters, nq, k, rerank)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = similarity.pq_adc_topk(
+        df, df.filter(F.col("vec_id") < nq), k=k,
+        dim=8, m=m, ks=ks, iters=iters, rerank=rerank,
+    ).collect()
+    got_by_q: dict = {}
+    for r in got:
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["sq_dist"], r["rk"])
+        )
+    for q in ref:
+        want = [(i, round(d, 6), rk) for i, d, rk in ref[q]]
+        have = sorted(got_by_q.get(q, []), key=lambda t: t[2])
+        assert have == want, f"query {q}: {have} != {want}"

@@ -779,3 +779,22 @@ def test_kcenter_zero_corpus_shuffle(spark):
     assert "rangepartitioning" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_ann_corpus_never_shuffles(spark):
+    """r11: PQ ADC+rerank must charge the corpus zero exchanges — codes
+    and re-rank probes are broadcast-side joins; the only hash exchanges
+    in the returned plan are the per-query rank windows. EXACT attribute
+    names (the pca-audit lesson: a prefix match would admit a
+    corpus-sized exchange on another key)."""
+    import re
+
+    plan = _plan(pipe.q_pq_ann_topk(spark, SF_DIR))
+    for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = [k.strip().split("#")[0] for k in a.split(",") if "#" in k]
+        assert keys and all(k == "query_id" for k in keys), a
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the codebook / query / shortlist attaches all broadcast
+    assert plan.count("BroadcastExchange") >= 3
