@@ -110,26 +110,31 @@ def _registry() -> dict[str, tuple]:
 # final r11 tree — TAINT_LEDGER.json is the committed evidence; counts
 # restated from its never_checked/must_cover fields):
 #
-#   3 never-checked r11-new gates (compact_table, multimodal_png,
-#   embedding_pipeline)
+#   6 never-checked r11-new gates (compact_table, multimodal_png,
+#   embedding_pipeline, pq_ann_topk, bpe_encode_corpus,
+#   stream_bpe_encode)
 #   + 5 line-tainted (pca_power_scores: the in-plan start-vector
 #     derivation + Gram persist; kcenter_select: per-round centers
 #     persist + single-fold assignment; quality_classifier +
 #     stream_quality_classifier: the explode_outer empty-doc contract +
 #     LEFT-JOIN oracle; stream_osm_apply_changes: the fixed staging
 #     path replacing the leaked mkdtemp)
-#   = 8 must-cover, ALL IN-CAP.
+#   = 11 must-cover, ALL IN-CAP.
 #
-# The remaining 42 slots are freshness fills, oldest-green-first (r10
+# The remaining 39 slots are freshness fills, oldest-green-first (r10
 # verdict ask #2): zorder_spatial (the last r5 row), the entire 16-query
-# r6 block, the entire 24-query r7 block, and one r8 entry — after r11
-# no registered query's last green row is older than r8, beating the
+# r6 block, and most of the 24-query r7 block — after r11 no registered
+# query's last green row is older than r7 (the two r7 entries the new
+# gates displaced: triangle_count, temperature_mixture), beating the
 # "nothing older than r6" target.
 _CHECK_FIRST = [
-    # --- 8 must-cover (3 never-checked + 5 line-tainted) ---
+    # --- 11 must-cover (6 never-checked + 5 line-tainted) ---
     "compact_table",
     "multimodal_png",
     "embedding_pipeline",
+    "pq_ann_topk",
+    "bpe_encode_corpus",
+    "stream_bpe_encode",
     "pca_power_scores",
     "kcenter_select",
     "quality_classifier",
@@ -175,12 +180,12 @@ _CHECK_FIRST = [
     "pagerank_suppliers",
     "shortest_hops",
     "split_leakage",
-    "temperature_mixture",
-    "triangle_count",
-    "ann_cosine_topk",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
-    #      full-registry parity tests on current code every pytest run. ----
+    #      full-registry parity tests on current code every pytest run.
+    #      Displaced to make room for the 3 newest never-checked gates:
+    #      ann_cosine_topk (already r8-green), triangle_count,
+    #      temperature_mixture (both r7-green). ----
 ]
 
 

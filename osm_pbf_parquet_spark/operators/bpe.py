@@ -192,3 +192,81 @@ def bpe_vocab(
         ps,
         owned,
     )
+
+
+def _merge_fold_expr(enc0: str, mt: str = "mt") -> str:
+    """Fold the ordered merge list over an encoded string — each step is
+    the same greedy-left ``replace`` the trainer uses, so applying the
+    learned table reproduces training-time segmentation exactly."""
+    return (
+        f"aggregate({mt}, {enc0}, (acc, mm) -> "
+        f"replace(acc, '{SEP}' || mm.a || '{SEP}{SEP}' || mm.b || '{SEP}', "
+        f"'{SEP}' || mm.a || mm.b || '{SEP}'))"
+    )
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table to every document — the encode
+    side of the tokenizer lifecycle (``bpe_train`` learns the table;
+    this runs it over the corpus the way a training-data pipeline
+    tokenizes before packing). Per document: lowercase ``[a-z]+`` words,
+    char-level ``•c••c•`` encoding joined by spaces (the space breaks
+    pair adjacency across word boundaries, so no merge can span words),
+    then the merges fold in step order with the trainer's greedy-left
+    ``replace`` semantics.
+
+    ``merges`` is either the ``bpe_train`` output frame — aggregated
+    in-plan to ONE ordered row and broadcast, keeping the whole operator
+    a scan-speed projection — or a pre-collected ``[(left, right), ...]``
+    list (the shipped-artifact form a deployed tokenizer uses; required
+    under Structured Streaming, where the table must be a plan literal).
+
+    Returns (id_col, n_words, n_tokens, enc_md5): token counts come from
+    the marker arithmetic (each token is wrapped ``•tok•``, so tokens =
+    marker-count/2 — the gopher replace-length-delta idiom), and the md5
+    pins the full segmentation, not just its size."""
+    if isinstance(merges, DataFrame):
+        mt = merges.groupBy().agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("step"),
+                        F.col("left_tok").alias("a"),
+                        F.col("right_tok").alias("b"),
+                    )
+                )
+            ).alias("mt")
+        )
+        based = docs.join(F.broadcast(mt), F.lit(True), "left")
+    elif merges:
+        arr = "array(" + ", ".join(
+            f"struct({i + 1} AS step, '{a}' AS a, '{b}' AS b)"
+            for i, (a, b) in enumerate(merges)
+        ) + ")"
+        based = docs.withColumn("mt", F.expr(arr))
+    else:
+        based = docs.withColumn(
+            "mt", F.expr("cast(array() AS array<struct<step:int,a:string,b:string>>)")
+        )
+    ws = f"filter(split(lower({text_col}), '[^a-z]+'), w -> w != '')"
+    enc0 = (
+        f"array_join(transform({ws}, w -> "
+        f"'{SEP}' || array_join(split(w, ''), '{SEP}{SEP}') || '{SEP}'), ' ')"
+    )
+    return (
+        based.withColumn("_enc", F.expr(_merge_fold_expr(enc0)))
+        .select(
+            id_col,
+            F.expr(f"cast(size({ws}) AS BIGINT)").alias("n_words"),
+            F.expr(
+                f"cast((length(_enc) - length(replace(_enc, '{SEP}', ''))) "
+                "DIV 2 AS BIGINT)"
+            ).alias("n_tokens"),
+            F.expr("md5(cast(_enc AS BINARY))").alias("enc_md5"),
+        )
+    )

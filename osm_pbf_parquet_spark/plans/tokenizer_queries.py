@@ -1,13 +1,14 @@
-"""Tokenizer-training gates: distributed BPE merge learning and the
-resulting subword vocabulary, each with a DuckDB oracle that replays the
-greedy merge rounds bit-for-bit (the pagerank/kcore unrolled-round
-oracle pattern — see ``operators/bpe.py`` for the encoding trick that
-makes ``replace()`` exactly greedy-left BPE in both engines).
+"""Tokenizer gates: distributed BPE merge learning, the resulting
+subword vocabulary, and corpus ENCODING with the learned table — each
+with a DuckDB oracle that replays the greedy merge rounds bit-for-bit
+(the pagerank/kcore unrolled-round oracle pattern — see
+``operators/bpe.py`` for the encoding trick that makes ``replace()``
+exactly greedy-left BPE in both engines).
 """
 
 from __future__ import annotations
 
-from ..operators.bpe import SEP, bpe_train, bpe_vocab
+from ..operators.bpe import SEP, bpe_encode_docs, bpe_train, bpe_vocab
 from .relational import t as _t
 
 _ROUNDS = 3
@@ -86,7 +87,95 @@ SELECT token, CAST(sum(cnt) AS BIGINT) AS total_cnt FROM (
 """
 
 
+def q_bpe_encode_corpus(spark, sf_dir):
+    """Encode every document with the 3 learned merges — the tokenizer
+    lifecycle's apply side (train → SHIP TABLE → encode corpus): the
+    merge table aggregates to one ordered broadcast row, so encoding is
+    a scan-speed projection; per-doc token counts and a segmentation md5
+    pin the full output."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode_docs(docs, bpe_train(docs, rounds=_ROUNDS))
+
+
+def q_stream_bpe_encode(spark, sf_dir):
+    """Tokenize-on-arrival: the SAME encode operator over a document
+    readStream, with the merge table in its shipped-artifact form (the
+    3 learned merges collected once — literal-bounded — and inlined as
+    plan literals, exactly how a deployed tokenizer carries its
+    vocabulary). Pure per-row projection → append mode; on static input
+    the result is the batch gate's, pinned by the shared oracle."""
+    from pyspark.sql import types as T
+
+    from .analytic_queries import _run_stream_to_table
+
+    merges = [
+        (r["left_tok"], r["right_tok"])
+        for r in bpe_train(_t(spark, sf_dir, "documents"), rounds=_ROUNDS)
+        .orderBy("step").collect()
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return _run_stream_to_table(
+        spark, bpe_encode_docs(stream, merges), "stream_bpe_encode_result",
+        "append",
+    )
+
+
+def _merge_pat(r: int) -> tuple[str, str]:
+    """LEFT-JOIN-safe replace args for merge round r: a missing merge
+    (degenerate corpus) yields a chr(1) pattern that matches nothing."""
+    return (
+        f"coalesce('{SEP}' || m{r}.a || '{SEP}{SEP}' || m{r}.b || '{SEP}', chr(1))",
+        f"coalesce('{SEP}' || m{r}.a || m{r}.b || '{SEP}', '')",
+    )
+
+
+ORACLE_BPE_ENCODE = f"""
+WITH {_BPE_BASE_SQL},
+d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     w -> w != '') AS ws
+  FROM documents
+),
+e AS (
+  SELECT doc_id, len(ws) AS n_words,
+         array_to_string(list_transform(ws, w ->
+           '{SEP}' || array_to_string(string_split(w, ''), '{SEP}{SEP}')
+                || '{SEP}'), ' ') AS enc0
+  FROM d
+),
+r AS (
+  SELECT doc_id, n_words,
+    replace(replace(replace(enc0,
+      {_merge_pat(1)[0]}, {_merge_pat(1)[1]}),
+      {_merge_pat(2)[0]}, {_merge_pat(2)[1]}),
+      {_merge_pat(3)[0]}, {_merge_pat(3)[1]}) AS enc
+  FROM e LEFT JOIN m1 ON TRUE LEFT JOIN m2 ON TRUE LEFT JOIN m3 ON TRUE
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST((length(enc) - length(replace(enc, '{SEP}', ''))) // 2
+            AS BIGINT) AS n_tokens,
+       md5(enc) AS enc_md5
+FROM r
+"""
+
+
 TOKENIZER_QUERIES = {
     "bpe_train_merges": (q_bpe_train_merges, ORACLE_BPE_TRAIN),
     "bpe_token_vocab": (q_bpe_token_vocab, ORACLE_BPE_VOCAB),
+    "bpe_encode_corpus": (q_bpe_encode_corpus, ORACLE_BPE_ENCODE),
+    # tokenize-on-arrival shares the batch oracle verbatim — one
+    # definition pins both execution modes (15th streaming gate)
+    "stream_bpe_encode": (q_stream_bpe_encode, ORACLE_BPE_ENCODE),
 }

@@ -798,3 +798,26 @@ def test_pq_ann_corpus_never_shuffles(spark):
     assert "CartesianProduct" not in plan
     # the codebook / query / shortlist attaches all broadcast
     assert plan.count("BroadcastExchange") >= 3
+
+
+def test_bpe_encode_is_projection_after_training(spark):
+    """r11: encoding the corpus with the learned merge table must add
+    ZERO exchanges beyond training's own (the word-frequency shuffle on
+    `w` and the vocabulary-sized pair aggs) — in particular no exchange
+    keyed on doc_id: the per-document encode is a scan-speed projection
+    under the 1-row merge-table broadcast."""
+    import re
+
+    from osm_pbf_parquet_spark.plans.tokenizer_queries import (
+        q_bpe_encode_corpus,
+    )
+
+    plan = _plan(q_bpe_encode_corpus(spark, SF_DIR))
+    for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = [k.strip().split("#")[0] for k in a.split(",") if "#" in k]
+        assert keys and all(
+            k in ("w", "_groupingexpression") for k in keys
+        ), a
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

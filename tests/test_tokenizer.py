@@ -127,3 +127,82 @@ def test_bpe_degenerate_single_char_corpus(spark):
         r.token: r.total_cnt for r in bpe_vocab(docs, rounds=2, k=10).collect()
     }
     assert vocab == {"a": 2, "b": 1, "c": 1}
+
+
+# --- encode side: apply the learned table to documents ----------------------
+
+
+def _ref_encode_doc(text, merges):
+    """Per-doc reference encode in TOKEN-LIST semantics (one greedy-left
+    pass per merge) — independent of the string-replace trick."""
+    words = [w for w in re.split(r"[^a-z]+", text.lower()) if w]
+    toklists = [list(w) for w in words]
+    for a, b in merges:
+        toklists = [_ref_merge_word(t, (a, b)) for t in toklists]
+    enc = " ".join("•" + "••".join(t) + "•" for t in toklists)
+    return len(words), sum(len(t) for t in toklists), enc
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    import hashlib
+
+    from osm_pbf_parquet_spark.operators.bpe import bpe_encode_docs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    merges_df = bpe_train(docs, rounds=3)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["enc_md5"])
+        for r in bpe_encode_docs(docs, merges_df).collect()
+    }
+    ref_merges = [(a, b) for _, a, b, _ in _ref_bpe(CORPUS, 3)[0]]
+    want = {}
+    for i, t in enumerate(CORPUS):
+        nw, nt, enc = _ref_encode_doc(t, ref_merges)
+        want[i] = (nw, nt, hashlib.md5(enc.encode()).hexdigest())
+    assert got == want
+    # unification with the vocabulary readout: corpus token mass agrees
+    vocab_total = sum(
+        r["total_cnt"] for r in bpe_vocab(docs, rounds=3, k=10**6).collect()
+    )
+    assert vocab_total == sum(nt for _, nt, _ in want.values())
+
+
+def test_bpe_encode_literal_merges_match_frame_merges(spark):
+    """The shipped-artifact form (collected (left, right) literals — the
+    streaming gate's path) must encode identically to the in-plan
+    broadcast of the merge frame."""
+    from osm_pbf_parquet_spark.operators.bpe import bpe_encode_docs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    merges_df = bpe_train(docs, rounds=3)
+    lits = [
+        (r["left_tok"], r["right_tok"])
+        for r in merges_df.orderBy("step").collect()
+    ]
+    via_frame = sorted(map(tuple, bpe_encode_docs(docs, merges_df).collect()))
+    via_lits = sorted(map(tuple, bpe_encode_docs(docs, lits).collect()))
+    assert via_frame == via_lits
+
+
+def test_bpe_encode_edge_docs(spark):
+    import hashlib
+
+    from osm_pbf_parquet_spark.operators.bpe import bpe_encode_docs
+
+    docs = spark.createDataFrame(
+        [(0, "123 !!"), (1, ""), (2, "abc de")], ["doc_id", "text"]
+    )
+    # empty merge table: char-level tokens, letterless docs hash md5('')
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["enc_md5"])
+        for r in bpe_encode_docs(docs, []).collect()
+    }
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert got[0] == (0, 0, empty_md5)
+    assert got[1] == (0, 0, empty_md5)
+    enc = "•a••b••c• •d••e•"
+    assert got[2] == (2, 5, hashlib.md5(enc.encode()).hexdigest())
