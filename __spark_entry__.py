@@ -110,8 +110,8 @@ def _registry() -> dict[str, tuple]:
 # final r11 tree — TAINT_LEDGER.json is the committed evidence; counts
 # restated from its never_checked/must_cover fields):
 #
-#   6 never-checked r11-new gates (compact_table, multimodal_png,
-#   embedding_pipeline, pq_ann_topk, bpe_encode_corpus,
+#   7 never-checked r11-new gates (compact_table, multimodal_png,
+#   embedding_pipeline, pq_ann_topk, ivfpq_topk, bpe_encode_corpus,
 #   stream_bpe_encode)
 #   + 5 line-tainted (pca_power_scores: the in-plan start-vector
 #     derivation + Gram persist; kcenter_select: per-round centers
@@ -119,20 +119,21 @@ def _registry() -> dict[str, tuple]:
 #     stream_quality_classifier: the explode_outer empty-doc contract +
 #     LEFT-JOIN oracle; stream_osm_apply_changes: the fixed staging
 #     path replacing the leaked mkdtemp)
-#   = 11 must-cover, ALL IN-CAP.
+#   = 12 must-cover, ALL IN-CAP.
 #
-# The remaining 39 slots are freshness fills, oldest-green-first (r10
+# The remaining 38 slots are freshness fills, oldest-green-first (r10
 # verdict ask #2): zorder_spatial (the last r5 row), the entire 16-query
 # r6 block, and most of the 24-query r7 block — after r11 no registered
-# query's last green row is older than r7 (the two r7 entries the new
-# gates displaced: triangle_count, temperature_mixture), beating the
-# "nothing older than r6" target.
+# query's last green row is older than r7 (the three r7 entries the new
+# gates displaced: triangle_count, temperature_mixture, split_leakage),
+# beating the "nothing older than r6" target.
 _CHECK_FIRST = [
-    # --- 11 must-cover (6 never-checked + 5 line-tainted) ---
+    # --- 12 must-cover (7 never-checked + 5 line-tainted) ---
     "compact_table",
     "multimodal_png",
     "embedding_pipeline",
     "pq_ann_topk",
+    "ivfpq_topk",
     "bpe_encode_corpus",
     "stream_bpe_encode",
     "pca_power_scores",
@@ -179,13 +180,12 @@ _CHECK_FIRST = [
     "kcore_parts",
     "pagerank_suppliers",
     "shortest_hops",
-    "split_leakage",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
     #      full-registry parity tests on current code every pytest run.
-    #      Displaced to make room for the 3 newest never-checked gates:
+    #      Displaced to make room for the 4 newest never-checked gates:
     #      ann_cosine_topk (already r8-green), triangle_count,
-    #      temperature_mixture (both r7-green). ----
+    #      temperature_mixture, split_leakage (all r7-green). ----
 ]
 
 

@@ -671,6 +671,17 @@ def pq_adc_topk(
         codes.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("adc_dist", F.expr(adc))
     )
+    return _pq_rank_and_rerank(scored, corpus, queries, k, rerank,
+                               vec_col, key)
+
+
+def _pq_rank_and_rerank(
+    scored: DataFrame, corpus: DataFrame, queries: DataFrame,
+    k: int, rerank: int | None, vec_col: str, key: str,
+) -> DataFrame:
+    """Shared tail of the PQ search paths: rank the ADC-scored candidates
+    per query; with ``rerank`` set, probe the raw vectors for exact
+    squared-L2 on the structurally bounded shortlist and re-rank."""
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     ranked = scored.withColumn("rk", F.row_number().over(w))
     if rerank is None:
@@ -702,6 +713,74 @@ def pq_adc_topk(
         .select("query_id", "neighbor_id",
                 F.round("sq_dist", 6).alias("sq_dist"), "rk")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    dim: int = 64, m: int = PQ_M, ks: int = PQ_KS, iters: int = PQ_ITERS,
+    n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
+    vec_col: str = "embedding", key: str = "vec_id",
+    rerank: int | None = None, cache=None,
+) -> DataFrame:
+    """IVFADC — the composition FAISS runs at billion scale (Jégou et
+    al. 2011 §V): the IVF coarse quantizer restricts candidates to the
+    query's ``n_probe`` cells, PQ asymmetric distance scores ONLY those
+    candidates, and (optionally) the exact re-rank refines the
+    shortlist. Here the two existing tiers fuse rather than chain:
+
+    - the corpus pass computes cell AND codes in ONE scan-speed
+      projection (both are broadcast attaches — the cosine centroid row
+      and the codebook row), so the index build reads the corpus once;
+    - the candidate restriction is the IVF hash join on ``cell`` with
+      the exploded query probes broadcast — the corpus side streams,
+      never shuffles, and only probed-cell rows reach the ADC fold
+      (n_probe/n_centroids of the corpus instead of all of it);
+    - ADC + re-rank are ``pq_adc_topk``'s exact tail.
+
+    A corpus vector lives in exactly one cell, so no candidate dedup is
+    needed. Same determinism contract as the parts (integer-valued
+    vectors for bit-exact oracle replay)."""
+    dsub = dim // m
+    cb = pq_train_codebooks(corpus, dim, m, ks, iters, vec_col, key, cache)
+    pq_frame = _pq_codebooks_frame(corpus.sparkSession, cb, m, ks)
+    ivf_cents = _centroids_row(corpus, vec_col, key, n_centroids)
+    corp = (
+        _with_cell_scores(_spread(corpus), ivf_cents, vec_col)
+        .withColumn(
+            "cell",
+            F.expr("_cents[array_position(_cos_arr, array_max(_cos_arr)) - 1].cid"),
+        )
+        .crossJoin(F.broadcast(pq_frame))
+        .withColumn("codes", F.expr(_pq_codes_expr(m, ks, dsub, vec="_vd")))
+        .select(F.col(key).alias("neighbor_id"), "cell", "codes")
+    )
+    probes = (
+        f"slice(transform(array_sort(zip_with(_cos_arr, _cents, "
+        f"(c, ct) -> struct(-c AS negc, ct.cid AS cid))), s -> s.cid), 1, {n_probe})"
+    )
+    lut = (
+        f"transform(cb, cc -> {_pq_dist_expr(f'slice(_vd, cc.j * {dsub} + 1, {dsub})', 'cc.cv')})"
+    )
+    qp = (
+        _with_cell_scores(queries, ivf_cents, vec_col)
+        .withColumn("probe_cells", F.expr(probes))
+        .crossJoin(F.broadcast(pq_frame))
+        .withColumn("lut", F.expr(lut))
+        .select(F.col(key).alias("query_id"),
+                F.explode("probe_cells").alias("cell"), "lut")
+    )
+    adc = (
+        "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
+        f"(c, j) -> element_at(lut, j * {ks} + c + 1)), "
+        "cast(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    scored = (
+        corp.join(F.broadcast(qp), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", F.expr(adc))
+    )
+    return _pq_rank_and_rerank(scored, corpus, queries, k, rerank,
+                               vec_col, key)
 
 
 # --- contrastive-training negative sampling ----------------------------------

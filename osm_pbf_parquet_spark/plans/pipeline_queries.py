@@ -451,10 +451,10 @@ def q_pq_ann_topk(spark, sf_dir):
                                   rerank=_PQ_RERANK)
 
 
-def _oracle_pq() -> str:
-    m, ks, iters = similarity.PQ_M, similarity.PQ_KS, similarity.PQ_ITERS
-    dim, nq, k, rerank = 64, 10, 5, _PQ_RERANK
-    dsub = dim // m
+def _pq_train_ctes(m: int, ks: int, iters: int, dsub: int, nq: int) -> str:
+    """Shared PQ-oracle CTE body (expects a quantized ``v`` CTE): subspace
+    split, codebook init, unrolled Lloyd rounds, final codes, the flat
+    codebook, and per-query lookup tables."""
     dist = (
         f"list_reduce(list_transform(range(1, {dsub} + 1), "
         "i -> (sv[i] - cc.cv[i]) * (sv[i] - cc.cv[i])), (a, b) -> a + b)"
@@ -488,14 +488,7 @@ cb{r} AS MATERIALIZED (
         f"i -> (q.v[cc.j * {dsub} + i] - cc.cv[i]) "
         f"* (q.v[cc.j * {dsub} + i] - cc.cv[i])), (a, b) -> a + b)"
     )
-    return f"""
-WITH v AS (
-  SELECT vec_id,
-         list_transform(embedding,
-                        x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS v
-  FROM embeddings
-),
-sub AS (
+    return f"""sub AS (
   SELECT vec_id, j,
          list_transform(range(1, {dsub} + 1), i -> v[j * {dsub} + i]) AS sv
   FROM v CROSS JOIN generate_series(0, {m - 1}) AS _j(j)
@@ -522,15 +515,20 @@ lutq AS (
   SELECT q.vec_id AS query_id,
          list_transform(f.fcb, cc -> {qdist}) AS lut
   FROM v q CROSS JOIN fcb f WHERE q.vec_id < {nq}
-),
-scored AS (
-  SELECT l.query_id, c.vec_id AS neighbor_id,
-         list_reduce(list_transform(range(1, {m} + 1),
-           j -> l.lut[(j - 1) * {ks} + c.codes[j] + 1]),
-           (a, b) -> a + b) AS adc_dist
-  FROM lutq l JOIN codes c ON c.vec_id != l.query_id
-),
-shortlist AS (
+)"""
+
+
+def _pq_adc_fold(m: int, ks: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {m} + 1), "
+        f"j -> l.lut[(j - 1) * {ks} + c.codes[j] + 1]), (a, b) -> a + b)"
+    )
+
+
+def _pq_rerank_sql(dim: int, rerank: int, k: int) -> str:
+    """Shared re-rank tail (expects a ``scored`` CTE): ADC shortlist →
+    exact squared-L2 from the raw quantized vectors → final top-k."""
+    return f"""shortlist AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id
@@ -554,7 +552,91 @@ reranked AS (
   FROM exact
 )
 SELECT query_id, neighbor_id, round(sq_dist, 6) AS sq_dist, rk
-FROM reranked WHERE rk <= {k}
+FROM reranked WHERE rk <= {k}"""
+
+
+_QUANT_V_CTE = """v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS v
+  FROM embeddings
+)"""
+
+
+def _oracle_pq() -> str:
+    m, ks, iters = similarity.PQ_M, similarity.PQ_KS, similarity.PQ_ITERS
+    dim, nq, k, rerank = 64, 10, 5, _PQ_RERANK
+    dsub = dim // m
+    return f"""
+WITH {_QUANT_V_CTE},
+{_pq_train_ctes(m, ks, iters, dsub, nq)},
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         {_pq_adc_fold(m, ks)} AS adc_dist
+  FROM lutq l JOIN codes c ON c.vec_id != l.query_id
+),
+{_pq_rerank_sql(dim, rerank, k)}
+"""
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVFADC (Jégou et al. 2011 §V) — the IVF and PQ tiers COMPOSED the
+    way FAISS runs them at billion scale: coarse cells restrict
+    candidates to the query's 2 probed cells of 8, PQ asymmetric
+    distance scores only those, the exact re-rank refines the
+    40-candidate shortlist. The corpus pass computes cell and codes in
+    one fused projection; same integer-quantization determinism
+    contract, so the oracle composes the ann_ivf and pq oracles over
+    one shared quantized-vector CTE."""
+    emb = t_adaptive(spark, sf_dir, "embeddings")
+    iv = emb.withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"),
+    )
+    return similarity.ivfpq_topk(iv, iv.filter(F.col("vec_id") < 10), k=5,
+                                 rerank=_PQ_RERANK)
+
+
+def _oracle_ivfpq() -> str:
+    m, ks, iters = similarity.PQ_M, similarity.PQ_KS, similarity.PQ_ITERS
+    C, nprobe = similarity.N_CENTROIDS, similarity.N_PROBE
+    dim, nq, k, rerank = 64, 10, 5, _PQ_RERANK
+    dsub = dim // m
+    return f"""
+WITH {_QUANT_V_CTE},
+cent_arr AS MATERIALIZED (
+  SELECT list(struct_pack(cid := vec_id, cv := v) ORDER BY vec_id) AS cents
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {C})
+),
+sc AS (
+  SELECT vec_id, v, cents,
+         list_transform(cents, c -> {_DOT.format(a='v', b='c.cv')}
+           / ({_NORM.format(v='v')} * {_NORM.format(v='c.cv')})) AS cos_arr
+  FROM v CROSS JOIN cent_arr
+),
+acell AS (
+  SELECT vec_id,
+         cents[list_position(cos_arr, list_aggregate(cos_arr, 'max'))].cid AS cell
+  FROM sc
+),
+qp AS (
+  SELECT vec_id AS query_id, unnest(probe_cells) AS cell
+  FROM (SELECT vec_id,
+               list_transform(list_sort(list_transform(range(1, {C} + 1),
+                 i -> struct_pack(negc := -cos_arr[i], cid := cents[i].cid))),
+                 s -> s.cid)[1:{nprobe}] AS probe_cells
+        FROM sc WHERE vec_id < {nq})
+),
+{_pq_train_ctes(m, ks, iters, dsub, nq)},
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         {_pq_adc_fold(m, ks)} AS adc_dist
+  FROM lutq l
+  JOIN qp ON qp.query_id = l.query_id
+  JOIN acell ac ON ac.cell = qp.cell
+  JOIN codes c ON c.vec_id = ac.vec_id AND c.vec_id != l.query_id
+),
+{_pq_rerank_sql(dim, rerank, k)}
 """
 
 
@@ -1503,6 +1585,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "ann_lsh_pairs": (q_ann_lsh_pairs, _oracle_ann_lsh()),
     "ann_ivf_topk": (q_ann_ivf_topk, _oracle_ann_ivf()),
     "pq_ann_topk": (q_pq_ann_topk, _oracle_pq()),
+    "ivfpq_topk": (q_ivfpq_topk, _oracle_ivfpq()),
     "text_stats": (q_text_stats, ORACLE_TEXT_STATS),
     "text_quality": (q_text_quality, _oracle_quality()),
     "text_lang_id": (q_text_lang_id, _oracle_lang_id()),

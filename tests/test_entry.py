@@ -75,6 +75,7 @@ def test_r9_rotation_inside_driver_cap():
     # the r11-new gates are present and never-checked entries lead
     for name in (
         "compact_table", "multimodal_png", "embedding_pipeline",
-        "pq_ann_topk", "bpe_encode_corpus", "stream_bpe_encode",
+        "pq_ann_topk", "ivfpq_topk", "bpe_encode_corpus",
+        "stream_bpe_encode",
     ):
         assert name in led["never_checked"] and name in head

@@ -499,3 +499,21 @@ def test_pca_power_non_64_dim(spark):
         v = w / np.sqrt((w * w).sum())
     ref = np.round(X @ v, 6)
     assert max(abs(got[i] - ref[i]) for i, _ in rng) <= 1.1e-6
+
+
+def test_ivfpq_recall_vs_brute_force(spark):
+    """IVFADC (probe 2/8 cells → ADC → exact re-rank): the probe
+    restriction trades recall for touching n_probe/n_centroids of the
+    corpus — measured 0.64 here vs 0.90 for full-scan PQ+rerank."""
+    emb = t(spark, SF_DIR, "embeddings")
+    iv = emb.withColumn("embedding", F.expr(
+        "transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"))
+    exact = _exact_l2_topk(spark, iv)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_topk(
+            iv, iv.filter(F.col("vec_id") < 20), k=5, rerank=40
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.45, f"IVFPQ recall too low: {recall}"

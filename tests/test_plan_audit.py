@@ -821,3 +821,20 @@ def test_bpe_encode_is_projection_after_training(spark):
     assert "rangepartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_corpus_never_shuffles(spark):
+    """r11: IVFADC composes the IVF cell restriction with the PQ scan —
+    the cell join must be a BroadcastHashJoin with the exploded query
+    probes on the build side (the corpus streams), and as with plain
+    PQ the only hash exchanges are the per-query rank windows."""
+    import re
+
+    plan = _plan(pipe.q_ivfpq_topk(spark, SF_DIR))
+    for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = [k.strip().split("#")[0] for k in a.split(",") if "#" in k]
+        assert keys and all(k == "query_id" for k in keys), a
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # the cell equi-join
