@@ -224,9 +224,10 @@ def test_advanced_suite_no_cartesian_products(spark):
         "skyline_pareto": 1,        # bucket-count carry window
         "grouped_split": 1,         # leakage-audit 1-row agg
         "table_checksum": 0,
-        # one per power round: the d-row (=64) vector reassembly
-        # collect — dim-bounded by construction, never data-sized
-        "pca_power_scores": 3,
+        # one per power round (the d-row (=64) vector reassembly) plus
+        # the r11 in-plan start-vector derivation (limit(1) on a Gram
+        # row) — all dim-bounded by construction, never data-sized
+        "pca_power_scores": 4,
     }
     for name, (fn, _oracle) in ADVANCED_QUERIES.items():
         plan = _plan(fn(spark, SF_DIR))
