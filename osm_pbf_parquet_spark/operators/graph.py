@@ -313,3 +313,57 @@ def kcore_peel(
         alive = ps.persist(deg.where(F.col("deg") >= k).select("node"))
     survivors = deg.where(F.col("deg") >= k)
     return tie_release(survivors, ps, owned)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    cache=None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007), made fully deterministic: labels start as the
+    node's own id; each round every node adopts the label that is most
+    frequent among its neighbors, ties broken to the SMALLEST label —
+    picked with one map-side-combinable ``max(struct(cnt, -label))``
+    agg, no window, no RNG (the published algorithm breaks ties
+    randomly; a gate needs a replayable comparator).
+
+    ``edges`` must already contain both directions of each undirected
+    edge and carry one row per distinct edge (duplicate rows would
+    weight neighbor votes). Fixed ``rounds`` supersteps — synchronous
+    LPA can oscillate on bipartite structure, so a fixpoint loop may
+    not terminate; a bounded unroll is both deterministic and
+    SQL-replayable (the kcore_peel contract). Per round: one keyed join
+    of the label frame onto the edge list + two combinable aggs; the
+    label frame persists per round so lineage stays linear.
+
+    Returns (node, community) for every node with at least one edge."""
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    e = ps.persist(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    )
+    labels = ps.persist(
+        e.select(F.col("e_src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(rounds):
+        msgs = e.join(labels, e.e_dst == labels.node).select(
+            F.col("e_src").alias("node"), "lbl"
+        )
+        counts = msgs.groupBy("node", "lbl").agg(F.count("*").alias("cnt"))
+        pick = counts.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))).alias("m")
+        ).select("node", (-F.col("m.nl")).alias("new_lbl"))
+        labels = ps.persist(
+            labels.join(pick, "node", "left")
+            .select("node",
+                    F.coalesce("new_lbl", "lbl").cast("long").alias("lbl"))
+        )
+    return tie_release(
+        labels.select("node", F.col("lbl").alias("community")), ps, owned
+    )

@@ -718,3 +718,30 @@ def bloom_probe_contamination(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.sum("_maybe").cast("long").alias("n_maybe_hits"),
     )
+
+
+def cms_sketch_counters(
+    df: DataFrame, text_col: str = "text",
+    depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+) -> DataFrame:
+    """The raw mergeable count-min counters (j, bucket, c) — the
+    streaming-native form of ``cms_heavy_hitters``'s sketch: token
+    explode → depth rows per token → ONE map-side-combinable agg whose
+    state is bounded by depth·width regardless of corpus size. The SAME
+    definition runs stateful under Structured Streaming
+    (sketch-on-arrival), and counter frames from disjoint corpus shards
+    merge by addition — the property that makes a sketch a sketch.
+    Counting raw token rows here equals summing per-term counts in the
+    batch audit (same bucket arithmetic), which the shared gate oracle
+    pins."""
+    from .text import with_tokens
+
+    toks = with_tokens(df, text_col).select(F.explode("tokens").alias("term"))
+    rows = toks.select(
+        "term", F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("j")
+    )
+    return (
+        rows.withColumn("bucket", F.expr(_bucket_expr("term", "j", width)))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )

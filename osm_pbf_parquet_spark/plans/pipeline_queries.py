@@ -1972,6 +1972,59 @@ def q_stream_fingerprint_decontaminate(spark, sf_dir):
     )
 
 
+def q_stream_cms_sketch(spark, sf_dir):
+    """Sketch-on-arrival: the count-min counters built CONTINUOUSLY over
+    a document stream — the mergeable-summary shape that makes sketches
+    the canonical streaming primitive (state bounded by depth·width
+    counters no matter how much text arrives; disjoint shards' counters
+    merge by addition). Identical operator to the batch form
+    (streaming/batch unification), stateful complete-mode agg; the
+    oracle replays every bucket from the static corpus, pinning the
+    full counter table — the same md5 bucket arithmetic the
+    cms_heavy_hitters audit gate pins from the per-term side."""
+    from pyspark.sql import types as T
+
+    from ..operators.sketches import cms_sketch_counters
+    from .analytic_queries import _run_stream_to_table
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return _run_stream_to_table(
+        spark, cms_sketch_counters(stream), "stream_cms_sketch_result",
+        "complete",
+    )
+
+
+def _oracle_cms_sketch() -> str:
+    from ..operators import sketches
+
+    d, w = sketches.CMS_DEPTH, sketches.CMS_WIDTH
+    bucket = (
+        "CAST(('0x' || substring(md5(term || ':' || CAST(j AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {w}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '{text.TOKEN_REGEX}')) AS term
+  FROM documents
+),
+rows_ AS (SELECT term, unnest(range(0, {d})) AS j FROM toks),
+b AS (SELECT CAST(j AS INT) AS j, {bucket} AS bucket FROM rows_)
+SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+FROM b GROUP BY j, bucket
+"""
+
+
 PIPELINE_QUERIES.update({
     # the streaming form shares the batch gate's oracle verbatim — one
     # definition pinning both execution modes
@@ -1979,4 +2032,6 @@ PIPELINE_QUERIES.update({
         q_stream_fingerprint_decontaminate,
         _oracle_fp_decontaminate(),
     ),
+    # 16th streaming gate: the mergeable CMS counters built on arrival
+    "stream_cms_sketch": (q_stream_cms_sketch, _oracle_cms_sketch()),
 })

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.fuzzy import blocked_levenshtein_topk
-from ..operators.graph import bfs_hops, triangle_count
+from ..operators.graph import bfs_hops, label_propagation, triangle_count
 from ..operators.quality import (
     chi_square_cells,
     dq_counts,
@@ -74,6 +74,48 @@ SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node
 # --- triangle counting ----------------------------------------------------------
 
 _TRI_MIN_SUP = 2
+_LPA_ROUNDS = 3
+
+
+def q_label_communities(spark, sf_dir):
+    """Label-propagation communities over the undirected customer ↔
+    supplier interaction graph (same node encoding as shortest_hops:
+    customers even, suppliers odd) — 3 deterministic synchronous rounds,
+    smallest-label tie-break. DISTINCT edges: duplicate order lines must
+    not weight neighbor votes."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eb = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        (F.col("o_custkey") * 2).cast("long").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+    ).distinct()
+    edges = eb.unionByName(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, rounds=_LPA_ROUNDS)
+
+
+def _oracle_label_communities() -> str:
+    rounds = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+c{r} AS (SELECT e.src AS node, l.lbl AS lbl, count(*) AS cnt
+         FROM e JOIN l{r - 1} l ON l.node = e.dst GROUP BY 1, 2),
+p{r} AS (SELECT node, lbl FROM (
+           SELECT node, lbl, row_number() OVER (PARTITION BY node
+                  ORDER BY cnt DESC, lbl) AS rk FROM c{r}) WHERE rk = 1),
+l{r} AS (SELECT l.node, coalesce(p.lbl, l.lbl) AS lbl
+         FROM l{r - 1} l LEFT JOIN p{r} p ON p.node = l.node)""")
+    return f"""
+WITH eb AS (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),{",".join(rounds)}
+SELECT node, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ROUNDS}
+"""
 
 
 def q_triangle_count(spark, sf_dir):
@@ -837,6 +879,7 @@ def q_stream_quality_classifier(spark, sf_dir):
 QUALITY_QUERIES = {
     "shortest_hops": (q_shortest_hops, ORACLE_SHORTEST_HOPS),
     "triangle_count": (q_triangle_count, ORACLE_TRIANGLE_COUNT),
+    "label_communities": (q_label_communities, _oracle_label_communities()),
     "fuzzy_name_match": (q_fuzzy_name_match, ORACLE_FUZZY_NAME_MATCH),
     "profile_table": (q_profile_table, ORACLE_PROFILE_TABLE),
     "dq_checks": (q_dq_checks, ORACLE_DQ_CHECKS),

@@ -130,3 +130,50 @@ def test_pagerank_matches_integer_power_iteration(spark, edges):
         }
     # k=20 > max node count here, so the operator returns every node
     assert got == rank, sorted(e)
+
+
+# --- label propagation vs sequential synchronous reference -------------------
+
+
+def _ref_lpa(pairs, rounds):
+    """Sequential synchronous LPA: per round every node adopts the most
+    frequent neighbor label, ties to the smallest label; isolated-in-
+    round nodes keep theirs. `pairs` are DISTINCT directed edges
+    (both directions present for undirected graphs)."""
+    nbrs = defaultdict(set)
+    for u, v in pairs:
+        nbrs[u].add(v)
+    labels = {n: n for n in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for n in labels:
+            votes = defaultdict(int)
+            for m in nbrs[n]:
+                if m in labels:
+                    votes[labels[m]] += 1
+            if votes:
+                best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+                nxt[n] = best[0]
+            else:
+                nxt[n] = labels[n]
+        labels = nxt
+    return labels
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_lists, st.integers(1, 3))
+def test_label_propagation_matches_sequential(spark, edges, rounds):
+    from osm_pbf_parquet_spark.operators.graph import label_propagation
+
+    # symmetrize + dedupe, drop self-loops (a self-vote is degenerate
+    # and the operator contract is a distinct undirected edge list)
+    pairs = {(u, v) for u, v in edges if u != v}
+    pairs |= {(v, u) for u, v in pairs}
+    if not pairs:
+        return
+    df = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, rounds=rounds).collect()
+    }
+    assert got == _ref_lpa(pairs, rounds)

@@ -517,3 +517,23 @@ def test_ivfpq_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.45, f"IVFPQ recall too low: {recall}"
+
+
+def test_cms_counters_merge_by_addition(spark):
+    """The property that makes a sketch a sketch: counters built over
+    disjoint corpus shards, merged by per-(j,bucket) addition, equal the
+    counters built over the whole corpus — so shard-local sketches (or
+    per-micro-batch streaming state) compose without rescanning."""
+    from osm_pbf_parquet_spark.operators.sketches import cms_sketch_counters
+
+    docs = t(spark, SF_DIR, "documents")
+    whole = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in cms_sketch_counters(docs).collect()
+    }
+    merged: dict = {}
+    for half in (docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")):
+        for r in cms_sketch_counters(half).collect():
+            k = (r["j"], r["bucket"])
+            merged[k] = merged.get(k, 0) + r["c"]
+    assert merged == whole
