@@ -702,3 +702,127 @@ def test_pq_matches_sequential_reference(spark, vec_lists):
         want = [(i, round(d, 6), rk) for i, d, rk in ref[q]]
         have = sorted(got_by_q.get(q, []), key=lambda t: t[2])
         assert have == want, f"query {q}: {have} != {want}"
+
+
+def _ivfpq_reference(vecs, m, ks, iters, C, nprobe, nq, k, rerank):
+    """Sequential IVFADC reference: IVF cells by cosine to the C
+    lowest-key vectors (first-max tie-break), PQ from _pq_reference's
+    training arithmetic, ADC restricted to probed cells, exact re-rank."""
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return acc ** 0.5
+
+    def sqdist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    ids = sorted(vecs)
+    cents = [(cid, vecs[cid]) for cid in ids[:C]]
+
+    def cos_arr(v):
+        return [dot(v, cv) / (norm(v) * norm(cv)) for _, cv in cents]
+
+    cell = {}
+    for i in ids:
+        ca = cos_arr(vecs[i])
+        cell[i] = cents[ca.index(max(ca))][0]
+
+    # PQ training identical to _pq_reference
+    dim = len(vecs[ids[0]])
+    dsub = dim // m
+    cb = [[list(vecs[i][j * dsub:(j + 1) * dsub]) for i in ids[:ks]]
+          for j in range(m)]
+    for _ in range(iters):
+        sums: dict = {}
+        for i in ids:
+            for j in range(m):
+                sv = vecs[i][j * dsub:(j + 1) * dsub]
+                d = [sqdist(sv, cb[j][c]) for c in range(ks)]
+                c = d.index(min(d))
+                acc = sums.setdefault((j, c), [0, [0.0] * dsub])
+                acc[0] += 1
+                for t in range(dsub):
+                    acc[1][t] += sv[t]
+        cb = [[[sums[(j, c)][1][t] / sums[(j, c)][0] for t in range(dsub)]
+               if (j, c) in sums else cb[j][c] for c in range(ks)]
+              for j in range(m)]
+    codes = {
+        i: [
+            min(range(ks),
+                key=lambda c: (sqdist(vecs[i][j * dsub:(j + 1) * dsub],
+                                      cb[j][c]), c))
+            for j in range(m)
+        ]
+        for i in ids
+    }
+    out = {}
+    for q in ids:
+        if q >= nq:
+            continue
+        ca = cos_arr(vecs[q])
+        # nprobe nearest cells: sort (-cos, cid) lexicographically
+        probed = {cid for _, cid in
+                  sorted((-c, cid) for c, (cid, _) in zip(ca, cents))[:nprobe]}
+        lut = [[sqdist(vecs[q][j * dsub:(j + 1) * dsub], cb[j][c])
+                for c in range(ks)] for j in range(m)]
+        scored = []
+        for i in ids:
+            if i == q or cell[i] not in probed:
+                continue
+            acc = 0.0
+            for j in range(m):
+                acc += lut[j][codes[i][j]]
+            scored.append((acc, i))
+        scored.sort()
+        shortlist = [i for _, i in scored[:rerank]]
+        exact = sorted((sqdist(vecs[q], vecs[i]), i) for i in shortlist)
+        out[q] = [(i, d, rk + 1) for rk, (d, i) in enumerate(exact[:k])]
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-50, 50), min_size=8, max_size=8)
+        .filter(lambda v: any(x != 0 for x in v)),  # cosine needs norm > 0
+        min_size=6, max_size=20,
+    )
+)
+def test_ivfpq_matches_sequential_reference(spark, vec_lists):
+    """Distributed IVFADC ≡ the sequential reference: cell assignment
+    (first-max cosine), probe selection, the cell restriction of ADC
+    candidates, and the refinement all pinned on arbitrary integer
+    vectors."""
+    from pyspark.sql import functions as F
+
+    from osm_pbf_parquet_spark.operators import similarity
+
+    m, ks, iters, C, nprobe, nq, k, rerank = 4, 3, 2, 3, 2, 3, 3, 5
+    vecs = {i: [float(x) for x in v] for i, v in enumerate(vec_lists)}
+    ref = _ivfpq_reference(vecs, m, ks, iters, C, nprobe, nq, k, rerank)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = similarity.ivfpq_topk(
+        df, df.filter(F.col("vec_id") < nq), k=k, dim=8, m=m, ks=ks,
+        iters=iters, n_centroids=C, n_probe=nprobe, rerank=rerank,
+    ).collect()
+    got_by_q: dict = {}
+    for r in got:
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["sq_dist"], r["rk"])
+        )
+    for q in ref:
+        want = [(i, round(d, 6), rk) for i, d, rk in ref[q]]
+        have = sorted(got_by_q.get(q, []), key=lambda t: t[2])
+        assert have == want, f"query {q}: {have} != {want}"

@@ -206,3 +206,37 @@ def test_bpe_encode_edge_docs(spark):
     assert got[1] == (0, 0, empty_md5)
     enc = "•a••b••c• •d••e•"
     assert got[2] == (2, 5, hashlib.md5(enc.encode()).hexdigest())
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+_word = _st.text(alphabet="ab", min_size=1, max_size=4)
+_doc = _st.lists(_word, min_size=0, max_size=6).map(" ".join)
+
+
+@_settings(max_examples=8, deadline=None)
+@_given(_st.lists(_doc, min_size=1, max_size=5))
+def test_bpe_encode_matches_reference_on_arbitrary_corpora(spark, texts):
+    """Hypothesis sweep: train-then-encode agrees with the token-list
+    reference on arbitrary small corpora — runs of repeated characters
+    (greedy-left inside runs), single-char words, empty docs."""
+    import hashlib
+
+    from osm_pbf_parquet_spark.operators.bpe import bpe_encode_docs
+
+    rounds = 2
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges_df = bpe_train(docs, rounds=rounds)
+    ref_merges = [(a, b) for _, a, b, _ in _ref_bpe(texts, rounds)[0]]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["enc_md5"])
+        for r in bpe_encode_docs(docs, merges_df).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        nw, nt, enc = _ref_encode_doc(t, ref_merges)
+        want[i] = (nw, nt, hashlib.md5(enc.encode()).hexdigest())
+    assert got == want
