@@ -110,28 +110,29 @@ def _registry() -> dict[str, tuple]:
 # final r11 tree — TAINT_LEDGER.json is the committed evidence; counts
 # restated from its never_checked/must_cover fields):
 #
-#   9 never-checked r11-new gates (compact_table, multimodal_png,
+#   11 never-checked r11-new gates (compact_table, multimodal_png,
 #   embedding_pipeline, pq_ann_topk, ivfpq_topk, bpe_encode_corpus,
-#   stream_bpe_encode, label_communities, stream_cms_sketch)
+#   stream_bpe_encode, label_communities, stream_cms_sketch,
+#   community_modularity, stream_pq_encode)
 #   + 5 line-tainted (pca_power_scores: the in-plan start-vector
 #     derivation + Gram persist; kcenter_select: per-round centers
 #     persist + single-fold assignment; quality_classifier +
 #     stream_quality_classifier: the explode_outer empty-doc contract +
 #     LEFT-JOIN oracle; stream_osm_apply_changes: the fixed staging
 #     path replacing the leaked mkdtemp)
-#   = 14 must-cover, ALL IN-CAP.
+#   = 16 must-cover, ALL IN-CAP.
 #
-# The remaining 36 slots are freshness fills, oldest-green-first (r10
+# The remaining 34 slots are freshness fills, oldest-green-first (r10
 # verdict ask #2): zorder_spatial (the last r5 row), the entire 16-query
 # r6 block, and most of the 24-query r7 block — after r11 no registered
-# query's last green row is older than r7 (the five r7 entries the new
+# query's last green row is older than r7 (the seven r7 entries the new
 # gates displaced: triangle_count, temperature_mixture, split_leakage,
-# pagerank_suppliers, shortest_hops — the last two are ALSO re-verified
-# every round as bench + local-cluster anchors, the strongest
-# non-driver evidence in the repo), beating the "nothing older than r6"
-# target.
+# pagerank_suppliers, shortest_hops, kcore_parts, image_near_dup_pairs —
+# pagerank/shortest_hops are ALSO re-verified every round as bench +
+# local-cluster anchors, the strongest non-driver evidence in the
+# repo), beating the "nothing older than r6" target.
 _CHECK_FIRST = [
-    # --- 14 must-cover (9 never-checked + 5 line-tainted) ---
+    # --- 16 must-cover (11 never-checked + 5 line-tainted) ---
     "compact_table",
     "multimodal_png",
     "embedding_pipeline",
@@ -141,6 +142,8 @@ _CHECK_FIRST = [
     "stream_bpe_encode",
     "label_communities",
     "stream_cms_sketch",
+    "community_modularity",
+    "stream_pq_encode",
     "pca_power_scores",
     "kcenter_select",
     "quality_classifier",
@@ -181,16 +184,15 @@ _CHECK_FIRST = [
     "hll_by_type",
     "hll_set_ops",
     "image_dhash",
-    "image_near_dup_pairs",
-    "kcore_parts",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
     #      full-registry parity tests on current code every pytest run.
-    #      Displaced to make room for the 6 newest never-checked gates:
+    #      Displaced to make room for the 8 newest never-checked gates:
     #      ann_cosine_topk (already r8-green), triangle_count,
     #      temperature_mixture, split_leakage, pagerank_suppliers,
-    #      shortest_hops (all r7-green; the last two are bench +
-    #      local-cluster anchors, re-verified every round anyway). ----
+    #      shortest_hops, kcore_parts, image_near_dup_pairs (all
+    #      r7-green; pagerank/shortest_hops are bench + local-cluster
+    #      anchors, re-verified every round anyway). ----
 ]
 
 

@@ -367,3 +367,72 @@ def label_propagation(
     return tie_release(
         labels.select("node", F.col("lbl").alias("community")), ps, owned
     )
+
+
+def community_modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    community: str = "community",
+) -> DataFrame:
+    """Newman modularity per community (Newman & Girvan 2004) — the
+    quality readout for a community assignment (e.g.
+    ``label_propagation``'s output): for community c with m_c internal
+    edges and degree sum d_c over a graph of m undirected edges,
+
+        Q_c = m_c/m − (d_c / 2m)²
+
+    computed from exact integer sufficient statistics. ``edges`` carries
+    both directions of each DISTINCT undirected edge (the
+    label_propagation contract), so directed counts D = 2m, W_c = 2·m_c
+    and S_c = d_c are plain BIGINT counts; the contribution is the
+    single float composition (W_c·D − S_c²) / D² on decimal(38,0)
+    intermediates (the group_regression overflow discipline: d_c² wraps
+    int64 once a community's degree sum passes ~3·10⁹).
+
+    Plan: one 1-row total-count broadcast, two keyed joins of the label
+    frame onto the edge list (endpoint-keyed, the exchanges LPA already
+    paid), two combinable aggs — community-bounded output. Returns
+    (community, n_nodes, internal_edges, degree_sum, q_contrib);
+    Σ q_contrib is the partition's modularity Q."""
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    cl = communities.select(F.col(node).alias("n"),
+                            F.col(community).alias("c"))
+    tot = e.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("d_total"))
+    within = (
+        e.join(cl.withColumnRenamed("n", "e_src")
+                 .withColumnRenamed("c", "c_src"), "e_src")
+        .join(cl.withColumnRenamed("n", "e_dst")
+                .withColumnRenamed("c", "c_dst"), "e_dst")
+        .filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.count(F.lit(1)).alias("w_directed"))
+    )
+    degsum = (
+        e.groupBy(F.col("e_src").alias("n"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .join(cl, "n")
+        .groupBy(F.col("c").alias("community"))
+        .agg(F.sum("deg").cast("decimal(38,0)").alias("s_c"),
+             F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    j = (
+        degsum.join(within, "community", "left")
+        .withColumn("w_d", F.coalesce("w_directed", F.lit(0))
+                    .cast("decimal(38,0)"))
+        .crossJoin(F.broadcast(tot))
+    )
+    return j.select(
+        "community",
+        "n_nodes",
+        (F.col("w_d") / 2).cast("long").alias("internal_edges"),
+        F.col("s_c").cast("long").alias("degree_sum"),
+        F.round(
+            ((F.col("w_d") * F.col("d_total")
+              - F.col("s_c") * F.col("s_c")).cast("double"))
+            / (F.col("d_total") * F.col("d_total")).cast("double"),
+            9,
+        ).alias("q_contrib"),
+    )

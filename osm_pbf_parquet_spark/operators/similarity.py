@@ -611,14 +611,19 @@ def pq_encode(
     """Corpus → (key, codes array<int>): the m-code compressed
     representation, a scan-speed projection under a broadcast of the
     ks·d-double codebook row. At 100 TB this column IS the index — the
-    raw vectors need not be rescanned at query time."""
+    raw vectors need not be rescanned at query time.
+
+    Streaming-safe: on a streaming frame the parallelism widener is
+    skipped (it inspects the RDD) and the codebook attaches via a
+    broadcast LEFT join on TRUE — identical to the batch cross join
+    because the codebook frame is exactly one row by construction."""
     dim = len(cb[0][0]) * m
     dsub = dim // m
+    base = df if df.isStreaming else _spread(df)
     cents = _pq_codebooks_frame(df.sparkSession, cb, m, ks)
     return (
-        _spread(df)
-        .select(F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("v"))
-        .crossJoin(F.broadcast(cents))
+        base.select(F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("v"))
+        .join(F.broadcast(cents), F.lit(True), "left")
         .withColumn("codes", F.expr(_pq_codes_expr(m, ks, dsub)))
         .select(key, "codes")
     )

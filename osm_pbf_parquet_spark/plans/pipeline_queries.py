@@ -2035,3 +2035,68 @@ PIPELINE_QUERIES.update({
     # 16th streaming gate: the mergeable CMS counters built on arrival
     "stream_cms_sketch": (q_stream_cms_sketch, _oracle_cms_sketch()),
 })
+
+
+def q_stream_pq_encode(spark, sf_dir):
+    """Compress-on-arrival: incoming embeddings PQ-encode against the
+    codebooks trained on the static corpus (the shipped-artifact form —
+    training is an offline job; the stream pays only the scan-speed
+    code projection under the broadcast codebook row). Output pins each
+    vector's code count and position-weighted code checksum (the
+    embedding_quantize audit idiom — an array column would compare
+    fragile across pandas/duckdb result types). On static input the
+    codes equal the batch encode's, which the oracle replays from the
+    unrolled training CTEs."""
+    from pyspark.sql import types as T
+
+    from .analytic_queries import _run_stream_to_table
+
+    quant = "transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"
+    iv = t_adaptive(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr(quant)
+    )
+    cb = similarity.pq_train_codebooks(iv, dim=64)  # eager offline job
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .withColumn("embedding", F.expr(quant))
+    )
+    codes = similarity.pq_encode(stream, cb)
+    out = codes.select(
+        "vec_id",
+        F.size("codes").cast("int").alias("n_codes"),
+        F.expr(
+            "aggregate(zip_with(codes, sequence(1, size(codes)), "
+            "(c, j) -> cast(c AS BIGINT) * j), cast(0 AS BIGINT), "
+            "(a, x) -> a + x)"
+        ).alias("code_checksum"),
+    )
+    return _run_stream_to_table(
+        spark, out, "stream_pq_encode_result", "append"
+    )
+
+
+def _oracle_stream_pq_encode() -> str:
+    m, ks, iters = similarity.PQ_M, similarity.PQ_KS, similarity.PQ_ITERS
+    dsub = 64 // m
+    return f"""
+WITH {_QUANT_V_CTE},
+{_pq_train_ctes(m, ks, iters, dsub, nq=0)}
+SELECT vec_id, CAST({m} AS INT) AS n_codes,
+       CAST(list_reduce(list_transform(range(1, {m} + 1),
+            j -> CAST(codes[j] AS BIGINT) * j), (a, b) -> a + b)
+            AS BIGINT) AS code_checksum
+FROM codes
+"""
+
+
+PIPELINE_QUERIES.update({
+    # 17th streaming gate: PQ compress-on-arrival with shipped codebooks
+    "stream_pq_encode": (q_stream_pq_encode, _oracle_stream_pq_encode()),
+})

@@ -95,7 +95,9 @@ def q_label_communities(spark, sf_dir):
     return label_propagation(edges, rounds=_LPA_ROUNDS)
 
 
-def _oracle_label_communities() -> str:
+def _lpa_ctes() -> str:
+    """Shared LPA oracle body: distinct symmetric edges + unrolled
+    synchronous rounds; final labels in l{_LPA_ROUNDS}."""
     rounds = []
     for r in range(1, _LPA_ROUNDS + 1):
         rounds.append(f"""
@@ -106,15 +108,62 @@ p{r} AS (SELECT node, lbl FROM (
                   ORDER BY cnt DESC, lbl) AS rk FROM c{r}) WHERE rk = 1),
 l{r} AS (SELECT l.node, coalesce(p.lbl, l.lbl) AS lbl
          FROM l{r - 1} l LEFT JOIN p{r} p ON p.node = l.node)""")
-    return f"""
-WITH eb AS (
+    return f"""eb AS (
   SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
                   CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
 e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
-l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),{",".join(rounds)}
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),{",".join(rounds)}"""
+
+
+def _oracle_label_communities() -> str:
+    return f"""
+WITH {_lpa_ctes()}
 SELECT node, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ROUNDS}
+"""
+
+
+def q_community_modularity(spark, sf_dir):
+    """Newman modularity per LPA community — the quality readout of the
+    partition (composes label_communities the way dedup_resolve composes
+    the dedup gates): exact integer sufficient statistics, one float
+    composition per community."""
+    from ..operators.graph import community_modularity
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eb = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        (F.col("o_custkey") * 2).cast("long").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+    ).distinct()
+    edges = eb.unionByName(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return community_modularity(
+        edges, label_propagation(edges, rounds=_LPA_ROUNDS)
+    )
+
+
+def _oracle_community_modularity() -> str:
+    return f"""
+WITH {_lpa_ctes()},
+tot AS (SELECT CAST(count(*) AS HUGEINT) AS d_total FROM e),
+lab AS (SELECT node, lbl AS c FROM l{_LPA_ROUNDS}),
+w AS (SELECT ls.c AS community, CAST(count(*) AS HUGEINT) AS w_d
+      FROM e JOIN lab ls ON ls.node = e.src
+             JOIN lab ld ON ld.node = e.dst
+      WHERE ls.c = ld.c GROUP BY 1),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+ds AS (SELECT lab.c AS community, CAST(sum(deg.deg) AS HUGEINT) AS s_c,
+              CAST(count(*) AS BIGINT) AS n_nodes
+       FROM deg JOIN lab ON lab.node = deg.node GROUP BY 1)
+SELECT ds.community, ds.n_nodes,
+       CAST(coalesce(w.w_d, 0) // 2 AS BIGINT) AS internal_edges,
+       CAST(ds.s_c AS BIGINT) AS degree_sum,
+       round(CAST(coalesce(w.w_d, 0) * t.d_total - ds.s_c * ds.s_c AS DOUBLE)
+             / CAST(t.d_total * t.d_total AS DOUBLE), 9) AS q_contrib
+FROM ds LEFT JOIN w ON w.community = ds.community CROSS JOIN tot t
 """
 
 
@@ -880,6 +929,10 @@ QUALITY_QUERIES = {
     "shortest_hops": (q_shortest_hops, ORACLE_SHORTEST_HOPS),
     "triangle_count": (q_triangle_count, ORACLE_TRIANGLE_COUNT),
     "label_communities": (q_label_communities, _oracle_label_communities()),
+    # composes the LPA oracle verbatim — the two gates move together
+    "community_modularity": (
+        q_community_modularity, _oracle_community_modularity(),
+    ),
     "fuzzy_name_match": (q_fuzzy_name_match, ORACLE_FUZZY_NAME_MATCH),
     "profile_table": (q_profile_table, ORACLE_PROFILE_TABLE),
     "dq_checks": (q_dq_checks, ORACLE_DQ_CHECKS),

@@ -77,5 +77,6 @@ def test_r9_rotation_inside_driver_cap():
         "compact_table", "multimodal_png", "embedding_pipeline",
         "pq_ann_topk", "ivfpq_topk", "bpe_encode_corpus",
         "stream_bpe_encode", "label_communities", "stream_cms_sketch",
+        "community_modularity", "stream_pq_encode",
     ):
         assert name in led["never_checked"] and name in head

@@ -177,3 +177,30 @@ def test_label_propagation_matches_sequential(spark, edges, rounds):
         for r in label_propagation(df, rounds=rounds).collect()
     }
     assert got == _ref_lpa(pairs, rounds)
+
+
+def test_community_modularity_known_values(spark):
+    """Hand-checked graph: two triangles joined by one bridge, perfect
+    partition — each community contributes 3/7 − (7/14)² = 0.178571429;
+    and the trivial single-community partition scores exactly 0."""
+    from osm_pbf_parquet_spark.operators.graph import community_modularity
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    comm = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 4) for n in range(1, 7)],
+        "node long, community long",
+    )
+    rows = {r["community"]: r for r in
+            community_modularity(edges, comm).collect()}
+    for c in (1, 4):
+        assert rows[c]["n_nodes"] == 3
+        assert rows[c]["internal_edges"] == 3
+        assert rows[c]["degree_sum"] == 7
+        assert rows[c]["q_contrib"] == 0.178571429
+    trivial = spark.createDataFrame(
+        [(n, 0) for n in range(1, 7)], "node long, community long"
+    )
+    [row] = community_modularity(edges, trivial).collect()
+    assert row["internal_edges"] == 7 and row["q_contrib"] == 0.0
