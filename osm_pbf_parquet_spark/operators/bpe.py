@@ -244,6 +244,14 @@ def bpe_encode_docs(
         )
         based = docs.join(F.broadcast(mt), F.lit(True), "left")
     elif merges:
+        import re as _re
+
+        bad = [t for pair in merges for t in pair
+               if not _re.fullmatch(r"[a-z]+", t or "")]
+        if bad:
+            # tokens are inlined as SQL literals; anything outside the
+            # trainer's [a-z]+ vocabulary would mis-quote or mis-merge
+            raise ValueError(f"merge tokens must match [a-z]+: {bad[:3]}")
         arr = "array(" + ", ".join(
             f"struct({i + 1} AS step, '{a}' AS a, '{b}' AS b)"
             for i, (a, b) in enumerate(merges)

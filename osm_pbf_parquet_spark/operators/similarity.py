@@ -566,6 +566,21 @@ def pq_train_codebooks(
                            F.expr(TO_DOUBLE.format(v=vec_col)).alias("v"))
     )
     init = base.orderBy(key).limit(ks).collect()
+    # fail LOUDLY on contract violations that would otherwise produce
+    # silently wrong codes (the pca_power_scores dimension lesson):
+    # zip_with NULL-pads a short slice, turning every distance into a
+    # 0/NULL fold and every code into codeword 0
+    if len(init) < ks:
+        raise ValueError(
+            f"PQ training needs at least ks={ks} vectors; corpus has "
+            f"{len(init)}"
+        )
+    wrong = [len(r["v"]) for r in init if len(r["v"]) != dim]
+    if wrong:
+        raise ValueError(
+            f"dim={dim} but corpus vectors have length {wrong[0]} — pass "
+            "the actual embedding dimension"
+        )
     cb: list[list[list[float]]] = [
         [list(r["v"])[j * dsub:(j + 1) * dsub] for r in init]
         for j in range(m)

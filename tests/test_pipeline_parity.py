@@ -537,3 +537,14 @@ def test_cms_counters_merge_by_addition(spark):
             k = (r["j"], r["bucket"])
             merged[k] = merged.get(k, 0) + r["c"]
     assert merged == whole
+
+
+def test_pq_contract_violations_fail_loudly(spark):
+    """The pca dimension lesson, applied preemptively: a wrong `dim` or
+    a too-small corpus must raise, not return silently-wrong codes
+    (zip_with NULL-pads short slices into all-zero distance folds)."""
+    emb = t(spark, SF_DIR, "embeddings").limit(20)
+    with pytest.raises(ValueError, match="corpus vectors have length"):
+        similarity.pq_train_codebooks(emb, dim=32, m=8, ks=4)
+    with pytest.raises(ValueError, match="at least ks"):
+        similarity.pq_train_codebooks(emb.limit(3), dim=64, m=8, ks=4)

@@ -240,3 +240,15 @@ def test_bpe_encode_matches_reference_on_arbitrary_corpora(spark, texts):
         nw, nt, enc = _ref_encode_doc(t, ref_merges)
         want[i] = (nw, nt, hashlib.md5(enc.encode()).hexdigest())
     assert got == want
+
+
+def test_bpe_encode_rejects_non_vocabulary_literal_tokens(spark):
+    """Shipped-artifact merges inline as SQL literals — anything outside
+    the trainer's [a-z]+ vocabulary must raise, not mis-quote."""
+    from osm_pbf_parquet_spark.operators.bpe import bpe_encode_docs
+
+    docs = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="merge tokens"):
+        bpe_encode_docs(docs, [("a'b", "c")])
+    with pytest.raises(ValueError, match="merge tokens"):
+        bpe_encode_docs(docs, [("", "c")])
