@@ -40,6 +40,15 @@ def get_spark(app_name: str = "osm_pbf_parquet_spark", **extra_confs) -> SparkSe
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # SPARK_GRAFT_DRIVER_JAVA_OPTS: extra JVM flags for the driver
+        # (local mode: the one JVM). Used by the soak A/B harness to pin
+        # heap sizing (-Xms=-Xmx) — r12: the dedup soak leg's 2-4x
+        # CPU-second spread across fresh JVMs on IDENTICAL plans tracks
+        # GC pacing under lazy heap growth, not the engine.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # testdata events.parquet stores TIMESTAMP(NANOS) which the Spark

@@ -29,6 +29,14 @@ def main() -> None:
         else os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     sys.path.insert(0, repo)
+    # pre-touch the heap outside the timed region (see tools/soak_leg.py
+    # and SOAK_AB_r12.json — page-backing variance, not the plan, drove
+    # the 4x fresh-JVM CPU swings); requires the measured tree's session
+    # factory to plumb the knob (r12+; older trees ignore it, which is
+    # itself visible in the leg's stability)
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xms48g -XX:+AlwaysPreTouch"
+    )
     from osm_pbf_parquet_spark.session import get_spark
 
     spark = get_spark("anchor_leg")

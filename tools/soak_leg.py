@@ -25,6 +25,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     name, soak_dir = sys.argv[1], sys.argv[2]
+    # Pre-touch the full heap before the timed region (r12, SOAK_AB_r12):
+    # the soak legs first-touch tens of GB of lazily-committed heap inside
+    # the measurement, and page-backing cost varies 4x with host memory
+    # state (796-3222 CPU-sec on identical plans; -Xms alone does NOT fix
+    # it). With -Xms=-Xmx + AlwaysPreTouch the same leg reads a stable
+    # 628-752 CPU-sec. Overridable via the env knob.
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xms48g -XX:+AlwaysPreTouch"
+    )
     from osm_pbf_parquet_spark.session import get_spark
 
     spark = get_spark("soak_leg")
