@@ -451,10 +451,14 @@ def q_pq_ann_topk(spark, sf_dir):
                                   rerank=_PQ_RERANK)
 
 
-def _pq_train_ctes(m: int, ks: int, iters: int, dsub: int, nq: int) -> str:
-    """Shared PQ-oracle CTE body (expects a quantized ``v`` CTE): subspace
-    split, codebook init, unrolled Lloyd rounds, final codes, the flat
-    codebook, and per-query lookup tables."""
+def _pq_train_ctes(m: int, ks: int, iters: int, dsub: int, nq: int,
+                   src: str = "v", include_lut: bool = True) -> str:
+    """Shared PQ-oracle CTE body (expects a quantized ``src`` CTE of
+    (vec_id, v) — raw vectors for plain PQ, residuals for IVFADC):
+    subspace split, codebook init, unrolled Lloyd rounds, final codes,
+    and the flat codebook. ``include_lut`` adds the per-query
+    whole-codebook lookup table (plain PQ); IVFADC builds its own
+    per-(query, probed-cell) LUT over the query RESIDUAL instead."""
     dist = (
         f"list_reduce(list_transform(range(1, {dsub} + 1), "
         "i -> (sv[i] - cc.cv[i]) * (sv[i] - cc.cv[i])), (a, b) -> a + b)"
@@ -488,17 +492,23 @@ cb{r} AS MATERIALIZED (
         f"i -> (q.v[cc.j * {dsub} + i] - cc.cv[i]) "
         f"* (q.v[cc.j * {dsub} + i] - cc.cv[i])), (a, b) -> a + b)"
     )
+    lutq = f""",
+lutq AS (
+  SELECT q.vec_id AS query_id,
+         list_transform(f.fcb, cc -> {qdist}) AS lut
+  FROM {src} q CROSS JOIN fcb f WHERE q.vec_id < {nq}
+)"""
     return f"""sub AS (
   SELECT vec_id, j,
          list_transform(range(1, {dsub} + 1), i -> v[j * {dsub} + i]) AS sv
-  FROM v CROSS JOIN generate_series(0, {m - 1}) AS _j(j)
+  FROM {src} CROSS JOIN generate_series(0, {m - 1}) AS _j(j)
 ),
 cb0 AS MATERIALIZED (
   SELECT j, list(struct_pack(cid := CAST(rn - 1 AS INT), cv := sv)
                  ORDER BY rn) AS cb
   FROM (SELECT j, sv, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
         FROM sub
-        WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {ks}))
+        WHERE vec_id IN (SELECT vec_id FROM {src} ORDER BY vec_id LIMIT {ks}))
   GROUP BY j
 ),{",".join(rounds)},
 codes AS (
@@ -510,12 +520,7 @@ fcb AS MATERIALIZED (
   SELECT list(struct_pack(j := j, cid := u.cid, cv := u.cv)
               ORDER BY j, u.cid) AS fcb
   FROM (SELECT j, unnest(cb) AS u FROM cb{iters})
-),
-lutq AS (
-  SELECT q.vec_id AS query_id,
-         list_transform(f.fcb, cc -> {qdist}) AS lut
-  FROM v q CROSS JOIN fcb f WHERE q.vec_id < {nq}
-)"""
+){lutq if include_lut else ""}"""
 
 
 def _pq_adc_fold(m: int, ks: int) -> str:
@@ -581,13 +586,19 @@ scored AS (
 
 def q_ivfpq_topk(spark, sf_dir):
     """IVFADC (Jégou et al. 2011 §V) — the IVF and PQ tiers COMPOSED the
-    way FAISS runs them at billion scale: coarse cells restrict
-    candidates to the query's 2 probed cells of 8, PQ asymmetric
-    distance scores only those, the exact re-rank refines the
-    40-candidate shortlist. The corpus pass computes cell and codes in
-    one fused projection; same integer-quantization determinism
-    contract, so the oracle composes the ann_ivf and pq oracles over
-    one shared quantized-vector CTE."""
+    way FAISS runs them at billion scale: an L2 k-means coarse
+    quantizer (2 Lloyd rounds, integer-rounded means) restricts
+    candidates to the query's 2 probed cells of 8, PQ encodes and
+    scores the RESIDUAL x − centroid(cell) (the paper's arithmetic —
+    r11 verdict Next #2; on this zero-mean random corpus, PQ's worst
+    case, recall holds at 0.64 ≈ 89% of the 0.72 probe ceiling, and
+    the residual-vs-raw gap is pinned on clustered data in pytest
+    where the mechanism actually binds), the exact re-rank refines the
+    40-candidate shortlist. The corpus pass computes cell, residual,
+    and codes in one fused projection; same integer-quantization
+    determinism contract (centroids are integer-ROUNDED means, so
+    residuals stay integer), so the oracle unrolls the coarse k-means
+    rounds and composes the pq oracle over a residual CTE."""
     emb = t_adaptive(spark, sf_dir, "embeddings")
     iv = emb.withColumn(
         "embedding",
@@ -600,40 +611,91 @@ def q_ivfpq_topk(spark, sf_dir):
 def _oracle_ivfpq() -> str:
     m, ks, iters = similarity.PQ_M, similarity.PQ_KS, similarity.PQ_ITERS
     C, nprobe = similarity.N_CENTROIDS, similarity.N_PROBE
+    citers = similarity.IVF_COARSE_ITERS
     dim, nq, k, rerank = 64, 10, 5, _PQ_RERANK
     dsub = dim // m
+    cdist = (
+        f"list_reduce(list_transform(range(1, {dim} + 1), "
+        "i -> (v[i] - c.cv[i]) * (v[i] - c.cv[i])), (a, b) -> a + b)"
+    )
+    # coarse L2 k-means, means rounded back to integers each round (the
+    # Spark operator's determinism rule — residuals stay integer-valued)
+    crounds = []
+    for r in range(1, citers + 1):
+        crounds.append(f"""
+ka{r} AS (
+  SELECT vec_id, v,
+         cents[list_position(darr, list_aggregate(darr, 'min'))].cid AS cl
+  FROM (SELECT vec_id, v, cents,
+               list_transform(cents, c -> {cdist}) AS darr
+        FROM v CROSS JOIN kc{r - 1})
+),
+ke{r} AS (SELECT cl, unnest(range(1, {dim} + 1)) AS i, v FROM ka{r}),
+ks{r} AS (SELECT cl, i, floor(sum(v[CAST(i AS INT)]) / count(*) + 0.5) AS mv
+          FROM ke{r} GROUP BY cl, i),
+kg{r} AS (SELECT cl, list(mv ORDER BY i) AS cv FROM ks{r} GROUP BY cl),
+kc{r} AS MATERIALIZED (
+  SELECT list(struct_pack(cid := o.cid, cv := coalesce(g.cv, o.ocv))
+              ORDER BY o.cid) AS cents
+  FROM (SELECT u.cid AS cid, u.cv AS ocv
+        FROM (SELECT unnest(cents) AS u FROM kc{r - 1})) o
+  LEFT JOIN kg{r} g ON g.cl = o.cid
+)""")
+    # per-(query, probed-cell) LUT over the query RESIDUAL q − centroid:
+    # the residual-encoding IVFADC arithmetic (Jégou et al. 2011 §V)
+    qrdist = (
+        f"list_reduce(list_transform(range(1, {dsub} + 1), "
+        f"i -> ((q.v[cc.j * {dsub} + i] - qp.ccv[cc.j * {dsub} + i]) - cc.cv[i]) "
+        f"* ((q.v[cc.j * {dsub} + i] - qp.ccv[cc.j * {dsub} + i]) - cc.cv[i])), "
+        "(a, b) -> a + b)"
+    )
     return f"""
 WITH {_QUANT_V_CTE},
-cent_arr AS MATERIALIZED (
-  SELECT list(struct_pack(cid := vec_id, cv := v) ORDER BY vec_id) AS cents
-  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {C})
-),
+kc0 AS MATERIALIZED (
+  SELECT list(struct_pack(cid := CAST(rn - 1 AS INT), cv := v) ORDER BY rn)
+         AS cents
+  FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, v
+        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {C}))
+),{",".join(crounds)},
 sc AS (
   SELECT vec_id, v, cents,
-         list_transform(cents, c -> {_DOT.format(a='v', b='c.cv')}
-           / ({_NORM.format(v='v')} * {_NORM.format(v='c.cv')})) AS cos_arr
-  FROM v CROSS JOIN cent_arr
+         list_transform(cents, c -> {cdist}) AS darr
+  FROM v CROSS JOIN kc{citers}
 ),
 acell AS (
   SELECT vec_id,
-         cents[list_position(cos_arr, list_aggregate(cos_arr, 'max'))].cid AS cell
+         cents[list_position(darr, list_aggregate(darr, 'min'))].cid AS cell,
+         cents[list_position(darr, list_aggregate(darr, 'min'))].cv AS ccv
   FROM sc
 ),
-qp AS (
-  SELECT vec_id AS query_id, unnest(probe_cells) AS cell
-  FROM (SELECT vec_id,
-               list_transform(list_sort(list_transform(range(1, {C} + 1),
-                 i -> struct_pack(negc := -cos_arr[i], cid := cents[i].cid))),
-                 s -> s.cid)[1:{nprobe}] AS probe_cells
-        FROM sc WHERE vec_id < {nq})
+rv AS (
+  -- corpus residuals x − centroid(cell): what PQ trains on and encodes
+  SELECT a.vec_id,
+         list_transform(range(1, {dim} + 1), i -> s.v[i] - a.ccv[i]) AS v
+  FROM acell a JOIN v s USING (vec_id)
 ),
-{_pq_train_ctes(m, ks, iters, dsub, nq)},
+qp AS (
+  SELECT query_id, u.cid AS cell, u.cv AS ccv
+  FROM (SELECT vec_id AS query_id, unnest(probe_cells) AS u
+        FROM (SELECT vec_id,
+                     list_transform(list_sort(list_transform(range(1, {C} + 1),
+                       i -> struct_pack(d := darr[i], cid := cents[i].cid,
+                                        cv := cents[i].cv))),
+                       s -> struct_pack(cid := s.cid, cv := s.cv))[1:{nprobe}]
+                       AS probe_cells
+              FROM sc WHERE vec_id < {nq}))
+),
+{_pq_train_ctes(m, ks, iters, dsub, nq, src="rv", include_lut=False)},
+lutq AS (
+  SELECT qp.query_id, qp.cell,
+         list_transform(f.fcb, cc -> {qrdist}) AS lut
+  FROM qp JOIN v q ON q.vec_id = qp.query_id CROSS JOIN fcb f
+),
 scored AS (
   SELECT l.query_id, c.vec_id AS neighbor_id,
          {_pq_adc_fold(m, ks)} AS adc_dist
   FROM lutq l
-  JOIN qp ON qp.query_id = l.query_id
-  JOIN acell ac ON ac.cell = qp.cell
+  JOIN acell ac ON ac.cell = l.cell
   JOIN codes c ON c.vec_id = ac.vec_id AND c.vec_id != l.query_id
 ),
 {_pq_rerank_sql(dim, rerank, k)}

@@ -704,21 +704,16 @@ def test_pq_matches_sequential_reference(spark, vec_lists):
         assert have == want, f"query {q}: {have} != {want}"
 
 
-def _ivfpq_reference(vecs, m, ks, iters, C, nprobe, nq, k, rerank):
-    """Sequential IVFADC reference: IVF cells by cosine to the C
-    lowest-key vectors (first-max tie-break), PQ from _pq_reference's
-    training arithmetic, ADC restricted to probed cells, exact re-rank."""
-    def dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    def norm(a):
-        acc = 0.0
-        for x in a:
-            acc += x * x
-        return acc ** 0.5
+def _ivfpq_reference(vecs, m, ks, iters, C, nprobe, nq, k, rerank,
+                     coarse_iters=2):
+    """Sequential IVFADC reference (Jégou et al. 2011 §V): L2 k-means
+    coarse quantizer (init = C lowest-key vectors, ``coarse_iters``
+    Lloyd rounds with means rounded back to integers — the engine's
+    determinism rule), first-min L2 cell assignment, PQ trained on and
+    encoding the RESIDUAL x − centroid(cell), per-probed-cell
+    query-residual LUTs, ADC restricted to probed cells, exact re-rank
+    on raw vectors."""
+    import math
 
     def sqdist(a, b):
         acc = 0.0
@@ -727,26 +722,44 @@ def _ivfpq_reference(vecs, m, ks, iters, C, nprobe, nq, k, rerank):
         return acc
 
     ids = sorted(vecs)
-    cents = [(cid, vecs[cid]) for cid in ids[:C]]
+    dim_full = len(vecs[ids[0]])
+    cents = [(c, list(vecs[ids[c]])) for c in range(min(C, len(ids)))]
+    for _ in range(coarse_iters):
+        sums: dict = {}
+        for i in ids:
+            d = [sqdist(vecs[i], cv) for _, cv in cents]
+            cl = d.index(min(d))
+            acc = sums.setdefault(cl, [0, [0.0] * dim_full])
+            acc[0] += 1
+            for t in range(dim_full):
+                acc[1][t] += vecs[i][t]
+        cents = [
+            (cid, [math.floor(sums[cid][1][t] / sums[cid][0] + 0.5)
+                   for t in range(dim_full)])
+            if cid in sums else (cid, cv)
+            for cid, cv in cents
+        ]
 
-    def cos_arr(v):
-        return [dot(v, cv) / (norm(v) * norm(cv)) for _, cv in cents]
-
+    cvec = dict(cents)
     cell = {}
+    resid = {}
+    darr = {}
     for i in ids:
-        ca = cos_arr(vecs[i])
-        cell[i] = cents[ca.index(max(ca))][0]
+        d = [sqdist(vecs[i], cv) for _, cv in cents]
+        darr[i] = d
+        cell[i] = cents[d.index(min(d))][0]
+        resid[i] = [x - y for x, y in zip(vecs[i], cvec[cell[i]])]
 
-    # PQ training identical to _pq_reference
+    # PQ training identical to _pq_reference, but over the RESIDUALS
     dim = len(vecs[ids[0]])
     dsub = dim // m
-    cb = [[list(vecs[i][j * dsub:(j + 1) * dsub]) for i in ids[:ks]]
+    cb = [[list(resid[i][j * dsub:(j + 1) * dsub]) for i in ids[:ks]]
           for j in range(m)]
     for _ in range(iters):
         sums: dict = {}
         for i in ids:
             for j in range(m):
-                sv = vecs[i][j * dsub:(j + 1) * dsub]
+                sv = resid[i][j * dsub:(j + 1) * dsub]
                 d = [sqdist(sv, cb[j][c]) for c in range(ks)]
                 c = d.index(min(d))
                 acc = sums.setdefault((j, c), [0, [0.0] * dsub])
@@ -759,7 +772,7 @@ def _ivfpq_reference(vecs, m, ks, iters, C, nprobe, nq, k, rerank):
     codes = {
         i: [
             min(range(ks),
-                key=lambda c: (sqdist(vecs[i][j * dsub:(j + 1) * dsub],
+                key=lambda c: (sqdist(resid[i][j * dsub:(j + 1) * dsub],
                                       cb[j][c]), c))
             for j in range(m)
         ]
@@ -769,16 +782,21 @@ def _ivfpq_reference(vecs, m, ks, iters, C, nprobe, nq, k, rerank):
     for q in ids:
         if q >= nq:
             continue
-        ca = cos_arr(vecs[q])
-        # nprobe nearest cells: sort (-cos, cid) lexicographically
-        probed = {cid for _, cid in
-                  sorted((-c, cid) for c, (cid, _) in zip(ca, cents))[:nprobe]}
-        lut = [[sqdist(vecs[q][j * dsub:(j + 1) * dsub], cb[j][c])
-                for c in range(ks)] for j in range(m)]
+        # nprobe nearest cells: sort (dist, cid) lexicographically
+        probed = [cid for _, cid in
+                  sorted((d, cid)
+                         for d, (cid, _) in zip(darr[q], cents))[:nprobe]]
+        # per-probed-cell LUT over the QUERY residual q - centroid(cell)
+        luts = {}
+        for pc in probed:
+            qr = [x - y for x, y in zip(vecs[q], cvec[pc])]
+            luts[pc] = [[sqdist(qr[j * dsub:(j + 1) * dsub], cb[j][c])
+                         for c in range(ks)] for j in range(m)]
         scored = []
         for i in ids:
-            if i == q or cell[i] not in probed:
+            if i == q or cell[i] not in luts:
                 continue
+            lut = luts[cell[i]]
             acc = 0.0
             for j in range(m):
                 acc += lut[j][codes[i][j]]
