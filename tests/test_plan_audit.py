@@ -801,12 +801,13 @@ def test_pq_ann_corpus_never_shuffles(spark):
     assert plan.count("BroadcastExchange") >= 3
 
 
-def test_bpe_encode_is_projection_after_training(spark):
-    """r11: encoding the corpus with the learned merge table must add
-    ZERO exchanges beyond training's own (the word-frequency shuffle on
-    `w` and the vocabulary-sized pair aggs) — in particular no exchange
-    keyed on doc_id: the per-document encode is a scan-speed projection
-    under the 1-row merge-table broadcast."""
+def test_bpe_encode_dictionary_shape(spark):
+    """r12 (r11 verdict What's-wrong #2): batch encode applies the merge
+    fold once per DISTINCT word and joins the dictionary back, so the
+    plan's only exchanges are keyed on ``w`` (the distinct + the
+    dictionary attach) and ``doc_id`` (the positional regroup) — and a
+    ``doc_id`` exchange MUST exist, proving the fold no longer runs per
+    occurrence. No range partitioning, no cartesian product."""
     import re
 
     from osm_pbf_parquet_spark.plans.tokenizer_queries import (
@@ -814,13 +815,16 @@ def test_bpe_encode_is_projection_after_training(spark):
     )
 
     plan = _plan(q_bpe_encode_corpus(spark, SF_DIR))
+    seen = set()
     for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         keys = [k.strip().split("#")[0] for k in a.split(",") if "#" in k]
         assert keys and all(
-            k in ("w", "_groupingexpression") for k in keys
+            k in ("w", "doc_id", "_groupingexpression") for k in keys
         ), a
+        seen.update(keys)
+    assert "doc_id" in seen, "positional regroup missing - fold path?"
+    assert "w" in seen, "distinct-word dictionary missing"
     assert "rangepartitioning" not in plan
-    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
