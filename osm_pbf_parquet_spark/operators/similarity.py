@@ -686,6 +686,56 @@ def pq_encode(
     )
 
 
+def write_pq_codebooks(spark, cb: list, path: str) -> None:
+    """Persist trained PQ codebooks as a tiny Parquet artifact table
+    (j, cid, cv) — the offline-train → online-encode handoff (r11
+    verdict Next #5): a deployed pipeline trains once and SHIPS the
+    codebook the way ``stream_bpe_encode`` ships its merge table,
+    rather than holding a Python list in one process. m·ks rows, one
+    file."""
+    m, ks = len(cb), len(cb[0])
+    rows = [(j, c, cb[j][c]) for j in range(m) for c in range(ks)]
+    (
+        spark.createDataFrame(rows, "j int, cid int, cv array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_pq_codebooks(spark, path: str, dim: int | None = None) -> list:
+    """Load a codebook artifact written by ``write_pq_codebooks`` back
+    into the nested-list form every PQ operator consumes, failing
+    LOUDLY on shape violations (the pca/pq dimension-lesson discipline:
+    a truncated or mis-joined artifact must never become silently wrong
+    codes): the (j, cid) grid must be dense and rectangular, every
+    codeword the same length, and — when the caller states the expected
+    ``dim`` — m·dsub must equal it."""
+    rows = spark.read.parquet(path).collect()  # m·ks rows — artifact-sized
+    if not rows:
+        raise ValueError(f"empty PQ codebook artifact at {path}")
+    got = {(r["j"], r["cid"]) for r in rows}
+    m = max(j for j, _ in got) + 1
+    ks = max(c for _, c in got) + 1
+    if got != {(j, c) for j in range(m) for c in range(ks)}:
+        raise ValueError(
+            f"PQ codebook artifact is not a dense {m}x{ks} (j, cid) grid"
+        )
+    lens = {len(r["cv"]) for r in rows}
+    if len(lens) != 1:
+        raise ValueError(f"ragged codeword lengths in artifact: {sorted(lens)}")
+    dsub = lens.pop()
+    if dim is not None and m * dsub != dim:
+        raise ValueError(
+            f"artifact encodes dim {m * dsub} (m={m}, dsub={dsub}); "
+            f"caller expected dim {dim}"
+        )
+    cb: list = [[None] * ks for _ in range(m)]
+    for r in rows:
+        cb[r["j"]][r["cid"]] = list(r["cv"])
+    return cb
+
+
 def pq_adc_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     dim: int = 64, m: int = PQ_M, ks: int = PQ_KS, iters: int = PQ_ITERS,

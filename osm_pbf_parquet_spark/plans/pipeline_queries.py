@@ -2162,3 +2162,58 @@ PIPELINE_QUERIES.update({
     # 17th streaming gate: PQ compress-on-arrival with shipped codebooks
     "stream_pq_encode": (q_stream_pq_encode, _oracle_stream_pq_encode()),
 })
+
+
+def q_pq_encode_artifact(spark, sf_dir):
+    """Offline-train → PERSIST → online-encode (r11 verdict Next #5):
+    train the PQ codebooks, write them as the (j, cid, cv) Parquet
+    artifact table a deployed pipeline ships between jobs, read the
+    artifact BACK (with the dense-grid / rectangularity / dim loud
+    checks in ``read_pq_codebooks``), and encode the corpus from the
+    loaded copy — the handoff ``stream_pq_encode`` simulates in one
+    process, here crossing a real serialization boundary. The oracle
+    replays training + encode from the corpus alone, so a corrupted
+    round-trip (row loss, j/cid transposition, float truncation) flips
+    the value hash."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    quant = "transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"
+    iv = t_adaptive(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr(quant)
+    )
+    cb = similarity.pq_train_codebooks(iv, dim=64)
+    # per-process fixed path, overwritten per call, removed at exit —
+    # the bucketed-gate convention (analytic_queries.q_bucketed_join_agg)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_pq_artifact_{os.getuid()}_{os.getpid()}",
+    )
+    if base not in _PQ_ARTIFACT_DIRS:
+        _PQ_ARTIFACT_DIRS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "codebooks")
+    similarity.write_pq_codebooks(spark, cb, path)
+    loaded = similarity.read_pq_codebooks(spark, path, dim=64)
+    codes = similarity.pq_encode(iv, loaded)
+    return codes.select(
+        "vec_id",
+        F.size("codes").cast("int").alias("n_codes"),
+        F.expr(
+            "aggregate(zip_with(codes, sequence(1, size(codes)), "
+            "(c, j) -> cast(c AS BIGINT) * j), cast(0 AS BIGINT), "
+            "(a, x) -> a + x)"
+        ).alias("code_checksum"),
+    )
+
+
+_PQ_ARTIFACT_DIRS: set = set()
+
+
+PIPELINE_QUERIES.update({
+    # the artifact round-trip encodes the SAME codes training replay
+    # pins, so it shares the compress-on-arrival oracle verbatim
+    "pq_encode_artifact": (q_pq_encode_artifact, _oracle_stream_pq_encode()),
+})

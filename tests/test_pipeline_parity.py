@@ -615,6 +615,37 @@ def test_cms_counters_merge_by_addition(spark):
     assert merged == whole
 
 
+def test_pq_codebook_artifact_roundtrip_and_guards(spark, tmp_path):
+    """The persisted codebook artifact must round-trip bit-exactly, and
+    a corrupted artifact must raise, never decode into silently wrong
+    codes (the engine's dimension-lesson discipline applied to the
+    offline-train → online-encode handoff)."""
+    emb = t(spark, SF_DIR, "embeddings")
+    iv = emb.withColumn("embedding", F.expr(
+        "transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"))
+    cb = similarity.pq_train_codebooks(iv, dim=64)
+    path = str(tmp_path / "cb")
+    similarity.write_pq_codebooks(spark, cb, path)
+    assert similarity.read_pq_codebooks(spark, path, dim=64) == cb
+
+    with pytest.raises(ValueError, match="expected dim"):
+        similarity.read_pq_codebooks(spark, path, dim=32)
+    # row loss -> the (j, cid) grid is no longer dense
+    holed = str(tmp_path / "holed")
+    spark.read.parquet(path).filter("NOT (j = 3 AND cid = 5)") \
+        .write.parquet(holed)
+    with pytest.raises(ValueError, match="dense"):
+        similarity.read_pq_codebooks(spark, holed)
+    # ragged codewords
+    ragged = str(tmp_path / "ragged")
+    spark.read.parquet(path).withColumn(
+        "cv", F.expr("CASE WHEN j = 0 AND cid = 0 THEN slice(cv, 1, 2) "
+                     "ELSE cv END")
+    ).write.parquet(ragged)
+    with pytest.raises(ValueError, match="ragged"):
+        similarity.read_pq_codebooks(spark, ragged)
+
+
 def test_pq_contract_violations_fail_loudly(spark):
     """The pca dimension lesson, applied preemptively: a wrong `dim` or
     a too-small corpus must raise, not return silently-wrong codes
