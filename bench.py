@@ -495,8 +495,16 @@ def main() -> None:
     #     timed region, then one timed run) and reports JVM CPU-seconds
     #     alongside wall, because CPU time does not absorb the host's
     #     minutes-long contention windows the way wall does. min-of-2
-    #     per leg, all raw reps recorded. ---
-    soak: dict = {"copies": SOAK_COPIES, "fresh_jvm_per_rep": True}
+    #     per leg, all raw reps recorded.
+    #     r12 RE-BASE (SOAK_AB_r12.json): legs now run with
+    #     -Xms48g -XX:+AlwaysPreTouch (soak_leg.py default) — the r11
+    #     796-3105 CPU-sec spread on identical plans was first-touch
+    #     page-backing of the lazily-committed heap, billed inside the
+    #     timed region; pre-touched legs read a stable 628-752 and ~40%
+    #     lower. Soak numbers from r12 on are NOT comparable to r11's
+    #     un-pinned legs. ---
+    soak: dict = {"copies": SOAK_COPIES, "fresh_jvm_per_rep": True,
+                  "heap_pretouch_rebase": "r12 (SOAK_AB_r12.json)"}
     try:
         import subprocess
         import sys as _sys
