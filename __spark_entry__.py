@@ -106,93 +106,88 @@ def _registry() -> dict[str, tuple]:
 # the tail — every registered query keeps at least one green CORRECTNESS row
 # across rounds.
 #
-# ROUND-11 ROTATION (mechanically derived by tools/taint_ledger.py on the
-# final r11 tree — TAINT_LEDGER.json is the committed evidence; counts
-# restated from its never_checked/must_cover fields):
+# ROUND-12 ROTATION (mechanically derived by tools/taint_ledger.py on the
+# final r12 tree — TAINT_LEDGER.json is the committed evidence):
 #
-#   11 never-checked r11-new gates (compact_table, multimodal_png,
-#   embedding_pipeline, pq_ann_topk, ivfpq_topk, bpe_encode_corpus,
-#   stream_bpe_encode, label_communities, stream_cms_sketch,
-#   community_modularity, stream_pq_encode)
-#   + 5 line-tainted (pca_power_scores: the in-plan start-vector
-#     derivation + Gram persist; kcenter_select: per-round centers
-#     persist + single-fold assignment; quality_classifier +
-#     stream_quality_classifier: the explode_outer empty-doc contract +
-#     LEFT-JOIN oracle; stream_osm_apply_changes: the fixed staging
-#     path replacing the leaked mkdtemp)
-#   = 16 must-cover, ALL IN-CAP.
+#   1 never-checked r12-new gate (pq_encode_artifact: the persisted
+#   codebook round-trip)
+#   + 5 line-tainted by this round's engine edits (ivfpq_topk: L2
+#     k-means coarse quantizer + residual encoding; pq_ann_topk +
+#     stream_pq_encode: pq_encode's derived-shape signature and the
+#     in-plan ragged-corpus guard; bpe_encode_corpus: the distinct-word
+#     dictionary apply; stream_bpe_encode: the shared _with_merge_table
+#     refactor on its fold path)
+#   = 6 must-cover, ALL IN-CAP.
 #
-# The remaining 34 slots are freshness fills, oldest-green-first (r10
-# verdict ask #2): zorder_spatial (the last r5 row), the entire 16-query
-# r6 block, and most of the 24-query r7 block — after r11 no registered
-# query's last green row is older than r7 (the seven r7 entries the new
-# gates displaced: triangle_count, temperature_mixture, split_leakage,
-# pagerank_suppliers, shortest_hops, kcore_parts, image_near_dup_pairs —
-# pagerank/shortest_hops are ALSO re-verified every round as bench +
-# local-cluster anchors, the strongest non-driver evidence in the
-# repo), beating the "nothing older than r6" target.
+# The remaining 44 slots are freshness fills, oldest-green-first (r11
+# verdict Next #4): ALL seven r7 rows (image_near_dup_pairs, kcore_parts,
+# pagerank_suppliers, shortest_hops, split_leakage, temperature_mixture,
+# triangle_count), then the r8 block alphabetically through
+# text_repetition — after r12 no registered query's last green row is
+# older than r8, meeting the target; the 9 r8 rows left for r13
+# (text_stats..winnowing_fingerprints) are the newest of that block.
 _CHECK_FIRST = [
-    # --- 16 must-cover (11 never-checked + 5 line-tainted) ---
-    "compact_table",
-    "multimodal_png",
-    "embedding_pipeline",
-    "pq_ann_topk",
+    # --- 6 must-cover (1 never-checked + 5 line-tainted) ---
+    "pq_encode_artifact",
     "ivfpq_topk",
+    "pq_ann_topk",
+    "stream_pq_encode",
     "bpe_encode_corpus",
     "stream_bpe_encode",
-    "label_communities",
-    "stream_cms_sketch",
-    "community_modularity",
-    "stream_pq_encode",
-    "pca_power_scores",
-    "kcenter_select",
-    "quality_classifier",
-    "stream_quality_classifier",
-    "stream_osm_apply_changes",
-    # --- 42 freshness fills (oldest green first: r5, r6, r7, then r8) ---
-    "zorder_spatial",
-    "ab_welch_by_type",
-    "auc_score",
-    "funnel_depths",
-    "histogram_quantiles",
-    "hll_distinct",
-    "kappa_lang_agreement",
-    "markov_transitions",
-    "merge_upsert",
-    "ndcg_at_k",
-    "scd2_intervals",
-    "scd2_snapshot",
-    "skyline_pareto",
-    "stream_ab_monitor",
-    "stream_hll_distinct",
-    "stream_quality_by_lang",
-    "table_checksum",
-    "autocorr_lags",
-    "bpe_token_vocab",
-    "bpe_train_merges",
-    "calibration_curve",
-    "ccnet_buckets",
-    "chi_square_assoc",
-    "cooccurrence_topk",
-    "dataset_diff",
-    "dedup_resolve",
-    "dsir_importance",
-    "exact_quantiles",
-    "feature_hashing",
-    "frequent_itemsets",
-    "fuzzy_name_match",
-    "hll_by_type",
-    "hll_set_ops",
-    "image_dhash",
+    # --- 44 freshness fills (oldest green first: r7, then r8) ---
+    "image_near_dup_pairs",
+    "kcore_parts",
+    "pagerank_suppliers",
+    "shortest_hops",
+    "split_leakage",
+    "temperature_mixture",
+    "triangle_count",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_pairs",
+    "bigram_lm",
+    "bm25_topk",
+    "clean_corpus_pipeline",
+    "cms_heavy_hitters",
+    "decontaminate",
+    "dedup_components",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "duplicate_spans",
+    "embedding_outliers",
+    "embedding_quantize",
+    "epoch_shard_plan",
+    "full_curation_pipeline",
+    "group_weighted_reservoir",
+    "hybrid_rrf_search",
+    "incremental_dedup",
+    "jaccard_join_exact",
+    "kmeans_clusters",
+    "line_corpus_dedup",
+    "negative_sampling",
+    "pii_scrub",
+    "sample_pack_sequences",
+    "sample_stratified_cap",
+    "sample_weighted_mixture",
+    "semantic_dedup",
+    "stream_incremental_dedup",
+    "text_entropy",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
     #      full-registry parity tests on current code every pytest run.
-    #      Displaced to make room for the 8 newest never-checked gates:
-    #      ann_cosine_topk (already r8-green), triangle_count,
-    #      temperature_mixture, split_leakage, pagerank_suppliers,
-    #      shortest_hops, kcore_parts, image_near_dup_pairs (all
-    #      r7-green; pagerank/shortest_hops are bench + local-cluster
-    #      anchors, re-verified every round anyway). ----
+    #      The r11 must-cover block (compact_table .. stream_osm_apply_
+    #      changes) rotated out with fresh r11 greens; the 9 remaining
+    #      r8 rows (text_stats, tfidf_top_terms, token_budget_fill,
+    #      token_drift_js, tokenize_corpus, unigram_logprob, vocab_build,
+    #      weighted_reservoir_sample, winnowing_fingerprints) are r13's
+    #      oldest-first fills. ----
 ]
 
 

@@ -72,11 +72,12 @@ def test_r9_rotation_inside_driver_cap():
     # every must-cover entry sits inside the driver cap
     for name in led["must_cover"]:
         assert name in head, name
-    # the r11-new gates are present and never-checked entries lead
-    for name in (
-        "compact_table", "multimodal_png", "embedding_pipeline",
-        "pq_ann_topk", "ivfpq_topk", "bpe_encode_corpus",
-        "stream_bpe_encode", "label_communities", "stream_cms_sketch",
-        "community_modularity", "stream_pq_encode",
-    ):
+    # the r12-new gate is present and never-checked entries lead
+    for name in ("pq_encode_artifact",):
         assert name in led["never_checked"] and name in head
+    # the r12 engine edits' tainted gates sit in-cap
+    for name in (
+        "ivfpq_topk", "pq_ann_topk", "stream_pq_encode",
+        "bpe_encode_corpus", "stream_bpe_encode",
+    ):
+        assert name in head
