@@ -33,10 +33,16 @@ def main() -> None:
     # and SOAK_AB_r12.json — page-backing variance, not the plan, drove
     # the 4x fresh-JVM CPU swings); requires the measured tree's session
     # factory to plumb the knob (r12+; older trees ignore it, which is
-    # itself visible in the leg's stability)
-    os.environ.setdefault(
-        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xms48g -XX:+AlwaysPreTouch"
-    )
+    # itself visible in the leg's stability).
+    # EXCEPTION (measured, r12): the transcode anchor's hot loop runs in
+    # 32 Python worker processes and barely touches the JVM heap
+    # (jvm_cpu ~5s); pinning 48 GB resident in the parent JVM crowds the
+    # workers' Arrow buffers + page cache and inflates the leg 130 ->
+    # 570 tree-CPU-sec — so worker-heavy legs stay unpinned.
+    if name != "pbf_transcode_4x":
+        os.environ.setdefault(
+            "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xms48g -XX:+AlwaysPreTouch"
+        )
     from osm_pbf_parquet_spark.session import get_spark
 
     spark = get_spark("anchor_leg")
