@@ -893,6 +893,187 @@ def _ivf_coarse_centroids(
     return cents
 
 
+def _cents_row_frame(spark, cents_list: list) -> DataFrame:
+    """1-row broadcastable frame holding the sorted coarse-centroid
+    array (cid, cv) — the IVFADC analog of ``_pq_codebooks_frame``."""
+    return spark.createDataFrame(
+        [(cents_list,)], "_cents array<struct<cid:int,cv:array<double>>>"
+    )
+
+
+def _l2_cell_resid(frame: DataFrame, ivf_cents: DataFrame,
+                   vec_col: str) -> DataFrame:
+    """Attach (_vd, _darr, cell, _rv) under the broadcast centroid row:
+    the L2 distance array, the first-min cell, and the residual against
+    the chosen centroid — the shared corpus/query projection of every
+    IVFADC tier (in-process search, index build, index serving). One
+    narrow scan-speed projection; no shuffle."""
+    darr = (
+        "transform(_cents, c -> aggregate(zip_with(_vd, c.cv, "
+        "(x, y) -> (x - y) * (x - y)), cast(0.0 AS DOUBLE), (a, e) -> a + e))"
+    )
+    ci = "array_position(_darr, array_min(_darr))"
+    return (
+        frame.withColumn("_vd", F.expr(TO_DOUBLE.format(v=vec_col)))
+        .crossJoin(F.broadcast(ivf_cents))
+        .withColumn("_darr", F.expr(darr))
+        .withColumn("cell", F.expr(f"_cents[{ci} - 1].cid"))
+        .withColumn(
+            "_rv",
+            F.expr(f"zip_with(_vd, _cents[{ci} - 1].cv, (x, y) -> x - y)"),
+        )
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame, path: str,
+    dim: int = 64, m: int = PQ_M, ks: int = PQ_KS, iters: int = PQ_ITERS,
+    n_centroids: int = N_CENTROIDS, coarse_iters: int = IVF_COARSE_ITERS,
+    vec_col: str = "embedding", key: str = "vec_id", cache=None,
+) -> dict:
+    """Train and PERSIST the full IVFADC index under ``path`` — the
+    deployed shape of billion-scale ANN (FAISS's on-disk indexes): the
+    index is built offline and shipped; query serving never retrains
+    and touches raw vectors only for the optional exact re-rank.
+
+    - ``centroids/`` — (cid, cv): the L2 k-means coarse quantizer
+      (integer-rounded means, the determinism contract);
+    - ``codebooks/`` — (j, cid, cv): per-subspace PQ codebooks trained
+      on residuals (``write_pq_codebooks``);
+    - ``codes/`` — (key, codes) PARTITIONED BY ``cell``: the compressed
+      corpus, m codes (m·log2(ks) bits) per vector. At 100 TB this
+      table IS the index — 8 bytes/vector for the default shape — and
+      the hive partitioning on cell turns probe restriction into
+      physical partition pruning at serve time.
+
+    Same trainers and arithmetic as ``ivfpq_topk``'s in-process build,
+    so serving from the artifact returns its exact results (how the
+    gate oracles it). Returns {"centroids", "codebooks"} for callers
+    that also want them in-process."""
+    import os
+
+    spark = corpus.sparkSession
+    cents_list = _ivf_coarse_centroids(
+        corpus, vec_col, key, n_centroids, coarse_iters, cache
+    )
+    (
+        spark.createDataFrame(
+            list(cents_list), "cid int, cv array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "centroids"))
+    )
+    corp_res = _l2_cell_resid(
+        _spread(corpus), _cents_row_frame(spark, cents_list), vec_col
+    )
+    cb = pq_train_codebooks(
+        corp_res.select(F.col(key), F.col("_rv").alias("resid")),
+        dim, m, ks, iters, vec_col="resid", key=key, cache=cache,
+    )
+    write_pq_codebooks(spark, cb, os.path.join(path, "codebooks"))
+    dsub = dim // m
+    pq_frame = _pq_codebooks_frame(spark, cb, m, ks)
+    (
+        corp_res.crossJoin(F.broadcast(pq_frame))
+        .withColumn("codes", F.expr(_pq_codes_expr(m, ks, dsub, vec="_rv")))
+        .select(F.col(key), "cell", "codes")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+    return {"centroids": cents_list, "codebooks": cb}
+
+
+def read_ivf_centroids(spark, path: str, dim: int | None = None) -> list:
+    """Load the coarse-quantizer artifact with the same loud-failure
+    discipline as ``read_pq_codebooks``: the cid set must be exactly
+    0..C-1, all centroids the same length, optional dim check."""
+    import os
+
+    rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    if not rows:
+        raise ValueError(f"empty centroid artifact under {path}")
+    got = [r["cid"] for r in rows]
+    c = max(got) + 1
+    if sorted(got) != list(range(c)):
+        raise ValueError("centroid artifact is not a dense cid 0..C-1 list")
+    lens = {len(r["cv"]) for r in rows}
+    if len(lens) != 1:
+        raise ValueError(f"ragged centroid lengths: {sorted(lens)}")
+    if dim is not None and lens != {dim}:
+        raise ValueError(
+            f"centroid artifact dim {lens.pop()} != expected dim {dim}"
+        )
+    by = {r["cid"]: list(r["cv"]) for r in rows}
+    return [(cid, by[cid]) for cid in range(c)]
+
+
+def ivfpq_search_index(
+    spark, path: str, queries: DataFrame, k: int = 5,
+    n_probe: int = N_PROBE, vec_col: str = "embedding", key: str = "vec_id",
+    rerank: int | None = None, rerank_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Serve ANN queries from a PERSISTED IVFADC index — the online half
+    of the ``build_ivfpq_index`` handoff: load centroids + codebooks
+    (artifact-sized collects behind loud shape checks), scan the cell-
+    partitioned codes table, ADC-fold, rank. Identical arithmetic and
+    results to ``ivfpq_topk`` over the same corpus (equivalence is
+    test-pinned and the gate reuses ivfpq_topk's oracle verbatim).
+
+    Scale shape: the probed-cells join is a broadcast hash join on
+    ``cell`` — the codes table's PARTITION column — so Catalyst inserts
+    a DynamicPruningExpression on the scan (plan-audited): only
+    n_probe/n_centroids of the index FILES are read, which is the whole
+    point of writing codes partitioned by cell. Raw vectors are touched
+    only by the optional exact re-rank (``rerank_corpus``, the keyed
+    probe ``pq_adc_topk`` uses)."""
+    import os
+
+    if rerank is not None and rerank_corpus is None:
+        raise ValueError("rerank requires rerank_corpus (the raw vectors)")
+    cents_list = read_ivf_centroids(spark, path)
+    dim = len(cents_list[0][1])
+    cb = read_pq_codebooks(spark, os.path.join(path, "codebooks"), dim=dim)
+    m, ks = len(cb), len(cb[0])
+    dsub = dim // m
+    ivf_cents = _cents_row_frame(spark, cents_list)
+    pq_frame = _pq_codebooks_frame(spark, cb, m, ks)
+    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+        F.col(key).alias("neighbor_id"), "cell", "codes"
+    )
+    probes = (
+        f"slice(transform(array_sort(zip_with(_darr, _cents, "
+        f"(d, ct) -> struct(d AS d, ct.cid AS cid, ct.cv AS cv))), "
+        f"s -> struct(s.cid AS cid, s.cv AS cv)), 1, {n_probe})"
+    )
+    lut = (
+        f"transform(cb, cc -> {_pq_dist_expr(f'slice(_qrv, cc.j * {dsub} + 1, {dsub})', 'cc.cv')})"
+    )
+    qp = (
+        _l2_cell_resid(queries, ivf_cents, vec_col)
+        .withColumn("probe_cells", F.expr(probes))
+        .crossJoin(F.broadcast(pq_frame))
+        .select(F.col(key).alias("query_id"), "_vd",
+                F.explode("probe_cells").alias("p"), "cb")
+        .withColumn("_qrv", F.expr("zip_with(_vd, p.cv, (x, y) -> x - y)"))
+        .withColumn("lut", F.expr(lut))
+        .select("query_id", F.col("p.cid").alias("cell"), "lut")
+    )
+    adc = (
+        "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
+        f"(c, j) -> element_at(lut, j * {ks} + c + 1)), "
+        "cast(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    scored = (
+        codes.join(F.broadcast(qp), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", F.expr(adc))
+    )
+    return _pq_rank_and_rerank(scored, rerank_corpus, queries, k, rerank,
+                               vec_col, key)
+
+
 def ivfpq_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     dim: int = 64, m: int = PQ_M, ks: int = PQ_KS, iters: int = PQ_ITERS,
@@ -946,28 +1127,8 @@ def ivfpq_topk(
     cents_list = _ivf_coarse_centroids(
         corpus, vec_col, key, n_centroids, coarse_iters, cache
     )
-    ivf_cents = spark.createDataFrame(
-        [(cents_list,)], "_cents array<struct<cid:int,cv:array<double>>>"
-    )
-    darr = (
-        "transform(_cents, c -> aggregate(zip_with(_vd, c.cv, "
-        "(x, y) -> (x - y) * (x - y)), cast(0.0 AS DOUBLE), (a, e) -> a + e))"
-    )
-    ci = "array_position(_darr, array_min(_darr))"
-
-    def with_cell_resid(frame: DataFrame) -> DataFrame:
-        return (
-            frame.withColumn("_vd", F.expr(TO_DOUBLE.format(v=vec_col)))
-            .crossJoin(F.broadcast(ivf_cents))
-            .withColumn("_darr", F.expr(darr))
-            .withColumn("cell", F.expr(f"_cents[{ci} - 1].cid"))
-            .withColumn(
-                "_rv",
-                F.expr(f"zip_with(_vd, _cents[{ci} - 1].cv, (x, y) -> x - y)"),
-            )
-        )
-
-    corp_res = with_cell_resid(_spread(corpus))
+    ivf_cents = _cents_row_frame(spark, cents_list)
+    corp_res = _l2_cell_resid(_spread(corpus), ivf_cents, vec_col)
     cb = pq_train_codebooks(
         corp_res.select(F.col(key), F.col("_rv").alias("resid")),
         dim, m, ks, iters, vec_col="resid", key=key, cache=cache,
@@ -987,7 +1148,7 @@ def ivfpq_topk(
         f"transform(cb, cc -> {_pq_dist_expr(f'slice(_qrv, cc.j * {dsub} + 1, {dsub})', 'cc.cv')})"
     )
     qp = (
-        with_cell_resid(queries)
+        _l2_cell_resid(queries, ivf_cents, vec_col)
         .withColumn("probe_cells", F.expr(probes))
         .crossJoin(F.broadcast(pq_frame))
         .select(F.col(key).alias("query_id"), "_vd",

@@ -2212,8 +2212,48 @@ def q_pq_encode_artifact(spark, sf_dir):
 _PQ_ARTIFACT_DIRS: set = set()
 
 
+def q_ivfpq_index_search(spark, sf_dir):
+    """The full deployed ANN index lifecycle (r12 capstone): BUILD the
+    IVFADC index offline (L2 k-means coarse quantizer + residual PQ
+    codebooks + the corpus compressed to m codes/vector, persisted as
+    Parquet with the codes table HIVE-PARTITIONED BY CELL), then SERVE
+    queries from the artifact alone — centroids/codebooks reload behind
+    loud shape checks, probed cells prune to physical partitions
+    (DynamicPruningExpression, plan-audited), raw vectors touched only
+    by the exact re-rank. Identical arithmetic to ``ivfpq_topk``, so
+    this gate reuses its oracle VERBATIM: the driver proves that a
+    query served from the persisted index returns byte-for-byte what
+    the in-process composition returns, i.e. the artifact round-trip
+    (write → partition → read) loses nothing."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    quant = "transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"
+    iv = t_adaptive(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr(quant)
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpq_index_{os.getuid()}_{os.getpid()}",
+    )
+    if base not in _PQ_ARTIFACT_DIRS:
+        _PQ_ARTIFACT_DIRS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, os.path.basename(os.path.normpath(sf_dir)))
+    similarity.build_ivfpq_index(iv, path)
+    return similarity.ivfpq_search_index(
+        spark, path, iv.filter(F.col("vec_id") < 10), k=5,
+        rerank=_PQ_RERANK, rerank_corpus=iv,
+    )
+
+
 PIPELINE_QUERIES.update({
     # the artifact round-trip encodes the SAME codes training replay
     # pins, so it shares the compress-on-arrival oracle verbatim
     "pq_encode_artifact": (q_pq_encode_artifact, _oracle_stream_pq_encode()),
+    # serving from the persisted index must equal the in-process
+    # composition — ivfpq_topk's oracle verbatim
+    "ivfpq_index_search": (q_ivfpq_index_search, _oracle_ivfpq()),
 })

@@ -646,6 +646,54 @@ def test_pq_codebook_artifact_roundtrip_and_guards(spark, tmp_path):
         similarity.read_pq_codebooks(spark, ragged)
 
 
+def test_ivfpq_index_search_equals_in_process(spark, tmp_path):
+    """Serving from the persisted IVFADC index must return EXACTLY what
+    the in-process composition returns — same trainers, same arithmetic,
+    the artifact round-trip (write → cell-partition → read) loses
+    nothing. Checked in both modes: pure ADC and exact re-rank."""
+    emb = t(spark, SF_DIR, "embeddings")
+    iv = emb.withColumn("embedding", F.expr(
+        "transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"))
+    q = iv.filter(F.col("vec_id") < 8)
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(iv, path)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(
+        similarity.ivfpq_search_index(spark, path, q, k=5, rerank=40,
+                                      rerank_corpus=iv)
+    ) == rows(similarity.ivfpq_topk(iv, q, k=5, rerank=40))
+    assert rows(
+        similarity.ivfpq_search_index(spark, path, q, k=5)
+    ) == rows(similarity.ivfpq_topk(iv, q, k=5))
+    with pytest.raises(ValueError, match="rerank_corpus"):
+        similarity.ivfpq_search_index(spark, path, q, k=5, rerank=40)
+
+
+def test_ivf_centroid_artifact_guards(spark, tmp_path):
+    """A corrupted coarse-quantizer artifact must raise, never serve
+    silently wrong cells."""
+    import os
+
+    emb = t(spark, SF_DIR, "embeddings")
+    iv = emb.withColumn("embedding", F.expr(
+        "transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"))
+    path = str(tmp_path / "ivfpq")
+    built = similarity.build_ivfpq_index(iv, path)
+    assert similarity.read_ivf_centroids(spark, path) == built["centroids"]
+
+    holed = str(tmp_path / "holed")
+    spark.read.parquet(os.path.join(path, "centroids")).filter(
+        "cid != 3"
+    ).write.parquet(os.path.join(holed, "centroids"))
+    with pytest.raises(ValueError, match="dense"):
+        similarity.read_ivf_centroids(spark, holed)
+    with pytest.raises(ValueError, match="expected dim"):
+        similarity.read_ivf_centroids(spark, path, dim=32)
+
+
 def test_pq_contract_violations_fail_loudly(spark):
     """The pca dimension lesson, applied preemptively: a wrong `dim` or
     a too-small corpus must raise, not return silently-wrong codes

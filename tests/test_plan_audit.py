@@ -828,6 +828,26 @@ def test_bpe_encode_dictionary_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivfpq_index_serve_prunes_partitions(spark):
+    """r12: serving from the persisted IVFADC index must read ONLY the
+    probed cells — the codes table is hive-partitioned by cell and the
+    probe join is a broadcast hash join on that partition column, so
+    Catalyst must insert dynamic partition pruning on the codes scan.
+    As with the in-process path, the only hash exchanges are the
+    per-query rank windows."""
+    import re
+
+    plan = _plan(pipe.q_ivfpq_index_search(spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower(), "codes scan not DPP-pruned"
+    for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = [k.strip().split("#")[0] for k in a.split(",") if "#" in k]
+        assert keys and all(k == "query_id" for k in keys), a
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1  # the cell probe join
+
+
 def test_ivfpq_corpus_never_shuffles(spark):
     """r11: IVFADC composes the IVF cell restriction with the PQ scan —
     the cell join must be a BroadcastHashJoin with the exploded query
