@@ -109,34 +109,36 @@ def _registry() -> dict[str, tuple]:
 # ROUND-12 ROTATION (mechanically derived by tools/taint_ledger.py on the
 # final r12 tree — TAINT_LEDGER.json is the committed evidence):
 #
-#   2 never-checked r12-new gates (pq_encode_artifact: the persisted
+#   3 never-checked r12-new gates (pq_encode_artifact: the persisted
 #   codebook round-trip; ivfpq_index_search: the full persisted-index
-#   build→serve lifecycle)
+#   build→serve lifecycle; ivfpq_index_append: incremental add() with
+#   the shipped quantizers)
 #   + 5 line-tainted by this round's engine edits (ivfpq_topk: L2
 #     k-means coarse quantizer + residual encoding; pq_ann_topk +
 #     stream_pq_encode: pq_encode's derived-shape signature and the
 #     in-plan ragged-corpus guard; bpe_encode_corpus: the distinct-word
 #     dictionary apply; stream_bpe_encode: the shared _with_merge_table
 #     refactor on its fold path)
-#   = 7 must-cover, ALL IN-CAP.
+#   = 8 must-cover, ALL IN-CAP.
 #
-# The remaining 43 slots are freshness fills, oldest-green-first (r11
+# The remaining 42 slots are freshness fills, oldest-green-first (r11
 # verdict Next #4): ALL seven r7 rows (image_near_dup_pairs, kcore_parts,
 # pagerank_suppliers, shortest_hops, split_leakage, temperature_mixture,
 # triangle_count), then the r8 block alphabetically through
-# text_repetition — after r12 no registered query's last green row is
-# older than r8, meeting the target; the 10 r8 rows left for r13
-# (text_repetition..winnowing_fingerprints) are the newest of that block.
+# text_lang_id — after r12 no registered query's last green row is
+# older than r8, meeting the target; the 11 r8 rows left for r13
+# (text_quality..winnowing_fingerprints) are the newest of that block.
 _CHECK_FIRST = [
-    # --- 7 must-cover (2 never-checked + 5 line-tainted) ---
+    # --- 8 must-cover (3 never-checked + 5 line-tainted) ---
     "pq_encode_artifact",
     "ivfpq_index_search",
+    "ivfpq_index_append",
     "ivfpq_topk",
     "pq_ann_topk",
     "stream_pq_encode",
     "bpe_encode_corpus",
     "stream_bpe_encode",
-    # --- 43 freshness fills (oldest green first: r7, then r8) ---
+    # --- 42 freshness fills (oldest green first: r7, then r8) ---
     "image_near_dup_pairs",
     "kcore_parts",
     "pagerank_suppliers",
@@ -179,13 +181,13 @@ _CHECK_FIRST = [
     "text_entropy",
     "text_fingerprint",
     "text_lang_id",
-    "text_quality",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
     #      test_entry). Everything below is swept by the local
     #      full-registry parity tests on current code every pytest run.
     #      The r11 must-cover block (compact_table .. stream_osm_apply_
-    #      changes) rotated out with fresh r11 greens; the 10 remaining
-    #      r8 rows (text_repetition, text_stats, tfidf_top_terms, token_budget_fill,
+    #      changes) rotated out with fresh r11 greens; the 11 remaining
+    #      r8 rows (text_quality, text_repetition, text_stats,
+    #      tfidf_top_terms, token_budget_fill,
     #      token_drift_js, tokenize_corpus, unigram_logprob, vocab_build,
     #      weighted_reservoir_sample, winnowing_fingerprints) are r13's
     #      oldest-first fills. ----

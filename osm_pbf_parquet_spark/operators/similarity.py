@@ -1009,6 +1009,44 @@ def read_ivf_centroids(spark, path: str, dim: int | None = None) -> list:
     return [(cid, by[cid]) for cid in range(c)]
 
 
+def ivfpq_index_append(
+    spark, path: str, new_vectors: DataFrame,
+    vec_col: str = "embedding", key: str = "vec_id",
+) -> None:
+    """Incrementally add vectors to a persisted IVFADC index — FAISS's
+    ``add()``: the shipped quantizers (centroids + codebooks) encode the
+    NEW vectors without any retraining, and the codes land as an APPEND
+    into the cell-partitioned codes table. This is how a deployed index
+    absorbs a daily ingest at 100 TB: one scan-speed projection over the
+    new data, writes touch only the cells the new vectors fall in, and
+    nothing existing is rewritten. (Quantizer drift under a shifting
+    distribution is the operator's documented limit — periodic retrain
+    is the build path.) Vector length is guarded in-plan against the
+    artifact's dim (the fail-loudly family)."""
+    import os
+
+    cents_list = read_ivf_centroids(spark, path)
+    dim = len(cents_list[0][1])
+    cb = read_pq_codebooks(spark, os.path.join(path, "codebooks"), dim=dim)
+    m, ks = len(cb), len(cb[0])
+    dsub = dim // m
+    guarded = new_vectors.select(
+        F.col(key),
+        F.expr(_guarded_to_double(vec_col, dim,
+                                  "ivfpq_index_append")).alias("_gv"),
+    )
+    (
+        _l2_cell_resid(_spread(guarded), _cents_row_frame(spark, cents_list),
+                       "_gv")
+        .crossJoin(F.broadcast(_pq_codebooks_frame(spark, cb, m, ks)))
+        .withColumn("codes", F.expr(_pq_codes_expr(m, ks, dsub, vec="_rv")))
+        .select(F.col(key), "cell", "codes")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+
+
 def ivfpq_search_index(
     spark, path: str, queries: DataFrame, k: int = 5,
     n_probe: int = N_PROBE, vec_col: str = "embedding", key: str = "vec_id",

@@ -452,27 +452,33 @@ def q_pq_ann_topk(spark, sf_dir):
 
 
 def _pq_train_ctes(m: int, ks: int, iters: int, dsub: int, nq: int,
-                   src: str = "v", include_lut: bool = True) -> str:
+                   src: str = "v", include_lut: bool = True,
+                   train_pred: str | None = None) -> str:
     """Shared PQ-oracle CTE body (expects a quantized ``src`` CTE of
     (vec_id, v) — raw vectors for plain PQ, residuals for IVFADC):
     subspace split, codebook init, unrolled Lloyd rounds, final codes,
     and the flat codebook. ``include_lut`` adds the per-query
     whole-codebook lookup table (plain PQ); IVFADC builds its own
-    per-(query, probed-cell) LUT over the query RESIDUAL instead."""
+    per-(query, probed-cell) LUT over the query RESIDUAL instead.
+    ``train_pred`` (a predicate over ``vec_id``) restricts TRAINING —
+    init sample and Lloyd rounds — to a subset while ``codes`` still
+    covers every ``src`` row: the incremental-append lifecycle, where
+    appended vectors are encoded by quantizers they never trained."""
     dist = (
         f"list_reduce(list_transform(range(1, {dsub} + 1), "
         "i -> (sv[i] - cc.cv[i]) * (sv[i] - cc.cv[i])), (a, b) -> a + b)"
     )
+    tp = f"\n        WHERE {train_pred}" if train_pred else ""
     assign = f"""
   SELECT vec_id, j, sv,
          cb[list_position(darr, list_aggregate(darr, 'min'))].cid AS cl
   FROM (SELECT s.vec_id, s.j, s.sv, c.cb,
                list_transform(c.cb, cc -> {dist}) AS darr
-        FROM sub s JOIN cb{{prev}} c ON c.j = s.j)"""
+        FROM sub s JOIN cb{{prev}} c ON c.j = s.j{{tp}})"""
     rounds = []
     for r in range(1, iters + 1):
         rounds.append(f"""
-a{r} AS ({assign.format(prev=r - 1)}
+a{r} AS ({assign.format(prev=r - 1, tp=tp)}
 ),
 e{r} AS (SELECT j, cl, unnest(range(1, {dsub} + 1)) AS i, sv FROM a{r}),
 s{r} AS (SELECT j, cl, i, sum(sv[CAST(i AS INT)]) / count(*) AS mv
@@ -498,6 +504,11 @@ lutq AS (
          list_transform(f.fcb, cc -> {qdist}) AS lut
   FROM {src} q CROSS JOIN fcb f WHERE q.vec_id < {nq}
 )"""
+    init_src = (
+        f"SELECT vec_id FROM {src}"
+        + (f" WHERE {train_pred}" if train_pred else "")
+        + f" ORDER BY vec_id LIMIT {ks}"
+    )
     return f"""sub AS (
   SELECT vec_id, j,
          list_transform(range(1, {dsub} + 1), i -> v[j * {dsub} + i]) AS sv
@@ -508,12 +519,12 @@ cb0 AS MATERIALIZED (
                  ORDER BY rn) AS cb
   FROM (SELECT j, sv, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn
         FROM sub
-        WHERE vec_id IN (SELECT vec_id FROM {src} ORDER BY vec_id LIMIT {ks}))
+        WHERE vec_id IN ({init_src}))
   GROUP BY j
 ),{",".join(rounds)},
 codes AS (
   SELECT vec_id, list(cl ORDER BY j) AS codes
-  FROM ({assign.format(prev=iters)}
+  FROM ({assign.format(prev=iters, tp="")}
   ) GROUP BY vec_id
 ),
 fcb AS MATERIALIZED (
@@ -608,12 +619,17 @@ def q_ivfpq_topk(spark, sf_dir):
                                  rerank=_PQ_RERANK)
 
 
-def _oracle_ivfpq() -> str:
+def _oracle_ivfpq(train_pred: str | None = None) -> str:
+    """The IVFADC oracle. ``train_pred`` (predicate over ``vec_id``)
+    restricts coarse-quantizer AND codebook TRAINING to a corpus subset
+    while cells/codes/search still cover every vector — replaying the
+    build-then-append index lifecycle (``ivfpq_index_append``)."""
     m, ks, iters = similarity.PQ_M, similarity.PQ_KS, similarity.PQ_ITERS
     C, nprobe = similarity.N_CENTROIDS, similarity.N_PROBE
     citers = similarity.IVF_COARSE_ITERS
     dim, nq, k, rerank = 64, 10, 5, _PQ_RERANK
     dsub = dim // m
+    tp = f"\n        WHERE {train_pred}" if train_pred else ""
     cdist = (
         f"list_reduce(list_transform(range(1, {dim} + 1), "
         "i -> (v[i] - c.cv[i]) * (v[i] - c.cv[i])), (a, b) -> a + b)"
@@ -628,7 +644,7 @@ ka{r} AS (
          cents[list_position(darr, list_aggregate(darr, 'min'))].cid AS cl
   FROM (SELECT vec_id, v, cents,
                list_transform(cents, c -> {cdist}) AS darr
-        FROM v CROSS JOIN kc{r - 1})
+        FROM v CROSS JOIN kc{r - 1}{tp})
 ),
 ke{r} AS (SELECT cl, unnest(range(1, {dim} + 1)) AS i, v FROM ka{r}),
 ks{r} AS (SELECT cl, i, floor(sum(v[CAST(i AS INT)]) / count(*) + 0.5) AS mv
@@ -649,13 +665,18 @@ kc{r} AS MATERIALIZED (
         f"* ((q.v[cc.j * {dsub} + i] - qp.ccv[cc.j * {dsub} + i]) - cc.cv[i])), "
         "(a, b) -> a + b)"
     )
+    kc_init = (
+        "SELECT vec_id, v FROM v"
+        + (f" WHERE {train_pred}" if train_pred else "")
+        + f" ORDER BY vec_id LIMIT {C}"
+    )
     return f"""
 WITH {_QUANT_V_CTE},
 kc0 AS MATERIALIZED (
   SELECT list(struct_pack(cid := CAST(rn - 1 AS INT), cv := v) ORDER BY rn)
          AS cents
   FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, v
-        FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {C}))
+        FROM ({kc_init}))
 ),{",".join(crounds)},
 sc AS (
   SELECT vec_id, v, cents,
@@ -685,7 +706,8 @@ qp AS (
                        AS probe_cells
               FROM sc WHERE vec_id < {nq}))
 ),
-{_pq_train_ctes(m, ks, iters, dsub, nq, src="rv", include_lut=False)},
+{_pq_train_ctes(m, ks, iters, dsub, nq, src="rv", include_lut=False,
+                train_pred=train_pred)},
 lutq AS (
   SELECT qp.query_id, qp.cell,
          list_transform(f.fcb, cc -> {qrdist}) AS lut
@@ -2249,6 +2271,45 @@ def q_ivfpq_index_search(spark, sf_dir):
     )
 
 
+_APPEND_TRAIN_PRED = "vec_id % 5 != 0"
+
+
+def q_ivfpq_index_append(spark, sf_dir):
+    """Incremental index maintenance gated end-to-end (FAISS's add()):
+    BUILD the IVFADC index on 80% of the corpus (vec_id % 5 != 0), then
+    APPEND the held-out 20% — encoded by the SHIPPED quantizers, no
+    retraining, codes landing as a partition-local append — and serve
+    queries against the combined index. The oracle replays exactly
+    that: coarse k-means and PQ training restricted to the build
+    subset, cells/codes/search over everything — so a lost append, a
+    double append, or retrain-on-append each flips the value hash."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    quant = "transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"
+    iv = t_adaptive(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr(quant)
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpq_append_{os.getuid()}_{os.getpid()}",
+    )
+    if base not in _PQ_ARTIFACT_DIRS:
+        _PQ_ARTIFACT_DIRS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, os.path.basename(os.path.normpath(sf_dir)))
+    similarity.build_ivfpq_index(iv.filter(_APPEND_TRAIN_PRED), path)
+    similarity.ivfpq_index_append(
+        spark, path, iv.filter(f"NOT ({_APPEND_TRAIN_PRED})")
+    )
+    return similarity.ivfpq_search_index(
+        spark, path, iv.filter(F.col("vec_id") < 10), k=5,
+        rerank=_PQ_RERANK, rerank_corpus=iv,
+    )
+
+
 PIPELINE_QUERIES.update({
     # the artifact round-trip encodes the SAME codes training replay
     # pins, so it shares the compress-on-arrival oracle verbatim
@@ -2256,4 +2317,9 @@ PIPELINE_QUERIES.update({
     # serving from the persisted index must equal the in-process
     # composition — ivfpq_topk's oracle verbatim
     "ivfpq_index_search": (q_ivfpq_index_search, _oracle_ivfpq()),
+    # build on 80%, append 20% with the shipped quantizers, search all
+    "ivfpq_index_append": (
+        q_ivfpq_index_append,
+        _oracle_ivfpq(train_pred=_APPEND_TRAIN_PRED),
+    ),
 })

@@ -73,7 +73,8 @@ def test_r9_rotation_inside_driver_cap():
     for name in led["must_cover"]:
         assert name in head, name
     # the r12-new gates are present and never-checked entries lead
-    for name in ("pq_encode_artifact", "ivfpq_index_search"):
+    for name in ("pq_encode_artifact", "ivfpq_index_search",
+                 "ivfpq_index_append"):
         assert name in led["never_checked"] and name in head
     # the r12 engine edits' tainted gates sit in-cap
     for name in (

@@ -672,6 +672,45 @@ def test_ivfpq_index_search_equals_in_process(spark, tmp_path):
         similarity.ivfpq_search_index(spark, path, q, k=5, rerank=40)
 
 
+def test_ivfpq_index_append_composes(spark, tmp_path):
+    """Appending in two disjoint batches equals appending the union in
+    one (the add() path is batch-size-invariant), search sees every
+    appended vector, and a wrong-dimension append fails loudly instead
+    of writing silently wrong codes."""
+    emb = t(spark, SF_DIR, "embeddings")
+    iv = emb.withColumn("embedding", F.expr(
+        "transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"))
+    base, rest = iv.filter("vec_id % 5 != 0"), iv.filter("vec_id % 5 = 0")
+    q = iv.filter(F.col("vec_id") < 8)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    one, two = str(tmp_path / "one"), str(tmp_path / "two")
+    similarity.build_ivfpq_index(base, one)
+    similarity.ivfpq_index_append(spark, one, rest)
+    similarity.build_ivfpq_index(base, two)
+    similarity.ivfpq_index_append(spark, two, rest.filter("vec_id % 2 = 0"))
+    similarity.ivfpq_index_append(spark, two, rest.filter("vec_id % 2 = 1"))
+    import os
+    n_total = iv.count()
+    for p in (one, two):
+        assert spark.read.parquet(os.path.join(p, "codes")).count() == n_total
+    r1 = rows(similarity.ivfpq_search_index(spark, one, q, k=5, rerank=40,
+                                            rerank_corpus=iv))
+    r2 = rows(similarity.ivfpq_search_index(spark, two, q, k=5, rerank=40,
+                                            rerank_corpus=iv))
+    assert r1 == r2
+    # appended vectors are actually searchable: every query is itself an
+    # appendee's potential neighbor — assert at least one held-out
+    # (vec_id % 5 == 0) id appears among the results
+    assert any(nid % 5 == 0 for _, nid, _, _ in r1)
+
+    bad = rest.withColumn("embedding", F.expr("slice(embedding, 1, 32)"))
+    with pytest.raises(Exception, match="ivfpq_index_append"):
+        similarity.ivfpq_index_append(spark, one, bad)
+
+
 def test_ivf_centroid_artifact_guards(spark, tmp_path):
     """A corrupted coarse-quantizer artifact must raise, never serve
     silently wrong cells."""
