@@ -1021,8 +1021,11 @@ def ivfpq_index_append(
     new data, writes touch only the cells the new vectors fall in, and
     nothing existing is rewritten. (Quantizer drift under a shifting
     distribution is the operator's documented limit — periodic retrain
-    is the build path.) Vector length is guarded in-plan against the
-    artifact's dim (the fail-loudly family)."""
+    is the build path. Like FAISS's add(), keys are NOT deduplicated:
+    appending an id already in the index stores a second code row —
+    run the engine's dedup operators upstream if ingest can repeat.)
+    Vector length is guarded in-plan against the artifact's dim (the
+    fail-loudly family)."""
     import os
 
     cents_list = read_ivf_centroids(spark, path)
