@@ -129,7 +129,11 @@ def _registry() -> dict[str, tuple]:
 # older than r8, meeting the target; the 11 r8 rows left for r13
 # (text_quality..winnowing_fingerprints) are the newest of that block.
 _CHECK_FIRST = [
-    # --- 8 must-cover (3 never-checked + 5 line-tainted) ---
+    # --- must-cover (never-checked + line-tainted) ---
+    # 18th streaming gate, added late-r12: serve-on-arrival from the
+    # persisted IVFADC index (its engine edits also re-taint the ivfpq
+    # family below — all in-cap)
+    "stream_ivfpq_serve",
     "pq_encode_artifact",
     "ivfpq_index_search",
     "ivfpq_index_append",

@@ -907,21 +907,66 @@ def _l2_cell_resid(frame: DataFrame, ivf_cents: DataFrame,
     the L2 distance array, the first-min cell, and the residual against
     the chosen centroid — the shared corpus/query projection of every
     IVFADC tier (in-process search, index build, index serving). One
-    narrow scan-speed projection; no shuffle."""
+    narrow scan-speed projection; no shuffle.
+
+    Streaming-safe: on a streaming frame the 1-row centroid frame
+    attaches via a broadcast LEFT join on TRUE (crossJoin rejects
+    streams) — identical semantics because ``ivf_cents`` is exactly one
+    row by construction, the ``pq_encode`` streaming idiom."""
     darr = (
         "transform(_cents, c -> aggregate(zip_with(_vd, c.cv, "
         "(x, y) -> (x - y) * (x - y)), cast(0.0 AS DOUBLE), (a, e) -> a + e))"
     )
     ci = "array_position(_darr, array_min(_darr))"
+    base = frame.withColumn("_vd", F.expr(TO_DOUBLE.format(v=vec_col)))
+    base = (
+        base.join(F.broadcast(ivf_cents), F.lit(True), "left")
+        if frame.isStreaming
+        else base.crossJoin(F.broadcast(ivf_cents))
+    )
     return (
-        frame.withColumn("_vd", F.expr(TO_DOUBLE.format(v=vec_col)))
-        .crossJoin(F.broadcast(ivf_cents))
-        .withColumn("_darr", F.expr(darr))
+        base.withColumn("_darr", F.expr(darr))
         .withColumn("cell", F.expr(f"_cents[{ci} - 1].cid"))
         .withColumn(
             "_rv",
             F.expr(f"zip_with(_vd, _cents[{ci} - 1].cv, (x, y) -> x - y)"),
         )
+    )
+
+
+def _ivfpq_query_probes(
+    queries: DataFrame, ivf_cents: DataFrame, pq_frame: DataFrame,
+    n_probe: int, ks: int, dsub: int, vec_col: str, key: str,
+) -> DataFrame:
+    """Query-side projection shared by every IVFADC search tier
+    (in-process, persisted-index, streaming serve): per query, the
+    ``n_probe`` nearest coarse cells and — because residual encoding
+    makes the query residual differ per probed cell — a per-(query,
+    probed cell) ADC lookup table of m·ks entries. Scan-speed under two
+    1-row broadcasts; the explode multiplies rows by n_probe only.
+    Streaming-safe via ``_l2_cell_resid``'s join-on-TRUE branch."""
+    probes = (
+        f"slice(transform(array_sort(zip_with(_darr, _cents, "
+        f"(d, ct) -> struct(d AS d, ct.cid AS cid, ct.cv AS cv))), "
+        f"s -> struct(s.cid AS cid, s.cv AS cv)), 1, {n_probe})"
+    )
+    lut = (
+        f"transform(cb, cc -> {_pq_dist_expr(f'slice(_qrv, cc.j * {dsub} + 1, {dsub})', 'cc.cv')})"
+    )
+    base = _l2_cell_resid(queries, ivf_cents, vec_col).withColumn(
+        "probe_cells", F.expr(probes)
+    )
+    base = (
+        base.join(F.broadcast(pq_frame), F.lit(True), "left")
+        if queries.isStreaming
+        else base.crossJoin(F.broadcast(pq_frame))
+    )
+    return (
+        base.select(F.col(key).alias("query_id"), "_vd",
+                    F.explode("probe_cells").alias("p"), "cb")
+        .withColumn("_qrv", F.expr("zip_with(_vd, p.cv, (x, y) -> x - y)"))
+        .withColumn("lut", F.expr(lut))
+        .select("query_id", F.col("p.cid").alias("cell"), "lut")
     )
 
 
@@ -1083,24 +1128,8 @@ def ivfpq_search_index(
     codes = spark.read.parquet(os.path.join(path, "codes")).select(
         F.col(key).alias("neighbor_id"), "cell", "codes"
     )
-    probes = (
-        f"slice(transform(array_sort(zip_with(_darr, _cents, "
-        f"(d, ct) -> struct(d AS d, ct.cid AS cid, ct.cv AS cv))), "
-        f"s -> struct(s.cid AS cid, s.cv AS cv)), 1, {n_probe})"
-    )
-    lut = (
-        f"transform(cb, cc -> {_pq_dist_expr(f'slice(_qrv, cc.j * {dsub} + 1, {dsub})', 'cc.cv')})"
-    )
-    qp = (
-        _l2_cell_resid(queries, ivf_cents, vec_col)
-        .withColumn("probe_cells", F.expr(probes))
-        .crossJoin(F.broadcast(pq_frame))
-        .select(F.col(key).alias("query_id"), "_vd",
-                F.explode("probe_cells").alias("p"), "cb")
-        .withColumn("_qrv", F.expr("zip_with(_vd, p.cv, (x, y) -> x - y)"))
-        .withColumn("lut", F.expr(lut))
-        .select("query_id", F.col("p.cid").alias("cell"), "lut")
-    )
+    qp = _ivfpq_query_probes(queries, ivf_cents, pq_frame, n_probe, ks,
+                             dsub, vec_col, key)
     adc = (
         "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
         f"(c, j) -> element_at(lut, j * {ks} + c + 1)), "
@@ -1113,6 +1142,73 @@ def ivfpq_search_index(
     )
     return _pq_rank_and_rerank(scored, rerank_corpus, queries, k, rerank,
                                vec_col, key)
+
+
+def ivfpq_serve_stream(
+    spark, path: str, query_stream: DataFrame,
+    n_probe: int = N_PROBE, vec_col: str = "embedding", key: str = "vec_id",
+) -> DataFrame:
+    """ANN serving ON ARRIVAL: query vectors arrive as a STREAM and are
+    answered from the persisted IVFADC index — the online half of the
+    index lifecycle run the way a deployed retrieval service runs it
+    (FAISS server loop; reference parity: the engine-side analog of the
+    reference's stream-transcode loop, sources/pbf_source.py cites).
+    Per micro-batch: the scan-speed probe projection (coarse cells +
+    per-probed-cell residual LUT, both quantizer artifacts attached as
+    1-row broadcast joins), a stream-static equi-join on ``cell``
+    against the codes table, the ADC fold, and a complete-mode
+    ``min(struct(adc_dist, neighbor_id))`` per query — top-1 by
+    (distance, id), the order ``_pq_rank_and_rerank`` ranks by.
+
+    Contract vs the batch tiers: streaming cannot run the rank window
+    or the keyed re-rank probe (no per-key ordering in append state),
+    so serve-on-arrival returns the ADC-NEAREST candidate (k=1,
+    no exact re-rank) — identical to the batch ``ivfpq_search_index``'s
+    rk=1 row at ``rerank=None``, which is how the gate oracles it. The
+    min-aggregate is order-independent and mergeable, so state is one
+    struct per query regardless of corpus size; only probed cells'
+    codes reach the fold.
+
+    Returns (query_id, neighbor_id, adc_dist rounded to 6)."""
+    import os
+
+    cents_list = read_ivf_centroids(spark, path)
+    dim = len(cents_list[0][1])
+    cb = read_pq_codebooks(spark, os.path.join(path, "codebooks"), dim=dim)
+    m, ks = len(cb), len(cb[0])
+    dsub = dim // m
+    guarded = query_stream.select(
+        F.col(key),
+        F.expr(_guarded_to_double(vec_col, dim,
+                                  "ivfpq_serve_stream")).alias("_gv"),
+    )
+    qp = _ivfpq_query_probes(
+        guarded, _cents_row_frame(spark, cents_list),
+        _pq_codebooks_frame(spark, cb, m, ks), n_probe, ks, dsub,
+        "_gv", key,
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+        F.col(key).alias("neighbor_id"), "cell", "codes"
+    )
+    adc = (
+        "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
+        f"(c, j) -> element_at(lut, j * {ks} + c + 1)), "
+        "cast(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    scored = (
+        qp.join(codes, "cell")  # stream-static equi-join: codes static
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", F.expr(adc))
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(F.min(F.struct("adc_dist", "neighbor_id")).alias("_b"))
+        .select(
+            "query_id",
+            F.col("_b.neighbor_id").alias("neighbor_id"),
+            F.round("_b.adc_dist", 6).alias("adc_dist"),
+        )
+    )
 
 
 def ivfpq_topk(
@@ -1180,24 +1276,8 @@ def ivfpq_topk(
         .withColumn("codes", F.expr(_pq_codes_expr(m, ks, dsub, vec="_rv")))
         .select(F.col(key).alias("neighbor_id"), "cell", "codes")
     )
-    probes = (
-        f"slice(transform(array_sort(zip_with(_darr, _cents, "
-        f"(d, ct) -> struct(d AS d, ct.cid AS cid, ct.cv AS cv))), "
-        f"s -> struct(s.cid AS cid, s.cv AS cv)), 1, {n_probe})"
-    )
-    lut = (
-        f"transform(cb, cc -> {_pq_dist_expr(f'slice(_qrv, cc.j * {dsub} + 1, {dsub})', 'cc.cv')})"
-    )
-    qp = (
-        _l2_cell_resid(queries, ivf_cents, vec_col)
-        .withColumn("probe_cells", F.expr(probes))
-        .crossJoin(F.broadcast(pq_frame))
-        .select(F.col(key).alias("query_id"), "_vd",
-                F.explode("probe_cells").alias("p"), "cb")
-        .withColumn("_qrv", F.expr("zip_with(_vd, p.cv, (x, y) -> x - y)"))
-        .withColumn("lut", F.expr(lut))
-        .select("query_id", F.col("p.cid").alias("cell"), "lut")
-    )
+    qp = _ivfpq_query_probes(queries, ivf_cents, pq_frame, n_probe, ks,
+                             dsub, vec_col, key)
     adc = (
         "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
         f"(c, j) -> element_at(lut, j * {ks} + c + 1)), "

@@ -619,11 +619,14 @@ def q_ivfpq_topk(spark, sf_dir):
                                  rerank=_PQ_RERANK)
 
 
-def _oracle_ivfpq(train_pred: str | None = None) -> str:
+def _oracle_ivfpq(train_pred: str | None = None,
+                  tail: str | None = None) -> str:
     """The IVFADC oracle. ``train_pred`` (predicate over ``vec_id``)
     restricts coarse-quantizer AND codebook TRAINING to a corpus subset
     while cells/codes/search still cover every vector — replaying the
-    build-then-append index lifecycle (``ivfpq_index_append``)."""
+    build-then-append index lifecycle (``ivfpq_index_append``).
+    ``tail`` swaps the exact-re-rank final SQL for another consumer of
+    the ``scored`` CTE (the streaming serve gate's ADC-top-1)."""
     m, ks, iters = similarity.PQ_M, similarity.PQ_KS, similarity.PQ_ITERS
     C, nprobe = similarity.N_CENTROIDS, similarity.N_PROBE
     citers = similarity.IVF_COARSE_ITERS
@@ -720,7 +723,7 @@ scored AS (
   JOIN acell ac ON ac.cell = l.cell
   JOIN codes c ON c.vec_id = ac.vec_id AND c.vec_id != l.query_id
 ),
-{_pq_rerank_sql(dim, rerank, k)}
+{tail if tail is not None else _pq_rerank_sql(dim, rerank, k)}
 """
 
 
@@ -2321,5 +2324,79 @@ PIPELINE_QUERIES.update({
     "ivfpq_index_append": (
         q_ivfpq_index_append,
         _oracle_ivfpq(train_pred=_APPEND_TRAIN_PRED),
+    ),
+})
+
+
+def q_stream_ivfpq_serve(spark, sf_dir):
+    """Serve-on-arrival (18th streaming gate): the IVFADC index is built
+    OFFLINE and persisted; ANN queries then arrive as a STREAM and are
+    answered from the artifact alone — the full deployed retrieval
+    lifecycle (offline train/build → online serve) run end-to-end, the
+    streaming sibling of ``ivfpq_index_search`` the way
+    ``stream_pq_encode`` is the streaming sibling of the batch encode.
+    Per micro-batch the query pays the scan-speed probe projection and
+    a stream-static equi-join on ``cell`` against the codes table;
+    state is one min-struct per query (mergeable, order-independent).
+    Streaming cannot run the rank window / keyed exact re-rank, so the
+    serve answer is the ADC-NEAREST neighbor (k=1, rerank=None) — the
+    oracle replays the whole build (coarse k-means rounds, residual
+    codebook training, encode) and picks each query's rk=1 ADC row."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .analytic_queries import _run_stream_to_table
+
+    quant = "transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"
+    iv = t_adaptive(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.expr(quant)
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ivfpq_serve_{os.getuid()}_{os.getpid()}",
+    )
+    if base not in _PQ_ARTIFACT_DIRS:
+        _PQ_ARTIFACT_DIRS.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, os.path.basename(os.path.normpath(sf_dir)))
+    similarity.build_ivfpq_index(iv, path)  # eager offline job
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    qstream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") < 10)
+        .withColumn("embedding", F.expr(quant))
+    )
+    served = similarity.ivfpq_serve_stream(spark, path, qstream)
+    return _run_stream_to_table(
+        spark, served, "stream_ivfpq_serve_result", "complete"
+    )
+
+
+_SERVE_TOP1_TAIL = """nearest AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(adc_dist, 6) AS adc_dist
+FROM nearest WHERE rk = 1"""
+
+
+PIPELINE_QUERIES.update({
+    # 18th streaming gate: queries served on arrival from the persisted
+    # index; the batch IVFADC oracle with an ADC-top-1 tail
+    "stream_ivfpq_serve": (
+        q_stream_ivfpq_serve,
+        _oracle_ivfpq(tail=_SERVE_TOP1_TAIL),
     ),
 })

@@ -742,3 +742,54 @@ def test_pq_contract_violations_fail_loudly(spark):
         similarity.pq_train_codebooks(emb, dim=32, m=8, ks=4)
     with pytest.raises(ValueError, match="at least ks"):
         similarity.pq_train_codebooks(emb.limit(3), dim=64, m=8, ks=4)
+
+
+def test_ivfpq_serve_stream_equals_batch_top1(spark, tmp_path):
+    """Serve-on-arrival must answer EXACTLY what the batch index search
+    answers: for each query, the streaming min-struct aggregate equals
+    ``ivfpq_search_index``'s rk=1 row at rerank=None (ADC-nearest, the
+    documented streaming contract — no rank window, no exact re-rank).
+    Runs on a deterministic synthetic corpus so the equivalence is
+    checked independently of the gate's tables."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), [float(x) for x in rng.randint(-50, 50, 64)])
+        for i in range(90)
+    ]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    iv = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "vecs")
+    iv.write.parquet(src)
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(iv, path)
+
+    batch = {
+        (r["query_id"], r["neighbor_id"], r["adc_dist"])
+        for r in similarity.ivfpq_search_index(
+            spark, path, iv.filter("vec_id < 6"), k=1
+        ).drop("rk").collect()
+    }
+    qstream = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("vec_id") < 6)
+    )
+    served = similarity.ivfpq_serve_stream(spark, path, qstream)
+    q = (
+        served.writeStream.format("memory")
+        .queryName("serve_eq_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["query_id"], r["neighbor_id"], r["adc_dist"])
+        for r in spark.table("serve_eq_test").collect()
+    }
+    assert got == batch and len(got) == 6
