@@ -134,6 +134,8 @@ _CHECK_FIRST = [
     # persisted IVFADC index (its engine edits also re-taint the ivfpq
     # family below — all in-cap)
     "stream_ivfpq_serve",
+    # VAD-style audio segmentation, added late-r12: never-checked
+    "audio_energy_segments",
     "pq_encode_artifact",
     "ivfpq_index_search",
     "ivfpq_index_append",

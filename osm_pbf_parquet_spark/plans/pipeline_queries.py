@@ -2400,3 +2400,75 @@ PIPELINE_QUERIES.update({
         _oracle_ivfpq(tail=_SERVE_TOP1_TAIL),
     ),
 })
+
+
+def q_audio_energy_segments(spark, sf_dir):
+    """Energy-based activity segmentation (VAD baseline) over REAL
+    decoded PCM: synthesize a 32-sample mono WAV per document, decode
+    with the dependency-free RIFF parser, frame into 8-sample windows,
+    and merge above-mean-energy frames into segments — the silence
+    split a speech-corpus pipeline runs before chunking. All boundary
+    arithmetic is exact integers (energy·n_frames > total), so the
+    oracle replays not just the stats but every segment's extent from
+    the same md5-derived samples."""
+    media = multimodal.attach_wav_payload(
+        t_adaptive(spark, sf_dir, "documents")
+    )
+    return multimodal.segment_audio_energy(media)
+
+
+# same little-endian int16 reassembly as ORACLE_MULTIMODAL_AUDIO, then:
+# frame f = samples 8f..8f+7, exact integer energies, active iff
+# e*4 > total (strict), gaps-and-islands run merge (f - row_number).
+ORACLE_AUDIO_SEGMENTS = f"""
+WITH hx AS (
+  SELECT doc_id, {_hexcat_sql('au', 4)} AS hex FROM documents
+),
+u AS (
+  SELECT doc_id, j,
+         CAST(('0x' || substring(hex, 4 * j + 3, 2)) AS INT) * 256
+         + CAST(('0x' || substring(hex, 4 * j + 1, 2)) AS INT) AS raw
+  FROM hx, range(0, 32) AS r(j)
+),
+s AS (
+  SELECT doc_id, j,
+         CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+  FROM u
+),
+fr AS (
+  SELECT doc_id, CAST(j // 8 AS INT) AS f,
+         CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS e
+  FROM s GROUP BY doc_id, j // 8
+),
+tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS total FROM fr GROUP BY doc_id),
+act AS (
+  SELECT fr.doc_id, f, e
+  FROM fr JOIN tot ON fr.doc_id = tot.doc_id
+  WHERE e * 4 > total
+),
+isl AS (
+  SELECT doc_id, f, e,
+         f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS g
+  FROM act
+),
+segs AS (
+  SELECT doc_id, g, CAST(min(f) AS INT) AS start_frame,
+         CAST(max(f) AS INT) AS end_frame,
+         CAST(count(*) AS INT) AS n_frames,
+         CAST(sum(e) AS BIGINT) AS seg_energy
+  FROM isl GROUP BY doc_id, g
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame)
+            AS INT) AS seg_idx,
+       start_frame, end_frame, n_frames, seg_energy
+FROM segs
+"""
+
+
+PIPELINE_QUERIES.update({
+    # VAD-style segmentation: exact-integer boundaries replayed in SQL
+    "audio_energy_segments": (
+        q_audio_energy_segments, ORACLE_AUDIO_SEGMENTS,
+    ),
+})

@@ -793,3 +793,36 @@ def test_ivfpq_serve_stream_equals_batch_top1(spark, tmp_path):
         for r in spark.table("serve_eq_test").collect()
     }
     assert got == batch and len(got) == 6
+
+
+def test_audio_energy_segments_known_boundaries(spark):
+    """Hand-built WAV with a known activity pattern: 32 samples in 8-
+    sample frames [loud, silent, loud, loud] must segment into exactly
+    [frame 0] and [frames 2-3] — above-mean threshold, strict
+    inequality, run merge. A silent-everywhere file yields no rows
+    (all frames tie the mean). Pins the segmentation semantics the
+    gate's oracle replays from synthesized payloads."""
+    import struct
+
+    from osm_pbf_parquet_spark.operators.multimodal import _wav_header
+
+    def wav(frames):
+        samples = [s for fr in frames for s in fr]
+        return _wav_header(len(samples), 8000) + struct.pack(
+            f"<{len(samples)}h", *samples
+        )
+
+    loud, silent = [1000] * 8, [0] * 8
+    payloads = [
+        (0, wav([loud, silent, loud, loud])),
+        (1, wav([silent, silent, silent, silent])),
+    ]
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = sorted(
+        map(tuple, multimodal.segment_audio_energy(media).collect())
+    )
+    e = 8 * 1000 * 1000  # per-loud-frame energy, exact
+    assert got == [
+        (0, 1, 0, 0, 1, e),
+        (0, 2, 2, 3, 2, 2 * e),
+    ]
