@@ -136,6 +136,9 @@ _CHECK_FIRST = [
     "stream_ivfpq_serve",
     # VAD-style audio segmentation, added late-r12: never-checked
     "audio_energy_segments",
+    # nprobe recall sweep, added late-r12: never-checked (its ranked-
+    # probe oracle/plan edits also re-taint the ivfpq family below)
+    "ann_recall_report",
     "pq_encode_artifact",
     "ivfpq_index_search",
     "ivfpq_index_append",

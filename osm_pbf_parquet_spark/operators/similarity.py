@@ -937,6 +937,7 @@ def _l2_cell_resid(frame: DataFrame, ivf_cents: DataFrame,
 def _ivfpq_query_probes(
     queries: DataFrame, ivf_cents: DataFrame, pq_frame: DataFrame,
     n_probe: int, ks: int, dsub: int, vec_col: str, key: str,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Query-side projection shared by every IVFADC search tier
     (in-process, persisted-index, streaming serve): per query, the
@@ -961,13 +962,16 @@ def _ivfpq_query_probes(
         if queries.isStreaming
         else base.crossJoin(F.broadcast(pq_frame))
     )
-    return (
+    out = (
         base.select(F.col(key).alias("query_id"), "_vd",
-                    F.explode("probe_cells").alias("p"), "cb")
+                    F.posexplode("probe_cells").alias("_pp", "p"), "cb")
         .withColumn("_qrv", F.expr("zip_with(_vd, p.cv, (x, y) -> x - y)"))
         .withColumn("lut", F.expr(lut))
-        .select("query_id", F.col("p.cid").alias("cell"), "lut")
     )
+    cols = ["query_id", F.col("p.cid").alias("cell"), "lut"]
+    if with_rank:  # probe rank, 1 = nearest cell (the recall sweep key)
+        cols.insert(1, (F.col("_pp") + 1).cast("int").alias("pr"))
+    return out.select(*cols)
 
 
 def build_ivfpq_index(
@@ -1290,6 +1294,109 @@ def ivfpq_topk(
     )
     return _pq_rank_and_rerank(scored, corpus, queries, k, rerank,
                                vec_col, key)
+
+
+def ivfpq_recall_report(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    probe_grid: tuple = (1, 2, 4),
+    dim: int = 64, m: int = PQ_M, ks: int = PQ_KS, iters: int = PQ_ITERS,
+    n_centroids: int = N_CENTROIDS, coarse_iters: int = IVF_COARSE_ITERS,
+    vec_col: str = "embedding", key: str = "vec_id", cache=None,
+) -> DataFrame:
+    """Recall@k vs n_probe — THE tuning readout for a deployed IVF
+    index (FAISS's nprobe sweep; Jégou et al. 2011 Fig. 5 reports
+    exactly this curve): how much of the exact top-k does the
+    probe-restricted ADC search recover at each probe depth? A pipeline
+    picks its latency/recall point from this table before serving.
+
+    One scoring pass, not |grid| searches: the query probes carry their
+    cell RANK ``pr`` (1 = nearest), every candidate is ADC-scored once
+    at max(grid) probes, and each sweep point p just re-ranks the
+    candidates with ``pr <= p`` — probe restriction is monotone, so the
+    p-probe candidate set is a prefix filter of the max-probe set. The
+    exact baseline is brute-force squared-L2 under a BROADCAST of the
+    bounded query set (the corpus streams, never shuffles). Recall is
+    emitted as exact integers (hits / possible), not a float mean, so
+    the whole report hashes stably.
+
+    Returns one row per probe depth:
+    (n_probe, n_queries, hits, possible) — recall@k = hits/possible."""
+    max_probe = max(probe_grid)
+    spark = corpus.sparkSession
+    cents_list = _ivf_coarse_centroids(
+        corpus, vec_col, key, n_centroids, coarse_iters, cache
+    )
+    ivf_cents = _cents_row_frame(spark, cents_list)
+    corp_res = _l2_cell_resid(_spread(corpus), ivf_cents, vec_col)
+    cb = pq_train_codebooks(
+        corp_res.select(F.col(key), F.col("_rv").alias("resid")),
+        dim, m, ks, iters, vec_col="resid", key=key, cache=cache,
+    )
+    dsub = dim // m
+    pq_frame = _pq_codebooks_frame(spark, cb, m, ks)
+    corp = (
+        corp_res.crossJoin(F.broadcast(pq_frame))
+        .withColumn("codes", F.expr(_pq_codes_expr(m, ks, dsub, vec="_rv")))
+        .select(F.col(key).alias("neighbor_id"), "cell", "codes")
+    )
+    qp = _ivfpq_query_probes(queries, ivf_cents, pq_frame, max_probe, ks,
+                             dsub, vec_col, key, with_rank=True)
+    adc = (
+        "aggregate(zip_with(codes, sequence(0, size(codes) - 1), "
+        f"(c, j) -> element_at(lut, j * {ks} + c + 1)), "
+        "cast(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    grid_arr = F.array(*[F.lit(int(p)) for p in probe_grid])
+    scored = (
+        corp.join(F.broadcast(qp), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dist", F.expr(adc))
+        .select("query_id", "pr", "neighbor_id", "adc_dist",
+                F.explode(grid_arr).alias("p"))
+        .filter(F.col("pr") <= F.col("p"))
+    )
+    w = Window.partitionBy("query_id", "p").orderBy("adc_dist",
+                                                    "neighbor_id")
+    atop = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "p")
+    )
+    qv = queries.select(F.col(key).alias("query_id"),
+                        F.expr(TO_DOUBLE.format(v=vec_col)).alias("qv"))
+    sq = ("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+          "cast(0.0 AS DOUBLE), (a, e) -> a + e)")
+    w2 = Window.partitionBy("query_id").orderBy("sq_dist", "neighbor_id")
+    etop = (
+        corpus.select(F.col(key).alias("neighbor_id"),
+                      F.expr(TO_DOUBLE.format(v=vec_col)).alias("cv"))
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sq_dist", F.expr(sq))
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        atop.join(etop, ["query_id", "neighbor_id"])
+        .groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    tot = etop.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("possible"),
+    )
+    grid_df = spark.createDataFrame(
+        [(int(p),) for p in probe_grid], "n_probe int"
+    )
+    return (
+        grid_df.join(hits, grid_df.n_probe == hits.p, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_probe", "n_queries",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            "possible",
+        )
+    )
 
 
 # --- contrastive-training negative sampling ----------------------------------

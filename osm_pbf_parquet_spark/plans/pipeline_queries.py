@@ -620,15 +620,21 @@ def q_ivfpq_topk(spark, sf_dir):
 
 
 def _oracle_ivfpq(train_pred: str | None = None,
-                  tail: str | None = None) -> str:
+                  tail: str | None = None,
+                  n_probe: int | None = None,
+                  ranked_probes: bool = False) -> str:
     """The IVFADC oracle. ``train_pred`` (predicate over ``vec_id``)
     restricts coarse-quantizer AND codebook TRAINING to a corpus subset
     while cells/codes/search still cover every vector — replaying the
     build-then-append index lifecycle (``ivfpq_index_append``).
     ``tail`` swaps the exact-re-rank final SQL for another consumer of
-    the ``scored`` CTE (the streaming serve gate's ADC-top-1)."""
+    the ``scored`` CTE (the streaming serve gate's ADC-top-1; the
+    recall report's probe sweep). ``n_probe`` overrides the default
+    probe count; ``ranked_probes`` carries each probed cell's rank
+    ``pr`` (1 = nearest) through qp/lutq into ``scored`` so a tail can
+    slice the sweep at several probe depths from ONE scoring pass."""
     m, ks, iters = similarity.PQ_M, similarity.PQ_KS, similarity.PQ_ITERS
-    C, nprobe = similarity.N_CENTROIDS, similarity.N_PROBE
+    C, nprobe = similarity.N_CENTROIDS, n_probe or similarity.N_PROBE
     citers = similarity.IVF_COARSE_ITERS
     dim, nq, k, rerank = 64, 10, 5, _PQ_RERANK
     dsub = dim // m
@@ -699,25 +705,28 @@ rv AS (
   FROM acell a JOIN v s USING (vec_id)
 ),
 qp AS (
-  SELECT query_id, u.cid AS cell, u.cv AS ccv
+  SELECT query_id,{' u.pr AS pr,' if ranked_probes else ''} u.cid AS cell, u.cv AS ccv
   FROM (SELECT vec_id AS query_id, unnest(probe_cells) AS u
         FROM (SELECT vec_id,
-                     list_transform(list_sort(list_transform(range(1, {C} + 1),
+                     list_transform(range(1, {nprobe} + 1), r ->
+                       struct_pack(pr := CAST(r AS INT),
+                                   cid := _sorted[r].cid,
+                                   cv := _sorted[r].cv)) AS probe_cells
+              FROM (SELECT vec_id,
+                     list_sort(list_transform(range(1, {C} + 1),
                        i -> struct_pack(d := darr[i], cid := cents[i].cid,
-                                        cv := cents[i].cv))),
-                       s -> struct_pack(cid := s.cid, cv := s.cv))[1:{nprobe}]
-                       AS probe_cells
-              FROM sc WHERE vec_id < {nq}))
+                                        cv := cents[i].cv))) AS _sorted
+                    FROM sc WHERE vec_id < {nq})))
 ),
 {_pq_train_ctes(m, ks, iters, dsub, nq, src="rv", include_lut=False,
                 train_pred=train_pred)},
 lutq AS (
-  SELECT qp.query_id, qp.cell,
+  SELECT qp.query_id,{' qp.pr,' if ranked_probes else ''} qp.cell,
          list_transform(f.fcb, cc -> {qrdist}) AS lut
   FROM qp JOIN v q ON q.vec_id = qp.query_id CROSS JOIN fcb f
 ),
 scored AS (
-  SELECT l.query_id, c.vec_id AS neighbor_id,
+  SELECT l.query_id,{' l.pr,' if ranked_probes else ''} c.vec_id AS neighbor_id,
          {_pq_adc_fold(m, ks)} AS adc_dist
   FROM lutq l
   JOIN acell ac ON ac.cell = l.cell
@@ -2470,5 +2479,72 @@ PIPELINE_QUERIES.update({
     # VAD-style segmentation: exact-integer boundaries replayed in SQL
     "audio_energy_segments": (
         q_audio_energy_segments, ORACLE_AUDIO_SEGMENTS,
+    ),
+})
+
+
+def q_ann_recall_report(spark, sf_dir):
+    """The nprobe tuning curve (FAISS's standard recall@k-vs-nprobe
+    sweep): ONE ADC scoring pass at max-probe depth with each probed
+    cell's rank carried along, re-ranked at probe depths 1/2/4 against
+    the exact brute-force top-5, reported as exact integer hit counts.
+    The oracle replays the full IVFADC build with ranked probes plus
+    the brute-force baseline, so a wrong probe ordering, a candidate
+    leak across the probe boundary, or an off-by-one in the sweep all
+    flip the value hash."""
+    iv = t_adaptive(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"),
+    )
+    return similarity.ivfpq_recall_report(
+        iv, iv.filter(F.col("vec_id") < 10), k=5, probe_grid=(1, 2, 4)
+    )
+
+
+def _recall_report_tail(k: int, nq: int, dim: int, grid=(1, 2, 4)) -> str:
+    gvals = ", ".join(f"({p})" for p in grid)
+    sqd = (
+        f"list_reduce(list_transform(range(1, {dim} + 1), "
+        "i -> (qv[i] - cv[i]) * (qv[i] - cv[i])), (a, b) -> a + b)"
+    )
+    return f"""expanded AS (
+  SELECT s.query_id, s.neighbor_id, s.adc_dist, g.p
+  FROM scored s JOIN (VALUES {gvals}) g(p) ON s.pr <= g.p
+),
+appr AS (
+  SELECT query_id, neighbor_id, p,
+         row_number() OVER (PARTITION BY query_id, p
+              ORDER BY adc_dist, neighbor_id) AS rk
+  FROM expanded
+),
+atop AS (SELECT query_id, neighbor_id, p FROM appr WHERE rk <= {k}),
+exd AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY sqd, neighbor_id) AS rk
+  FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {sqd} AS sqd
+        FROM (SELECT vec_id, v AS qv FROM v WHERE vec_id < {nq}) q
+        JOIN (SELECT vec_id, v AS cv FROM v) c ON c.vec_id != q.vec_id)
+),
+etop AS (SELECT query_id, neighbor_id FROM exd WHERE rk <= {k}),
+hits AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS hits
+  FROM atop JOIN etop USING (query_id, neighbor_id) GROUP BY p
+),
+tot AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+               CAST(count(*) AS BIGINT) AS possible FROM etop)
+SELECT CAST(g.p AS INT) AS n_probe, tot.n_queries,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, tot.possible
+FROM (VALUES {gvals}) g(p)
+LEFT JOIN hits h ON h.p = g.p CROSS JOIN tot"""
+
+
+PIPELINE_QUERIES.update({
+    # the nprobe sweep: ranked probes + exact baseline, integer recall
+    "ann_recall_report": (
+        q_ann_recall_report,
+        _oracle_ivfpq(tail=_recall_report_tail(5, 10, 64),
+                      n_probe=4, ranked_probes=True),
     ),
 })
