@@ -134,11 +134,15 @@ _CHECK_FIRST = [
     # persisted IVFADC index (its engine edits also re-taint the ivfpq
     # family below — all in-cap)
     "stream_ivfpq_serve",
-    # VAD-style audio segmentation, added late-r12: never-checked
+    # VAD-style audio segmentation (batch + 19th streaming gate),
+    # added late-r12: never-checked
     "audio_energy_segments",
+    "stream_audio_segments",
     # nprobe recall sweep, added late-r12: never-checked (its ranked-
     # probe oracle/plan edits also re-taint the ivfpq family below)
     "ann_recall_report",
+    # UniMax waterfill budget-setter, added late-r12: never-checked
+    "unimax_allocation",
     "pq_encode_artifact",
     "ivfpq_index_search",
     "ivfpq_index_append",

@@ -453,3 +453,104 @@ def token_budget_fill(
             F.col(budget_col).cast("long").alias("token_budget"),
         )
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a total token ``budget`` across sources as
+    EQUALLY as possible subject to a per-source repeat cap of
+    ``max_epochs`` epochs — the budget-SETTER whose output feeds
+    ``token_budget_fill`` (the budget executor) and replaces ad-hoc
+    temperature weights for the long tail.
+
+    The paper's greedy waterfill has a closed form this plan replays
+    exactly: sort sources ascending by cap c = n_tokens·max_epochs;
+    flags ``c_i·(S−i+1) ≤ B − Σ_{j<i} c_j`` form a PREFIX (once a
+    source is uncapped, every larger one is too — if c_i overflows its
+    fair share, c_{i+1} ≥ c_i overflows the strictly smaller remainder),
+    so the breakpoint t is first-false − 1: sources 1..t take their
+    cap, the rest split the remainder integrally — base = rem DIV U
+    with the MOD distributed one token each to the smallest-cap
+    uncapped sources (deterministic (cap, source) order). All-BIGINT
+    arithmetic, no division by live token counts, so the whole plan is
+    replayable in SQL. If the budget exceeds Σ caps, every source is
+    capped and the surplus is deliberately unallocated (the paper's
+    semantics: never exceed max_epochs repeats).
+
+    Scale shape: the corpus pays ONE map-side-combinable aggregation
+    (token counts by source); every window after that runs on the
+    S-row per-source frame — dimension-sized, so the unpartitioned
+    windows are bounded by the source cardinality (the vocab_build
+    justification), and nothing is collected.
+
+    Returns (group_col, n_tokens, cap_tokens, alloc_tokens)."""
+    counts = (
+        df.select(
+            F.col(group_col),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("_nt"),
+        )
+        .groupBy(group_col)
+        .agg(F.sum("_nt").alias("n_tokens"))
+        .withColumn("cap", (F.col("n_tokens") * max_epochs).cast("long"))
+    )
+    w = Window.orderBy("cap", group_col)  # S rows: dimension-sized
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    caps = (
+        counts.withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "pre",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("S", F.count(F.lit(1)).over(wall))
+    )
+    b = F.lit(int(budget)).cast("long")
+    flagged = caps.withColumn(
+        "_false_i",
+        F.min(
+            F.when(
+                F.col("cap") * (F.col("S") - F.col("i") + 1) > b - F.col("pre"),
+                F.col("i"),
+            )
+        ).over(wall),
+    ).withColumn(
+        "t", F.coalesce(F.col("_false_i") - 1, F.col("S"))
+    )
+    pfx = flagged.withColumn(
+        "prefix_t",
+        F.coalesce(
+            F.max(
+                F.when(F.col("i") <= F.col("t"), F.col("pre") + F.col("cap"))
+            ).over(wall),
+            F.lit(0),
+        ).cast("long"),
+    )
+    alloc = F.when(F.col("i") <= F.col("t"), F.col("cap")).otherwise(
+        F.expr("(_B - prefix_t) DIV (S - t)")
+        + F.when(
+            F.col("i") - F.col("t") <= F.expr("(_B - prefix_t) % (S - t)"),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        pfx.withColumn("_B", b)
+        .select(
+            group_col,
+            "n_tokens",
+            F.col("cap").alias("cap_tokens"),
+            alloc.cast("long").alias("alloc_tokens"),
+        )
+    )

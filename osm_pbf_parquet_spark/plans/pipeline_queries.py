@@ -2548,3 +2548,44 @@ PIPELINE_QUERIES.update({
                       n_probe=4, ranked_probes=True),
     ),
 })
+
+
+def q_stream_audio_segments(spark, sf_dir):
+    """Segment-on-arrival (19th streaming gate, the first MULTIMODAL
+    one): the VAD-style energy segmentation runs UNCHANGED on a
+    document stream — payload synthesis is pure Catalyst projection and
+    the decode/frame/threshold/run-merge pass is a stateless
+    ``mapInPandas``, so the batch operator is append-mode legal as-is.
+    Streaming/batch unification extended to the binary-payload family:
+    on static input the segments equal the batch gate's, which is what
+    the shared oracle pins."""
+    from pyspark.sql import types as T
+
+    from .analytic_queries import _run_stream_to_table
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    media = multimodal.attach_wav_payload(stream)
+    out = multimodal.segment_audio_energy(media)
+    return _run_stream_to_table(
+        spark, out, "stream_audio_segments_result", "append"
+    )
+
+
+PIPELINE_QUERIES.update({
+    # 19th streaming gate: multimodal decode+segment on arrival,
+    # sharing the batch gate's oracle verbatim
+    "stream_audio_segments": (
+        q_stream_audio_segments, ORACLE_AUDIO_SEGMENTS,
+    ),
+})

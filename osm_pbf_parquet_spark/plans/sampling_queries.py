@@ -270,3 +270,64 @@ SAMPLING_QUERIES: dict[str, tuple] = {
     "sample_length_buckets": (q_sample_length_buckets, ORACLE_LENGTH_BUCKETS),
     "sample_uniform_n": (q_sample_uniform_n, ORACLE_UNIFORM_N),
 }
+
+
+_UNIMAX_B, _UNIMAX_E = 50_000, 2
+
+
+def q_unimax_allocation(spark, sf_dir):
+    """UniMax budget split across the 20 sources: 50k tokens at a
+    2-epoch cap — on the gate corpus that caps the small sources and
+    waterfills the large ones, so the breakpoint, the integer base
+    share, AND the mod-remainder distribution all land in the value
+    hash."""
+    return sampling.unimax_allocation(
+        t_adaptive(spark, sf_dir, "documents"),
+        budget=_UNIMAX_B, max_epochs=_UNIMAX_E,
+    )
+
+
+# replays the closed-form waterfill: ascending-cap prefix sums, the
+# first-false breakpoint, integer base share + one-token remainders
+ORACLE_UNIMAX = f"""
+WITH counts AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+caps AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens * {_UNIMAX_E} AS BIGINT) AS cap,
+         CAST(row_number() OVER (ORDER BY n_tokens * {_UNIMAX_E}, source)
+              AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS S,
+         CAST(coalesce(sum(n_tokens * {_UNIMAX_E}) OVER (
+              ORDER BY n_tokens * {_UNIMAX_E}, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS pre
+  FROM counts
+),
+brk AS (
+  SELECT coalesce(min(CASE WHEN cap * (S - i + 1) > {_UNIMAX_B} - pre
+                       THEN i END) - 1, max(S)) AS t
+  FROM caps
+),
+pfx AS (
+  SELECT CAST(coalesce(max(CASE WHEN i <= t THEN pre + cap END), 0)
+              AS BIGINT) AS prefix_t
+  FROM caps, brk
+)
+SELECT source, n_tokens, cap AS cap_tokens,
+       CAST(CASE WHEN i <= t THEN cap
+            ELSE ({_UNIMAX_B} - prefix_t) // (S - t)
+                 + CASE WHEN i - t <= ({_UNIMAX_B} - prefix_t) % (S - t)
+                        THEN 1 ELSE 0 END
+       END AS BIGINT) AS alloc_tokens
+FROM caps, brk, pfx
+"""
+
+
+SAMPLING_QUERIES.update({
+    # the budget-setter upstream of token_budget_fill: UniMax waterfill
+    "unimax_allocation": (q_unimax_allocation, ORACLE_UNIMAX),
+})

@@ -214,3 +214,48 @@ def test_token_budget_fill_prefix_and_boundary(spark):
             if r["lang"] == "en"}
     out1 = {r["doc_id"] for r in out if r["lang"] == "en"}
     assert out1 <= out2 and len(out2) > len(out1)
+
+
+def test_unimax_allocation_waterfill_properties(spark):
+    """Pins the closed-form waterfill against the paper's greedy on
+    hand-checkable shapes: exact budget exhaustion when under Σcaps,
+    never exceeding a source's cap, caps-only when the budget exceeds
+    Σcaps (surplus deliberately unallocated), and the pure-equal-split
+    degenerate when even the smallest source is uncapped."""
+
+    def docs(counts):
+        # one doc per source with exactly n whitespace tokens
+        return spark.createDataFrame(
+            [(s, "x " * (n - 1) + "x") for s, n in counts],
+            ["source", "text"],
+        )
+
+    def alloc(counts, budget, epochs=2):
+        return {
+            r["source"]: (r["n_tokens"], r["cap_tokens"], r["alloc_tokens"])
+            for r in sampling.unimax_allocation(
+                docs(counts), budget, max_epochs=epochs
+            ).collect()
+        }
+
+    # mixed: a=10 caps at 20, b/c waterfill 80 -> 40 each
+    out = alloc([("a", 10), ("b", 100), ("c", 100)], 100)
+    assert out == {"a": (10, 20, 20), "b": (100, 200, 40),
+                   "c": (100, 200, 40)}
+    # remainder: 101 - 20 = 81 over two -> 40/41, +1 to the smaller
+    # (cap, source) order: b and c tie on cap, b sorts first
+    out = alloc([("a", 10), ("b", 100), ("c", 100)], 101)
+    assert (out["b"][2], out["c"][2]) == (41, 40)
+    # budget above sum of caps: everyone capped, surplus unallocated
+    out = alloc([("a", 10), ("b", 20)], 10_000)
+    assert out["a"][2] == 20 and out["b"][2] == 40
+    # budget below every fair share: pure equal split, t=0
+    out = alloc([("a", 50), ("b", 60), ("c", 70)], 30)
+    assert sorted(v[2] for v in out.values()) == [10, 10, 10]
+    # allocation never exceeds any cap and sums to min(budget, sum caps)
+    for budget in (1, 37, 100, 359, 10_000):
+        out = alloc([("a", 13), ("b", 57), ("c", 101), ("d", 7)], budget)
+        assert all(v[2] <= v[1] for v in out.values())
+        assert sum(v[2] for v in out.values()) == min(
+            budget, sum(v[1] for v in out.values())
+        )
