@@ -1377,8 +1377,10 @@ def ivfpq_recall_report(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id")
     )
+    # both sides are top-k cuts (≤ n_queries·k rows) — broadcast the
+    # exact side so the sweep tail never sort-merge-shuffles
     hits = (
-        atop.join(etop, ["query_id", "neighbor_id"])
+        atop.join(F.broadcast(etop), ["query_id", "neighbor_id"])
         .groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("hits"))
     )
     tot = etop.agg(
@@ -1389,7 +1391,7 @@ def ivfpq_recall_report(
         [(int(p),) for p in probe_grid], "n_probe int"
     )
     return (
-        grid_df.join(hits, grid_df.n_probe == hits.p, "left")
+        grid_df.join(F.broadcast(hits), grid_df.n_probe == hits.p, "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "n_probe", "n_queries",

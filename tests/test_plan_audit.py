@@ -863,3 +863,39 @@ def test_ivfpq_corpus_never_shuffles(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 1  # the cell equi-join
+
+
+def test_ann_recall_report_plan(spark):
+    """r12: the nprobe sweep must stay ONE scoring pass — the corpus is
+    never shuffled (cell restriction and exact baseline are broadcast
+    joins; hash exchanges only for the per-(query, depth) rank windows
+    and the bounded tail aggregates), and neither tail join degrades to
+    a sort-merge shuffle (both sides are top-k cuts)."""
+    import re
+
+    plan = _plan(pipe.q_ann_recall_report(spark, SF_DIR))
+    allowed = {"query_id", "p", "n_probe", "neighbor_id"}
+    for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = {k.strip().split("#")[0] for k in a.split(",") if "#" in k}
+        assert keys and keys <= allowed, a
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # cell probe + hit joins
+
+
+def test_unimax_allocation_plan(spark):
+    """r12: the waterfill's only corpus-sized exchange is the per-source
+    count aggregation (map-side combinable — two HashAggregate stages);
+    every window after it runs on the dimension-sized per-source frame
+    (one SinglePartition exchange, bounded by source cardinality)."""
+    import re
+
+    from osm_pbf_parquet_spark.plans import sampling_queries as sq
+
+    plan = _plan(sq.q_unimax_allocation(spark, SF_DIR))
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert len(parts) == 1 and parts[0].split("#")[0].strip() == "source"
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plan.count("SinglePartition") == 1  # the S-row window frame
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
