@@ -143,6 +143,8 @@ _CHECK_FIRST = [
     "ann_recall_report",
     # UniMax waterfill budget-setter, added late-r12: never-checked
     "unimax_allocation",
+    # JL +-1 projection distortion audit, added late-r12: never-checked
+    "jl_distortion",
     "pq_encode_artifact",
     "ivfpq_index_search",
     "ivfpq_index_append",

@@ -1401,6 +1401,63 @@ def ivfpq_recall_report(
     )
 
 
+def rp_project(
+    df: DataFrame, out_dim: int = 16, in_dim: int = 64,
+    vec_col: str = "embedding", key: str = "vec_id",
+    salt: str = "jl-v1",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    (Achlioptas 2003, "Database-friendly random projections": entries
+    ±1 satisfy the JL lemma with the same concentration as Gaussians
+    while keeping the arithmetic integer) — the dimensionality-reduction
+    tier upstream of bucketing/sketching: project d → k once, run the
+    quadratic stage on k-dim vectors.
+
+    Determinism/exactness: sign(p, j) = parity of the first hex nibble
+    of md5('salt:p:j') — derived IN-PLAN on a 1-row frame (no inlined
+    literal matrix, the BPE-literal lesson) and broadcast; on
+    integer-valued inputs every projected component is an exact BIGINT
+    fold, so distances in the projected space replay bit-for-bit in
+    SQL. E[‖Rx‖²] = out_dim·‖x‖² for unscaled ±1 signs — consumers
+    compare out_dim·d_orig vs d_proj (kept integral rather than
+    dividing by out_dim).
+
+    Scale shape: the matrix is one broadcast row (out_dim·in_dim
+    signs); projection is a scan-speed per-row fold, zero exchanges —
+    the corpus is never shuffled and never leaves the JVM.
+
+    Returns (key, proj array<bigint>)."""
+    sign = (
+        f"1 - 2 * (cast(conv(substring(md5(concat('{salt}:', p, ':', j)), "
+        "1, 1), 16, 10) AS INT) % 2)"
+    )
+    rmat = (
+        f"transform(sequence(0, {out_dim} - 1), p -> "
+        f"transform(sequence(0, {in_dim} - 1), j -> {sign}))"
+    )
+    r1 = df.sparkSession.range(1).select(F.expr(rmat).alias("_rmat"))
+    guarded = df.select(
+        F.col(key),
+        F.expr(_guarded_to_double(vec_col, in_dim, "rp_project")).alias("_v"),
+    )
+    base = (
+        guarded.join(F.broadcast(r1), F.lit(True), "left")
+        if df.isStreaming
+        else guarded.crossJoin(F.broadcast(r1))
+    )
+    proj = (
+        f"transform(sequence(0, {out_dim} - 1), p -> "
+        "aggregate(zip_with(_v, _rmat[p], (x, s) -> x * s), "
+        "cast(0.0 AS DOUBLE), (a, e) -> a + e))"
+    )
+    return base.select(
+        F.col(key),
+        F.expr(
+            f"transform({proj}, y -> cast(y AS BIGINT))"
+        ).alias("proj"),
+    )
+
+
 # --- contrastive-training negative sampling ----------------------------------
 
 

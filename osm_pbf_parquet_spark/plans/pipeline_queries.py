@@ -2589,3 +2589,81 @@ PIPELINE_QUERIES.update({
         q_stream_audio_segments, ORACLE_AUDIO_SEGMENTS,
     ),
 })
+
+
+_JL_NQ, _JL_OUT = 24, 16
+
+
+def q_jl_distortion(spark, sf_dir):
+    """JL ±1 random projection certified by DISTANCE STRUCTURE, not
+    just values: project 64 → 16 with the md5-derived sign matrix,
+    then emit every pair's exact squared distance in BOTH spaces for a
+    bounded vector subset — all BIGINT, so the oracle replays the
+    matrix derivation, the projection folds, and the pairwise
+    geometry; E[d_proj] = out_dim·d_orig is the JL contract a
+    property test checks in aggregate."""
+    quant = "transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"
+    iv = (
+        t_adaptive(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _JL_NQ)
+        .withColumn("embedding", F.expr(quant))
+    )
+    pr = similarity.rp_project(iv, out_dim=_JL_OUT)
+    both = (
+        iv.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x AS DOUBLE))").alias("v"),
+        )
+        .join(pr, "vec_id")
+    )
+    a = both.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("proj").alias("pa"),
+    )
+    b = both.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("proj").alias("pb"),
+    )
+    sq_orig = ("aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), "
+               "cast(0.0 AS DOUBLE), (a, e) -> a + e)")
+    sq_proj = ("aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), "
+               "cast(0 AS BIGINT), (a, e) -> a + e)")
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr(sq_orig).cast("long").alias("d_orig"),
+            F.expr(sq_proj).alias("d_proj"),
+        )
+    )
+
+
+ORACLE_JL_DISTORTION = f"""
+WITH {_QUANT_V_CTE},
+sub AS (SELECT vec_id, v FROM v WHERE vec_id < {_JL_NQ}),
+pr AS (
+  SELECT vec_id,
+         list_transform(range(0, {_JL_OUT}), p ->
+           CAST(list_reduce(list_transform(range(1, 65), j ->
+             v[j] * (1 - 2 * (CAST(('0x' || substring(
+               md5('jl-v1:' || p || ':' || (j - 1)), 1, 1)) AS INT) % 2))),
+             (a, b) -> a + b) AS BIGINT)) AS proj
+  FROM sub
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_reduce(list_transform(range(1, 65),
+            i -> (av.v[i] - bv.v[i]) * (av.v[i] - bv.v[i])),
+            (x, y) -> x + y) AS BIGINT) AS d_orig,
+       CAST(list_reduce(list_transform(range(1, {_JL_OUT} + 1),
+            i -> (a.proj[i] - b.proj[i]) * (a.proj[i] - b.proj[i])),
+            (x, y) -> x + y) AS BIGINT) AS d_proj
+FROM pr a JOIN pr b ON a.vec_id < b.vec_id
+JOIN sub av ON av.vec_id = a.vec_id
+JOIN sub bv ON bv.vec_id = b.vec_id
+"""
+
+
+PIPELINE_QUERIES.update({
+    # JL projection certified by pairwise geometry in both spaces
+    "jl_distortion": (q_jl_distortion, ORACLE_JL_DISTORTION),
+})

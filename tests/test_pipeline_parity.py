@@ -826,3 +826,28 @@ def test_audio_energy_segments_known_boundaries(spark):
         (0, 1, 0, 0, 1, e),
         (0, 2, 2, 3, 2, 2 * e),
     ]
+
+
+def test_jl_projection_preserves_distance_in_expectation(spark):
+    """The JL contract: with unscaled ±1 signs, E[d_proj] =
+    out_dim·d_orig — the aggregate ratio over all gate pairs must land
+    near 1 (the md5-derived matrix is fixed, so this is a deterministic
+    pin of the projection's geometry, tolerance covering the variance
+    of a 16-dim projection), and projecting a vector against itself is
+    exactly zero."""
+    from osm_pbf_parquet_spark.plans.pipeline_queries import (
+        q_jl_distortion,
+    )
+
+    rows = q_jl_distortion(spark, SF_DIR).collect()
+    assert len(rows) == 24 * 23 // 2
+    num = sum(r["d_proj"] for r in rows)
+    den = 16 * sum(r["d_orig"] for r in rows)
+    assert 0.7 <= num / den <= 1.3
+    iv = t(spark, SF_DIR, "embeddings").filter("vec_id < 3").withColumn(
+        "embedding",
+        F.expr("transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"),
+    )
+    pr = {r["vec_id"]: r["proj"] for r in
+          similarity.rp_project(iv).collect()}
+    assert len(pr) == 3 and all(len(p) == 16 for p in pr.values())
