@@ -145,6 +145,8 @@ _CHECK_FIRST = [
     "unimax_allocation",
     # JL +-1 projection distortion audit, added late-r12: never-checked
     "jl_distortion",
+    # cell-restricted kNN graph, added late-r12: never-checked
+    "knn_graph",
     "pq_encode_artifact",
     "ivfpq_index_search",
     "ivfpq_index_append",

@@ -1401,6 +1401,55 @@ def ivfpq_recall_report(
     )
 
 
+def knn_graph_cells(
+    df: DataFrame, j: int = 3,
+    vec_col: str = "embedding", key: str = "vec_id",
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """Approximate kNN GRAPH construction: every corpus vector's top-j
+    cosine neighbors within its coarse IVF cell — the adjacency that
+    feeds graph-side curation (connected-component dedup clusters,
+    label propagation over embedding neighborhoods, graph-based
+    coreset pruning) and the bootstrap step of graph-ANN indexes
+    (NN-Descent, Dong et al. WWW 2011, starts from exactly this
+    cell-restricted graph).
+
+    Scale shape (the ``semantic_dedup`` trade, producing edges instead
+    of survivors): ONE equi-self-join on ``cell`` — n²/C pair work per
+    cell instead of global n², hash-co-located, with the per-source
+    rank window the only other exchange. Cross-cell edges are missed
+    by construction (the SemDedup recall trade); vectors alone in
+    their cell contribute no edges. Ties break (cosine DESC, dst) so
+    the graph is unique.
+
+    Returns (src, dst, cosine rounded to 6, rk ≤ j)."""
+    assigned = ivf_assign(_spread(df), vec_col, key, n_centroids).select(
+        F.col(key), "cell", F.col("_vd").alias("v")
+    ).withColumn("norm", F.expr(NORM.format(v="v")))
+    a = assigned.select(
+        F.col(key).alias("src"), "cell",
+        F.col("v").alias("va"), F.col("norm").alias("na"),
+    )
+    b = assigned.select(
+        F.col(key).alias("dst"), F.col("cell").alias("cell_b"),
+        F.col("v").alias("vb"), F.col("norm").alias("nb"),
+    )
+    scored = (
+        a.join(b, (F.col("cell") == F.col("cell_b"))
+               & (F.col("src") != F.col("dst")))
+        .withColumn(
+            "cosine",
+            F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= j)
+        .select("src", "dst", F.round("cosine", 6).alias("cosine"), "rk")
+    )
+
+
 def rp_project(
     df: DataFrame, out_dim: int = 16, in_dim: int = 64,
     vec_col: str = "embedding", key: str = "vec_id",

@@ -2667,3 +2667,63 @@ PIPELINE_QUERIES.update({
     # JL projection certified by pairwise geometry in both spaces
     "jl_distortion": (q_jl_distortion, ORACLE_JL_DISTORTION),
 })
+
+
+def q_knn_graph(spark, sf_dir):
+    """Cell-restricted kNN graph over the whole corpus: top-3 cosine
+    neighbors per vector within its IVF cell — the adjacency feeding
+    graph-side curation and NN-Descent-style index bootstraps. The
+    oracle replays cell assignment, the within-cell self-join, and the
+    rank cut for EVERY vector (corpus-sized output, not a query
+    subset)."""
+    return similarity.knn_graph_cells(
+        t_adaptive(spark, sf_dir, "embeddings"), j=3
+    )
+
+
+ORACLE_KNN_GRAPH = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent_arr AS MATERIALIZED (
+  SELECT list(struct_pack(cid := vec_id, cv := v) ORDER BY vec_id) AS cents
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {similarity.N_CENTROIDS})
+),
+assigned AS (
+  SELECT vec_id, v,
+         cents[list_position(cos_arr, list_aggregate(cos_arr, 'max'))].cid
+           AS cell
+  FROM (SELECT vec_id, v, cents,
+               list_transform(cents, c -> {{dot}}
+                 / ({{norm_v}} * {{norm_c}})) AS cos_arr
+        FROM v CROSS JOIN cent_arr)
+),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {{dot_ab}} / ({{norm_a}} * {{norm_b}}) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT src, dst, cosine,
+         CAST(row_number() OVER (PARTITION BY src
+              ORDER BY cosine DESC, dst) AS INT) AS rk
+  FROM scored
+)
+SELECT src, dst, round(cosine, 6) AS cosine, rk
+FROM ranked WHERE rk <= 3
+""".format(
+    dot=_DOT.format(a="v", b="c.cv"),
+    norm_v=_NORM.format(v="v"),
+    norm_c=_NORM.format(v="c.cv"),
+    dot_ab=_DOT.format(a="a.v", b="b.v"),
+    norm_a=_NORM.format(v="a.v"),
+    norm_b=_NORM.format(v="b.v"),
+)
+
+
+PIPELINE_QUERIES.update({
+    # corpus-wide approximate kNN graph, cell-join shape
+    "knn_graph": (q_knn_graph, ORACLE_KNN_GRAPH),
+})
