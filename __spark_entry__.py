@@ -145,8 +145,11 @@ _CHECK_FIRST = [
     "unimax_allocation",
     # JL +-1 projection distortion audit, added late-r12: never-checked
     "jl_distortion",
-    # cell-restricted kNN graph, added late-r12: never-checked
+    # cell-restricted kNN graph + NN-Descent refinement round, added
+    # late-r12: never-checked (the centroid-offset param also touches
+    # the ivf_assign line set: ann_ivf_topk/semantic_dedup are in-cap)
     "knn_graph",
+    "nn_descent_round",
     "pq_encode_artifact",
     "ivfpq_index_search",
     "ivfpq_index_append",

@@ -177,13 +177,25 @@ N_PROBE = 2
 
 
 def _centroids_row(df: DataFrame, vec_col: str, key: str,
-                   n_centroids: int) -> DataFrame:
+                   n_centroids: int, offset: int = 0) -> DataFrame:
     """Single-row DataFrame holding the sorted centroid array. Centroids
     are a deterministic sample (the ``n_centroids`` lowest-key vectors) —
     a deployment would k-means; determinism keeps plans reproducible and
-    oracle-checkable. Broadcast-joined: every task sees the array once."""
+    oracle-checkable. Broadcast-joined: every task sees the array once.
+    ``offset`` skips the first ``offset`` keys (keys ranked
+    offset..offset+C−1), giving a SECOND, diverse partition from the
+    same corpus — the NN-Descent bootstrap needs two (see
+    ``nn_descent_round``); the rank window runs on the TakeOrdered
+    result, a ≤ offset+C-row frame, not the corpus."""
+    base = df.orderBy(key).limit(offset + n_centroids)
+    if offset:
+        w = Window.orderBy(key)
+        base = (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > offset).drop("_rn")
+        )
     return (
-        df.orderBy(key).limit(n_centroids)
+        base
         .select(F.col(key).alias("cid"),
                 F.expr(TO_DOUBLE.format(v=vec_col)).alias("cv"))
         .agg(F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("_cents"))
@@ -203,11 +215,12 @@ def _with_cell_scores(df: DataFrame, cents: DataFrame, vec_col: str) -> DataFram
 
 
 def ivf_assign(df: DataFrame, vec_col: str = "embedding", key: str = "vec_id",
-               n_centroids: int = N_CENTROIDS) -> DataFrame:
+               n_centroids: int = N_CENTROIDS,
+               centroid_offset: int = 0) -> DataFrame:
     """Corpus side of the IVF index: each vector labeled with its nearest
     centroid's id (``cell``). Ties break to the lowest centroid id
     (array_position returns the first maximum)."""
-    cents = _centroids_row(df, vec_col, key, n_centroids)
+    cents = _centroids_row(df, vec_col, key, n_centroids, centroid_offset)
     d = _with_cell_scores(df, cents, vec_col)
     cell = "_cents[array_position(_cos_arr, array_max(_cos_arr)) - 1].cid"
     return d.withColumn("cell", F.expr(cell)).drop("_cents", "_cos_arr")
@@ -1404,7 +1417,7 @@ def ivfpq_recall_report(
 def knn_graph_cells(
     df: DataFrame, j: int = 3,
     vec_col: str = "embedding", key: str = "vec_id",
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int = N_CENTROIDS, centroid_offset: int = 0,
 ) -> DataFrame:
     """Approximate kNN GRAPH construction: every corpus vector's top-j
     cosine neighbors within its coarse IVF cell — the adjacency that
@@ -1423,7 +1436,9 @@ def knn_graph_cells(
     the graph is unique.
 
     Returns (src, dst, cosine rounded to 6, rk ≤ j)."""
-    assigned = ivf_assign(_spread(df), vec_col, key, n_centroids).select(
+    assigned = ivf_assign(
+        _spread(df), vec_col, key, n_centroids, centroid_offset
+    ).select(
         F.col(key), "cell", F.col("_vd").alias("v")
     ).withColumn("norm", F.expr(NORM.format(v="v")))
     a = assigned.select(
@@ -1437,6 +1452,76 @@ def knn_graph_cells(
     scored = (
         a.join(b, (F.col("cell") == F.col("cell_b"))
                & (F.col("src") != F.col("dst")))
+        .withColumn(
+            "cosine",
+            F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= j)
+        .select("src", "dst", F.round("cosine", 6).alias("cosine"), "rk")
+    )
+
+
+def nn_descent_round(
+    df: DataFrame, j: int = 3,
+    vec_col: str = "embedding", key: str = "vec_id",
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """One symmetric NN-Descent iteration (Dong et al., WWW 2011): a
+    vector's improved neighbor candidates are its current neighbors,
+    its REVERSE neighbors, and their neighbors — "the neighbor of my
+    neighbor is likely my neighbor" — re-ranked top-j by exact cosine.
+
+    The bootstrap is the UNION of TWO cell graphs built from diverse
+    centroid samples (key ranks 0..C−1 and C..2C−1) — the LSH L-tables
+    idiom. This matters structurally: a SINGLE cell partition is
+    hop-CLOSED (every edge is intra-cell, so neighbors-of-neighbors
+    never leave the cell, and since the bootstrap already ranked ALL
+    cell-mates, one round is provably a no-op). Two partitions with
+    different boundaries give the hop step mixed-partition paths, which
+    is what recovers the cross-boundary true neighbors either partition
+    alone misses (pinned on a ring corpus where boundary vectors'
+    true neighbors sit in the adjacent arc). Because the candidate set
+    contains every bootstrap edge, each vector's rank-r cosine is
+    monotonically non-decreasing.
+
+    Scale shape: two cell self-joins (n²/C each) for the bootstrap; the
+    edge list is ≤ 2nj rows; symmetrize + one self-join on the middle
+    vertex = ≤ n·(4j)² candidates; scoring attaches raw vectors by TWO
+    keyed hash joins (corpus never cross-joined); one rank window.
+    Every exchange is keyed by src/dst — the standard distributed
+    NN-Descent iteration, bounded by j² not n².
+
+    Returns (src, dst, cosine rounded to 6, rk ≤ j)."""
+    g = knn_graph_cells(df, j, vec_col, key, n_centroids).select(
+        "src", "dst"
+    ).union(
+        knn_graph_cells(df, j, vec_col, key, n_centroids,
+                        centroid_offset=n_centroids).select("src", "dst")
+    )
+    u = g.union(g.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")))
+    hop = (
+        u.select(F.col("src"), F.col("dst").alias("_mid"))
+        .join(u.select(F.col("src").alias("_mid"),
+                       F.col("dst").alias("_dst2")), "_mid")
+        .select("src", F.col("_dst2").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cand = u.union(hop).distinct()
+    vecs = df.select(
+        F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("v")
+    ).withColumn("norm", F.expr(NORM.format(v="v")))
+    scored = (
+        cand.join(vecs.select(F.col(key).alias("src"),
+                              F.col("v").alias("va"),
+                              F.col("norm").alias("na")), "src")
+        .join(vecs.select(F.col(key).alias("dst"),
+                          F.col("v").alias("vb"),
+                          F.col("norm").alias("nb")), "dst")
         .withColumn(
             "cosine",
             F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")),

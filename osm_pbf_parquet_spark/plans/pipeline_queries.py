@@ -2681,49 +2681,112 @@ def q_knn_graph(spark, sf_dir):
     )
 
 
-ORACLE_KNN_GRAPH = f"""
-WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-),
-cent_arr AS MATERIALIZED (
+def _knn_ctes(sfx: str = "", offset: int = 0) -> str:
+    """Cells, within-cell scoring, and the per-source rank — shared by
+    the knn-graph and nn-descent oracles; ``offset`` replays the
+    diverse-centroid sample (keys ranked offset..offset+C−1), ``sfx``
+    disambiguates the CTE names when two partitions coexist."""
+    C = similarity.N_CENTROIDS
+    off = f" OFFSET {offset}" if offset else ""
+    return f"""cent_arr{sfx} AS MATERIALIZED (
   SELECT list(struct_pack(cid := vec_id, cv := v) ORDER BY vec_id) AS cents
-  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {similarity.N_CENTROIDS})
+  FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT {C}{off})
 ),
-assigned AS (
+assigned{sfx} AS (
   SELECT vec_id, v,
          cents[list_position(cos_arr, list_aggregate(cos_arr, 'max'))].cid
            AS cell
   FROM (SELECT vec_id, v, cents,
-               list_transform(cents, c -> {{dot}}
-                 / ({{norm_v}} * {{norm_c}})) AS cos_arr
-        FROM v CROSS JOIN cent_arr)
+               list_transform(cents, c -> {_DOT.format(a='v', b='c.cv')}
+                 / ({_NORM.format(v='v')} * {_NORM.format(v='c.cv')})) AS cos_arr
+        FROM v CROSS JOIN cent_arr{sfx})
 ),
-scored AS (
+scored{sfx} AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
-         {{dot_ab}} / ({{norm_a}} * {{norm_b}}) AS cosine
-  FROM assigned a JOIN assigned b
+         {_DOT.format(a='a.v', b='b.v')}
+           / ({_NORM.format(v='a.v')} * {_NORM.format(v='b.v')}) AS cosine
+  FROM assigned{sfx} a JOIN assigned{sfx} b
     ON a.cell = b.cell AND a.vec_id != b.vec_id
 ),
-ranked AS (
+ranked{sfx} AS (
   SELECT src, dst, cosine,
          CAST(row_number() OVER (PARTITION BY src
               ORDER BY cosine DESC, dst) AS INT) AS rk
-  FROM scored
-)
+  FROM scored{sfx}
+)"""
+
+
+_KNN_V_CTE = """v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)"""
+
+
+ORACLE_KNN_GRAPH = f"""
+WITH {_KNN_V_CTE},
+{_knn_ctes()}
 SELECT src, dst, round(cosine, 6) AS cosine, rk
 FROM ranked WHERE rk <= 3
-""".format(
-    dot=_DOT.format(a="v", b="c.cv"),
-    norm_v=_NORM.format(v="v"),
-    norm_c=_NORM.format(v="c.cv"),
-    dot_ab=_DOT.format(a="a.v", b="b.v"),
-    norm_a=_NORM.format(v="a.v"),
-    norm_b=_NORM.format(v="b.v"),
-)
+"""
 
 
 PIPELINE_QUERIES.update({
     # corpus-wide approximate kNN graph, cell-join shape
     "knn_graph": (q_knn_graph, ORACLE_KNN_GRAPH),
+})
+
+
+def q_nn_descent_round(spark, sf_dir):
+    """One symmetric NN-Descent iteration over the TWO-partition
+    bootstrap (a single cell partition is hop-closed — see the
+    operator docstring): candidates = current ∪ reverse ∪ two-hop
+    neighbors, re-ranked top-3 by exact cosine. The oracle replays
+    BOTH bootstrap partitions (default and offset centroid samples)
+    plus symmetrize/hop/dedup/re-rank, so a lost reverse edge, a hop
+    that leaks self-edges, a missing second partition, or a wrong
+    re-rank all flip the hash."""
+    return similarity.nn_descent_round(
+        t_adaptive(spark, sf_dir, "embeddings"), j=3
+    )
+
+
+ORACLE_NN_DESCENT = f"""
+WITH {_KNN_V_CTE},
+{_knn_ctes()},
+{_knn_ctes("_b", offset=similarity.N_CENTROIDS)},
+g AS (SELECT src, dst FROM ranked WHERE rk <= 3
+      UNION ALL
+      SELECT src, dst FROM ranked_b WHERE rk <= 3),
+u AS (SELECT src, dst FROM g UNION ALL SELECT dst AS src, src AS dst FROM g),
+cand AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM u
+    UNION ALL
+    SELECT u1.src, u2.dst
+    FROM u u1 JOIN u u2 ON u1.dst = u2.src
+    WHERE u1.src != u2.dst
+  )
+),
+sc2 AS (
+  SELECT c.src, c.dst,
+         {_DOT.format(a='a.v', b='b.v')}
+           / ({_NORM.format(v='a.v')} * {_NORM.format(v='b.v')}) AS cosine
+  FROM cand c
+  JOIN v a ON a.vec_id = c.src
+  JOIN v b ON b.vec_id = c.dst
+),
+r2 AS (
+  SELECT src, dst, cosine,
+         CAST(row_number() OVER (PARTITION BY src
+              ORDER BY cosine DESC, dst) AS INT) AS rk
+  FROM sc2
+)
+SELECT src, dst, round(cosine, 6) AS cosine, rk
+FROM r2 WHERE rk <= 3
+"""
+
+
+PIPELINE_QUERIES.update({
+    # one NN-Descent refinement round over the bootstrap graph
+    "nn_descent_round": (q_nn_descent_round, ORACLE_NN_DESCENT),
 })

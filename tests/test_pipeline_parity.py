@@ -851,3 +851,41 @@ def test_jl_projection_preserves_distance_in_expectation(spark):
     pr = {r["vec_id"]: r["proj"] for r in
           similarity.rp_project(iv).collect()}
     assert len(pr) == 3 and all(len(p) == 16 for p in pr.values())
+
+
+def test_nn_descent_improves_on_structured_corpus(spark):
+    """On a ring corpus — where every vector's true neighbors are its
+    angular neighbors and any cell partition must cut the ring into
+    arcs — one NN-Descent round must (a) never degrade any vector's
+    rank-r cosine vs the single-partition cell graph (the candidate
+    set contains those edges) and (b) strictly improve somewhere: the
+    arc-boundary vectors' true neighbors sit in the adjacent arc,
+    reachable only through the second partition + hop step. This is
+    the structural property the random gate corpus can't exhibit
+    (within-cell top-j is already optimal there)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    n = 48
+    rows = []
+    for i in range(n):
+        th = 2 * math.pi * i / n
+        rows.append((i, [float(round(1000 * math.cos(th))),
+                         float(round(1000 * math.sin(th)))] + [0.0] * 62))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    iv = spark.createDataFrame(rows, schema)
+    base = {(r["src"], r["rk"]): r["cosine"]
+            for r in similarity.knn_graph_cells(iv, j=3).collect()}
+    ref = {(r["src"], r["rk"]): r["cosine"]
+           for r in similarity.nn_descent_round(iv, j=3).collect()}
+    # the union bootstrap can only ADD candidates: every base rank
+    # survives, and vectors in small partition-A cells may gain ranks
+    assert set(base) <= set(ref)
+    eps = 1e-9  # both sides round to 6dp; tolerate the boundary
+    assert all(ref[k] >= base[k] - eps for k in base)
+    improved = sum(1 for k in base if ref[k] > base[k] + eps)
+    assert improved > 0, "hop step recovered no cross-arc neighbor"
