@@ -150,6 +150,10 @@ _CHECK_FIRST = [
     # the ivf_assign line set: ann_ivf_topk/semantic_dedup are in-cap)
     "knn_graph",
     "nn_descent_round",
+    # 20th streaming gate (JL project-on-arrival) + ring-hash rebalance
+    # plan, added late-r12: never-checked
+    "stream_jl_encode",
+    "consistent_shards",
     "pq_encode_artifact",
     "ivfpq_index_search",
     "ivfpq_index_append",

@@ -378,3 +378,72 @@ def scd2_snapshot(intervals: DataFrame, at, ts_col_from: str = "valid_from",
         (F.col(ts_col_from) <= F.lit(at))
         & (F.col(ts_col_to).isNull() | (F.lit(at) < F.col(ts_col_to)))
     )
+
+
+_RING_M = 1 << 60  # ring positions are 15-hex md5 prefixes: [0, 2^60)
+
+
+def _ring_expr(n_shards: int, vnodes: int) -> str:
+    """The consistent-hash ring as a pure-Catalyst array literal-free
+    expression: ``n_shards·vnodes`` (position, shard) structs with
+    positions md5-derived — replayable verbatim in SQL."""
+    return (
+        f"transform(sequence(0, {n_shards * vnodes} - 1), i -> struct("
+        "cast(conv(substring(md5(concat('ring-v1:', "
+        f"cast(i DIV {vnodes} AS string), ':', cast(i % {vnodes} AS string)"
+        ")), 1, 15), 16, 10) AS BIGINT) AS pos, "
+        f"cast(i DIV {vnodes} AS int) AS sid))"
+    )
+
+
+def consistent_shard_plan(
+    df: DataFrame,
+    key: str,
+    shards_before: int,
+    shards_after: int,
+    vnodes: int = 8,
+) -> DataFrame:
+    """Consistent-hashing shard rebalance plan (Karger et al., STOC
+    1997): assign every key to its shard on an md5-derived vnode ring
+    at BOTH cluster sizes and emit the migration matrix — the readout
+    that tells a 100 TB store how much data a resize actually moves.
+    The defining guarantee (test-pinned, and the whole reason this
+    beats ``hash(key) % S``, which reshuffles ~(S−1)/S of everything):
+    growing the ring only moves keys ONTO the new shards — a key's
+    shard either stays or is one of ``shards_after − shards_before``
+    new ids, and the expected moved fraction is the new vnodes' share
+    of the ring.
+
+    Assignment = the shard of the vnode at minimal clockwise distance
+    ``(vpos − kpos) mod 2⁶⁰`` (ties break to the lowest shard id via
+    the struct min). Everything is exact BIGINT md5 arithmetic.
+
+    Scale shape: both rings attach as ONE broadcast row (S·V structs);
+    per-key assignment is a scan-speed projection; the only exchange is
+    the final matrix aggregation, bounded by S_before·S_after distinct
+    pairs. Returns (shard_before, shard_after, n_keys)."""
+    if shards_after < shards_before:
+        raise ValueError("consistent_shard_plan grows the ring: "
+                         "shards_after >= shards_before")
+    spark = df.sparkSession
+    rings = spark.range(1).select(
+        F.expr(_ring_expr(shards_before, vnodes)).alias("_ring_b"),
+        F.expr(_ring_expr(shards_after, vnodes)).alias("_ring_a"),
+    )
+    kpos = (
+        f"cast(conv(substring(md5(concat('key-v1:', cast({key} AS string)"
+        ")), 1, 15), 16, 10) AS BIGINT)"
+    )
+    assign = (
+        "array_min(transform({ring}, x -> struct("
+        f"pmod(x.pos - _kpos, {_RING_M}) AS d, x.sid AS sid))).sid"
+    )
+    return (
+        df.select(F.col(key))
+        .crossJoin(F.broadcast(rings))
+        .withColumn("_kpos", F.expr(kpos))
+        .withColumn("shard_before", F.expr(assign.format(ring="_ring_b")))
+        .withColumn("shard_after", F.expr(assign.format(ring="_ring_a")))
+        .groupBy("shard_before", "shard_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    )

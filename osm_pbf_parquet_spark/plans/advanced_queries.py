@@ -1643,3 +1643,60 @@ FROM chk GROUP BY doc_id
 ADVANCED_QUERIES.update({
     "bloom_decontaminate": (q_bloom_decontaminate, _oracle_bloom()),
 })
+
+
+_CSH_BEFORE, _CSH_AFTER, _CSH_V = 8, 10, 8
+
+
+def q_consistent_shards(spark, sf_dir):
+    """Consistent-hash rebalance plan for growing 8 → 10 shards over
+    the orders keyspace: the migration matrix whose value hash pins
+    every key's ring assignment at BOTH sizes — and whose defining
+    invariant (keys only move ONTO the new shards) is what separates
+    ring hashing from mod-S resharding at 100 TB."""
+    return ordered.consistent_shard_plan(
+        _t(spark, sf_dir, "orders"), "o_orderkey",
+        _CSH_BEFORE, _CSH_AFTER, vnodes=_CSH_V,
+    )
+
+
+def _oracle_consistent_shards() -> str:
+    M = 1 << 60
+
+    def ring(n):
+        return f"""(
+  SELECT CAST(('0x' || substring(md5('ring-v1:' || CAST(i // {_CSH_V} AS VARCHAR)
+         || ':' || CAST(i % {_CSH_V} AS VARCHAR)), 1, 15)) AS BIGINT) AS pos,
+         CAST(i // {_CSH_V} AS INT) AS sid
+  FROM range(0, {n * _CSH_V}) r(i))"""
+
+    def assign(ring_name):
+        return f"""(
+  SELECT sid FROM {ring_name}
+  ORDER BY ((({ring_name}.pos - k.kpos) % {M}) + {M}) % {M}, sid
+  LIMIT 1)"""
+
+    return f"""
+WITH rb AS MATERIALIZED {ring(_CSH_BEFORE)},
+ra AS MATERIALIZED {ring(_CSH_AFTER)},
+k AS (
+  SELECT CAST(('0x' || substring(md5('key-v1:' || CAST(o_orderkey AS VARCHAR)),
+         1, 15)) AS BIGINT) AS kpos
+  FROM orders
+),
+asg AS (
+  SELECT {assign('rb')} AS shard_before,
+         {assign('ra')} AS shard_after
+  FROM k
+)
+SELECT shard_before, shard_after, CAST(count(*) AS BIGINT) AS n_keys
+FROM asg GROUP BY shard_before, shard_after
+"""
+
+
+ADVANCED_QUERIES.update({
+    # ring-hash migration matrix: moves only land on the new shards
+    "consistent_shards": (
+        q_consistent_shards, _oracle_consistent_shards(),
+    ),
+})

@@ -2790,3 +2790,72 @@ PIPELINE_QUERIES.update({
     # one NN-Descent refinement round over the bootstrap graph
     "nn_descent_round": (q_nn_descent_round, ORACLE_NN_DESCENT),
 })
+
+
+def q_stream_jl_encode(spark, sf_dir):
+    """Project-on-arrival (20th streaming gate): incoming embeddings JL-
+    compress 64 → 16 under the broadcast md5-derived sign matrix — the
+    same shipped-artifact shape as stream_pq_encode, but for the
+    dense-reduction tier (the matrix is pure plan arithmetic, so there
+    is nothing to ship at all). Append-mode projection, zero state.
+    Output pins each vector's code count, position-weighted checksum,
+    and exact projected norm; the oracle replays the matrix and folds
+    for the static corpus."""
+    from pyspark.sql import types as T
+
+    from .analytic_queries import _run_stream_to_table
+
+    quant = "transform(embedding, x -> floor(cast(x AS DOUBLE) * 1000 + 0.5))"
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .withColumn("embedding", F.expr(quant))
+    )
+    pr = similarity.rp_project(stream, out_dim=_JL_OUT)
+    out = pr.select(
+        "vec_id",
+        F.size("proj").cast("int").alias("n_dims"),
+        F.expr(
+            "aggregate(zip_with(proj, sequence(1, size(proj)), "
+            "(c, j) -> c * j), cast(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("proj_checksum"),
+        F.expr(
+            "aggregate(proj, cast(0 AS BIGINT), (a, x) -> a + x * x)"
+        ).alias("proj_sq_norm"),
+    )
+    return _run_stream_to_table(
+        spark, out, "stream_jl_encode_result", "append"
+    )
+
+
+ORACLE_STREAM_JL = f"""
+WITH {_QUANT_V_CTE},
+pr AS (
+  SELECT vec_id,
+         list_transform(range(0, {_JL_OUT}), p ->
+           CAST(list_reduce(list_transform(range(1, 65), j ->
+             v[j] * (1 - 2 * (CAST(('0x' || substring(
+               md5('jl-v1:' || p || ':' || (j - 1)), 1, 1)) AS INT) % 2))),
+             (a, b) -> a + b) AS BIGINT)) AS proj
+  FROM v
+)
+SELECT vec_id, CAST({_JL_OUT} AS INT) AS n_dims,
+       CAST(list_reduce(list_transform(range(1, {_JL_OUT} + 1),
+            j -> proj[j] * j), (a, b) -> a + b) AS BIGINT) AS proj_checksum,
+       CAST(list_reduce(list_transform(range(1, {_JL_OUT} + 1),
+            j -> proj[j] * proj[j]), (a, b) -> a + b) AS BIGINT)
+         AS proj_sq_norm
+FROM pr
+"""
+
+
+PIPELINE_QUERIES.update({
+    # 20th streaming gate: JL project-on-arrival, nothing to ship
+    "stream_jl_encode": (q_stream_jl_encode, ORACLE_STREAM_JL),
+})

@@ -477,3 +477,26 @@ def test_bloom_prefilter_has_zero_false_negatives(spark):
         assert n_maybe <= n_grams
         any_true_overlap = any_true_overlap or bool(true_hits)
     assert any_true_overlap  # the fixture actually exercises overlap
+
+
+def test_consistent_shards_move_only_to_new_shards(spark):
+    """The consistent-hashing guarantee that justifies the operator:
+    growing the ring 8 -> 10 moves keys ONLY onto shards 8/9 (a key's
+    nearest vnode either stays its nearest or is beaten by a NEW
+    vnode — existing vnodes' relative order never changes), the moved
+    fraction is far below mod-S resharding's ~90%, and shrinking
+    back is the exact inverse membership."""
+    df = t(spark, "/root/testdata/sf0.01", "orders")
+    rows = ordered.consistent_shard_plan(
+        df, "o_orderkey", 8, 10
+    ).collect()
+    total = sum(r["n_keys"] for r in rows)
+    moved = [r for r in rows if r["shard_before"] != r["shard_after"]]
+    assert all(r["shard_after"] in (8, 9) for r in moved)
+    moved_frac = sum(r["n_keys"] for r in moved) / total
+    assert 0 < moved_frac < 0.5  # vs ~0.9 for hash(key) % S
+    # identity resize: nothing moves
+    same = ordered.consistent_shard_plan(df, "o_orderkey", 8, 8).collect()
+    assert all(r["shard_before"] == r["shard_after"] for r in same)
+    with pytest.raises(ValueError, match="grows"):
+        ordered.consistent_shard_plan(df, "o_orderkey", 8, 4)
