@@ -109,27 +109,51 @@ def _registry() -> dict[str, tuple]:
 # ROUND-12 ROTATION (mechanically derived by tools/taint_ledger.py on the
 # final r12 tree — TAINT_LEDGER.json is the committed evidence):
 #
-#   3 never-checked r12-new gates (pq_encode_artifact: the persisted
-#   codebook round-trip; ivfpq_index_search: the full persisted-index
-#   build→serve lifecycle; ivfpq_index_append: incremental add() with
-#   the shipped quantizers)
+#   5 never-checked late-r12 gates of the no-libm LM/tokenizer/graph
+#   wave (kneser_ney_score, louvain_communities, unigram_vocab_costs,
+#   unigram_encode_corpus, stream_unigram_encode)
+#   + 10 never-checked late-r12 gates of the index/media wave
+#     (stream_ivfpq_serve … consistent_shards below)
+#   + 3 never-checked r12-new gates (pq_encode_artifact,
+#     ivfpq_index_search, ivfpq_index_append)
 #   + 5 line-tainted by this round's engine edits (ivfpq_topk: L2
 #     k-means coarse quantizer + residual encoding; pq_ann_topk +
 #     stream_pq_encode: pq_encode's derived-shape signature and the
 #     in-plan ragged-corpus guard; bpe_encode_corpus: the distinct-word
 #     dictionary apply; stream_bpe_encode: the shared _with_merge_table
 #     refactor on its fold path)
-#   = 8 must-cover, ALL IN-CAP.
+#   + semantic_dedup hoisted (ivf_assign line-taint — was DISPLACED at
+#     position 56 after the late-r12 prepends)
+#   + 2 more late-r12 never-checked gates (unigram_em_round: the
+#     hard-EM re-estimation round; louvain_coarse_graph: the phase-2
+#     contraction)
+#   = 26 must-cover, ALL IN-CAP (the ledger adds triangle_count and
+#     ann_ivf_topk as line-tainted — both ride the fill block in-cap).
 #
-# The remaining 42 slots are freshness fills, oldest-green-first (r11
+# The remaining 24 slots are freshness fills, oldest-green-first (r11
 # verdict Next #4): ALL seven r7 rows (image_near_dup_pairs, kcore_parts,
 # pagerank_suppliers, shortest_hops, split_leakage, temperature_mixture,
-# triangle_count), then the r8 block alphabetically through
-# text_lang_id — after r12 no registered query's last green row is
-# older than r8, meeting the target; the 11 r8 rows left for r13
-# (text_quality..winnowing_fingerprints) are the newest of that block.
+# triangle_count), then the oldest r8 rows through
+# embedding_quantize (ann_ivf_topk — also line-tainted — rides
+# this block in-cap). The r8 rows epoch_shard_plan..
+# winnowing_fingerprints are r13's oldest-first fills.
 _CHECK_FIRST = [
     # --- must-cover (never-checked + line-tainted) ---
+    # no-libm LM stack, added late-r12: Kneser-Ney bigram scoring over
+    # exact rationals + integer fixed-point log2 (never-checked)
+    "kneser_ney_score",
+    # Louvain phase-1 local moves with the Lu et al. 2015 swap veto
+    # (never-checked)
+    "louvain_communities",
+    # unigram-LM (SentencePiece) tokenizer lifecycle: seed vocab with
+    # fixed-point costs, Viterbi encode, + encode-on-arrival (21st
+    # streaming gate) — all never-checked
+    "unigram_vocab_costs",
+    "unigram_encode_corpus",
+    "stream_unigram_encode",
+    "unigram_em_round",
+    # Louvain phase-2 contraction (never-checked)
+    "louvain_coarse_graph",
     # 18th streaming gate, added late-r12: serve-on-arrival from the
     # persisted IVFADC index (its engine edits also re-taint the ivfpq
     # family below — all in-cap)
@@ -147,9 +171,13 @@ _CHECK_FIRST = [
     "jl_distortion",
     # cell-restricted kNN graph + NN-Descent refinement round, added
     # late-r12: never-checked (the centroid-offset param also touches
-    # the ivf_assign line set: ann_ivf_topk/semantic_dedup are in-cap)
+    # the ivf_assign line set, so BOTH its consumers must be in-cap:
+    # ann_ivf_topk rides the fills below; semantic_dedup is hoisted
+    # here — the late-r12 must-cover prepends had pushed it to
+    # position 56, which the taint ledger flagged as DISPLACED)
     "knn_graph",
     "nn_descent_round",
+    "semantic_dedup",
     # 20th streaming gate (JL project-on-arrival) + ring-hash rebalance
     # plan, added late-r12: never-checked
     "stream_jl_encode",
@@ -162,7 +190,7 @@ _CHECK_FIRST = [
     "stream_pq_encode",
     "bpe_encode_corpus",
     "stream_bpe_encode",
-    # --- 42 freshness fills (oldest green first: r7, then r8) ---
+    # --- 24 freshness fills (oldest green first: r7, then r8) ---
     "image_near_dup_pairs",
     "kcore_parts",
     "pagerank_suppliers",
@@ -187,34 +215,21 @@ _CHECK_FIRST = [
     "duplicate_spans",
     "embedding_outliers",
     "embedding_quantize",
-    "epoch_shard_plan",
-    "full_curation_pipeline",
-    "group_weighted_reservoir",
-    "hybrid_rrf_search",
-    "incremental_dedup",
-    "jaccard_join_exact",
-    "kmeans_clusters",
-    "line_corpus_dedup",
-    "negative_sampling",
-    "pii_scrub",
-    "sample_pack_sequences",
-    "sample_stratified_cap",
-    "sample_weighted_mixture",
-    "semantic_dedup",
-    "stream_incremental_dedup",
-    "text_entropy",
-    "text_fingerprint",
-    "text_lang_id",
     # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
-    #      test_entry). Everything below is swept by the local
-    #      full-registry parity tests on current code every pytest run.
-    #      The r11 must-cover block (compact_table .. stream_osm_apply_
-    #      changes) rotated out with fresh r11 greens; the 11 remaining
-    #      r8 rows (text_quality, text_repetition, text_stats,
-    #      tfidf_top_terms, token_budget_fill,
-    #      token_drift_js, tokenize_corpus, unigram_logprob, vocab_build,
-    #      weighted_reservoir_sample, winnowing_fingerprints) are r13's
-    #      oldest-first fills. ----
+    #      test_entry). Everything below position 50 is swept by the
+    #      local full-registry parity tests on current code every pytest
+    #      run. The r11 must-cover block rotated out with fresh r11
+    #      greens; the remaining r8 rows (epoch_shard_plan,
+    #      full_curation_pipeline, group_weighted_reservoir,
+    #      hybrid_rrf_search, incremental_dedup, jaccard_join_exact,
+    #      kmeans_clusters, line_corpus_dedup, negative_sampling,
+    #      pii_scrub, sample_pack_sequences, sample_stratified_cap,
+    #      sample_weighted_mixture, stream_incremental_dedup,
+    #      text_entropy, text_fingerprint, text_lang_id, text_quality,
+    #      text_repetition, text_stats, tfidf_top_terms,
+    #      token_budget_fill, token_drift_js, tokenize_corpus,
+    #      unigram_logprob, vocab_build, weighted_reservoir_sample,
+    #      winnowing_fingerprints) are r13's oldest-first fills. ----
 ]
 
 

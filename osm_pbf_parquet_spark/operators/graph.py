@@ -436,3 +436,185 @@ def community_modularity(
             9,
         ).alias("q_contrib"),
     )
+
+
+def louvain_move_rounds(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+    cache=None,
+) -> DataFrame:
+    """Louvain phase-one local moves (Blondel, Guillaume, Lambiotte &
+    Lefebvre, J. Stat. Mech. 2008 §2), parallelized synchronously (the
+    PLM scheme of Staudt & Meyerhenke, IEEE TPDS 2016): starting from
+    singleton communities, every node simultaneously evaluates the
+    modularity gain of joining each neighbor's community and moves to
+    the best strictly-positive one. Unlike ``label_propagation`` (which
+    chases the most FREQUENT neighbor label), moves optimize Newman
+    modularity directly — the objective ``community_modularity`` reads
+    out.
+
+    For node i currently in community a, candidate c, graph of m
+    undirected edges (D = 2m directed rows, the symmetric-distinct edge
+    contract of label_propagation):
+
+        ΔQ(i: a→c) ∝ D·(k_ic − k_ia\\i) − k_i·(Σ_c − (Σ_a − k_i))
+
+    where k_ic counts i's neighbors in c, Σ_c the community's degree
+    sum. The proportionality constant 1/(2m²) > 0 is dropped — gains
+    compare EXACTLY in decimal(38,0) integer arithmetic (D·k_ic wraps
+    int64 once D·deg passes ~9e18, real at fleet scale), so the argmax
+    is replayable: max(struct(gain, −c)), move iff gain > 0, ties to
+    the smallest community id. No RNG, no float.
+
+    Synchronous moves can oscillate — two singletons that each see the
+    other's community as strictly better swap forever. The published
+    parallel-Louvain remedy is applied (Lu, Halappanavar &
+    Kalyanaraman, Parallel Computing 46, 2015, §4.1 "minimum label"
+    heuristic): the argmax move is VETOED when both the mover's own
+    community and the target community are singletons and the target's
+    label is larger — exactly the configuration that produces swaps;
+    the smaller-labeled side still moves, so mass coalesces instead of
+    ping-ponging. Rounds stay a bounded unroll (non-singleton
+    oscillations remain possible in theory), each one deterministic
+    and gate-pinned.
+
+    Per round: TWO endpoint-keyed joins of bounded frames onto the edge
+    list / assignment (the exchanges LPA pays), four map-side-combinable
+    aggs (k_ic, Σ_c, k_ia, argmax), one broadcast 1-row total. The
+    assignment persists per round; lineage stays linear in rounds.
+
+    Returns (node, community) for every node with at least one edge.
+    """
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    e = ps.persist(
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    )
+    deg = ps.persist(
+        e.groupBy(F.col("e_src").alias("node"))
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    d_tot = e.agg(F.count("*").cast("decimal(38,0)").alias("d_total"))
+    asg = ps.persist(deg.select("node", F.col("node").alias("com")))
+    for _ in range(rounds):
+        comdeg = (
+            asg.join(deg, "node")
+            .groupBy("com")
+            .agg(F.sum("k").cast("decimal(38,0)").alias("s_c"),
+                 F.count("*").cast("long").alias("n_c"))
+        )
+        k_ic = (
+            e.join(asg.withColumnRenamed("node", "e_dst"), "e_dst")
+            .groupBy(F.col("e_src").alias("node"), F.col("com"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        cur = asg.select("node", F.col("com").alias("a"))
+        cand = k_ic.join(cur, "node")
+        k_ia = cand.groupBy("node").agg(
+            F.sum(F.when(F.col("com") == F.col("a"), F.col("cnt"))
+                  .otherwise(F.lit(0))).cast("long").alias("k_ia")
+        )
+        gains = (
+            cand.filter(F.col("com") != F.col("a"))
+            .join(k_ia, "node")
+            .join(deg, "node")
+            .join(comdeg.withColumnRenamed("com", "_cc")
+                  .withColumnRenamed("s_c", "s_cand")
+                  .withColumnRenamed("n_c", "n_cand"),
+                  F.col("com") == F.col("_cc"))
+            .join(comdeg.withColumnRenamed("com", "_ca")
+                  .withColumnRenamed("s_c", "s_own")
+                  .withColumnRenamed("n_c", "n_own"),
+                  F.col("a") == F.col("_ca"))
+            .crossJoin(F.broadcast(d_tot))
+            .select(
+                "node", "a", "com", "n_cand", "n_own",
+                (
+                    F.col("d_total")
+                    * (F.col("cnt") - F.col("k_ia")).cast("decimal(38,0)")
+                    - F.col("k").cast("decimal(38,0)")
+                    * (F.col("s_cand") - F.col("s_own") + F.col("k"))
+                ).alias("gain"),
+            )
+        )
+        # argmax on (gain, smallest com); n_cand/n_own ride as payload —
+        # (gain, -com) is unique per (node, com), so they never decide
+        # the comparison
+        pick = (
+            gains.groupBy("node")
+            .agg(F.max(F.struct(
+                F.col("gain"),
+                (-F.col("com")).alias("nc"),
+                F.col("n_cand"),
+                F.col("n_own"),
+            )).alias("m"))
+            .select(
+                "node",
+                F.col("m.gain").alias("best_gain"),
+                (-F.col("m.nc")).cast("long").alias("best_com"),
+                F.col("m.n_cand").alias("n_cand"),
+                F.col("m.n_own").alias("n_own"),
+            )
+        )
+        asg = ps.persist(
+            cur.join(pick, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    (F.col("best_gain") > 0)
+                    & ~(
+                        (F.col("n_own") == 1) & (F.col("n_cand") == 1)
+                        & (F.col("best_com") > F.col("a"))
+                    ),
+                    F.col("best_com"),
+                ).otherwise(F.col("a")).cast("long").alias("com"),
+            )
+        )
+    return tie_release(
+        asg.select("node", F.col("com").alias("community")), ps, owned
+    )
+
+
+def louvain_coarsen(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    community: str = "community",
+) -> DataFrame:
+    """Louvain phase-2 graph contraction (Blondel et al. 2008 §2: "a
+    new network whose nodes are the communities"): every community
+    becomes a supernode; edge weights between two supernodes sum the
+    directed edge count between their members, and intra-community
+    edges become self-loop weight. Feeding the result back through
+    weighted move rounds is the multi-level Louvain loop; the
+    contraction itself is the operator a 100 TB graph needs most —
+    after one level the graph is community-count-sized, and every
+    subsequent level runs on frames orders of magnitude smaller.
+
+    Exactness: weights are plain BIGINT counts of directed edge rows
+    (the symmetric-distinct contract upstream), so contraction is ONE
+    pair of endpoint-keyed joins (the exchanges every round here pays
+    already) + one combinable (c_src, c_dst) agg. Total directed
+    weight is conserved: Σ weight = |edges| — the invariant the unit
+    test pins.
+
+    Returns (c_src, c_dst, weight); self-loops carry c_src = c_dst
+    with weight = 2·(internal undirected edges) exactly as the
+    modularity bookkeeping expects.
+    """
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    cl = communities.select(F.col(node).alias("n"),
+                            F.col(community).alias("c"))
+    return (
+        e.join(cl.withColumnRenamed("n", "e_src")
+                 .withColumnRenamed("c", "c_src"), "e_src")
+        .join(cl.withColumnRenamed("n", "e_dst")
+                .withColumnRenamed("c", "c_dst"), "e_dst")
+        .groupBy("c_src", "c_dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )

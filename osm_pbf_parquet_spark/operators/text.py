@@ -428,6 +428,149 @@ def unigram_logprob_score(
     )
 
 
+KN_DISC_NUM, KN_DISC_DEN = 3, 4  # absolute discount D = 0.75, exact rational
+
+
+def kneser_ney_bigram_score(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+    prescale_bits: int = 0,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney, ICASSP
+    1995; the interpolated form of Chen & Goodman, CSL 1999 §2.7) — the
+    smoothing KenLM uses for the CCNet-style perplexity filter that
+    ``unigram_logprob_score`` approximates with add-one unigrams:
+
+        p(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+                 + D·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··),   D = 3/4
+
+    where N1+(w1·)/N1+(·w2) count distinct right/left continuations and
+    N1+(··) the distinct bigram types — the "how many contexts" counts
+    that make KN's backoff estimate novel-continuation probability
+    rather than raw frequency.
+
+    ZERO float arithmetic anywhere: with D = 3/4 the probability is the
+    exact integer rational
+
+        num = max(4·c12 − 3, 0)·N1pp + 3·N1fw(w1)·N1bw(w2)
+        den = 4·c1·N1pp            (num ≤ den, so cost ≥ 0)
+
+    and the per-occurrence cost is ``ilog2_fp(den) − ilog2_fp(num)``
+    (fixed-point log2 by mantissa squaring — see
+    ``functions.fixedpoint``; monotone, bit-identical in Spark and
+    DuckDB). Doc scores are then plain BIGINT SUMs — fully commutative,
+    no ordered float fold (unigram_logprob_score needs a sequential
+    fold because its float adds don't commute; integer costs do).
+
+    Scale: bigram derivation is the zero-join ``arrays_zip`` shift
+    (bigram_conditional); per-doc and corpus-type counts are ONE
+    map-side-combinable shuffle each over the (w1, w2) key; the
+    denominator/continuation frames aggregate the TYPE table (vocab²-
+    bounded, ≪ corpus). The type-stat join back to per-doc counts is
+    keyed on (w1, w2) — broadcastable for natural-language vocabularies,
+    a co-partitioned hash join otherwise. ``prescale_bits`` right-shifts
+    num and den before the log (a defined truncation, replayed by the
+    oracle) for corpora where c12·N1pp would overflow int64; the
+    decimal(38,0) intermediates raise loudly instead of wrapping.
+
+    Returns (doc_id, n_bigrams, total_cost_fp, bits_per_bigram_milli):
+    cost in 2^-16 log2 units; milli-bits/bigram by exact integer
+    division; docs with <2 tokens score NULL.
+    """
+    from ..functions.fixedpoint import ilog2_fp_sql
+
+    toks = with_tokens(df, text_col)
+    doc_pairs = (
+        toks.select(
+            key,
+            F.expr("slice(tokens, 1, greatest(size(tokens) - 1, 0))")
+            .alias("_a"),
+            F.expr("slice(tokens, 2, greatest(size(tokens) - 1, 0))")
+            .alias("_b"),
+        )
+        .select(key, F.explode(F.arrays_zip("_a", "_b")).alias("bg"))
+        .select(key, F.col("bg._a").alias("w1"), F.col("bg._b").alias("w2"))
+        .groupBy(key, "w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_doc"))
+    )
+    pairs = doc_pairs.groupBy("w1", "w2").agg(
+        F.sum("c_doc").cast("long").alias("c12")
+    )
+    left = pairs.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("n1fw"),
+    )
+    right = pairs.groupBy("w2").agg(F.count("*").cast("long").alias("n1bw"))
+    tot = pairs.agg(F.count("*").cast("long").alias("n1pp"))
+    dn, dd = KN_DISC_NUM, KN_DISC_DEN
+    # guard BEFORE the scaling division: Spark's decimal `div` yields
+    # BIGINT and silently WRAPS past int64 (verified), so the raw
+    # decimal is the only place the overflow is still visible
+    lim = ((1 << 62) - 1) << prescale_bits
+    sc = 1 << prescale_bits
+    stats = (
+        pairs.join(left, "w1").join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_num_raw",
+            F.expr(
+                f"greatest({dd} * c12 - {dn}, 0)"
+                f" * CAST(n1pp AS DECIMAL(38,0))"
+                f" + {dn} * n1fw * CAST(n1bw AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            "_den_raw", F.expr(f"{dd} * c1 * CAST(n1pp AS DECIMAL(38,0))")
+        )
+        .withColumn(
+            "_num",
+            F.expr(
+                f"CASE WHEN _den_raw <= CAST('{lim}' AS DECIMAL(38,0)) "
+                f"THEN greatest(CAST(_num_raw div CAST({sc} AS "
+                f"DECIMAL(38,0)) AS BIGINT), CAST(1 AS BIGINT)) "
+                f"ELSE CAST(raise_error('kneser_ney: counts overflow "
+                f"int64 — raise prescale_bits') AS BIGINT) END"
+            ),
+        )
+        .withColumn(
+            "_den",
+            F.expr(
+                f"greatest(CAST(_den_raw div CAST({sc} AS DECIMAL(38,0)) "
+                f"AS BIGINT), CAST(1 AS BIGINT))"
+            ),
+        )
+        .select(
+            "w1", "w2",
+            F.expr(
+                f"({ilog2_fp_sql('_den')}) - ({ilog2_fp_sql('_num')})"
+            ).alias("cost_fp"),
+        )
+    )
+    per_doc = (
+        doc_pairs.join(stats, ["w1", "w2"])
+        .groupBy(key)
+        .agg(
+            F.sum("c_doc").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c_doc") * F.col("cost_fp")).cast("long")
+            .alias("total_cost_fp"),
+        )
+    )
+    spine = df.select(key)
+    return (
+        spine.join(per_doc, key, "left")
+        .select(
+            key,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce("total_cost_fp", F.lit(0)).cast("long")
+            .alias("total_cost_fp"),
+            F.expr(
+                "CASE WHEN n_bigrams IS NULL OR n_bigrams = 0 THEN NULL "
+                f"ELSE (total_cost_fp * 1000) div (n_bigrams * 65536) END"
+            ).cast("long").alias("bits_per_bigram_milli"),
+        )
+    )
+
+
 # Okapi BM25 constants (Robertson et al.; Lucene's defaults). Injected as
 # Python float literals into both the Spark plan and the SQL oracle.
 BM25_K1 = 1.2

@@ -332,8 +332,67 @@ SELECT node, deg FROM d4 WHERE deg >= {_KC_K}
 """
 
 
+# --- Kneser-Ney bigram LM scoring ---------------------------------------------
+
+
+def q_kneser_ney_score(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity per document — the
+    KenLM-style CCNet filter with ZERO float arithmetic: exact-rational
+    probabilities (D = 3/4) + integer fixed-point log2 (mantissa
+    squaring), so doc scores are commutative BIGINT sums and the oracle
+    replays every bit."""
+    return text.kneser_ney_bigram_score(_pta(spark, sf_dir, "documents"))
+
+
+def _oracle_kneser_ney() -> str:
+    from ..functions.fixedpoint import ilog2_fp_duck_ctes
+
+    dn, dd = text.KN_DISC_NUM, text.KN_DISC_DEN
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{text.TOKEN_REGEX}') AS l
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM toks WHERE len(l) >= 2
+),
+dp AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c_doc
+  FROM bg GROUP BY 1, 2, 3
+),
+pc AS (SELECT w1, w2, CAST(sum(c_doc) AS BIGINT) AS c12 FROM dp GROUP BY 1, 2),
+lf AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+              CAST(count(*) AS BIGINT) AS n1fw FROM pc GROUP BY 1),
+rt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM pc GROUP BY 1),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS n1pp FROM pc),
+nd AS (
+  SELECT pc.w1, pc.w2,
+         CAST(greatest({dd} * c12 - {dn}, 0) * CAST(n1pp AS HUGEINT)
+              + {dn} * n1fw * CAST(n1bw AS HUGEINT) AS BIGINT) AS nm,
+         CAST({dd} * c1 * CAST(n1pp AS HUGEINT) AS BIGINT) AS dns
+  FROM pc JOIN lf USING (w1) JOIN rt USING (w2), tt
+),
+{ilog2_fp_duck_ctes("lg", "nd", ["w1", "w2"], {"fden": "dns", "fnum": "nm"})},
+st AS (SELECT w1, w2, fden - fnum AS cost_fp FROM lg),
+per AS (
+  SELECT dp.doc_id, CAST(sum(c_doc) AS BIGINT) AS nb,
+         CAST(sum(c_doc * cost_fp) AS BIGINT) AS tc
+  FROM dp JOIN st USING (w1, w2) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(tc, 0) AS BIGINT) AS total_cost_fp,
+       CASE WHEN nb IS NULL OR nb = 0 THEN NULL
+            ELSE CAST((tc * 1000) // (nb * 65536) AS BIGINT)
+       END AS bits_per_bigram_milli
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
 MINING_QUERIES = {
     "pagerank_suppliers": (q_pagerank_suppliers, ORACLE_PAGERANK),
+    "kneser_ney_score": (q_kneser_ney_score, _oracle_kneser_ney()),
     "frequent_itemsets": (q_frequent_itemsets, ORACLE_FREQUENT_ITEMSETS),
     "hll_by_type": (q_hll_by_type, ORACLE_HLL_BY_TYPE),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),

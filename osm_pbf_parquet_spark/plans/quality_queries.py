@@ -167,6 +167,132 @@ FROM ds LEFT JOIN w ON w.community = ds.community CROSS JOIN tot t
 """
 
 
+_LOUVAIN_ROUNDS = 2
+
+
+def q_louvain_communities(spark, sf_dir):
+    """Louvain phase-1 local moves over the same customer ↔ supplier
+    graph LPA partitions — 2 synchronous rounds of exact-integer
+    modularity-gain argmax (Blondel et al. 2008), the move rule that
+    optimizes the objective community_modularity reads out. Oracle
+    unrolls both rounds: gains in HUGEINT, argmax by (gain DESC, com),
+    move iff gain > 0."""
+    from ..operators.graph import louvain_move_rounds
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eb = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        (F.col("o_custkey") * 2).cast("long").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+    ).distinct()
+    edges = eb.unionByName(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return louvain_move_rounds(edges, rounds=_LOUVAIN_ROUNDS)
+
+
+def _louvain_round_sql(prev: str, r: int) -> str:
+    return f"""
+cd{r} AS MATERIALIZED (SELECT p.com, CAST(sum(d.k) AS HUGEINT) AS s_c,
+                 CAST(count(*) AS BIGINT) AS n_c
+          FROM {prev} p JOIN deg d ON d.node = p.node GROUP BY 1),
+ki{r} AS MATERIALIZED (SELECT e.src AS node, p.com, CAST(count(*) AS BIGINT) AS cnt
+          FROM e JOIN {prev} p ON p.node = e.dst GROUP BY 1, 2),
+kia{r} AS MATERIALIZED (SELECT k.node,
+                  CAST(sum(CASE WHEN k.com = c.com THEN k.cnt ELSE 0 END)
+                       AS BIGINT) AS k_ia
+           FROM ki{r} k JOIN {prev} c ON c.node = k.node GROUP BY 1),
+g{r} AS MATERIALIZED (SELECT k.node, c.com AS a, k.com, sc.n_c AS n_cand,
+                sa.n_c AS n_own,
+                t.d_total * (k.cnt - i.k_ia)
+                  - d.k * (sc.s_c - sa.s_c + d.k) AS gain
+         FROM ki{r} k
+         JOIN {prev} c ON c.node = k.node
+         JOIN kia{r} i ON i.node = k.node
+         JOIN deg d ON d.node = k.node
+         JOIN cd{r} sc ON sc.com = k.com
+         JOIN cd{r} sa ON sa.com = c.com
+         CROSS JOIN dt t
+         WHERE k.com != c.com),
+p{r} AS MATERIALIZED (SELECT node, com, gain, n_cand, n_own FROM (
+           SELECT node, com, gain, n_cand, n_own,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY gain DESC, com) AS rk
+           FROM g{r}) WHERE rk = 1),
+a{r} AS MATERIALIZED (SELECT c.node,
+                CAST(CASE WHEN p.gain > 0
+                          AND NOT (p.n_own = 1 AND p.n_cand = 1
+                                   AND p.com > c.com)
+                     THEN p.com ELSE c.com END AS BIGINT) AS com
+         FROM {prev} c LEFT JOIN p{r} p ON p.node = c.node)"""
+
+
+def _oracle_louvain_communities() -> str:
+    rounds = ",".join(
+        _louvain_round_sql(f"a{r - 1}", r)
+        for r in range(1, _LOUVAIN_ROUNDS + 1)
+    )
+    return f"""
+WITH eb AS (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS MATERIALIZED (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+        FROM e GROUP BY 1),
+dt AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS d_total FROM e),
+a0 AS MATERIALIZED (SELECT node, node AS com FROM deg),{rounds}
+SELECT node, com AS community FROM a{_LOUVAIN_ROUNDS}
+"""
+
+
+def q_louvain_coarse_graph(spark, sf_dir):
+    """Louvain phase-2 contraction of the move-round partition: the
+    community supernode multigraph (weights = directed edge counts,
+    self-loops = intra-community mass) — the multi-level step that
+    makes the next level community-count-sized. Composes
+    louvain_communities the way community_modularity composes LPA."""
+    from ..operators.graph import louvain_coarsen, louvain_move_rounds
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    eb = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        (F.col("o_custkey") * 2).cast("long").alias("src"),
+        (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+    ).distinct()
+    edges = eb.unionByName(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return louvain_coarsen(
+        edges, louvain_move_rounds(edges, rounds=_LOUVAIN_ROUNDS)
+    )
+
+
+def _oracle_louvain_coarse() -> str:
+    rounds = ",".join(
+        _louvain_round_sql(f"a{r - 1}", r)
+        for r in range(1, _LOUVAIN_ROUNDS + 1)
+    )
+    return f"""
+WITH eb AS (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS MATERIALIZED (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+        FROM e GROUP BY 1),
+dt AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS d_total FROM e),
+a0 AS MATERIALIZED (SELECT node, node AS com FROM deg),{rounds}
+SELECT ls.com AS c_src, ld.com AS c_dst,
+       CAST(count(*) AS BIGINT) AS weight
+FROM e JOIN a{_LOUVAIN_ROUNDS} ls ON ls.node = e.src
+       JOIN a{_LOUVAIN_ROUNDS} ld ON ld.node = e.dst
+GROUP BY 1, 2
+"""
+
+
 def q_triangle_count(spark, sf_dir):
     """Triangles in the part co-purchase graph (parts co-occurring in
     ≥2 orders). Edge build reuses the Apriori item-support prefilter
@@ -929,6 +1055,12 @@ QUALITY_QUERIES = {
     "shortest_hops": (q_shortest_hops, ORACLE_SHORTEST_HOPS),
     "triangle_count": (q_triangle_count, ORACLE_TRIANGLE_COUNT),
     "label_communities": (q_label_communities, _oracle_label_communities()),
+    "louvain_communities": (
+        q_louvain_communities, _oracle_louvain_communities(),
+    ),
+    "louvain_coarse_graph": (
+        q_louvain_coarse_graph, _oracle_louvain_coarse(),
+    ),
     # composes the LPA oracle verbatim — the two gates move together
     "community_modularity": (
         q_community_modularity, _oracle_community_modularity(),

@@ -171,6 +171,225 @@ FROM r
 """
 
 
+# --- unigram-LM (SentencePiece-style) tokenizer --------------------------------
+
+_UNI_UNROLL = 10  # DP unroll depth in the oracle ≥ max word length in data
+
+
+def q_unigram_vocab_costs(spark, sf_dir):
+    """Seed piece vocabulary with integer fixed-point −log2 costs
+    (Kudo 2018's substring-frequency seed): all single chars + top-K
+    multi-char substrings; the oracle replays the mantissa-squaring
+    log via a recursive CTE — zero libm in either engine."""
+    from ..operators.unigram import unigram_seed_vocab
+
+    return unigram_seed_vocab(_t(spark, sf_dir, "documents"))
+
+
+def q_unigram_encode_corpus(spark, sf_dir):
+    """Viterbi-encode the corpus under the seed vocabulary — the
+    unigram-LM lifecycle's apply side (train → encode), the
+    SentencePiece counterpart of bpe_encode_corpus. The DP runs as a
+    Catalyst fold once per DISTINCT word; the oracle unrolls the DP
+    positions as SQL CTEs and walks backpointers with a recursive
+    CTE."""
+    from ..operators.unigram import unigram_encode_docs, unigram_seed_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_encode_docs(docs, unigram_seed_vocab(docs))
+
+
+def q_stream_unigram_encode(spark, sf_dir):
+    """Unigram-encode-on-arrival: the SAME Viterbi expression over a
+    document readStream with the vocabulary in shipped-artifact form
+    (bounded collect → map literal, the stream_bpe_encode idiom) — a
+    stateless append-mode projection; on static input the result is
+    the batch gate's, pinned by the shared oracle."""
+    from pyspark.sql import types as T
+
+    from ..operators.unigram import unigram_encode_docs, unigram_seed_vocab
+    from .analytic_queries import _run_stream_to_table
+
+    vocab = sorted(
+        (r["piece"], r["cost"])
+        for r in unigram_seed_vocab(
+            _t(spark, sf_dir, "documents")
+        ).collect()
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return _run_stream_to_table(
+        spark, unigram_encode_docs(stream, vocab),
+        "stream_unigram_encode_result", "append",
+    )
+
+
+def _uni_vocab_ctes() -> str:
+    """Shared oracle prefix: word frequencies → substring counts →
+    char+top-K selection → fixed-point costs (recursive ilog2 CTE)."""
+    from ..functions.fixedpoint import ilog2_fp_duck_ctes
+    from ..operators.unigram import UNI_K, UNI_P
+
+    return f"""wf AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                  w -> w != '')) AS w FROM documents) GROUP BY 1
+),
+pieces AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT unnest(flatten(list_transform(range(1, len(w)+1), i ->
+        list_transform(range(1, least({UNI_P}, len(w)-i+1)+1), l ->
+            substr(w, i, l))))) AS piece, cnt
+    FROM wf) GROUP BY 1
+),
+sel AS MATERIALIZED (
+  SELECT piece, cnt FROM pieces WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+    FROM pieces WHERE len(piece) > 1) WHERE rk <= {UNI_K}
+),
+vt AS (SELECT CAST(sum(cnt) AS BIGINT) AS vtot FROM sel),
+selv AS (SELECT piece, cnt, vtot FROM sel, vt),
+{ilog2_fp_duck_ctes("vlg", "selv", ["piece", "cnt"],
+                    {"ft": "vtot", "fc": "cnt"})},
+vocab AS MATERIALIZED (SELECT piece, cnt, ft - fc AS cost FROM vlg)"""
+
+
+ORACLE_UNIGRAM_VOCAB = f"""
+WITH RECURSIVE {_uni_vocab_ctes()}
+SELECT piece, cnt, CAST(cost AS BIGINT) AS cost FROM vocab
+"""
+
+
+def _uni_dp_sql() -> str:
+    """DP unroll: b{{j}} = best (cost, np, bp) for each word's prefix of
+    length j, branches over piece lengths joining b{{j−l}}; argmin by
+    (cost, np, bp DESC) — exactly the engine's min struct(cost, np,
+    −l). Words longer than the unroll produce no encoding row and the
+    compare fails LOUDLY (row-count), never silently."""
+    from ..operators.unigram import UNI_P
+
+    parts = []
+    for j in range(1, _UNI_UNROLL + 1):
+        branches = []
+        for l in range(1, min(UNI_P, j) + 1):
+            prev = f"b{j - l}"
+            branches.append(
+                f"SELECT c.w, p.cost + c.cost AS cost, p.np + 1 AS np, "
+                f"c.ln AS bp FROM cand c JOIN {prev} p ON p.w = c.w "
+                f"WHERE c.st = {j - l + 1} AND c.ln = {l}"
+            )
+        parts.append(f"""
+b{j} AS MATERIALIZED (SELECT w, cost, np, bp FROM (
+  SELECT w, cost, np, bp,
+         row_number() OVER (PARTITION BY w
+                            ORDER BY cost, np, bp DESC) AS rk
+  FROM ({' UNION ALL '.join(branches)})) WHERE rk = 1)""")
+    bp_union = " UNION ALL ".join(
+        f"SELECT w, {j} AS j, bp FROM b{j}"
+        for j in range(1, _UNI_UNROLL + 1)
+    )
+    return f"""cand0 AS MATERIALIZED (
+  SELECT w, unnest(flatten(list_transform(range(1, len(w)+1), i ->
+      list_transform(range(1, least({UNI_P}, len(w)-i+1)+1), l ->
+          struct_pack(st := i, ln := l,
+                      piece := substr(w, i, l)))))) AS c
+  FROM wf
+),
+cand AS MATERIALIZED (SELECT cand0.w, c.st AS st, c.ln AS ln, v.cost
+         FROM cand0 JOIN vocab v ON v.piece = c.piece),
+b0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS cost, 0 AS np FROM wf),{",".join(parts)},
+bp AS MATERIALIZED ({bp_union}),
+walk(w, j, enc) AS (
+  SELECT w, CAST(len(w) AS INT), '' FROM wf
+  UNION ALL
+  SELECT k.w, CAST(k.j - p.bp AS INT),
+         substr(k.w, k.j - p.bp + 1, p.bp)
+           || CASE WHEN k.enc = '' THEN '' ELSE '{SEP}{SEP}' END || k.enc
+  FROM walk k JOIN bp p ON p.w = k.w AND p.j = k.j
+  WHERE k.j > 0
+),
+wenc AS MATERIALIZED (SELECT w, '{SEP}' || enc || '{SEP}' AS enc_w
+         FROM walk WHERE j = 0)"""
+
+
+ORACLE_UNIGRAM_ENCODE = f"""
+WITH RECURSIVE {_uni_vocab_ctes()},
+{_uni_dp_sql()},
+d AS MATERIALIZED (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         w -> w != '') AS ws
+      FROM documents),
+occ0 AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
+             i -> struct_pack(pos := i, w := ws[i]))) AS o FROM d),
+occ AS MATERIALIZED (SELECT doc_id, o.pos AS pos, o.w AS w FROM occ0),
+enc_doc AS MATERIALIZED (
+  SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         string_agg(we.enc_w, ' ' ORDER BY o.pos) AS enc
+  FROM occ o JOIN wenc we ON we.w = o.w GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(e.n_words, 0) AS BIGINT) AS n_words,
+       CAST((length(coalesce(e.enc, ''))
+             - length(replace(coalesce(e.enc, ''), '{SEP}', ''))) // 2
+            AS BIGINT) AS n_tokens,
+       md5(coalesce(e.enc, '')) AS enc_md5
+FROM documents d LEFT JOIN enc_doc e ON e.doc_id = d.doc_id
+"""
+
+
+def q_unigram_em_round(spark, sf_dir):
+    """One hard-EM re-estimation round over the seed vocabulary
+    (Viterbi E-step usage counts → re-derived fixed-point costs, unused
+    multi-char pieces pruned, single chars floored at 1) — the
+    SentencePiece train-loop step between seeding and encoding. The
+    oracle re-runs the full seed + DP + walk replay and counts piece
+    usage from the reconstructed encodings."""
+    from ..operators.unigram import unigram_em_round, unigram_seed_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_em_round(docs, unigram_seed_vocab(docs))
+
+
+def _oracle_unigram_em() -> str:
+    from ..functions.fixedpoint import ilog2_fp_duck_ctes
+
+    return f"""
+WITH RECURSIVE {_uni_vocab_ctes()},
+{_uni_dp_sql()},
+used0 AS MATERIALIZED (
+  SELECT unnest(string_split(trim(enc_w, '{SEP}'), '{SEP}{SEP}'))
+           AS piece,
+         wf.cnt
+  FROM wenc JOIN wf ON wf.w = wenc.w),
+used AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS used FROM used0 GROUP BY 1),
+kept AS MATERIALIZED (
+  SELECT piece, used FROM used
+  UNION ALL
+  SELECT v.piece, CAST(1 AS BIGINT) FROM vocab v
+  WHERE len(v.piece) = 1
+    AND NOT EXISTS (SELECT 1 FROM used u WHERE u.piece = v.piece)),
+ut AS (SELECT CAST(sum(used) AS BIGINT) AS utot FROM kept),
+keptv AS (SELECT piece, used, utot FROM kept, ut),
+{ilog2_fp_duck_ctes("ulg", "keptv", ["piece", "used"],
+                    {"fu": "utot", "fs": "used"})}
+SELECT piece, used AS cnt, CAST(fu - fs AS BIGINT) AS cost FROM ulg
+"""
+
+
 TOKENIZER_QUERIES = {
     "bpe_train_merges": (q_bpe_train_merges, ORACLE_BPE_TRAIN),
     "bpe_token_vocab": (q_bpe_token_vocab, ORACLE_BPE_VOCAB),
@@ -178,4 +397,14 @@ TOKENIZER_QUERIES = {
     # tokenize-on-arrival shares the batch oracle verbatim — one
     # definition pins both execution modes (15th streaming gate)
     "stream_bpe_encode": (q_stream_bpe_encode, ORACLE_BPE_ENCODE),
+    "unigram_vocab_costs": (q_unigram_vocab_costs, ORACLE_UNIGRAM_VOCAB),
+    "unigram_encode_corpus": (
+        q_unigram_encode_corpus, ORACLE_UNIGRAM_ENCODE,
+    ),
+    # unigram encode-on-arrival shares the batch oracle (21st streaming
+    # gate) — same unification check as stream_bpe_encode
+    "stream_unigram_encode": (
+        q_stream_unigram_encode, ORACLE_UNIGRAM_ENCODE,
+    ),
+    "unigram_em_round": (q_unigram_em_round, _oracle_unigram_em()),
 }

@@ -204,3 +204,119 @@ def test_community_modularity_known_values(spark):
     )
     [row] = community_modularity(edges, trivial).collect()
     assert row["internal_edges"] == 7 and row["q_contrib"] == 0.0
+
+
+def _ref_louvain(pairs, rounds):
+    """Sequential synchronous Louvain local-move reference: exact
+    integer gains D·(k_ic − k_ia) − k_i·(Σ_c − Σ_a + k_i), move iff
+    strictly positive, ties to smallest community id, with the Lu et
+    al. 2015 minimum-label swap veto (singleton → larger-labeled
+    singleton blocked AFTER the argmax)."""
+    deg = defaultdict(int)
+    for u, _v in pairs:
+        deg[u] += 1
+    d_total = len(pairs)
+    asg = {n: n for n in deg}
+    for _ in range(rounds):
+        s = defaultdict(int)
+        size = defaultdict(int)
+        for n, c in asg.items():
+            s[c] += deg[n]
+            size[c] += 1
+        kic = defaultdict(int)
+        for u, v in pairs:
+            kic[(u, asg[v])] += 1
+        nxt = {}
+        for n, a in asg.items():
+            k_ia = kic.get((n, a), 0)
+            best = None
+            for (u, c), cnt in kic.items():
+                if u != n or c == a:
+                    continue
+                gain = (d_total * (cnt - k_ia)
+                        - deg[n] * (s[c] - s[a] + deg[n]))
+                key = (gain, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            if (best and best[0][0] > 0
+                    and not (size[a] == 1 and size[best[1]] == 1
+                             and best[1] > a)):
+                nxt[n] = best[1]
+            else:
+                nxt[n] = a
+        asg = nxt
+    return asg
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_lists, st.integers(1, 3))
+def test_louvain_moves_match_sequential(spark, edges, rounds):
+    from osm_pbf_parquet_spark.operators.graph import louvain_move_rounds
+
+    pairs = {(u, v) for u, v in edges if u != v}
+    pairs |= {(v, u) for u, v in pairs}
+    if not pairs:
+        return
+    df = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in louvain_move_rounds(df, rounds=rounds).collect()
+    }
+    assert got == _ref_louvain(pairs, rounds)
+
+
+def test_louvain_moves_two_triangles_bridge(spark):
+    """Two triangles + bridge, rounds=2, hand-traced WITH the
+    minimum-label swap veto: round 1 collapses {1,2,3} onto label 1
+    (node 1's best target {2} is vetoed — singleton to larger-labeled
+    singleton — while 2 and 3 flow downhill to 1) and 6 joins 5;
+    round 2 pulls 4 into {5,6}. The PERFECT two-triangle partition,
+    which pure synchronous moves never reach (they oscillate); the
+    modularity readout certifies the known optimum 2·(3/7 − 1/4)."""
+    from osm_pbf_parquet_spark.operators.graph import (
+        community_modularity,
+        louvain_move_rounds,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    comm = louvain_move_rounds(edges, rounds=2)
+    got = {r["node"]: r["community"] for r in comm.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 5, 5: 5, 6: 5}
+    assert got == _ref_louvain(set(pairs), 2)
+    q_moved = sum(
+        r["q_contrib"]
+        for r in community_modularity(edges, comm).collect()
+    )
+    singles = spark.createDataFrame(
+        [(n, n) for n in range(1, 7)], "node long, community long"
+    )
+    q_single = sum(
+        r["q_contrib"]
+        for r in community_modularity(edges, singles).collect()
+    )
+    # 2·(3/7 − (7/14)²) vs −Σ(k_i/14)²
+    assert q_moved > q_single
+    assert abs(q_moved - 2 * 0.178571429) < 1e-8
+    assert abs(q_single - (-0.173469385)) < 1e-8
+
+
+def test_louvain_coarsen_two_triangles(spark):
+    """Contraction of the perfect two-triangle partition: two
+    supernodes, self-loop weight 6 (= 2·3 internal undirected edges)
+    each, bridge weight 1 per direction; total directed weight is
+    conserved (Σ = |e| = 14)."""
+    from osm_pbf_parquet_spark.operators.graph import (
+        louvain_coarsen,
+        louvain_move_rounds,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    pairs = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    comm = louvain_move_rounds(edges, rounds=2)
+    got = {(r["c_src"], r["c_dst"]): r["weight"]
+           for r in louvain_coarsen(edges, comm).collect()}
+    assert got == {(1, 1): 6, (5, 5): 6, (1, 5): 1, (5, 1): 1}
+    assert sum(got.values()) == len(pairs)

@@ -899,3 +899,76 @@ def test_unimax_allocation_plan(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert plan.count("SinglePartition") == 1  # the S-row window frame
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_unigram_encode_dictionary_shape(spark):
+    """r12: unigram Viterbi encode must run the DP once per DISTINCT
+    word (the bpe dictionary discipline) — exchanges keyed only on
+    ``w`` (distinct + dictionary attach) and ``doc_id`` (positional
+    regroup, which MUST exist); the vocabulary attaches as broadcast
+    (the 1-row map agg), never a shuffled join; no UDFs — the DP is
+    pure Catalyst expression work."""
+    import re
+
+    from osm_pbf_parquet_spark.plans.tokenizer_queries import (
+        q_unigram_encode_corpus,
+    )
+
+    plan = _plan(q_unigram_encode_corpus(spark, SF_DIR))
+    seen = set()
+    for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = [k.strip().split("#")[0] for k in a.split(",") if "#" in k]
+        assert keys and all(
+            k in ("w", "doc_id", "piece", "_groupingexpression")
+            for k in keys
+        ), a
+        seen.update(keys)
+    assert "doc_id" in seen, "positional regroup missing — fold path?"
+    assert "w" in seen, "distinct-word dictionary missing"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kneser_ney_exchanges_are_bigram_keyed(spark):
+    """r12: KN scoring derives bigrams with ZERO corpus joins (self-
+    zipped slices); every hash exchange is keyed on the bigram/count
+    frames ((doc_id,w1,w2) → (w1,w2) → w1/w2 marginals → doc_id
+    regroup) and the N1+(··) total attaches broadcast. The per-
+    occurrence cost is integer, so no window functions at all."""
+    import re
+
+    from osm_pbf_parquet_spark.plans.mining_queries import (
+        q_kneser_ney_score,
+    )
+
+    plan = _plan(q_kneser_ney_score(spark, SF_DIR))
+    allowed = {"doc_id", "w1", "w2", "_groupingexpression"}
+    for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = [k.strip().split("#")[0] for k in a.split(",") if "#" in k]
+        assert keys and all(k in allowed for k in keys), a
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_louvain_exchanges_are_node_or_community_keyed(spark):
+    """r12: every exchange in the Louvain move rounds is keyed on the
+    node/endpoint columns (the LPA exchange class) or the community
+    key (degree-sum agg); the directed-total frame attaches broadcast.
+    No windows — the argmax is the combinable max(struct) agg."""
+    import re
+
+    from osm_pbf_parquet_spark.plans.quality_queries import (
+        q_louvain_communities,
+    )
+
+    plan = _plan(q_louvain_communities(spark, SF_DIR))
+    # src/dst: the gate's DISTINCT edge build upstream of the operator
+    allowed = {"node", "e_src", "e_dst", "com", "a", "src", "dst",
+               "_groupingexpression"}
+    for a in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = [k.strip().split("#")[0] for k in a.split(",") if "#" in k]
+        assert keys and all(k in allowed for k in keys), a
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
