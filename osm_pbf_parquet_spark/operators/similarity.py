@@ -33,6 +33,34 @@ NORM = "sqrt(aggregate({v}, cast(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
 TO_DOUBLE = "transform({v}, x -> cast(x AS DOUBLE))"
 
 
+def dot_expr(a: str, b: str, dim: int | None = None) -> str:
+    """Sequential-fold dot product. With ``dim`` known, the fold is
+    UNROLLED into a flat left-associative sum — bit-identical to the
+    ``aggregate``/``zip_with`` form (same products, same addition order,
+    same leading ``0.0 +`` term, same NULL propagation on NULL elements)
+    but fully whole-stage-codegen'd: Catalyst evaluates higher-order
+    lambdas interpreted, one allocation per element, which r12 measured
+    at ~55µs per 64-dim cosine on the candidate-pair hot path (110 CPU-s
+    of a 118 CPU-s stage). Flat unrolling requires every row's arrays to
+    have exactly ``dim`` elements (a shorter array folds fewer terms but
+    flat-reads NULL past the end) — callers pass ``dim`` only where the
+    fixed-dimension contract already holds (the same precondition the
+    LSH hyperplane family and PQ codebooks enforce)."""
+    if dim is None:
+        return DOT.format(a=a, b=b)
+    terms = " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(dim))
+    return f"(cast(0.0 AS DOUBLE) + {terms})"
+
+
+def norm_expr(v: str, dim: int | None = None) -> str:
+    """L2 norm with the same unroll-when-dim-known contract as
+    ``dot_expr`` (identical fold order → identical IEEE result)."""
+    if dim is None:
+        return NORM.format(v=v)
+    terms = " + ".join(f"({v}[{i}] * {v}[{i}])" for i in range(dim))
+    return f"sqrt(cast(0.0 AS DOUBLE) + {terms})"
+
+
 def with_unit_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """L2-normalize once up front — cosine becomes plain dot product."""
     d = df.withColumn("_vd", F.expr(TO_DOUBLE.format(v=vec_col)))
@@ -151,16 +179,29 @@ def lsh_buckets(df: DataFrame, dim: int, vec_col: str = "embedding",
         F.expr(hyperplane_expr(dim, n_planes)).alias("_planes")
     )
     d = d.crossJoin(F.broadcast(planes_df))
-    buckets = (
-        f"transform(sequence(0, {n_tables - 1}), t -> "
+    # r12: explode the TRIVIAL table-index sequence and compute ONLY that
+    # table's bucket per exploded row. Exploding a precomputed _buckets
+    # array let InferFiltersFromGenerate clone the whole 16-table × 4-plane
+    # transform into a pushed-down size()>0 filter that re-ran the full
+    # bucket computation once more per input row (the grams_exploded
+    # lesson; visible as the transform inside a Join condition in the
+    # r12 before-plans). Per-vector work is unchanged (each of the
+    # n_tables rows folds its own planes_per_table dots); the inferred
+    # filter is now size(sequence)>0 — constant.
+    bucket = (
         f"aggregate(transform(sequence(0, {planes_per_table - 1}), j -> "
-        f"CASE WHEN {DOT.format(a='_vd', b=f'_planes[t * {planes_per_table} + j]')} >= 0 "
-        "THEN shiftleft(1L, j) ELSE 0L END), 0L, (acc, x) -> acc + x))"
+        f"CASE WHEN {DOT.format(a='_vd', b=f'_planes[table_idx * {planes_per_table} + j]')} >= 0 "
+        "THEN shiftleft(1L, j) ELSE 0L END), 0L, (acc, x) -> acc + x)"
     )
     return (
-        d.withColumn("_buckets", F.expr(buckets))
-        .select("*", F.posexplode("_buckets").alias("table_idx", "bucket"))
-        .drop("_buckets", "_vd", "_planes")
+        d.select(
+            "*",
+            F.explode(F.expr(f"sequence(0, {n_tables - 1})")).alias(
+                "table_idx"
+            ),
+        )
+        .withColumn("bucket", F.expr(bucket))
+        .drop("_vd", "_planes")
     )
 
 
@@ -284,32 +325,71 @@ def lsh_ann_pairs(
     from ..functions.caching import owned_set, tie_release
 
     ps, owned = owned_set(cache)
+    # r12 restructure (guide §8 "decide with small rows, move big rows
+    # once" + §2.3 "shuffle keys, not payloads"): the pre-r12 plan let
+    # the 64-dim vectors RIDE the banded self-join and scored every
+    # bucket collision — the cosine filter was pushed into the join
+    # condition, so each probed candidate paid THREE interpreted
+    # 64-element folds (dot + both norms recomputed per pair), and
+    # multi-table collisions were rescored once per table: 110 of the
+    # stage's 118 CPU-seconds at the 10× tier. Now:
+    #   1. the bucket join moves ONLY (key, table_idx, bucket) — no
+    #      vector payload in the self-join or its broadcast;
+    #   2. candidate pairs are DISTINCT'd on ids BEFORE scoring, so a
+    #      pair colliding in m tables is scored once, not m times;
+    #   3. vectors + per-row norms come from a separate persisted
+    #      per-vector frame (norms are n folds, never n² — same IEEE
+    #      values: same fold, same operands, same division order).
+    # Output is identical: the old plan scored duplicates to identical
+    # cosines and distinct'd after the filter; scoring once per distinct
+    # pair commutes with both.
+    vecs = ps.persist(
+        _spread(df).select(
+            F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("_vd")
+        ).withColumn("_norm", F.expr(NORM.format(v="_vd")))
+    )
     b = ps.persist(  # both join sides reuse the bucketed table
-        lsh_buckets(df, dim, vec_col, n_tables, planes_per_table).select(
-            key, "table_idx", "bucket", vec_col
+        lsh_buckets(vecs, dim, "_vd", n_tables, planes_per_table).select(
+            key, "table_idx", "bucket"
         )
     )
-    a_side = b.select(
-        F.col(key).alias("id_a"), "table_idx", "bucket",
-        F.expr(TO_DOUBLE.format(v=vec_col)).alias("va"),
-    )
+    a_side = b.select(F.col(key).alias("id_a"), "table_idx", "bucket")
     b_side = b.select(
         F.col(key).alias("id_b"),
         F.col("table_idx").alias("table_b"),
         F.col("bucket").alias("bucket_b"),
-        F.expr(TO_DOUBLE.format(v=vec_col)).alias("vb"),
     )
-    return tie_release(
+    pairs = (
         a_side.join(
             b_side,
             (F.col("table_idx") == F.col("table_b"))
             & (F.col("bucket") == F.col("bucket_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .withColumn("cosine", F.round(F.expr(cosine_expr("va", "vb")), 6))
+        .select("id_a", "id_b")
+        .distinct()  # pairs colliding in several tables score ONCE
+    )
+    va = vecs.select(
+        F.col(key).alias("id_a"), F.col("_vd").alias("va"),
+        F.col("_norm").alias("norm_a"),
+    )
+    vb = vecs.select(
+        F.col(key).alias("id_b"), F.col("_vd").alias("vb"),
+        F.col("_norm").alias("norm_b"),
+    )
+    return tie_release(
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(DOT.format(a="va", b="vb"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-        .distinct(),  # pairs colliding in several tables appear once
+        .select("id_a", "id_b", "cosine"),
         ps, owned,
     )
 
