@@ -622,7 +622,10 @@ def duplicate_spans(
     # would let InferFiltersFromGenerate clone the whole expression into a
     # pushed-down filter (2x eval below the exchange); the bare integer
     # sequence keeps the inferred filter trivial and the md5/slice work in
-    # whole-stage codegen (same lesson as grams_exploded)
+    # whole-stage codegen (same lesson as grams_exploded).
+    # r12: h is unhex(md5) BINARY — bijective with the hex string, half
+    # the bytes on the h-keyed exchange (the oracle keeps grouping the
+    # hex; counts per shingle are identical either way).
     e = (
         d.select(
             F.col(key), "_w",
@@ -636,13 +639,25 @@ def duplicate_spans(
         )
         .select(
             key, "pos",
-            F.expr(f"md5(concat_ws(' ', slice(_w, pos, {k})))").alias("h"),
+            F.expr(
+                f"unhex(md5(concat_ws(' ', slice(_w, pos, {k}))))"
+            ).alias("h"),
         )
     )
-    dup_counts = e.groupBy("h").agg(F.count("*").alias("n_occ")).filter(
-        F.col("n_occ") > 1
+    # r12 (guide §2.3/§2.4): occurrence count as ONE window over the
+    # h-partitioned rows instead of groupBy(h) + equi-join back — the
+    # old plan exchanged the corpus-sized (key, pos, h) frame by h TWICE
+    # (once partial-agged for the counts, once raw for the join: 72 + 22
+    # MB at the 10× tier); the window form moves it once. Identical
+    # rows: count(*) over (partition by h) > 1 keeps exactly the shingle
+    # occurrences whose hash count exceeds one.
+    dup = (
+        e.withColumn(
+            "_n_occ", F.count("*").over(Window.partitionBy("h"))
+        )
+        .filter(F.col("_n_occ") > 1)
+        .select(key, "pos")
     )
-    dup = e.join(dup_counts, "h").select(key, "pos")
     w = Window.partitionBy(key).orderBy("pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -72,7 +72,16 @@ def pagerank_power(
             F.col(dst).cast("long").alias("dst"),
         ).distinct()
     )
-    nodes = (
+    # materialize the edge set BEFORE the node-count broadcast is built:
+    # that broadcast-exchange job runs on its own thread and raced the
+    # main job on the unpopulated cache — both re-derived the full
+    # join+distinct edge extraction (twin corpus stages at the 10× tier;
+    # the minhash sigs.count() precedent)
+    e.count()
+    # the node spine has two consumers — the n-count broadcast and the
+    # teleport base — which otherwise EACH re-run the union+distinct
+    # over e's cache (the remaining twin stages after the e fix)
+    nodes = ps.persist(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()

@@ -94,6 +94,13 @@ def dsir_importance(
         .groupBy(key, "_is_t", "_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
+    # materialize BEFORE the λ broadcast is built: the broadcast-exchange
+    # job runs on its own thread and raced the main job on the
+    # unpopulated cache — both computed the full tokenize+explode+groupBy
+    # chain (two twin ~55 CPU-sec corpus stages at the 10× tier; the
+    # minhash_lsh_dedup sigs.count() precedent). One compute + two cache
+    # reads replaces two computes at every scale.
+    dbc.count()
     dist = dbc.groupBy("_bucket").agg(
         F.sum("_c").cast("long").alias("_raw_ct"),
         F.coalesce(

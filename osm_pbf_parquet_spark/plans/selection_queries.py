@@ -349,6 +349,10 @@ def q_training_set_assembly(spark, sf_dir):
     sample = ps.persist(
         selection.weighted_reservoir_sample(w, k=_ASSEMBLY_K)
     )
+    # materialize before the shard plan's broadcast build races the
+    # final attach on the unpopulated cache (each side would re-run the
+    # dsir re-agg + top-k from dbc's cache)
+    sample.count()
     plan = epoch_shard_plan(
         sample, n_shards=_ASSEMBLY_SHARDS, epoch=_ASSEMBLY_EPOCH
     )

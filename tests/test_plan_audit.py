@@ -508,7 +508,11 @@ def test_training_set_assembly_marginal_plan(spark):
         assert "rangepartitioning" not in plan  # no global sort anywhere
         hashed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
         shard_keyed = [a for a in hashed if a.startswith("shard")]
-        assert len(shard_keyed) == 1, hashed
+        # r12: the sample is eagerly materialized (cache-race fix), so
+        # the finalized k-row cache is SinglePartition and the shard
+        # window needs NO exchange at all — allow 0 or 1, never more
+        assert len(shard_keyed) <= 1, hashed
+        assert "Window" in plan  # the shard layout window is present
         # the sample feeds both the window and the attach from cache
         assert "InMemoryTableScan" in plan
     finally:
