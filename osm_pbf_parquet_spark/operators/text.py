@@ -2,13 +2,18 @@
 
 Language ID (stopword voting), quality scoring (length/punct/stopword
 ratios), token counting (whitespace + BPE-ish regex), and document
-fingerprinting (min-gram rolling hash). All pure Catalyst expressions —
-JVM-side, codegen'd, and SQL-expressible for the oracle. No model files,
-no Python in the hot path.
+fingerprinting (min-gram rolling hash). Pure Catalyst expressions —
+JVM-side, codegen'd, and SQL-expressible for the oracle — except where
+an interpreted higher-order-lambda chain measured as the hot spot and a
+bit-identical vectorized Arrow kernel replaces it by default with the
+SQL form retained for the oracle mirror (winnowing_fingerprints, r12 —
+the minhash_signatures two-impl contract). No model files.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -629,6 +634,12 @@ def bm25_topk(
             ),
         )
     )
+    # materialize before the stats/dfreq broadcasts are built: those
+    # broadcast-exchange jobs run on their own threads and raced the
+    # main job on the unpopulated cache, re-running the regex tokenizer
+    # per consumer anyway (twin tokenize stages at the 10× tier — the
+    # same race the persist was added to prevent)
+    base.count()
     stats = base.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -784,7 +795,7 @@ WINNOW_W = 5   # winnowing window (hashes per window)
 
 def winnowing_fingerprints(
     df: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W,
-    text_col: str = "text", key: str = "doc_id",
+    text_col: str = "text", key: str = "doc_id", impl: str = "arrow",
 ) -> DataFrame:
     """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -805,15 +816,74 @@ def winnowing_fingerprints(
     hash the whole text as one gram; hash sequences shorter than w
     select their global min (one window over everything).
 
-    Plan/scale: ENTIRELY per-row Catalyst arrays — positional grams,
-    md5 hashes, per-window min via slice+array_min, distinct — then
-    one explode. No shuffle, no UDF, no state: fingerprinting runs at
-    scan speed and the output is the compact join key downstream
-    overlap detectors bucket on. The SQL form trades the classic
-    O(m) deque for O(m·w) slice scans per doc — w is a small constant
-    (5) and the work is JVM-codegen'd, a deliberate simplicity/
-    throughput trade documented here.
+    Plan/scale: one per-row projection + one explode. No shuffle, no
+    state. Two BIT-IDENTICAL implementations (the minhash_signatures
+    two-impl contract; equality pinned by a test):
+
+    - ``arrow`` (default, r12): one vectorized pandas_udf — hashlib's C
+      md5 per gram, numpy sliding-window min/argmin for the winnowing
+      pass. The SQL form's per-window work is three interpreted
+      ``slice`` allocations + two ``array_min`` scans + one
+      ``array_position`` scan (Catalyst higher-order lambdas do not
+      codegen); r12 stage metrics put it at 103 of the
+      fingerprint_decontaminate stage's 110 CPU-seconds at the 10×
+      tier. Python's ``str.split(' ')`` matches Spark's ``split`` with
+      its default limit=-1 exactly (empties kept, '' → ['']), and
+      ``int(md5hex[:15], 16)`` IS conv(substring(md5,1,15),16,10) —
+      the bit-identity over the corpus + crafted edge docs is pinned in
+      tests/test_pipeline_properties.py.
+    - ``sql``: the pure-Catalyst form the DuckDB oracle mirrors —
+      per-window min via slice+array_min, O(m·w) slice scans per doc
+      (w is a small constant).
     """
+    if impl == "arrow":
+        from hashlib import md5 as _md5
+
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        @F.pandas_udf("array<struct<fp: bigint, pos: int>>")
+        def _winnow(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                words = t.split(" ")
+                if len(words) < k:
+                    grams = [t]
+                else:
+                    grams = [
+                        " ".join(words[i:i + k])
+                        for i in range(len(words) - k + 1)
+                    ]
+                gh = np.fromiter(
+                    (
+                        int(_md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                m = gh.size
+                if m <= w:
+                    am = int(gh.argmin())  # leftmost min, as array_position
+                    out.append([(int(gh[am]), am + 1)])
+                    continue
+                sw = sliding_window_view(gh, w)
+                mins = sw.min(axis=1)
+                pos = np.arange(1, m - w + 2) + sw.argmin(axis=1)
+                seen: set = set()
+                sel = []
+                for fp_, p_ in zip(mins.tolist(), pos.tolist()):
+                    if (fp_, p_) not in seen:  # array_distinct semantics
+                        seen.add((fp_, p_))
+                        sel.append((fp_, p_))
+                out.append(sel)
+            return pd.Series(out)
+
+        return (
+            df.select(F.col(key), F.explode(_winnow(text_col)).alias("_s"))
+            .select(
+                key, F.col("_s.fp").alias("fp"), F.col("_s.pos").alias("pos")
+            )
+        )
     n = f"size(split({text_col}, ' '))"
     words = f"split({text_col}, ' ')"
     grams = (

@@ -206,6 +206,36 @@ def test_winnowing_matches_sequential_reference(spark):
         ), r["doc_id"]
 
 
+def test_winnowing_arrow_impl_equals_sql_impl(spark):
+    """r12: the vectorized default kernel must be BIT-identical to the
+    oracle-mirrored Catalyst form — corpus + crafted edge docs (empty
+    text, single word, sub-k, trailing/multiple spaces, all-identical
+    grams that exercise the leftmost-min tiebreak and distinct)."""
+    from osm_pbf_parquet_spark.operators.text import winnowing_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (9000001, ""),
+            (9000002, "one"),
+            (9000003, "a b c"),
+            (9000004, "x " * 10),
+            (9000005, "tok tok tok tok tok tok tok tok"),
+            (9000006, "a  b   c " * 5),
+        ],
+        ["doc_id", "text"],
+    )
+    df = docs.select("doc_id", "text").union(edge)
+
+    def rows(impl):
+        out: dict[int, set] = {}
+        for r in winnowing_fingerprints(df, impl=impl).collect():
+            out.setdefault(r["doc_id"], set()).add((r["fp"], r["pos"]))
+        return out
+
+    assert rows("arrow") == rows("sql")
+
+
 def test_winnowing_shared_span_guarantee(spark):
     """The SIGMOD'03 guarantee: two documents sharing any span of
     w + k - 1 tokens select at least one COMMON fingerprint — the
