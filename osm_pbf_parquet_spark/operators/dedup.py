@@ -30,6 +30,8 @@ integer arithmetic mod a Mersenne prime — reproducible across engines.
 
 from __future__ import annotations
 
+from hashlib import md5 as _md5
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -75,6 +77,32 @@ def with_grams(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> Dat
     [0, p)) — pure projection."""
     df = df.withColumn("grams", F.expr(shingle_expr(text_col, k)))
     return df.withColumn("gram_hashes", F.expr(GRAM_HASH.format(grams="grams")))
+
+
+def _gram_hash_vec(t: str, k: int) -> np.ndarray:
+    """One document's distinct-shingle gram hashes as int64 — the Python
+    twin of ``with_grams``'s expressions, BIT-IDENTICAL by construction:
+    str.split(' ') == Spark split(limit=-1) (both keep empty tokens),
+    dict.fromkeys == array_distinct (first-occurrence order), and
+    int(md5hex[:15], 16) % p == pmod(conv(substring(md5(x),1,15),16,10), p)
+    (60 bits, no overflow, both non-negative)."""
+    words = t.split(" ")
+    if len(words) < k:
+        grams = [t]
+    else:
+        grams = list(
+            dict.fromkeys(
+                " ".join(words[i:i + k]) for i in range(len(words) - k + 1)
+            )
+        )
+    return np.fromiter(
+        (
+            int(_md5(x.encode("utf-8")).hexdigest()[:15], 16) % MERSENNE31
+            for x in grams
+        ),
+        dtype=np.int64,
+        count=len(grams),
+    )
 
 
 def grams_exploded(
@@ -164,25 +192,36 @@ def minhash_signatures(
       transform-per-seed form would re-evaluate the inlined md5 chain
       32× after CollapseProject; the fold avoids that.
     """
-    base = with_grams(df, text_col, k)
     seeds = _seeds(n_hashes)
     if impl == "arrow":
         A = np.array([a for a, _ in seeds], dtype=np.int64)
         B = np.array([b for _, b in seeds], dtype=np.int64)
         p = MERSENNE31
 
-        @F.pandas_udf("array<long>")
-        def _mh(gh: pd.Series) -> pd.Series:
-            out = []
-            for g in gh:
-                g = np.asarray(g, dtype=np.int64)
-                if g.size == 0:
-                    out.append(np.full(A.size, p, dtype=np.int64))
-                else:
-                    out.append(((g[:, None] * A + B) % p).min(axis=0))
-            return pd.Series(out)
+        # r12: the FULL signature chain — shingle, ordered-distinct,
+        # md5-mod-p, minhash fold — in one vectorized kernel
+        # (``_gram_hash_vec`` + numpy fold). The pre-r12 arrow impl
+        # still built grams/gram_hashes with ``with_grams``'s Catalyst
+        # higher-order lambdas (interpreted per element — the dominant
+        # cost of dedup_minhash_lsh's signature stage at the 10× tier);
+        # here the shingling is plain Python + hashlib's C md5 and only
+        # the fold is numpy. Values are BIT-identical (test-pinned vs
+        # the sql impl on minhash AND gram_hashes).
+        @F.pandas_udf("struct<gram_hashes: array<long>, minhash: array<long>>")
+        def _sig(texts: pd.Series) -> pd.DataFrame:
+            ghs, mhs = [], []
+            for t in texts:
+                g = _gram_hash_vec(t, k)
+                ghs.append(g)
+                mhs.append(((g[:, None] * A + B) % p).min(axis=0))
+            return pd.DataFrame({"gram_hashes": ghs, "minhash": mhs})
 
-        return base.withColumn("minhash", _mh("gram_hashes"))
+        return df.withColumn("_sig", _sig(text_col)).select(
+            *df.columns,
+            F.col("_sig.gram_hashes").alias("gram_hashes"),
+            F.col("_sig.minhash").alias("minhash"),
+        )
+    base = with_grams(df, text_col, k)
     seed_arr = ", ".join(f"named_struct('a', {a}L, 'b', {b}L)" for a, b in seeds)
     sig = (
         f"aggregate(gram_hashes, "
@@ -406,29 +445,31 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
                        k: int = SHINGLE_K, impl: str = "arrow") -> DataFrame:
     """Same two-implementation contract as ``minhash_signatures``:
     ``arrow`` computes the bit-majority in numpy (exact integer match of
-    the SQL fold); ``sql`` keeps the oracle-mirrored expression form."""
-    base = with_grams(df, text_col, k)
+    the SQL fold); ``sql`` keeps the oracle-mirrored expression form.
+
+    r12: the arrow impl fuses shingling into the kernel too
+    (``_gram_hash_vec``) instead of feeding on ``with_grams``'s
+    interpreted higher-order lambdas — same change as
+    ``minhash_signatures``; consumers only read (key, simhash).
+    ``_gram_hash_vec`` never returns an empty array (short docs
+    contribute the whole text as one gram), matching the SQL fold's
+    domain."""
     if impl == "arrow":
         bits = SIMHASH_BITS
         shifts = np.arange(bits, dtype=np.int64)
 
         @F.pandas_udf("long")
-        def _sh(gh: pd.Series) -> pd.Series:
-            out = np.empty(len(gh), dtype=np.int64)
-            for j, g in enumerate(gh):
-                g = np.asarray(g, dtype=np.int64)
-                if g.size == 0:
-                    # parity: the SQL fold's zero counters pass cnt >= 0
-                    # for every bit, yielding all-ones
-                    out[j] = (1 << bits) - 1
-                else:
-                    b = (g[:, None] >> shifts) & 1
-                    cnt = (2 * b - 1).sum(axis=0)
-                    out[j] = int(((cnt >= 0).astype(np.int64) << shifts).sum())
+        def _sh(texts: pd.Series) -> pd.Series:
+            out = np.empty(len(texts), dtype=np.int64)
+            for j, t in enumerate(texts):
+                g = _gram_hash_vec(t, k)
+                b = (g[:, None] >> shifts) & 1
+                cnt = (2 * b - 1).sum(axis=0)
+                out[j] = int(((cnt >= 0).astype(np.int64) << shifts).sum())
             return pd.Series(out)
 
-        return base.withColumn("simhash", _sh("gram_hashes"))
-    return base.withColumn("simhash", F.expr(simhash_expr()))
+        return df.withColumn("simhash", _sh(text_col))
+    return with_grams(df, text_col, k).withColumn("simhash", F.expr(simhash_expr()))
 
 
 def _pigeonhole_guard(bands: int, max_distance: int) -> None:

@@ -402,8 +402,16 @@ def test_signature_impls_bit_identical(spark):
     mirrors the SQL form, so this equality is what keeps the default
     Arrow path oracle-checkable."""
     docs = t(spark, SF_DIR, "documents")
-    a = dedup.minhash_signatures(docs, impl="arrow").select("doc_id", "minhash")
-    b = dedup.minhash_signatures(docs, impl="sql").select("doc_id", "minhash")
+    # gram_hashes included: the r12 fused arrow kernel shingles+hashes in
+    # Python (_gram_hash_vec), and gram_hashes feeds the verify joins —
+    # order matters there (array_intersect is set-semantic but the
+    # persisted frame is shared), so compare the full arrays.
+    a = dedup.minhash_signatures(docs, impl="arrow").select(
+        "doc_id", "gram_hashes", "minhash"
+    )
+    b = dedup.minhash_signatures(docs, impl="sql").select(
+        "doc_id", "gram_hashes", "minhash"
+    )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     sa = dedup.simhash_signatures(docs, impl="arrow").select("doc_id", "simhash")
     sb = dedup.simhash_signatures(docs, impl="sql").select("doc_id", "simhash")

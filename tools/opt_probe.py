@@ -113,6 +113,35 @@ def main() -> None:
         rows.sort(key=lambda r: -r["runMs"])
         return rows[:12]
 
+    def _sql_report() -> list[str]:
+        """Per-operator metrics of the LAST completed SQL execution —
+        the precise attribution (which operator, not which stage)."""
+        import urllib.request
+
+        ui = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/sql?length=200&details=true"
+            "&planDescription=false"
+        ) as resp:
+            execs = json.load(resp)
+        if not execs:
+            return []
+        last = max(execs, key=lambda e: e["id"])
+        out = []
+        for n in last.get("nodes", []):
+            interesting = {
+                m["name"]: m["value"] for m in n.get("metrics", [])
+                if any(k in m["name"] for k in (
+                    "time total", "time in", "output rows", "data size",
+                    "shuffle bytes written", "records read",
+                ))
+            }
+            t = interesting.get("time total (min, med, max (stageId: taskId))") or \
+                interesting.get("time total") or ""
+            out.append(f"{n['nodeId']:>3} {n['nodeName'][:46]:46} {interesting}")
+        return out
+
     qmap = _query_map()
     for name in args.queries:
         fn = qmap[name]
@@ -152,6 +181,7 @@ def main() -> None:
             out[action] = {"min": min(reps), "reps": reps}
             if args.stages and stage0 is not None:
                 out[f"{action}_stages"] = _stage_report(stage0)
+                out[f"{action}_sql"] = _sql_report()
         print(json.dumps(out), flush=True)
 
 
