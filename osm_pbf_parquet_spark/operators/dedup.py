@@ -105,19 +105,49 @@ def _gram_hash_vec(t: str, k: int) -> np.ndarray:
     )
 
 
+def gram_hash_arrays(
+    df: DataFrame, text_col: str = "text", key: str = "doc_id",
+    k: int = SHINGLE_K, out_col: str = "gram_hashes",
+) -> DataFrame:
+    """(key, gram_hashes) per doc via the vectorized ``_gram_hash_vec``
+    kernel — the narrow two-column frame every gram consumer starts
+    from. One Arrow batch per task; only the text column crosses the
+    Python boundary. Values are the exact ``with_grams`` arrays
+    (string-distinct shingles, md5-mod-p, first-occurrence order)."""
+    @F.pandas_udf("array<long>")
+    def _gh(texts: pd.Series) -> pd.Series:
+        return pd.Series([_gram_hash_vec(t, k) for t in texts])
+
+    return df.select(F.col(key), _gh(text_col).alias(out_col))
+
+
 def grams_exploded(
     df: DataFrame, text_col: str = "text", key: str = "doc_id",
-    k: int = SHINGLE_K,
+    k: int = SHINGLE_K, impl: str = "arrow",
 ) -> DataFrame:
-    """Distinct (key, gh) shingle rows via POSITION EXPLODE: explode the
-    k-gram start positions, then slice+concat+md5 as flat row-at-a-time
-    projections. Semantically identical to exploding ``with_grams``'s
-    arrays (short docs contribute the whole text as one gram; same
-    md5-mod-p hash), but ~4× faster at the 10× bench tier: Catalyst
-    higher-order lambdas (transform/slice-in-lambda) are interpreted per
-    element, while the flat projection stays in whole-stage codegen —
-    measured 19.5s (transform) vs 0.6s (flat) for the explode alone, and
-    4.9s including the per-doc distinct shuffle this adds."""
+    """Distinct (key, gh) shingle rows.
+
+    ``arrow`` (default, r12): explode ``gram_hash_arrays``'s per-doc
+    kernel output. The per-doc dedup happens INSIDE the kernel (string
+    ``dict.fromkeys``), so the corpus-wide ``dropDuplicates`` shuffle of
+    the sql form disappears outright and the md5 chain runs in
+    hashlib's C core instead of codegen'd conv/substring/concat_ws
+    (measured 19.8 CPU-s for one corpus pass at the 10× tier).
+    String-distinct ≡ the sql form's h60-distinct except under a
+    within-doc md5-60-bit collision of distinct grams (~g²/2⁶¹ per
+    doc); the parity test pins exact multiset equality with the
+    ``with_grams`` arrays, whose semantics the oracle replays.
+
+    ``sql``: the pre-r12 flat codegen form — POSITION EXPLODE of k-gram
+    starts, slice+concat+md5 flat projections (whole-stage codegen, no
+    interpreted lambdas), then one per-doc distinct SHUFFLE on the
+    60-bit hash (8-byte rows, measured narrower than gram strings:
+    45.5 MB vs 76.7 MB at the 10× tier). Kept as the oracle-mirrored
+    expression form (the ``minhash_signatures`` two-impl contract)."""
+    if impl == "arrow":
+        return gram_hash_arrays(df, text_col, key, k, out_col="_gha").select(
+            key, F.explode("_gha").alias("gh")
+        )
     w = df.select(F.col(key), F.col(text_col), F.split(text_col, " ").alias("_ws"))
     pos = w.select(
         key, text_col, "_ws",
@@ -134,13 +164,12 @@ def grams_exploded(
     # distinct on h60 — the 8-byte BIGINT already derived from md5 (top
     # 60 bits) that fully determines gh — NOT the raw gram string: the
     # per-doc distinct is a shuffle, and a k-word gram string (or the
-    # 32-char md5 hex) is several times wider than one int64. Measured on
-    # the 10x tier: decontaminate shuffle 76.7 MB (raw string) / 104.5 MB
-    # (md5 hex) / 45.5 MB (h60). Unlike deduping on gh itself (mod 2^31,
-    # where within-doc birthday collisions are real at ~50k grams and
-    # would drop rows the oracle keeps), a 60-bit collision is ~n^2/2^61
-    # per doc — and the oracle list_distincts the SAME h60 values, so
-    # both engines agree bit-exactly even then.
+    # 32-char md5 hex) is several times wider than one int64. Unlike
+    # deduping on gh itself (mod 2^31, where within-doc birthday
+    # collisions are real at ~50k grams and would drop rows the oracle
+    # keeps), a 60-bit collision is ~n^2/2^61 per doc — and the oracle
+    # list_distincts the SAME h60 values, so both engines agree
+    # bit-exactly even then.
     h60 = (
         "cast(conv(substring(md5(_gram), 1, 15), 16, 10) AS BIGINT)"
     )
@@ -962,26 +991,39 @@ def prefix_jaccard_join(
     from ..functions.caching import owned_set, tie_release
 
     ps, owned = owned_set(cache)
-    flat = grams_exploded(df, text_col, key, k)
-    dfreq = flat.groupBy("gh").agg(
-        F.count(F.lit(1)).cast("long").alias("_df")
-    )
+    # shingle+hash the corpus ONCE (vectorized kernel, narrow persisted
+    # arrays); both the dfreq arm and the doc_sets arm explode the SAME
+    # cached frame instead of each re-running the corpus pass (two md5
+    # passes + two per-doc-distinct shuffles before r12). Materialized
+    # eagerly so a broadcast-exchange thread can't race the cold cache.
+    gha = ps.persist(gram_hash_arrays(df, text_col, key, k))
+    gha.count()
+    flat = gha.select(key, F.explode("gram_hashes").alias("gh"))
     # each doc's distinct hash set, sorted by the global (df, gh)
     # order — computed once, consumed by prefix slice AND verify.
-    # array_distinct matters: ``grams_exploded`` dedups per doc on the
-    # 60-BIT hash, so an intra-doc mod-p collision (~g²/2³¹ per doc —
-    # real at corpus scale) leaves a duplicate gh here; an inflated
-    # size would feed the length/positional filters a multiset count
-    # while the verifier's jaccard is set-semantic, pruning a
-    # qualifying pair at the exact threshold boundary (pinned by the
+    # r12: _df rides a WINDOW over the gh-partitioned shingle rows
+    # instead of groupBy(gh) + equi-join back (the duplicate_spans
+    # lesson): the join form exchanged the corpus-sized flat frame a
+    # second time — and the planner actually BROADCAST the 2.65M-row
+    # exploded side (192 MiB) at the 10× tier, the opposite of
+    # scale-safe. One exchange by gh, one by key, no join.
+    # array_distinct matters: the kernel dedups per doc on the gram
+    # STRING, so an intra-doc mod-p collision (~g²/2³¹ per doc — real
+    # at corpus scale) leaves a duplicate gh here; an inflated size
+    # would feed the length/positional filters a multiset count while
+    # the verifier's jaccard is set-semantic, pruning a qualifying
+    # pair at the exact threshold boundary (pinned by the
     # crafted-collision test). Duplicates share their gh's df, so they
     # sort adjacent and the dedup is a pure projection — no extra
     # shuffle; the df ordering itself may count a collided gh twice,
     # which only perturbs the global total order CONSISTENTLY (any
     # fixed order satisfies the prefix lemma).
+    wdf = flat.withColumn(
+        "_df",
+        F.count(F.lit(1)).over(Window.partitionBy("gh")).cast("long"),
+    )
     doc_sets = ps.persist(
-        flat.join(dfreq, "gh")
-        .groupBy(key)
+        wdf.groupBy(key)
         .agg(
             F.expr(
                 "array_distinct(transform("
@@ -1045,6 +1087,27 @@ def prefix_jaccard_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # r12: the set-overlap counting runs in a vectorized kernel — the
+    # codegen'd array_intersect/array_union pair builds two hash sets
+    # PER ROW and was the query's single hottest span (37 CPU-s for
+    # 1.25M candidate pairs at the 10× tier, ~30µs/pair vs ~2µs for
+    # Python frozenset ops on the same 50-element arrays). Only the
+    # two int counts come back; the jaccard DIVISION and round(·,4)
+    # stay in Spark, bit-identical to the size(array_intersect)/
+    # size(array_union) form: both _set arrays are distinct, so
+    # |A∪B| = |A| + |B| − |A∩B| exactly, and size() is an INT there
+    # too, making the int/int → double promotion the same arithmetic.
+    @F.pandas_udf("struct<i: int, u: int>")
+    def _ovl(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:
+        ii = np.empty(len(sa), dtype=np.int32)
+        uu = np.empty(len(sa), dtype=np.int32)
+        for j, (a, b) in enumerate(zip(sa, sb)):
+            A = frozenset(a)
+            i = len(A.intersection(b))
+            ii[j] = i
+            uu[j] = len(A) + len(b) - i
+        return pd.DataFrame({"i": ii, "u": uu})
+
     out = (
         pairs.join(
             doc_sets.select(F.col(key).alias("doc_a"), F.col("_set").alias("_sa")),
@@ -1054,14 +1117,8 @@ def prefix_jaccard_join(
             doc_sets.select(F.col(key).alias("doc_b"), F.col("_set").alias("_sb")),
             "doc_b",
         )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("_sa", "_sb"))
-                / F.size(F.array_union("_sa", "_sb")),
-                4,
-            ),
-        )
+        .withColumn("_iu", _ovl("_sa", "_sb"))
+        .withColumn("jaccard", F.round(F.col("_iu.i") / F.col("_iu.u"), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

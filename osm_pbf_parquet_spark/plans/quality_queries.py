@@ -40,13 +40,31 @@ def q_shortest_hops(spark, sf_dir):
     recursive CTE; the engine side is level-synchronous frontier joins."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    eb = o.join(l, o.o_orderkey == l.l_orderkey).select(
-        (F.col("o_custkey") * 2).alias("src"),
-        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    # r12: DISTINCT the directed pairs before symmetrizing, and emit
+    # both directions in ONE projection (explode of a 2-struct array)
+    # instead of a self-union. The pre-r12 form fed bfs_hops the raw
+    # 2×|o⋈l| edge multiset (11.7M rows, 99.4 MB distinct-shuffle at
+    # the 10× tier); BFS is set-semantic, so dedup'ing the 5.87M
+    # directed pairs first (map-side-combinable) and doubling the
+    # ~587k survivors is the same graph at a twentieth of the shuffle.
+    eb = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
     )
-    edges = eb.unionByName(
-        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = eb.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     sources = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_nationkey") == _BFS_NATION)

@@ -442,13 +442,15 @@ def test_grams_exploded_matches_array_form(spark):
         spark.createDataFrame([(99_999, "one two", "en", "s", 7)],
                               ["doc_id", "text", "lang", "source", "n_chars"])
     )
-    a = dedup.grams_exploded(docs).select("doc_id", "gh")
     # exact MULTISET equality (no dropDuplicates): two string-distinct
     # grams colliding mod p must appear twice on both sides
     b = dedup.with_grams(docs).select(
         "doc_id", F.explode("gram_hashes").alias("gh")
     )
-    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    for impl in ("arrow", "sql"):
+        a = dedup.grams_exploded(docs, impl=impl).select("doc_id", "gh")
+        assert a.exceptAll(b).count() == 0, impl
+        assert b.exceptAll(a).count() == 0, impl
 
 
 def test_pca_power_matches_numpy_reference(spark):
