@@ -92,14 +92,34 @@ def pagerank_power(
     # edge table and node spine — without the persist, the iteration-K
     # plan re-derives them K times (edge-table rescans grow
     # quadratically in iteration count)
-    edeg = ps.persist(e.join(outdeg, "src"))
+    # r12: pin hashpartitioning(src) INTO the persisted blocks. Under the
+    # bench config the planner broadcasts outdeg (correctly — it is the
+    # small side), but then edeg inherits e's scan partitioning, no
+    # src-partitioning reaches the cache, and EVERY superstep moves the
+    # O(E) table again (observed as a 32.2 MiB / 586k-row BroadcastExchange
+    # rebuilt per superstep at the 10× tier — backwards at any scale).
+    # One explicit edge shuffle at build time makes the superstep joins
+    # exchange only the O(V) ranks frame, in every join-strategy config
+    # (guide §2.4: establish the partitioning once, reuse it per round).
+    # Materialized eagerly for the same broadcast-thread cache race the
+    # e.count() above documents.
+    edeg = ps.persist(e.join(outdeg, "src").repartition("src"))
+    edeg.count()
     base = ps.persist(nodes.crossJoin(F.broadcast(n_frame)))
     ranks = base.select(
         "node", "n", F.expr(f"{PR_SCALE} div n").alias("rank"),
     )
     for _ in range(iterations):
+        # r12: force shuffled-hash with the RANKS side as build. Left to
+        # itself the planner broadcasts edeg — the O(E) side (32.2 MiB /
+        # 586k rows at the 10× tier, rebuilt per superstep); backwards at
+        # any scale. edeg's cache already carries hashpartitioning(src)
+        # from the outdeg join, so under SHJ only the O(V) ranks frame is
+        # exchanged per superstep and the build side is |V|/P rows per
+        # partition (guide §3.1); SMJ would re-sort the cached edge
+        # blocks every superstep. Measured 4.63 → 3.26 s at the 10× tier.
         contribs = (
-            ranks.join(edeg, ranks.node == edeg.src)
+            ranks.hint("shuffle_hash").join(edeg, ranks.node == edeg.src)
             .select(
                 F.col("dst").alias("node"),
                 F.expr(
@@ -135,6 +155,7 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     cache=None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Multi-source bounded-depth BFS: minimum hop count from any source
     to every reachable node within ``max_hops``.
@@ -161,12 +182,21 @@ def bfs_hops(
     from ..functions.caching import owned_set, tie_release
 
     ps, owned = owned_set(cache)
-    e = ps.persist(
-        edges.select(
-            F.col(src).cast("long").alias("src"),
-            F.col(dst).cast("long").alias("dst"),
-        ).distinct()
+    # r12: callers whose edge list is distinct BY CONSTRUCTION (e.g.
+    # shortest_hops symmetrizes an already-distinct'd directed pair set
+    # whose two direction images are disjoint) skip the defensive
+    # dedup — one full exchange + two-sided agg over the edge table
+    # (11.6 MB / 1.17M rows at the 10× tier) for rows that are already
+    # unique. BFS itself is set-semantic either way; the flag only
+    # elides provably-no-op work (guide §2.4: a distinct on data that
+    # is already unique is an accidental shuffle).
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
     )
+    if not assume_distinct:
+        e = e.distinct()
+    e = ps.persist(e)
     level0 = ps.persist(
         sources.select(F.col(sources.columns[0]).cast("long").alias("node"))
         .distinct()

@@ -70,7 +70,11 @@ def q_shortest_hops(spark, sf_dir):
         .filter(F.col("s_nationkey") == _BFS_NATION)
         .select((F.col("s_suppkey") * 2 + 1).alias("node"))
     )
-    return bfs_hops(edges, sources, max_hops=_BFS_HOPS)
+    # assume_distinct: eb is distinct'd and src (even) / dst (odd) live in
+    # disjoint id spaces, so the two symmetrized direction images cannot
+    # collide — the edge set is distinct by construction and bfs_hops's
+    # defensive re-dedup would re-exchange all 1.17M rows for nothing.
+    return bfs_hops(edges, sources, max_hops=_BFS_HOPS, assume_distinct=True)
 
 
 ORACLE_SHORTEST_HOPS = f"""
