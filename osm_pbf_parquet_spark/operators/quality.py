@@ -123,35 +123,6 @@ def dq_counts(
     )
 
 
-def _group_median2x(df: DataFrame, group: list[str], val: str,
-                    out: str) -> DataFrame:
-    """Per-group exact twice-median of a BIGINT column: lo-middle +
-    hi-middle by position (×2 so even-count midpoints stay integral —
-    no interpolation, no floats). One partitioned window sort per call;
-    ties in ``val`` are interchangeable for the selected VALUE, so no
-    tiebreak column is needed for determinism of the output."""
-    w = Window.partitionBy(*group).orderBy(val)
-    wn = Window.partitionBy(*group)
-    ranked = df.select(
-        *group, val,
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(wn).alias("__n"),
-    )
-    lo = F.expr("(__n + 1) div 2")
-    hi = F.expr("__n div 2 + 1")
-    return (
-        ranked.filter((F.col("__rn") == lo) | (F.col("__rn") == hi))
-        .groupBy(*group)
-        .agg(
-            F.sum(
-                F.col(val)
-                * F.when(lo == hi, 2).otherwise(1)
-            ).cast("long").alias(out),
-            F.max("__n").cast("long").alias(f"{out}_n"),
-        )
-    )
-
-
 def mad_outliers(
     df: DataFrame,
     group: list[str],
@@ -169,28 +140,66 @@ def mad_outliers(
     flip a count. ``cents`` must already be a BIGINT (money ×100 etc.).
 
     Scale: two partitioned window sorts (value rank, then deviation
-    rank) plus two keyed joins of per-group 1-row stats — no global
-    sort, no collect. Groups sort independently; for the FEW-huge-groups
-    shape (a handful of groups holding the whole corpus) prefer the
-    range-bucketed quantile pattern in ``sketches.histogram_quantiles``
-    — this operator targets many-moderate-groups (the window sort for
-    one group is one task's work).
+    rank); the per-group medians are ATTACHED by a window SUM of the two
+    middle positions over the plain group window — the same partitioning
+    the rank sort just established, so the whole operator is ONE
+    exchange by the group keys followed by partition-local sorts,
+    window passes and the final hash aggregate (r12: was two exchanges
+    + two sort-merge joins of the corpus frame against the 1-row-per-
+    group stat tables, 8 sorts total — guide §2.4's share-one-exchange
+    rule). No global sort, no collect. Groups sort independently; for
+    the FEW-huge-groups shape (a handful of groups holding the whole
+    corpus) prefer the range-bucketed quantile pattern in
+    ``sketches.histogram_quantiles`` — this operator targets
+    many-moderate-groups (the window sort for one group is one task's
+    work).
 
     Returns (group…, n, med_x2, mad_x4, n_outliers).
     """
+    wn = Window.partitionBy(*group)
+    w1 = Window.partitionBy(*group).orderBy("__x")
+    w2 = Window.partitionBy(*group).orderBy("__dev2")
+    lo = F.expr("(__n + 1) div 2")
+    hi = F.expr("__n div 2 + 1")
     base = df.select(*group, F.col(cents).cast("long").alias("__x"))
-    med = _group_median2x(base, group, "__x", "med_x2")
-    dev = base.join(med, group).select(
-        *group, "med_x2", F.col("med_x2_n").alias("n"),
+    ranked = base.select(
+        *group, "__x",
+        F.row_number().over(w1).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    # twice-median attached in place: sum the lo/hi middle values over
+    # the group window (×2 when they coincide) — identical arithmetic
+    # to selecting the two middle rows and summing them per group
+    med_term = (
+        F.when((F.col("__rn") == lo) | (F.col("__rn") == hi),
+               F.col("__x") * F.when(lo == hi, 2).otherwise(1))
+        .otherwise(0)
+    )
+    dev = ranked.select(
+        *group, "__n",
+        F.sum(med_term).over(wn).cast("long").alias("med_x2"),
+        F.col("__x"),
+    ).select(
+        *group, "__n", "med_x2",
         F.abs(F.col("__x") * 2 - F.col("med_x2")).alias("__dev2"),
     )
-    mad = _group_median2x(dev.select(*group, "__dev2"), group, "__dev2",
-                          "mad_x4").drop("mad_x4_n")
+    ranked2 = dev.select(
+        *group, "__n", "med_x2", "__dev2",
+        F.row_number().over(w2).alias("__rn2"),
+    )
+    mad_term = (
+        F.when((F.col("__rn2") == lo) | (F.col("__rn2") == hi),
+               F.col("__dev2") * F.when(lo == hi, 2).otherwise(1))
+        .otherwise(0)
+    )
+    staged = ranked2.select(
+        *group, "__n", "med_x2", "__dev2",
+        F.sum(mad_term).over(wn).cast("long").alias("mad_x4"),
+    )
     return (
-        dev.join(mad, group)
-        .groupBy(*group)
+        staged.groupBy(*group)
         .agg(
-            F.max("n").alias("n"),
+            F.max("__n").cast("long").alias("n"),
             F.max("med_x2").alias("med_x2"),
             F.max("mad_x4").alias("mad_x4"),
             F.sum(
