@@ -510,6 +510,58 @@ def _pigeonhole_guard(bands: int, max_distance: int) -> None:
         )
 
 
+def _bucket_pairs_kernel(max_distance: int):
+    """Per-bucket all-pairs Hamming verify, vectorized: XOR the bucket's
+    fingerprints as a blocked outer product in numpy and popcount with
+    the SWAR folds (uint64, wrap-around multiply is exactly the mod-2⁶⁴
+    SWAR needs). Emits (doc_a, doc_b, hamming) with doc_a < doc_b —
+    identical to probing every in-bucket collision through the join
+    condition, row for row, because the candidate set IS all in-bucket
+    pairs. Blocked so peak memory is ~block × bucket_rows × 8 B even on
+    a degenerate hot bucket."""
+
+    def _pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        empty = pd.DataFrame({
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "hamming": pd.Series(dtype="int32"),
+        })
+        if n < 2:
+            return empty
+        k = pdf["_k"].to_numpy(np.int64)
+        order = np.argsort(k, kind="stable")
+        k = k[order]
+        h = pdf["_h"].to_numpy(np.int64)[order].view(np.uint64)
+        cols = np.arange(n, dtype=np.int64)
+        block = max(1, min(1024, 8_000_000 // n))
+        out_a, out_b, out_d = [], [], []
+        for i0 in range(0, n - 1, block):
+            i1 = min(i0 + block, n)
+            x = h[i0:i1, None] ^ h[None, :]
+            x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+            x = (x & np.uint64(0x3333333333333333)) + (
+                (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+            x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+            d = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+            hit = (d <= max_distance) & (
+                cols[None, :] > np.arange(i0, i1)[:, None])
+            r, c = np.nonzero(hit)
+            if r.size:
+                out_a.append(k[r + i0])
+                out_b.append(k[c])
+                out_d.append(d[r, c].astype(np.int32))
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_d),
+        })
+
+    return _pairs
+
+
 def banded_hamming_pairs(
     sigs: DataFrame,
     key: str,
@@ -517,6 +569,7 @@ def banded_hamming_pairs(
     n_bits: int,
     bands: int,
     max_distance: int,
+    bucket_kernel: bool = False,
 ) -> DataFrame:
     """Banded Hamming near-duplicate pairs over an int64 fingerprint —
     THE shared core of ``simhash_dedup`` (text) and
@@ -539,7 +592,22 @@ def banded_hamming_pairs(
     moving the verify into the probe measured 19.0s → 2.5s there).
     Callers persist ``sigs`` first: both sides of the self-join re-read
     it. ``key``/``hash_col`` must be plain column names (they are
-    interpolated into expressions)."""
+    interpolated into expressions).
+
+    ``bucket_kernel=True`` swaps the self-join for a grouped vectorized
+    kernel: shuffle the exploded (band, bits, key, hash) rows ONCE by
+    bucket and enumerate each bucket's pairs in numpy (blocked XOR
+    outer product + SWAR popcount). Same candidate set — all in-bucket
+    pairs — same verify, same distinct; emitted pairs are identical.
+    Use it when the band keyspace is NARROW relative to the corpus
+    (e.g. a 28-bit hash in 7-bit bands: ≤128 buckets/band, so buckets
+    hold hundreds of rows and candidates number in the tens of
+    millions; probing them row-at-a-time through the join was 22 of the
+    image gate's 24 stage-CPU-seconds at the 10× tier — guide §4.2's
+    hand-batches-to-native rule). The join form stays the default for
+    wide-band fingerprints (64-bit SimHash: 65k-value bands hash-spread
+    the corpus, so per-bucket candidates are few and the codegen'd
+    probe is already the cheap path)."""
     _pigeonhole_guard(bands, max_distance)
     width = (n_bits + bands - 1) // bands
     mask = (1 << width) - 1
@@ -555,6 +623,23 @@ def banded_hamming_pairs(
             )
         ).alias("_band", "_bits"),
     )
+    if bucket_kernel:
+        # explicit user repartition on the bucket keys: the exploded
+        # frame is only a few MiB, so AQE would coalesce the groupBy
+        # exchange to a handful of tasks — but this stage's cost is n²
+        # in ROWS per bucket, not bytes (observed: 32 -> 4 tasks, 5.3 s
+        # serialized kernel wall). A pinned width survives AQE, and the
+        # groupBy reuses the partitioning (no second exchange).
+        par = sigs.sparkSession.sparkContext.defaultParallelism
+        return (
+            bandvals.repartition(par, "_band", "_bits")
+            .groupBy("_band", "_bits")
+            .applyInPandas(
+                _bucket_pairs_kernel(max_distance),
+                "doc_a long, doc_b long, hamming int",
+            )
+            .distinct()
+        )
     right = bandvals.select(
         F.col("_k").alias("_k2"), F.col("_h").alias("_h2"),
         F.col("_band").alias("_band2"), F.col("_bits").alias("_bits2"),

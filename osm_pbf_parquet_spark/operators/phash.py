@@ -118,7 +118,12 @@ def dhash_near_pairs(
     ps, owned = owned_set(cache)
     hashes = ps.persist(hashes)
     pairs = banded_hamming_pairs(
-        hashes, key, hash_col, n_bits, bands, max_distance
+        hashes, key, hash_col, n_bits, bands, max_distance,
+        # 28-bit hash in 7-bit bands -> <=128 buckets/band: the narrow-
+        # keyspace shape the grouped numpy kernel exists for (the join
+        # probe paid ~22 CPU-s for ~39M in-bucket candidates at the 10x
+        # tier; the kernel enumerates the same pairs vectorized)
+        bucket_kernel=True,
     )
     hashes.count()  # populate before the self-join branches race it
     return tie_release(pairs, ps, owned)

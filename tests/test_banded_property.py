@@ -35,21 +35,26 @@ def test_banded_equals_brute_force(spark, data):
     signed = [r - 2**64 if r >= 2**63 else r for r in raws]
     rows = [(i + 1, h) for i, h in enumerate(signed)]
     df = spark.createDataFrame(rows, "doc_id long, fp long")
-    out = banded_hamming_pairs(
-        df, "doc_id", "fp", n_bits, bands, maxd
-    ).collect()
-    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
-    # cardinality too: a pair sharing several bands must be emitted
-    # ONCE (the distinct), not once per shared band — the dict alone
-    # would silently collapse duplicates
-    assert len(out) == len(got)
     want = {}
     for i, (ka, ha) in enumerate(rows):
         for kb, hb in rows[i + 1 :]:
             d = bin((ha ^ hb) & (2**64 - 1)).count("1")
             if d <= maxd:
                 want[(ka, kb)] = d
-    assert got == want
+    # BOTH physical strategies — the codegen'd self-join and the r12
+    # grouped numpy kernel — must equal brute force exactly on the same
+    # draws (they share the explode; only the in-bucket enumeration
+    # differs)
+    for kernel in (False, True):
+        out = banded_hamming_pairs(
+            df, "doc_id", "fp", n_bits, bands, maxd, bucket_kernel=kernel
+        ).collect()
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+        # cardinality too: a pair sharing several bands must be emitted
+        # ONCE (the distinct), not once per shared band — the dict alone
+        # would silently collapse duplicates
+        assert len(out) == len(got), f"kernel={kernel}"
+        assert got == want, f"kernel={kernel}"
 
 
 def test_pigeonhole_guard_rejects_unsound_geometry():
