@@ -43,6 +43,55 @@ class BlobInfo:
     offset: int  # byte offset of the Blob message payload
     size: int  # byte length of the Blob message
     header_offset: int  # offset of the 4-byte length prefix (for debugging)
+    # the Blob's DECLARED decompressed size (fileformat.proto raw_size,
+    # peeked from the message's first bytes during indexing; 0 when the
+    # peek window didn't cover it). Decode work tracks RAW bytes far
+    # better than compressed bytes — dense-node blocks compress ~2x,
+    # member-heavy relation blocks ~6x — so the transcode scheduler
+    # weights tasks by it (sources/pbf_source._catalog_rows).
+    raw_size: int = 0
+
+
+def _peek_raw_size(peek: bytes) -> int:
+    """Parse the leading fields of a Blob message for raw_size (field 2,
+    varint). Writers emit raw_size before the payload field; for
+    uncompressed blobs (field 1, no raw_size) the payload's declared
+    length IS the raw size. Returns 0 if the window is inconclusive —
+    callers fall back to the compressed size."""
+    i, n = 0, len(peek)
+
+    def varint(j: int) -> tuple[int, int]:
+        v, sh = 0, 0
+        while j < n:
+            b = peek[j]
+            v |= (b & 0x7F) << sh
+            j += 1
+            if b < 0x80:
+                return v, j
+            sh += 7
+        return -1, j  # ran off the window
+
+    while i < n:
+        tag, i = varint(i)
+        if tag < 0:
+            return 0
+        fno, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, i = varint(i)
+            if v < 0:
+                return 0
+            if fno == 2:
+                return v
+        elif wt == 2:
+            ln, i = varint(i)
+            if ln < 0:
+                return 0
+            if fno == 1:  # uncompressed payload: length == raw size
+                return ln
+            i += ln  # skip (payload fields are last in practice)
+        else:
+            return 0
+    return 0
 
 
 def _read_exact(f: BinaryIO, n: int) -> bytes:
@@ -87,8 +136,15 @@ def index_blobs(path: str) -> list[BlobInfo]:
             if head is None:
                 return infos
             blob_type, datasize, payload_offset = head
-            infos.append(BlobInfo(blob_type, payload_offset, datasize, start))
-            f.seek(datasize, 1)
+            # peek the Blob message's first bytes for raw_size (the
+            # sequential header scan is already positioned here, so this
+            # costs 24 bytes of the read we were about to seek past)
+            peek = f.read(min(24, datasize))
+            raw_size = _peek_raw_size(peek)
+            infos.append(
+                BlobInfo(blob_type, payload_offset, datasize, start, raw_size)
+            )
+            f.seek(datasize - len(peek), 1)
 
 
 def iter_blobs(path: str) -> Iterator[tuple[BlobInfo, bytes]]:

@@ -287,7 +287,13 @@ def transcode_pbf(
     run_token = f"j{uuid.uuid4().hex[:12]}"
 
     rows, n_groups = _catalog_rows(
-        path, spark.sparkContext.defaultParallelism, blobs_per_task
+        path, spark.sparkContext.defaultParallelism, blobs_per_task,
+        # kind-mixed round-robin runs: byte-equal contiguous chunks left
+        # the way/relation span in one 4x-CPU straggler task (see
+        # _catalog_rows) — the transcode's per-task outputs are
+        # assignment-independent, so the fused sink takes the balanced
+        # deal unconditionally
+        interleave=True,
     )
     catalog = _partitioned_catalog(spark, rows, n_groups)
     target_bytes = target_file_mb * 1024 * 1024

@@ -112,23 +112,63 @@ def _group_boundaries(sizes: list[int], g: int) -> list[int]:
 
 
 def _catalog_rows(path, parallelism: int,
-                  blobs_per_task: int | None) -> tuple[list[tuple], int]:
+                  blobs_per_task: int | None,
+                  interleave: bool = False) -> tuple[list[tuple], int]:
     """One metadata pass per file → (catalog rows, group count). Accepts a
     single path or a list (a 100 TB corpus is many PBF files; the catalog
     unions their blob ranges). Contiguous size-weighted chunking: each
     group holds adjacent blobs totalling ~equal bytes, so every task
     issues coalesced range reads (files never interleave mid-group) AND
-    gets ~equal decode work."""
+    gets ~equal decode work.
+
+    ``interleave=True`` (the fused transcode sink) instead balances
+    groups by DECODE WORK: least-loaded greedy assignment, largest blob
+    first, weighted by each blob's declared decompressed size
+    (``BlobInfo.raw_size``, peeked during indexing). Byte-equal
+    contiguous chunks are NOT work-equal — decode cost per compressed
+    byte spans ~7× by element kind (dense nodes compress ~2×,
+    member-heavy relation blocks ~6×), and a planet-shaped file
+    clusters ways/relations at the end: measured at the 531 MB bench
+    tier, the one group holding that span ran 4.0 CPU-s against a
+    1.17 CPU-s median and the whole stage waited on it (3.7 s wall for
+    ~1.05 s of per-core work — guide §2.5 skew). Cost per RAW byte is
+    within ~2× across kinds, so raw-weighted groups level the tail;
+    same rows, same per-task outputs, different (balanced) assignment
+    at the price of non-contiguous reads (still one ~100 KB–MB range
+    read per blob)."""
     entries: list[tuple] = []
+    weights: list[int] = []
     for p in _normalize_paths(path):
         infos = sorted(
             (i for i in index_blobs(p) if i.blob_type == TYPE_DATA),
             key=lambda b: b.offset,
         )
         entries.extend((p, i.offset, i.size) for i in infos)
+        # decode-work weight: raw bytes × a clamped compression-ratio
+        # factor. Raw bytes alone still underweights very-high-ratio
+        # blocks (a 6×-compressed relation block is varint-dense — more
+        # messages per raw byte; measured 2.4× the per-raw-byte cost of
+        # a dense-node block), so blobs compressing far above the ~2×
+        # dense-node norm get up to 4× extra weight. Heuristic, but the
+        # failure mode is mild imbalance, not a stage-long straggler.
+        weights.extend(
+            int((i.raw_size or i.size)
+                * min(4.0, max(1.0, i.raw_size / (2.0 * i.size))))
+            for i in infos
+        )
     n = len(entries)
     g = _n_groups(n, parallelism, blobs_per_task)
-    gids = _group_boundaries([sz for (_p, _off, sz) in entries], g)
+    if interleave and g > 1:
+        import heapq
+
+        heap = [(0, gid) for gid in range(g)]  # (load, gid), gid ties stable
+        gids = [0] * n
+        for j in sorted(range(n), key=lambda j: -weights[j]):
+            load, gid = heapq.heappop(heap)
+            gids[j] = gid
+            heapq.heappush(heap, (load + weights[j], gid))
+    else:
+        gids = _group_boundaries([sz for (_p, _off, sz) in entries], g)
     rows = [
         (p, off, sz, gid) for (p, off, sz), gid in zip(entries, gids)
     ]
