@@ -118,7 +118,15 @@ def gram_hash_arrays(
     def _gh(texts: pd.Series) -> pd.Series:
         return pd.Series([_gram_hash_vec(t, k) for t in texts])
 
-    return df.select(F.col(key), _gh(text_col).alias(out_col))
+    # asNondeterministic: guide §4.4 — consumers explode this array, and
+    # InferFiltersFromGenerate pushes an inferred size(..)>0 filter BELOW
+    # the projection, duplicating the whole kernel (two ArrowEvalPython
+    # nodes per side observed in the decontaminate plan: every doc paid
+    # the md5 chain twice). The values are deterministic; the marker only
+    # stops the optimizer from cloning/pushing past the eval.
+    return df.select(
+        F.col(key), _gh.asNondeterministic()(text_col).alias(out_col)
+    )
 
 
 def grams_exploded(
@@ -1202,7 +1210,7 @@ def prefix_jaccard_join(
             doc_sets.select(F.col(key).alias("doc_b"), F.col("_set").alias("_sb")),
             "doc_b",
         )
-        .withColumn("_iu", _ovl("_sa", "_sb"))
+        .withColumn("_iu", _ovl.asNondeterministic()("_sa", "_sb"))
         .withColumn("jaccard", F.round(F.col("_iu.i") / F.col("_iu.u"), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
