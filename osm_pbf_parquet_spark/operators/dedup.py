@@ -253,7 +253,13 @@ def minhash_signatures(
                 mhs.append(((g[:, None] * A + B) % p).min(axis=0))
             return pd.DataFrame({"gram_hashes": ghs, "minhash": mhs})
 
-        return df.withColumn("_sig", _sig(text_col)).select(
+        # asNondeterministic: guide §4.4 — without it the optimizer
+        # collapses the projection and evaluates the kernel once PER
+        # EXTRACTED STRUCT FIELD (two ArrowEvalPython nodes per side in
+        # the uncached sf-tier plans: every doc shingled+folded twice)
+        return df.withColumn(
+            "_sig", _sig.asNondeterministic()(text_col)
+        ).select(
             *df.columns,
             F.col("_sig.gram_hashes").alias("gram_hashes"),
             F.col("_sig.minhash").alias("minhash"),
@@ -505,7 +511,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
                 out[j] = int(((cnt >= 0).astype(np.int64) << shifts).sum())
             return pd.Series(out)
 
-        return df.withColumn("simhash", _sh(text_col))
+        # asNondeterministic: same §4.4 duplication guard as _sig
+        return df.withColumn("simhash", _sh.asNondeterministic()(text_col))
     return with_grams(df, text_col, k).withColumn("simhash", F.expr(simhash_expr()))
 
 
