@@ -26,6 +26,10 @@ value exactly (see each docstring's seam note).
 
 from __future__ import annotations
 
+import re
+from hashlib import md5 as _md5
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .sampling import hash_mod_expr
@@ -40,6 +44,45 @@ DSIR_SCALE = 10**9
 TEMP_SCALE = 10**12
 
 
+def _dsir_bucket_counts_udf(buckets: int):
+    """Vectorized per-document hashed-unigram bucket counts — the Python
+    twin of the tokenize→md5-bucket→per-doc-groupBy chain, BIT-IDENTICAL
+    by construction: Python ``re.findall`` and Java ``Pattern`` are both
+    leftmost-first NFA engines, so ``TOKEN_REGEX``'s alternation yields
+    the same token sequence; ``int(md5hex[:15], 16) % buckets`` ==
+    ``pmod(conv(substring(md5(x),1,15),16,10), buckets)`` (60 bits,
+    non-negative, both over UTF-8 bytes). A per-batch token→bucket memo
+    exploits Zipf (distinct tokens ≪ occurrences) so the md5 chain runs
+    once per distinct token per batch. Empty / token-less docs return an
+    empty map, which the consumer's explode drops — exactly the rows the
+    sql form's explode(tokens) never produced."""
+    from .text import TOKEN_REGEX
+
+    tok_re = re.compile(TOKEN_REGEX)
+
+    @F.pandas_udf("map<bigint,bigint>")
+    def _bc(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        out = []
+        for t in texts:
+            counts: dict[int, int] = {}
+            for tok in tok_re.findall(t or ""):
+                b = memo.get(tok)
+                if b is None:
+                    b = int(
+                        _md5(tok.encode("utf-8")).hexdigest()[:15], 16
+                    ) % buckets
+                    memo[tok] = b
+                counts[b] = counts.get(b, 0) + 1
+            out.append(counts)
+        return pd.Series(out)
+
+    # guide §4.4: consumers explode the map; without the marker the
+    # optimizer clones the kernel below inferred generate-filters (the
+    # gram-kernel precedent) — value-deterministic, eval-once.
+    return _bc.asNondeterministic()
+
+
 def dsir_importance(
     df: DataFrame,
     target_pred: str,
@@ -47,6 +90,7 @@ def dsir_importance(
     text_col: str = "text",
     buckets: int = DSIR_BUCKETS,
     cache=None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-document DSIR importance weight: the log-likelihood ratio of
     the document's hashed-unigram bag under a smoothed target-corpus
@@ -66,34 +110,52 @@ def dsir_importance(
     ln's last ulp landing within 1e-9 of a floor boundary (~2e-7
     probability per bucket, deterministic per dataset).
 
-    Plan/scale: tokenize → bucket (pure projection, the engine-wide md5
-    hash) → ONE corpus-wide map-side-combinable groupBy to (doc,
-    is_target, bucket) counts, persisted; BOTH distributions are then
-    ``buckets``-row aggregates OVER that frame (one pass computes
-    target and raw via a conditional sum — no second scan, no spine:
-    a bucket absent from the raw corpus cannot appear in any document,
-    so it contributes to no weight); λ is a ``buckets``-row broadcast
-    attach; the final per-doc sum re-aggregates the persisted counts.
-    One corpus-sized shuffle total, no Python, no collect.
+    Plan/scale (``impl="arrow"``, default, r12): one vectorized kernel
+    pass computes each document's bucket-count map IN PLACE (tokenize +
+    md5-bucket + per-doc count all inside the Arrow batch — the
+    tokenize→explode→corpus-wide groupBy chain this replaces was 57 of
+    the operator's 75 stage-CPU-seconds at the 10× tier: an interpreted
+    JVM regex pass plus a doc×bucket exchange for counts the kernel can
+    finish per-partition, guide §4.2/§2.4); exploding the map yields the
+    IDENTICAL (doc, is_target, bucket, count) rows with ZERO corpus
+    shuffle. ``impl="sql"`` keeps the expression form the DuckDB oracle
+    replays (the ``minhash_signatures`` two-impl contract; the parity
+    test pins row-set equality). Downstream either way: BOTH
+    distributions are ``buckets``-row aggregates over the persisted
+    counts frame (one pass computes target and raw via a conditional
+    sum); λ is a ``buckets``-row broadcast attach; the final per-doc sum
+    re-aggregates the persisted counts (its exchange carries one partial
+    row per doc — each doc's counts live in one partition).
     """
     from ..functions.caching import owned_set, tie_release
     from .text import with_tokens
 
-    toks = with_tokens(df, text_col).select(
-        F.col(key),
-        F.expr(target_pred).alias("_is_t"),
-        F.explode("tokens").alias("_term"),
-    )
     ps, owned = owned_set(cache)
-    dbc = ps.persist(
-        toks.select(
-            key,
-            "_is_t",
-            F.expr(hash_mod_expr("_term", buckets)).alias("_bucket"),
+    if impl == "arrow":
+        dbc = ps.persist(
+            df.select(
+                F.col(key),
+                F.expr(target_pred).alias("_is_t"),
+                F.explode(
+                    _dsir_bucket_counts_udf(buckets)(text_col)
+                ).alias("_bucket", "_c"),
+            )
         )
-        .groupBy(key, "_is_t", "_bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-    )
+    else:
+        toks = with_tokens(df, text_col).select(
+            F.col(key),
+            F.expr(target_pred).alias("_is_t"),
+            F.explode("tokens").alias("_term"),
+        )
+        dbc = ps.persist(
+            toks.select(
+                key,
+                "_is_t",
+                F.expr(hash_mod_expr("_term", buckets)).alias("_bucket"),
+            )
+            .groupBy(key, "_is_t", "_bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
     # materialize BEFORE the λ broadcast is built: the broadcast-exchange
     # job runs on its own thread and raced the main job on the
     # unpopulated cache — both computed the full tokenize+explode+groupBy

@@ -66,6 +66,48 @@ def test_dsir_empty_text_docs_absent(spark):
     assert ids == {1, 3}
 
 
+def test_dsir_arrow_sql_impl_parity(spark):
+    """The r12 vectorized bucket-count kernel must reproduce the SQL
+    tokenize→md5-bucket→groupBy chain EXACTLY — corpus plus the edge
+    shapes (empty text, whitespace-only, single char, non-ASCII
+    multibyte, repeated tokens, digit runs) where tokenizer or UTF-8
+    hashing drift would show first."""
+    edge = spark.createDataFrame(
+        [(900001, "", "en"), (900002, "   ", "de"), (900003, "a", "en"),
+         (900004, "héllo wörld héllo !!", "fr"),
+         (900005, "7 77 777 xx7x", "en"),
+         (900006, "tab\tand\nnewline stay one-token?", "de")],
+        "doc_id long, text string, lang string",
+    )
+    base = _docs(spark, SF_SMALL).select("doc_id", "text", "lang").unionByName(edge)
+    arrow = {
+        (r["doc_id"], r["dsir_nano"])
+        for r in selection.dsir_importance(base, "lang = 'en'", impl="arrow").collect()
+    }
+    sql = {
+        (r["doc_id"], r["dsir_nano"])
+        for r in selection.dsir_importance(base, "lang = 'en'", impl="sql").collect()
+    }
+    assert arrow == sql
+
+
+def test_dsir_arrow_plan_no_corpus_groupby_single_kernel_eval(spark):
+    """The kernel path's plan: exactly ONE ArrowEvalPython (no optimizer
+    duplication past the explode) and no corpus-wide exchange feeding
+    the persisted counts frame — the per-doc counts are finished inside
+    the kernel."""
+    import re
+
+    df = SELECTION_QUERIES["dsir_importance"][0](spark, SF_SMALL)
+    plan = _plan(df)
+    # the cached counts frame is referenced three times and the formatted
+    # output reprints the cached subtree per reference — count DISTINCT
+    # node ids, not textual occurrences
+    ids = set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))
+    ids |= set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(ids) == 1, plan
+
+
 def test_dsir_plan_one_corpus_shuffle_no_cartesian(spark):
     df = SELECTION_QUERIES["dsir_importance"][0](spark, SF_SMALL)
     plan = _plan(df)
