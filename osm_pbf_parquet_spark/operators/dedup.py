@@ -1096,7 +1096,20 @@ def prefix_jaccard_join(
     # cached frame instead of each re-running the corpus pass (two md5
     # passes + two per-doc-distinct shuffles before r12). Materialized
     # eagerly so a broadcast-exchange thread can't race the cold cache.
-    gha = ps.persist(gram_hash_arrays(df, text_col, key, k))
+    # r12: the gram hashes are md5-mod-p with p = 2³¹−1, so every value
+    # fits INT32 exactly (max p−1 = int32 max − 1) — narrowing the
+    # arrays at the cache boundary halves every downstream byte: the
+    # persisted sets, the gh/posting exchanges, and above all the
+    # verify kernel's Arrow transfer (1.25M candidate pairs × two
+    # ~50-element arrays ≈ 1 GB at the 10× tier as int64; the kernel
+    # compares values for equality only, and int32 equality is the
+    # same relation). Guide §2.3: narrower types, provably safe.
+    gha = ps.persist(
+        gram_hash_arrays(df, text_col, key, k).select(
+            key,
+            F.col("gram_hashes").cast("array<int>").alias("gram_hashes"),
+        )
+    )
     gha.count()
     flat = gha.select(key, F.explode("gram_hashes").alias("gh"))
     # each doc's distinct hash set, sorted by the global (df, gh)
