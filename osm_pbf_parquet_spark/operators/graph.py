@@ -18,7 +18,7 @@ replayable by a SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 PR_SCALE = 10**12  # rank mass carried as BIGINT(1e12): exact, orderless
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
@@ -62,49 +62,46 @@ def pagerank_power(
     from ..functions.caching import owned_set, tie_release
 
     ps, owned = owned_set(cache)
-    # persist the canonical edge set FIRST: it is the expensive upstream
-    # (callers typically feed a join-extracted, distinct-ed edge list),
-    # and materializing edeg/base below otherwise re-derives it up to 4×
-    # (join side + out-degree, then both union arms of the node spine)
-    e = ps.persist(
+    # ONE persisted corpus frame carries the distinct edges, the pinned
+    # src-partitioning, AND the out-degree (r12 round 2): the previous
+    # shape persisted e, materialized it, aggregated outdeg, joined it
+    # back, repartitioned and materialized AGAIN — two serial
+    # materialization jobs, a broadcast build, and an extra projection
+    # pass over O(E). The degree now rides a count window OVER the same
+    # hashpartitioning(src) the repartition just established (guide
+    # §2.4: a window partitioned like the exchange shares it — the
+    # mad_outliers/duplicate_spans lesson), so the build is
+    # distinct-exchange → src-exchange → window, one cache, one count.
+    # The src partitioning still makes every superstep exchange only the
+    # O(V) ranks frame (the r12 SHJ pin below), in every join-strategy
+    # config. Materialized eagerly BEFORE the node-count broadcast is
+    # built: that broadcast-exchange job runs on its own driver thread
+    # and raced the main job on the unpopulated cache — both re-derived
+    # the full join+distinct edge extraction (twin corpus stages at the
+    # 10× tier; the minhash sigs.count() precedent).
+    edeg = ps.persist(
         edges.select(
             F.col(src).cast("long").alias("src"),
             F.col(dst).cast("long").alias("dst"),
-        ).distinct()
+        )
+        .distinct()
+        .repartition("src")
+        .withColumn(
+            "deg",
+            F.count(F.lit(1)).over(Window.partitionBy("src")).cast("long"),
+        )
     )
-    # materialize the edge set BEFORE the node-count broadcast is built:
-    # that broadcast-exchange job runs on its own thread and raced the
-    # main job on the unpopulated cache — both re-derived the full
-    # join+distinct edge extraction (twin corpus stages at the 10× tier;
-    # the minhash sigs.count() precedent)
-    e.count()
+    edeg.count()
     # the node spine has two consumers — the n-count broadcast and the
     # teleport base — which otherwise EACH re-run the union+distinct
-    # over e's cache (the remaining twin stages after the e fix)
+    # over the edge cache (the remaining twin stages after the eager
+    # materialization fix)
     nodes = ps.persist(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        edeg.select(F.col("src").alias("node"))
+        .union(edeg.select(F.col("dst").alias("node")))
         .distinct()
     )
     n_frame = nodes.agg(F.count("*").alias("n"))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # persisted: every superstep joins against the SAME degree-annotated
-    # edge table and node spine — without the persist, the iteration-K
-    # plan re-derives them K times (edge-table rescans grow
-    # quadratically in iteration count)
-    # r12: pin hashpartitioning(src) INTO the persisted blocks. Under the
-    # bench config the planner broadcasts outdeg (correctly — it is the
-    # small side), but then edeg inherits e's scan partitioning, no
-    # src-partitioning reaches the cache, and EVERY superstep moves the
-    # O(E) table again (observed as a 32.2 MiB / 586k-row BroadcastExchange
-    # rebuilt per superstep at the 10× tier — backwards at any scale).
-    # One explicit edge shuffle at build time makes the superstep joins
-    # exchange only the O(V) ranks frame, in every join-strategy config
-    # (guide §2.4: establish the partitioning once, reuse it per round).
-    # Materialized eagerly for the same broadcast-thread cache race the
-    # e.count() above documents.
-    edeg = ps.persist(e.join(outdeg, "src").repartition("src"))
-    edeg.count()
     base = ps.persist(nodes.crossJoin(F.broadcast(n_frame)))
     ranks = base.select(
         "node", "n", F.expr(f"{PR_SCALE} div n").alias("rank"),
@@ -113,8 +110,8 @@ def pagerank_power(
         # r12: force shuffled-hash with the RANKS side as build. Left to
         # itself the planner broadcasts edeg — the O(E) side (32.2 MiB /
         # 586k rows at the 10× tier, rebuilt per superstep); backwards at
-        # any scale. edeg's cache already carries hashpartitioning(src)
-        # from the outdeg join, so under SHJ only the O(V) ranks frame is
+        # any scale. edeg's cache carries hashpartitioning(src)
+        # from the build repartition, so under SHJ only the O(V) ranks frame is
         # exchanged per superstep and the build side is |V|/P rows per
         # partition (guide §3.1); SMJ would re-sort the cached edge
         # blocks every superstep. Measured 4.63 → 3.26 s at the 10× tier.
