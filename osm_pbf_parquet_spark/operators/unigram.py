@@ -32,7 +32,7 @@ part of the training-data-pipeline surface the engine adds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions.fixedpoint import ilog2_fp_sql
 from .bpe import SEP, _N_TOKENS_EXPR, _words_expr, word_frequency_table
@@ -66,10 +66,11 @@ def unigram_seed_vocab(
 
     Single chars are always kept so Viterbi segmentation is total on
     the training corpus (the SentencePiece invariant: character
-    coverage 1.0). Ties in the top-K rank break (cnt desc, piece asc)
-    — an unpartitioned row_number over the distinct-substring frame,
-    the standard bounded top-k pattern (the frame is
-    distinct-words × O(len·p) sized, not corpus-sized)."""
+    coverage 1.0). Ties in the top-K cut break (cnt desc, piece asc) —
+    a TakeOrderedAndProject over the distinct-substring frame (each
+    partition keeps a local K-heap; the frame is distinct-words ×
+    O(len·p) sized and grows with the corpus, so the pre-r12
+    single-partition rank window was the scale straggler)."""
     words = word_frequency_table(docs, text_col)
     pieces = (
         words.select(
@@ -81,12 +82,19 @@ def unigram_seed_vocab(
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     chars = pieces.filter(F.length("piece") == 1)
-    rk = Window.orderBy(F.desc("cnt"), "piece")
+    # r12 optimization round: the top-K cut was a row_number over an
+    # UNPARTITIONED window — every distinct substring moved to ONE
+    # partition (WindowExec warns; the piece frame is vocabulary-sized
+    # and grows with the corpus, so at scale that partition is the
+    # straggler). orderBy().limit() lowers to TakeOrderedAndProject —
+    # each partition keeps its local top-K heap, the driver merges
+    # K-row heaps — and with the same total order (cnt desc, piece asc)
+    # selects EXACTLY the rows the rank filter kept (the rank column
+    # was dropped anyway).
     top = (
         pieces.filter(F.length("piece") > 1)
-        .withColumn("_rk", F.row_number().over(rk))
-        .filter(F.col("_rk") <= vocab_k)
-        .drop("_rk")
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(vocab_k)
     )
     sel = chars.unionByName(top)
     tot = sel.agg(F.sum("cnt").cast("long").alias("vtot"))
