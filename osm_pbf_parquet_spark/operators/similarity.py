@@ -1498,6 +1498,7 @@ def knn_graph_cells(
     df: DataFrame, j: int = 3,
     vec_col: str = "embedding", key: str = "vec_id",
     n_centroids: int = N_CENTROIDS, centroid_offset: int = 0,
+    cache=None,
 ) -> DataFrame:
     """Approximate kNN GRAPH construction: every corpus vector's top-j
     cosine neighbors within its coarse IVF cell — the adjacency that
@@ -1516,11 +1517,24 @@ def knn_graph_cells(
     the graph is unique.
 
     Returns (src, dst, cosine rounded to 6, rk ≤ j)."""
-    assigned = ivf_assign(
-        _spread(df), vec_col, key, n_centroids, centroid_offset
-    ).select(
-        F.col(key), "cell", F.col("_vd").alias("v")
-    ).withColumn("norm", F.expr(NORM.format(v="v")))
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(cache)
+    # r12 optimization round: BOTH self-join arms project from
+    # ``assigned`` — without a persist the whole ivf_assign subtree
+    # (centroid TakeOrdered + broadcast attach + cell argmax over the
+    # corpus) is planned and EXECUTED once per arm (guide §1.2.1:
+    # don't compute things twice; the nn_descent bootstrap compounded
+    # this to ~12 corpus passes per round). Materialized eagerly so a
+    # broadcast-exchange thread can't race the cold cache.
+    assigned = ps.persist(
+        ivf_assign(
+            _spread(df), vec_col, key, n_centroids, centroid_offset
+        ).select(
+            F.col(key), "cell", F.col("_vd").alias("v")
+        ).withColumn("norm", F.expr(NORM.format(v="v")))
+    )
+    assigned.count()
     a = assigned.select(
         F.col(key).alias("src"), "cell",
         F.col("v").alias("va"), F.col("norm").alias("na"),
@@ -1538,10 +1552,11 @@ def knn_graph_cells(
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
-    return (
+    return tie_release(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= j)
-        .select("src", "dst", F.round("cosine", 6).alias("cosine"), "rk")
+        .select("src", "dst", F.round("cosine", 6).alias("cosine"), "rk"),
+        ps, owned,
     )
 
 
@@ -1576,14 +1591,37 @@ def nn_descent_round(
     NN-Descent iteration, bounded by j² not n².
 
     Returns (src, dst, cosine rounded to 6, rk ≤ j)."""
-    g = knn_graph_cells(df, j, vec_col, key, n_centroids).select(
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(None)
+    # r12 optimization round: ``u`` feeds THREE plan branches (itself
+    # plus both sides of the hop self-join), and each un-persisted
+    # reference replayed the full bootstrap — two knn_graph_cells
+    # builds each with a cell self-join — so one round executed the
+    # corpus bootstrap up to 12× (observed as 48 repeats of the
+    # centroid window at sf0.01; guide §1.2.1). The symmetrized edge
+    # list is ≤ 4nj rows — persisting IT caps the whole upstream at
+    # one evaluation; the inner knn_graph_cells persists share this
+    # PersistSet so everything releases with the result.
+    g = knn_graph_cells(df, j, vec_col, key, n_centroids,
+                        cache=ps).select(
         "src", "dst"
     ).union(
         knn_graph_cells(df, j, vec_col, key, n_centroids,
-                        centroid_offset=n_centroids).select("src", "dst")
+                        centroid_offset=n_centroids,
+                        cache=ps).select("src", "dst")
     )
-    u = g.union(g.select(F.col("dst").alias("src"),
+    # the 4-branch union inherits every branch's window partitioning
+    # (4 × parallelism cached micro-partitions — observed 132 at
+    # sf0.01, and every downstream stage schedules them all);
+    # repartitioning the ≤ 4nj-row edge list by src bounds the cache at
+    # the session parallelism and pre-keys the hop join's build side
+    u = ps.persist(
+        g.union(g.select(F.col("dst").alias("src"),
                          F.col("src").alias("dst")))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "src")
+    )
+    u.count()
     hop = (
         u.select(F.col("src"), F.col("dst").alias("_mid"))
         .join(u.select(F.col("src").alias("_mid"),
@@ -1592,9 +1630,13 @@ def nn_descent_round(
         .filter(F.col("src") != F.col("dst"))
     )
     cand = u.union(hop).distinct()
-    vecs = df.select(
-        F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("v")
-    ).withColumn("norm", F.expr(NORM.format(v="v")))
+    # the two vector attaches below otherwise each re-scan the corpus
+    # and re-derive norms; one narrow persisted frame serves both
+    vecs = ps.persist(
+        df.select(
+            F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("v")
+        ).withColumn("norm", F.expr(NORM.format(v="v")))
+    )
     scored = (
         cand.join(vecs.select(F.col(key).alias("src"),
                               F.col("v").alias("va"),
@@ -1608,10 +1650,11 @@ def nn_descent_round(
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
-    return (
+    return tie_release(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= j)
-        .select("src", "dst", F.round("cosine", 6).alias("cosine"), "rk")
+        .select("src", "dst", F.round("cosine", 6).alias("cosine"), "rk"),
+        ps, owned,
     )
 
 
