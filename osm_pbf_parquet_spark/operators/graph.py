@@ -382,6 +382,11 @@ def label_propagation(
     e = ps.persist(
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     )
+    # eager materialization: at gate scale the per-round pick/label
+    # attaches broadcast-build on their own threads and race the cold
+    # cache, re-deriving the caller's edge extraction (see
+    # louvain_move_rounds)
+    e.count()
     labels = ps.persist(
         e.select(F.col("e_src").alias("node"))
         .distinct()
@@ -529,6 +534,12 @@ def louvain_move_rounds(
     e = ps.persist(
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     )
+    # materialize BEFORE any broadcast consumer is built: the d_tot
+    # 1-row broadcast (and, at gate scale, AQE-broadcast deg/comdeg
+    # builds) runs on its own driver thread and races the main job on
+    # the unpopulated cache — each racer re-derives the caller's full
+    # edge-extraction subtree (the minhash sigs.count() precedent)
+    e.count()
     deg = ps.persist(
         e.groupBy(F.col("e_src").alias("node"))
         .agg(F.count("*").cast("long").alias("k"))

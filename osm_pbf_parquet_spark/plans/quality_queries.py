@@ -159,11 +159,23 @@ def q_community_modularity(spark, sf_dir):
         (F.col("o_custkey") * 2).cast("long").alias("src"),
         (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
     ).distinct()
-    edges = eb.unionByName(
+    # r12 optimization round: the symmetrized edge list feeds BOTH the
+    # modularity readout and the LPA rounds — un-persisted, each
+    # consumer (and each broadcast build inside them) re-derived the
+    # orders ⋈ lineitem extraction. One caller-level persist, released
+    # with the result.
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(None)
+    edges = ps.persist(eb.unionByName(
         eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return community_modularity(
-        edges, label_propagation(edges, rounds=_LPA_ROUNDS)
+    ))
+    edges.count()
+    return tie_release(
+        community_modularity(
+            edges, label_propagation(edges, rounds=_LPA_ROUNDS, cache=ps)
+        ),
+        ps, owned,
     )
 
 
@@ -283,11 +295,22 @@ def q_louvain_coarse_graph(spark, sf_dir):
         (F.col("o_custkey") * 2).cast("long").alias("src"),
         (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
     ).distinct()
-    edges = eb.unionByName(
+    # r12 optimization round: same caller-level persist as
+    # q_community_modularity — contraction and move rounds otherwise
+    # each re-derive the edge extraction
+    from ..functions.caching import owned_set, tie_release
+
+    ps, owned = owned_set(None)
+    edges = ps.persist(eb.unionByName(
         eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return louvain_coarsen(
-        edges, louvain_move_rounds(edges, rounds=_LOUVAIN_ROUNDS)
+    ))
+    edges.count()
+    return tie_release(
+        louvain_coarsen(
+            edges, louvain_move_rounds(edges, rounds=_LOUVAIN_ROUNDS,
+                                       cache=ps)
+        ),
+        ps, owned,
     )
 
 
