@@ -589,6 +589,37 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _bm25_base_udf(query_terms: list[str]):
+    """Vectorized (dl, hits) per document — the Python twin of
+    ``size(tokens)`` + ``filter(tokens, t -> t IN (...))`` over
+    ``with_tokens``, BIT-IDENTICAL by construction: Python ``re`` and
+    Java ``Pattern`` are both leftmost-first NFA engines so
+    ``TOKEN_REGEX`` yields the same token sequence, the filter keeps
+    order and multiplicity exactly like the Catalyst lambda, and the
+    count is over the same matches. Replaces one corpus-wide
+    interpreted JVM regex pass plus an interpreted higher-order filter
+    (guide §4.2) — the dsir bucket-kernel precedent."""
+    import re
+
+    tok_re = re.compile(TOKEN_REGEX)
+    terms = frozenset(query_terms)
+
+    @F.pandas_udf("struct<dl: bigint, hits: array<string>>")
+    def _base(texts: pd.Series) -> pd.DataFrame:
+        dls, hits = [], []
+        for t in texts:
+            toks = tok_re.findall(t or "")
+            dls.append(len(toks))
+            hits.append([x for x in toks if x in terms])
+        return pd.DataFrame({"dl": dls, "hits": hits})
+
+    # guide §4.4: the struct fields are extracted in the next
+    # projection and consumers explode ``hits`` — without the marker
+    # the optimizer clones the kernel per extracted field / below
+    # inferred generate-filters (the signature-kernel precedent)
+    return _base.asNondeterministic()
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -596,6 +627,7 @@ def bm25_topk(
     text_col: str = "text",
     key: str = "doc_id",
     cache=None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Okapi BM25 retrieval: score every document against a fixed term
     query, return the top-``k``; the ranking half of a hybrid
@@ -632,15 +664,32 @@ def bm25_topk(
         for t in query_terms
     )
     ps, owned = owned_set(cache)
-    base = ps.persist(
-        with_tokens(df, text_col).select(
-            key,
-            F.size("tokens").cast("long").alias("dl"),
-            F.expr(f"filter(tokens, t -> t IN ({terms_sql}))").alias(
-                "hits"
-            ),
+    if impl == "arrow":
+        # r12 optimization round: one vectorized kernel pass computes
+        # (dl, hits) per doc — the corpus-wide regexp_extract_all +
+        # interpreted filter() lambda was the operator's dominant stage
+        # CPU at the 10× tier. impl="sql" keeps the expression form the
+        # DuckDB oracle replays (two-impl contract, parity-tested).
+        base = ps.persist(
+            df.select(
+                F.col(key),
+                _bm25_base_udf(query_terms)(text_col).alias("_b"),
+            ).select(
+                key,
+                F.col("_b.dl").alias("dl"),
+                F.col("_b.hits").alias("hits"),
+            )
         )
-    )
+    else:
+        base = ps.persist(
+            with_tokens(df, text_col).select(
+                key,
+                F.size("tokens").cast("long").alias("dl"),
+                F.expr(f"filter(tokens, t -> t IN ({terms_sql}))").alias(
+                    "hits"
+                ),
+            )
+        )
     # materialize before the stats/dfreq broadcasts are built: those
     # broadcast-exchange jobs run on their own threads and raced the
     # main job on the unpopulated cache, re-running the regex tokenizer

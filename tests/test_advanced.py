@@ -354,6 +354,33 @@ def test_gram_matrix_decimal_merge_is_exact(spark):
     assert got[(1, 1)] == (2 * 2 + 4 * 4) * s * s
 
 
+def test_bm25_arrow_sql_impl_parity(spark):
+    """The r12 vectorized (dl, hits) kernel must reproduce the SQL
+    tokenize+filter chain EXACTLY — corpus plus edge shapes (empty
+    text, punctuation-only, repeated query terms, terms with quotes,
+    multibyte text) where tokenizer or filter drift would show."""
+    from osm_pbf_parquet_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(900001, ""), (900002, "!!! ??? ..."),
+         (900003, "data data data spark"),
+         (900004, "héllo data wörld"), (900005, "it's data")],
+        "doc_id long, text string",
+    )
+    base = docs.unionByName(edge)
+    terms = ["data", "spark", "it's"]
+    arrow = sorted(
+        tuple(r) for r in bm25_topk(base, terms, k=50, impl="arrow").collect()
+    )
+    sql = sorted(
+        tuple(r) for r in bm25_topk(base, terms, k=50, impl="sql").collect()
+    )
+    assert arrow == sql
+
+
 def test_bm25_terms_with_quotes_are_escaped(spark):
     """A query term containing a single quote must not break (or
     inject into) the generated SQL."""
