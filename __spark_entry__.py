@@ -106,132 +106,96 @@ def _registry() -> dict[str, tuple]:
 # the tail — every registered query keeps at least one green CORRECTNESS row
 # across rounds.
 #
-# ROUND-12 ROTATION (mechanically derived by tools/taint_ledger.py on the
-# final r12 tree — TAINT_LEDGER.json is the committed evidence):
+# ROUND-12 ROTATION, amended by the r12 OPTIMIZATION round
+# (mechanically derived by tools/taint_ledger.py on the final r12 tree —
+# TAINT_LEDGER.json is the committed evidence):
 #
-#   5 never-checked late-r12 gates of the no-libm LM/tokenizer/graph
-#   wave (kneser_ney_score, louvain_communities, unigram_vocab_costs,
-#   unigram_encode_corpus, stream_unigram_encode)
-#   + 10 never-checked late-r12 gates of the index/media wave
-#     (stream_ivfpq_serve … consistent_shards below)
-#   + 3 never-checked r12-new gates (pq_encode_artifact,
-#     ivfpq_index_search, ivfpq_index_append)
-#   + 5 line-tainted by this round's engine edits (ivfpq_topk: L2
-#     k-means coarse quantizer + residual encoding; pq_ann_topk +
-#     stream_pq_encode: pq_encode's derived-shape signature and the
-#     in-plan ragged-corpus guard; bpe_encode_corpus: the distinct-word
-#     dictionary apply; stream_bpe_encode: the shared _with_merge_table
-#     refactor on its fold path)
-#   + semantic_dedup hoisted (ivf_assign line-taint — was DISPLACED at
-#     position 56 after the late-r12 prepends)
-#   + 2 more late-r12 never-checked gates (unigram_em_round: the
-#     hard-EM re-estimation round; louvain_coarse_graph: the phase-2
-#     contraction)
-#   = 26 must-cover, ALL IN-CAP (the ledger adds triangle_count and
-#     ann_ivf_topk as line-tainted — both ride the fill block in-cap).
-#
-# The remaining 24 slots are freshness fills, oldest-green-first (r11
-# verdict Next #4): ALL seven r7 rows (image_near_dup_pairs, kcore_parts,
-# pagerank_suppliers, shortest_hops, split_leakage, temperature_mixture,
-# triangle_count), then the oldest r8 rows through
-# embedding_quantize (ann_ivf_topk — also line-tainted — rides
-# this block in-cap). The r8 rows epoch_shard_plan..
-# winnowing_fingerprints are r13's oldest-first fills.
+# The optimization round touched shared operator files (text-quality
+# expressions, the dedup/selection/graph kernels, the transcode
+# catalog), so the line-level must-cover set is 68 queries — 20
+# never-checked late-r12 gates + 48 line-tainted — against the driver's
+# 50-slot cap. 18 MUST therefore stay displaced this round; the cap is
+# spent on (a) ALL 20 never-checked gates and (b) the 30 line-tainted
+# queries whose computing code changed most (vectorized kernels,
+# restructured plans). The 18 displaced are chosen for the strongest
+# alternate evidence and least behavioral distance:
+#   - the 9 osm_* scan gates + stream_osm_apply_changes: tainted by the
+#     transcode catalog's decode-work balancing (task ASSIGNMENT only —
+#     same rows by construction), and covered by the 70-test
+#     decode/transcode suite incl. golden fixtures + the mixed-codec
+#     differential oracle;
+#   - 3 stream mirrors (quality_by_lang, fingerprint_decontaminate,
+#     incremental_dedup) whose batch operators ARE in-cap and whose
+#     streaming-specific code is untouched;
+#   - text_entropy (one-line translate swap, corpus-wide
+#     expression-equality-checked), split_leakage / semantic_dedup
+#     (shared-line taints; their specific operators un-restructured),
+#     dedup_resolve / clean_corpus_pipeline (compositions whose members
+#     are in-cap).
+# EVERY displaced query is oracle-matched on this exact tree under both
+# local-cluster topologies (LOCAL_CLUSTER_r12.json / _4x4.json) — the
+# containment is asserted machine-checkably in tests/test_entry.py.
+# The displaced 18 lead r13's rotation.
 _CHECK_FIRST = [
-    # --- must-cover (never-checked + line-tainted) ---
-    # no-libm LM stack, added late-r12: Kneser-Ney bigram scoring over
-    # exact rationals + integer fixed-point log2 (never-checked)
+    # --- 20 never-checked late-r12 gates ---
     "kneser_ney_score",
-    # Louvain phase-1 local moves with the Lu et al. 2015 swap veto
-    # (never-checked)
     "louvain_communities",
-    # unigram-LM (SentencePiece) tokenizer lifecycle: seed vocab with
-    # fixed-point costs, Viterbi encode, + encode-on-arrival (21st
-    # streaming gate) — all never-checked
     "unigram_vocab_costs",
     "unigram_encode_corpus",
     "stream_unigram_encode",
     "unigram_em_round",
-    # Louvain phase-2 contraction (never-checked)
     "louvain_coarse_graph",
-    # 18th streaming gate, added late-r12: serve-on-arrival from the
-    # persisted IVFADC index (its engine edits also re-taint the ivfpq
-    # family below — all in-cap)
     "stream_ivfpq_serve",
-    # VAD-style audio segmentation (batch + 19th streaming gate),
-    # added late-r12: never-checked
     "audio_energy_segments",
     "stream_audio_segments",
-    # nprobe recall sweep, added late-r12: never-checked (its ranked-
-    # probe oracle/plan edits also re-taint the ivfpq family below)
     "ann_recall_report",
-    # UniMax waterfill budget-setter, added late-r12: never-checked
     "unimax_allocation",
-    # JL +-1 projection distortion audit, added late-r12: never-checked
     "jl_distortion",
-    # cell-restricted kNN graph + NN-Descent refinement round, added
-    # late-r12: never-checked (the centroid-offset param also touches
-    # the ivf_assign line set, so BOTH its consumers must be in-cap:
-    # ann_ivf_topk rides the fills below; semantic_dedup is hoisted
-    # here — the late-r12 must-cover prepends had pushed it to
-    # position 56, which the taint ledger flagged as DISPLACED)
     "knn_graph",
     "nn_descent_round",
-    "semantic_dedup",
-    # 20th streaming gate (JL project-on-arrival) + ring-hash rebalance
-    # plan, added late-r12: never-checked
     "stream_jl_encode",
     "consistent_shards",
     "pq_encode_artifact",
     "ivfpq_index_search",
     "ivfpq_index_append",
+    # --- 30 line-tainted by the r12 builds + optimization round ---
     "ivfpq_topk",
     "pq_ann_topk",
     "stream_pq_encode",
     "bpe_encode_corpus",
     "stream_bpe_encode",
-    # --- 24 freshness fills (oldest green first: r7, then r8) ---
-    "image_near_dup_pairs",
-    "kcore_parts",
-    "pagerank_suppliers",
-    "shortest_hops",
-    "split_leakage",
-    "temperature_mixture",
-    "triangle_count",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_pairs",
-    "bigram_lm",
+    "dsir_importance",
+    "weighted_reservoir_sample",
+    "group_weighted_reservoir",
+    "training_set_assembly",
     "bm25_topk",
-    "clean_corpus_pipeline",
-    "cms_heavy_hitters",
-    "decontaminate",
-    "dedup_components",
-    "dedup_embedding",
-    "dedup_exact",
+    "hybrid_rrf_search",
+    "jaccard_join_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "duplicate_spans",
-    "embedding_outliers",
-    "embedding_quantize",
-    # ---- cap boundary: the 50 names above are positions 1-50 (pinned in
-    #      test_entry). Everything below position 50 is swept by the
-    #      local full-registry parity tests on current code every pytest
-    #      run. The r11 must-cover block rotated out with fresh r11
-    #      greens; the remaining r8 rows (epoch_shard_plan,
-    #      full_curation_pipeline, group_weighted_reservoir,
-    #      hybrid_rrf_search, incremental_dedup, jaccard_join_exact,
-    #      kmeans_clusters, line_corpus_dedup, negative_sampling,
-    #      pii_scrub, sample_pack_sequences, sample_stratified_cap,
-    #      sample_weighted_mixture, stream_incremental_dedup,
-    #      text_entropy, text_fingerprint, text_lang_id, text_quality,
-    #      text_repetition, text_stats, tfidf_top_terms,
-    #      token_budget_fill, token_drift_js, tokenize_corpus,
-    #      unigram_logprob, vocab_build, weighted_reservoir_sample,
-    #      winnowing_fingerprints) are r13's oldest-first fills. ----
+    "incremental_dedup",
+    "image_near_dup_pairs",
+    "winnowing_fingerprints",
+    "fingerprint_decontaminate",
+    "decontaminate",
+    "text_quality",
+    "full_curation_pipeline",
+    "mad_outliers",
+    "pagerank_suppliers",
+    "shortest_hops",
+    "label_communities",
+    "community_modularity",
+    "margin_bitext_ann",
+    "ann_lsh_pairs",
+    "ann_ivf_topk",
+    # ---- cap boundary: the 50 names above are positions 1-50 (pinned
+    #      in test_entry). Everything below position 50 is swept by the
+    #      local full-registry parity tests on current code every
+    #      pytest run, and the 18 displaced must-cover queries are
+    #      additionally oracle-matched in the committed
+    #      LOCAL_CLUSTER_r12 artifacts on this exact tree. ----
 ]
-
 
 
 def _verification_order(reg: dict[str, tuple]) -> dict[str, tuple]:
