@@ -328,6 +328,26 @@ def _verified_jaccard(pairs: DataFrame, grams: DataFrame, key: str,
     gb = grams.select(
         F.col(key).alias("doc_b"), F.col("gram_hashes").alias("gh_b")
     )
+    # spread the per-PAIR set-overlap work across the cluster: the
+    # candidate distinct's output is a few MB at the bench tiers, so
+    # AQE's byte-targeted coalesce packs it into ~2 post-shuffle tasks —
+    # but the verify cost is n_pairs × |gram set| hash-set work, per ROW
+    # not per byte (the image-near-dup bucket-kernel lesson, guide §2.5
+    # inverted). One explicit exchange of the narrow (doc_a, doc_b)
+    # frame spreads the scoring. Keyed on doc_a — the FIRST verify
+    # join's key — so that when that join is planned as SMJ/SHJ (sigs
+    # too big to broadcast: the soak tier, and any real corpus) this
+    # exchange SATISFIES the join's required distribution and replaces
+    # the join's own pair-side exchange instead of stacking under it
+    # (measured: keying it off the join key added a second 7M-row
+    # exchange at the soak tier); when the verify joins broadcast (the
+    # 10× tier), nothing follows and the scoring runs at full
+    # parallelism either way. Not keyed (doc_a, doc_b): that is the
+    # distinct's own partitioning and the optimizer strips it as
+    # redundant, putting the scoring back on the coalesced read.
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism, "doc_a"
+    )
     return (
         pairs.join(ga, "doc_a")
         .join(gb, "doc_b")

@@ -76,6 +76,20 @@ def test_lsh_dedup_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_lsh_verify_scoring_is_spread(spark):
+    """The exact-jaccard verify's per-pair hash-set work must NOT run on
+    the candidate distinct's AQE-coalesced read (a few MB packs into ~2
+    tasks; the cost is per ROW): _verified_jaccard spreads the pairs with
+    an explicit hash(doc_a) exchange — doc_a so the exchange doubles as
+    the first verify join's required distribution when that join is
+    SMJ/SHJ at scale (no stacked second pair exchange)."""
+    from osm_pbf_parquet_spark.operators import dedup
+
+    docs = rel.t(spark, SF_DIR, "documents")
+    plan = _plan(dedup.minhash_lsh_dedup(docs, threshold=0.8))
+    assert "hashpartitioning(doc_a" in plan
+
+
 def test_wholestage_codegen_on_scan_paths(spark):
     """Scalar surface stays JVM-side: whole-stage codegen spans cover the
     projection (no Python UDF in the hot path)."""
