@@ -545,56 +545,111 @@ def _pigeonhole_guard(bands: int, max_distance: int) -> None:
         )
 
 
-def _bucket_pairs_kernel(max_distance: int):
-    """Per-bucket all-pairs Hamming verify, vectorized: XOR the bucket's
-    fingerprints as a blocked outer product in numpy and popcount with
-    the SWAR folds (uint64, wrap-around multiply is exactly the mod-2⁶⁴
-    SWAR needs). Emits (doc_a, doc_b, hamming) with doc_a < doc_b —
-    identical to probing every in-bucket collision through the join
-    condition, row for row, because the candidate set IS all in-bucket
-    pairs. Blocked so peak memory is ~block × bucket_rows × 8 B even on
-    a degenerate hot bucket."""
+def _swar_bucket_pairs(k, h, max_distance: int, out_a, out_b, out_d):
+    """ONE bucket's all-pairs Hamming enumeration, vectorized: XOR the
+    bucket's fingerprints as a blocked outer product in numpy and
+    popcount with the SWAR folds (uint64, wrap-around multiply is
+    exactly the mod-2⁶⁴ SWAR needs). ``k`` must be sorted ascending so
+    the row<col emission yields doc_a < doc_b. Appends survivor arrays
+    into the caller's accumulators. Blocked so peak memory is ~block ×
+    bucket_rows × 8 B even on a degenerate hot bucket."""
+    n = len(k)
+    cols = np.arange(n, dtype=np.int64)
+    block = max(1, min(1024, 8_000_000 // n))
+    for i0 in range(0, n - 1, block):
+        i1 = min(i0 + block, n)
+        x = h[i0:i1, None] ^ h[None, :]
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        d = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+        hit = (d <= max_distance) & (
+            cols[None, :] > np.arange(i0, i1)[:, None])
+        r, c = np.nonzero(hit)
+        if r.size:
+            out_a.append(k[r + i0])
+            out_b.append(k[c])
+            out_d.append(d[r, c].astype(np.int32))
 
-    def _pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(pdf)
-        empty = pd.DataFrame({
-            "doc_a": pd.Series(dtype="int64"),
-            "doc_b": pd.Series(dtype="int64"),
-            "hamming": pd.Series(dtype="int32"),
-        })
-        if n < 2:
-            return empty
+
+_PAIRS_EMPTY = {
+    "doc_a": pd.Series(dtype="int64"),
+    "doc_b": pd.Series(dtype="int64"),
+    "hamming": pd.Series(dtype="int32"),
+}
+
+
+def _bucket_pairs_map_kernel(max_distance: int):
+    """Per-PARTITION form of the bucket kernel (mapInPandas over rows
+    hash-partitioned by (band, bits) — every bucket is complete within
+    one partition, so splitting the partition on bucket boundaries and
+    enumerating each bucket with the shared SWAR core emits EXACTLY the
+    per-group kernel's rows. One Python call and one Arrow round-trip
+    per partition instead of one per bucket, and no grouped sort
+    (lexsort inside the kernel replaces it)."""
+
+    def _pairs(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            yield pd.DataFrame(_PAIRS_EMPTY)
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+        band = pdf["_band"].to_numpy(np.int64)
+        bits = pdf["_bits"].to_numpy(np.int64)
         k = pdf["_k"].to_numpy(np.int64)
-        order = np.argsort(k, kind="stable")
+        h = pdf["_h"].to_numpy(np.int64)
+        order = np.lexsort((k, bits, band))
+        band, bits = band[order], bits[order]
         k = k[order]
-        h = pdf["_h"].to_numpy(np.int64)[order].view(np.uint64)
-        cols = np.arange(n, dtype=np.int64)
-        block = max(1, min(1024, 8_000_000 // n))
+        h = h[order].view(np.uint64)
+        edge = np.nonzero(
+            (band[1:] != band[:-1]) | (bits[1:] != bits[:-1])
+        )[0] + 1
+        starts = np.concatenate(([0], edge))
+        ends = np.concatenate((edge, [len(k)]))
         out_a, out_b, out_d = [], [], []
-        for i0 in range(0, n - 1, block):
-            i1 = min(i0 + block, n)
-            x = h[i0:i1, None] ^ h[None, :]
-            x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
-            x = (x & np.uint64(0x3333333333333333)) + (
-                (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
-            x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-            d = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
-            hit = (d <= max_distance) & (
-                cols[None, :] > np.arange(i0, i1)[:, None])
-            r, c = np.nonzero(hit)
-            if r.size:
-                out_a.append(k[r + i0])
-                out_b.append(k[c])
-                out_d.append(d[r, c].astype(np.int32))
-        if not out_a:
-            return empty
-        return pd.DataFrame({
-            "doc_a": np.concatenate(out_a),
-            "doc_b": np.concatenate(out_b),
-            "hamming": np.concatenate(out_d),
-        })
+        emitted = 0
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            _swar_bucket_pairs(k[s:e], h[s:e], max_distance,
+                               out_a, out_b, out_d)
+            emitted = sum(a.size for a in out_a)
+            if emitted > 4_000_000:  # bound the output frame on
+                yield pd.DataFrame({  # degenerate all-equal corpora
+                    "doc_a": np.concatenate(out_a),
+                    "doc_b": np.concatenate(out_b),
+                    "hamming": np.concatenate(out_d),
+                })
+                out_a, out_b, out_d = [], [], []
+                emitted = 0
+        yield (
+            pd.DataFrame({
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_d),
+            })
+            if out_a
+            else pd.DataFrame(_PAIRS_EMPTY)
+        )
 
     return _pairs
+
+
+# Adaptive bucket-kernel dispatch thresholds (banded_hamming_pairs with
+# an ``n_rows`` observation). Under uniform band hashing the expected
+# in-bucket candidate volume is bands·n²/(2·keyspace); below ~4M pairs
+# the codegen'd join probe costs well under a second of stage CPU and a
+# Python stage's fixed overhead (worker round-trips, the extra
+# exchange) is never paid back — r12's unconditional kernel regressed
+# the driver's small-tier wall 1.70 → 2.93 s exactly this way (VERDICT
+# r12 #1). Per-task pair budget sizes the explicit repartition so the
+# kernel stage neither serializes onto AQE's byte-coalesced 2-4 tasks
+# (the work is n² in rows, not bytes) nor fans tiny slices across every
+# core for nothing.
+KERNEL_MIN_PAIRS = 4_000_000
+KERNEL_PAIRS_PER_TASK = 4_000_000
 
 
 def banded_hamming_pairs(
@@ -605,6 +660,7 @@ def banded_hamming_pairs(
     bands: int,
     max_distance: int,
     bucket_kernel: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Banded Hamming near-duplicate pairs over an int64 fingerprint —
     THE shared core of ``simhash_dedup`` (text) and
@@ -629,23 +685,45 @@ def banded_hamming_pairs(
     it. ``key``/``hash_col`` must be plain column names (they are
     interpolated into expressions).
 
-    ``bucket_kernel=True`` swaps the self-join for a grouped vectorized
-    kernel: shuffle the exploded (band, bits, key, hash) rows ONCE by
-    bucket and enumerate each bucket's pairs in numpy (blocked XOR
-    outer product + SWAR popcount). Same candidate set — all in-bucket
-    pairs — same verify, same distinct; emitted pairs are identical.
-    Use it when the band keyspace is NARROW relative to the corpus
-    (e.g. a 28-bit hash in 7-bit bands: ≤128 buckets/band, so buckets
-    hold hundreds of rows and candidates number in the tens of
-    millions; probing them row-at-a-time through the join was 22 of the
-    image gate's 24 stage-CPU-seconds at the 10× tier — guide §4.2's
+    ``bucket_kernel=True`` swaps the self-join for a vectorized
+    partition kernel: shuffle the exploded (band, bits, key, hash) rows
+    ONCE by bucket and enumerate each bucket's pairs in numpy (blocked
+    XOR outer product + SWAR popcount — ``_bucket_pairs_map_kernel``).
+    Same candidate set — all in-bucket pairs — same verify, same
+    distinct; emitted pairs are identical. Use it when the band
+    keyspace is NARROW relative to the corpus (e.g. a 28-bit hash in
+    7-bit bands: ≤128 buckets/band, so buckets hold hundreds of rows
+    and candidates number in the tens of millions; probing them
+    row-at-a-time through the join was 22 of the image gate's 24
+    stage-CPU-seconds at the 10× tier — guide §4.2's
     hand-batches-to-native rule). The join form stays the default for
     wide-band fingerprints (64-bit SimHash: 65k-value bands hash-spread
     the corpus, so per-bucket candidates are few and the codegen'd
-    probe is already the cheap path)."""
+    probe is already the cheap path).
+
+    ``n_rows`` (the caller's observed corpus row count — dhash callers
+    already count the persisted input to populate its cache) makes the
+    kernel dispatch ADAPTIVE (r13, VERDICT r12 #1): the expected
+    candidate volume bands·n²/(2·keyspace) picks kernel vs join at
+    runtime (below ``KERNEL_MIN_PAIRS`` the join probe is cheaper than
+    any Python stage's fixed overhead — identical output either way),
+    and bounds the explicit repartition width to
+    est_pairs/``KERNEL_PAIRS_PER_TASK`` tasks instead of a blanket
+    defaultParallelism fan-out. Without ``n_rows`` the flag is honored
+    as given (the property test forces both physical strategies)."""
     _pigeonhole_guard(bands, max_distance)
     width = (n_bits + bands - 1) // bands
     mask = (1 << width) - 1
+    par = sigs.sparkSession.sparkContext.defaultParallelism
+    kernel_tasks = par
+    if bucket_kernel and n_rows is not None:
+        est_pairs = bands * n_rows * n_rows / (2.0 * (mask + 1))
+        if est_pairs < KERNEL_MIN_PAIRS:
+            bucket_kernel = False
+        else:
+            kernel_tasks = max(
+                2, min(par, int(est_pairs / KERNEL_PAIRS_PER_TASK) + 1)
+            )
     bandvals = sigs.select(
         F.col(key).alias("_k"),
         F.col(hash_col).alias("_h"),
@@ -659,18 +737,17 @@ def banded_hamming_pairs(
         ).alias("_band", "_bits"),
     )
     if bucket_kernel:
-        # explicit user repartition on the bucket keys: the exploded
-        # frame is only a few MiB, so AQE would coalesce the groupBy
-        # exchange to a handful of tasks — but this stage's cost is n²
-        # in ROWS per bucket, not bytes (observed: 32 -> 4 tasks, 5.3 s
-        # serialized kernel wall). A pinned width survives AQE, and the
-        # groupBy reuses the partitioning (no second exchange).
-        par = sigs.sparkSession.sparkContext.defaultParallelism
+        # explicit repartition on the bucket keys: the exploded frame is
+        # only a few MiB, so AQE would coalesce the exchange to a
+        # handful of tasks — but this stage's cost is n² in ROWS per
+        # bucket, not bytes (observed: 32 -> 4 tasks, 5.3 s serialized
+        # kernel wall). A pinned width survives AQE; every (band, bits)
+        # bucket lands complete in one partition, which is the map
+        # kernel's only requirement.
         return (
-            bandvals.repartition(par, "_band", "_bits")
-            .groupBy("_band", "_bits")
-            .applyInPandas(
-                _bucket_pairs_kernel(max_distance),
+            bandvals.repartition(kernel_tasks, "_band", "_bits")
+            .mapInPandas(
+                _bucket_pairs_map_kernel(max_distance),
                 "doc_a long, doc_b long, hamming int",
             )
             .distinct()

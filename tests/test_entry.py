@@ -77,8 +77,9 @@ def test_r9_rotation_inside_driver_cap():
         for name in led["must_cover"]:
             assert name in head, name
     else:
-        # r12 optimization round: shared-operator edits tainted more
-        # queries than the cap holds (68 vs 50). The invariant is then
+        # Optimization rounds' shared-operator edits taint more queries
+        # than the cap holds (len(must_cover) vs cap — 70 vs 50 in the
+        # committed r12 ledger). The invariant is then
         # EVIDENCE-BACKED displacement: every displaced query must be
         # oracle-matched in BOTH committed local-cluster falsifier
         # artifacts, which the falsifier produced on this tree.

@@ -34,7 +34,9 @@ def test_ledger_matches_registry():
 def test_ledger_must_cover_is_in_cap():
     """Must-cover fits the cap → zero displacements (the r9+ invariant).
     When a round's shared-operator edits taint MORE queries than the cap
-    holds (r12 optimization: 68 vs 50), displacement is allowed only
+    holds (see len(led['must_cover']) vs led['cap'] — the committed
+    TAINT_LEDGER.json is the record, 70 vs 50 in r12), displacement is
+    allowed only
     under the evidence contract: every displaced query is oracle-matched
     in BOTH committed local-cluster falsifier artifacts, never-checked
     queries are never displaced, and the only recorded problem is the
