@@ -690,15 +690,20 @@ def bm25_topk(
                 ),
             )
         )
-    # materialize before the stats/dfreq broadcasts are built: those
-    # broadcast-exchange jobs run on their own threads and raced the
-    # main job on the unpopulated cache, re-running the regex tokenizer
-    # per consumer anyway (twin tokenize stages at the 10× tier — the
-    # same race the persist was added to prevent)
-    base.count()
-    stats = base.agg(
+    # ONE action populates the cache AND returns the corpus stats
+    # (r13, VERDICT r12 #5 — collapse bm25's two serial
+    # materializations): the old shape ran base.count() purely to
+    # populate (guarding the broadcast-race double-compute), then a
+    # second full cache pass for the (n_docs, sum_dl) aggregate inside
+    # a crossJoin'd 1-row broadcast. The aggregate itself is the
+    # populate action now, and the two exact BIGINTs ride into the
+    # score expression as literals — same integers, same IEEE float
+    # derivation, one fewer pass over the corpus-sized cache and one
+    # fewer broadcast-exchange job at every scale.
+    srow = base.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
+    ).collect()[0]
+    n_docs, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"] or 0)
     tf = (
         base.select(key, "dl", F.explode("hits").alias("token"))
         .groupBy(key, "dl", "token")
@@ -707,21 +712,21 @@ def bm25_topk(
     dfreq = tf.groupBy("token").agg(
         F.countDistinct(key).alias("df")
     )
-    parts = (
-        tf.join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(stats))
-    )
+    parts = tf.join(F.broadcast(dfreq), "token")
     term_score = (
-        "ln(1.0 + (cast(t.n_docs AS DOUBLE) - t.df + 0.5) / (t.df + 0.5))"
+        f"ln(1.0 + (cast({n_docs}L AS DOUBLE) - t.df + 0.5) / (t.df + 0.5))"
         f" * (t.tf * ({BM25_K1!r} + 1.0))"
         f" / (t.tf + {BM25_K1!r} * (1.0 - {BM25_B!r}"
-        f" + {BM25_B!r} * t.dl / (cast(t.sum_dl AS DOUBLE) / t.n_docs)))"
+        f" + {BM25_B!r} * t.dl / (cast({sum_dl}L AS DOUBLE) / {n_docs}L)))"
     )
     scored = parts.groupBy(key).agg(
         F.expr(
+            # the two corpus stats became literals above; dropping them
+            # from the sort struct keeps the identical fold order (token
+            # is unique within a doc group, so it alone decides the
+            # array_sort; the stats were per-group constants)
             "round(aggregate("
-            "  array_sort(collect_list(struct(token, tf, df, dl,"
-            "                                 n_docs, sum_dl))),"
+            "  array_sort(collect_list(struct(token, tf, df, dl))),"
             "  cast(0.0 AS DOUBLE),"
             f"  (acc, t) -> acc + {term_score}), 6)"
         ).alias("bm25"),
