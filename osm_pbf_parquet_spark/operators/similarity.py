@@ -935,13 +935,15 @@ def _ivfpq_train_base(corpus: DataFrame, vec_col: str, key: str, ps):
     the double array is an identity cast, and every trainer sum is an
     exact integer-valued double sum (order-independent), so centroids,
     codebooks and codes are unchanged."""
-    vd = ps.persist(
+    # no eager count: the coarse trainer's init collect — the IMMEDIATE
+    # next action, on the main thread, before any broadcast-consumer job
+    # exists — scans every partition (TakeOrdered) and populates the
+    # cache, so an extra populate job would be pure overhead
+    return ps.persist(
         _spread(corpus).select(
             F.col(key), F.expr(TO_DOUBLE.format(v=vec_col)).alias("_vd0")
         )
     )
-    vd.count()  # the one corpus materialization; all passes read it
-    return vd
 
 
 def _ivf_coarse_centroids(

@@ -23,6 +23,21 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# r13 suite-wall fix: several hundred parity tests each opened a fresh
+# in-memory DuckDB and re-registered the 10 parquet views per call —
+# pure per-test fixture overhead. One memoized connection per sf_dir
+# serves every run_compare; views are read-only and each execute() is
+# independent, so sharing changes nothing about what is compared.
+_CON_MEMO: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
+def _duck_cached(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = _CON_MEMO.get(sf_dir)
+    if con is None:
+        con = _CON_MEMO[sf_dir] = duck_connect(sf_dir)
+    return con
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -85,9 +100,5 @@ def run_compare(spark, sf_dir: str, name: str, fn, oracle: str | None) -> None:
     if oracle is None:
         assert len(sdf) >= 0
         return
-    con = duck_connect(sf_dir)
-    try:
-        ddf = con.execute(oracle).df()
-    finally:
-        con.close()
+    ddf = _duck_cached(sf_dir).execute(oracle).df()
     compare_frames(sdf, ddf, name)

@@ -10,6 +10,8 @@ non-overlapping left-to-right)."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 from collections import Counter
 
@@ -55,6 +57,7 @@ def _ref_bpe(texts: list[str], rounds: int):
 
 @settings(max_examples=8, deadline=None)
 @given(docs)
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_bpe_train_matches_sequential_reference(spark, texts):
     rounds = 3
     df = spark.createDataFrame([(t,) for t in texts], "text string")

@@ -8,6 +8,8 @@ first."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from osm_pbf_parquet_spark.operators.evaluation import roc_auc
@@ -23,6 +25,7 @@ QS = [(0, 1), (1, 4), (1, 2), (3, 4), (1, 1)]
         st.integers(-1000, 1000), min_size=1, max_size=30
     )
 )
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_exact_quantiles_match_sorted_selection(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "v long")
     out = {

@@ -7,6 +7,8 @@ orientation and round-synchronization logic break first."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import defaultdict
 
 from hypothesis import given, settings, strategies as st
@@ -250,6 +252,7 @@ def _ref_louvain(pairs, rounds):
 
 @settings(max_examples=10, deadline=None)
 @given(edge_lists, st.integers(1, 3))
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_louvain_moves_match_sequential(spark, edges, rounds):
     from osm_pbf_parquet_spark.operators.graph import louvain_move_rounds
 

@@ -96,7 +96,11 @@ def test_bigram_probabilities_form_distribution(spark):
     assert out
     for r in out:
         assert r["p_cond"] == (r["pair_n"] * 1_000_000 // r["w1_n"]) / 1e6
-    full = bigram_conditional(docs, k=10**9)
+    # "no top-k cut" needs k >= the distinct-bigram population (bounded
+    # by the ~28k corpus tokens), NOT a huge sentinel: k=10**9 planned as
+    # TakeOrderedAndProject(limit=1e9) whose bounded priority queue
+    # pre-allocates per the limit — ~8 s of pure allocation per run
+    full = bigram_conditional(docs, k=10**6)
     sums = (full.groupBy("w1")
             .agg(F.sum(F.col("pair_n") / F.col("w1_n")).alias("s"))
             .collect())

@@ -13,6 +13,8 @@ inputs (same bar as the graph/selection/exactness property layers):
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from osm_pbf_parquet_spark.operators import dedup, ordered, sampling
@@ -31,6 +33,7 @@ from osm_pbf_parquet_spark.operators import dedup, ordered, sampling
         max_size=20,
     )
 )
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_components_match_union_find(spark, raw_edges):
     edges = [(min(a, b), max(a, b)) for a, b in raw_edges]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
@@ -68,6 +71,7 @@ def test_components_match_union_find(spark, raw_edges):
         max_size=25,
     )
 )
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_skyline_matches_brute_force(spark, pts):
     df = spark.createDataFrame(pts, "px long, py long")
     got = {
@@ -93,6 +97,7 @@ def test_skyline_matches_brute_force(spark, pts):
     st.lists(st.integers(1, 7), min_size=1, max_size=20),
     st.sampled_from([3, 5, 8]),
 )
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_pack_sequences_matches_sequential(spark, doc_lens, budget):
     rows = [(i + 1, " ".join(["w"] * n)) for i, n in enumerate(doc_lens)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -704,6 +709,7 @@ def _pq_reference(vecs, m, ks, iters, nq, k, rerank):
         min_size=6, max_size=24,
     )
 )
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_pq_matches_sequential_reference(spark, vec_lists):
     """Distributed PQ (train → encode → ADC shortlist → exact re-rank)
     ≡ the sequential reference on arbitrary integer vectors — codebook
@@ -846,6 +852,7 @@ def _ivfpq_reference(vecs, m, ks, iters, C, nprobe, nq, k, rerank,
         min_size=6, max_size=20,
     )
 )
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_ivfpq_matches_sequential_reference(spark, vec_lists):
     """Distributed IVFADC ≡ the sequential reference: cell assignment
     (first-max cosine), probe selection, the cell restriction of ADC

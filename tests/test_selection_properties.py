@@ -13,6 +13,8 @@ keeper choice, tertile membership) is compared exactly.
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 import re
@@ -46,6 +48,7 @@ def _tokens(text: str) -> list[str]:
 
 @settings(max_examples=10, deadline=None)
 @given(corpora)
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_dsir_matches_pure_python_reference(spark, corpus):
     rows = [(i + 1, text, lang) for i, (text, lang) in enumerate(corpus)]
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
@@ -194,6 +197,7 @@ def test_resolve_matches_pure_python_reference(spark, members):
 
 @settings(max_examples=8, deadline=None)
 @given(corpora)
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_ccnet_bucket_invariants_hold_on_arbitrary_corpora(spark, corpus):
     rows = [(i + 1, text, lang) for i, (text, lang) in enumerate(corpus)]
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
@@ -253,6 +257,7 @@ def _aes_reference(rows, k, salt="aes-v1"):
 
 @settings(max_examples=25, deadline=None)
 @given(reservoir_rows, st.integers(min_value=1, max_value=10))
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_reservoir_matches_sequential_aes_reference(spark, rows, k):
     df = spark.createDataFrame(rows, ["doc_id", "dsir_nano"])
     got = [

@@ -4,6 +4,8 @@ a small bounding box, so lat/lon range scans prune on min/max stats)."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -88,6 +90,7 @@ def test_zorder_ranges_disjoint_sorted_merged(spark):
     assert all(l2 > h1 + 1 for (_, h1), (l2, _) in zip(rngs, rngs[1:]))
 
 
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_zorder_bbox_filter_equals_naive_filter(spark):
     pts = spark.range(30_000).select(
         F.col("id"),

@@ -130,6 +130,7 @@ def test_enrich_stream_static_broadcast_join(spark, events_dir):
         q.stop()
 
 
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     """Watermarked stream-stream purchase←click attribution must produce
     exactly the batch interval-join result on the same data."""

@@ -217,6 +217,7 @@ _doc = _st.lists(_word, min_size=0, max_size=6).map(" ".join)
 
 @_settings(max_examples=8, deadline=None)
 @_given(_st.lists(_doc, min_size=1, max_size=5))
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_bpe_encode_matches_reference_on_arbitrary_corpora(spark, texts):
     """Hypothesis sweep: train-then-encode agrees with the token-list
     reference on arbitrary small corpora — runs of repeated characters

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from osm_pbf_parquet_spark.functions.fixedpoint import ilog2_fp_py
@@ -65,6 +67,7 @@ vocab_st = st.dictionaries(
 
 @settings(max_examples=15, deadline=None)
 @given(words_st, vocab_st, st.sampled_from(["ab", "abc"]))
+@pytest.mark.slow  # r13 driver tier: operator keeps oracle-parity coverage; full tier runs this each round
 def test_viterbi_matches_sequential(spark, words, multi, alphabet):
     costs = {ch: 1000 * (ord(ch) - 96) for ch in alphabet}
     costs.update(multi)
